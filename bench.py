@@ -1,0 +1,57 @@
+"""Benchmark runner — times the headline workload queries.
+
+Usage: ``python bench.py`` (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS).
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Materialization is ``df.write.format("noop")`` — full execution of
+every stage without driver-side collection, so the timing measures the
+plan, not the result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cbts_datalake_synnex_spark.session import get_spark
+from cbts_datalake_synnex_spark.workload import REGISTRY
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+
+    # JVM + parquet-footer warmup so q1 doesn't pay session startup.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    names = [n for n, q in REGISTRY.items() if q.bench]
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,281 @@
+"""LakeEngine — the façade that replaces the reference's Lambda+Glue+Athena triad.
+
+Zoned lakehouse layout (SURVEY §1.1): the reference encodes
+raw / staging / processed(curated) as Hive-style key-value path
+partitions under one S3 bucket —
+``etl_process=raw/table=T/year=Y/month=M/*.json.gz`` (``utils.py:215``),
+``etl_process=staging/table=T/*.json.gz`` (``utils.py:112-114,141``),
+``etl_process=processed/table=T/...`` (``utils.py:243``; the reversed
+key order at ``utils.py:74`` is normalized to the majority order per
+SURVEY §1.1). We keep exactly that layout over a local/posix or
+object-store root.
+
+API surface (one method per reference entry point, SURVEY §3):
+
+* ``ingest_records``  — §3.2: records → ingest policy → raw+staging (+
+  optionally straight to curated), the role of ``save_to_datalake``
+  (``utils.py:40-89``) + ``save_to_staging`` (``utils.py:118-144``).
+* ``curate``          — §3.3: staging JSON → count gate → typed
+  transform → schema-evolving partitioned Parquet + catalog, the role
+  of ``src/glue/staging_to_curated.py``.
+* ``sql`` / ``create_view`` — the Athena role (``src/purchase_orders.py:
+  22-24``): Spark SQL over catalog-registered curated tables.
+* ``prepare_staging`` — K6 staging truncate (``utils.py:102-115``).
+
+Scale posture: every write is ``partitionBy`` Hive layout so partition
+pruning is free; curated reads register as catalog tables so Catalyst
+sees statistics; schema evolution is additive-column (Parquet
+``mergeSchema`` on read + explicit ALTER on the catalog entry), the
+Delta upgrade path noted where it applies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.functions.audit import with_audit_columns
+from cbts_datalake_synnex_spark.functions.ingest_policy import (
+    apply_ingest_policy,
+    sanitize_types_for_catalog,
+)
+
+DEFAULT_PARTITION_COLS = ["processed_year", "processed_month"]  # utils.py:223
+
+
+@dataclass(frozen=True)
+class ZonePaths:
+    """Path layout — one lake root, reference key-value zone encoding."""
+
+    root: str
+
+    def raw(self, table: str, year: str, month: str) -> str:
+        # utils.py:215: etl_process=raw/table=T/year=Y/month=M/
+        return os.path.join(self.root, "etl_process=raw", f"table={table}", f"year={year}", f"month={month}")
+
+    def staging(self, table: str) -> str:
+        # utils.py:112-114,141: etl_process=staging/table=T/
+        return os.path.join(self.root, "etl_process=staging", f"table={table}")
+
+    def curated(self, table: str) -> str:
+        # utils.py:243: etl_process=processed/table=T/
+        return os.path.join(self.root, "etl_process=processed", f"table={table}")
+
+
+class LakeEngine:
+    """One SparkSession + one zoned lake root + one catalog database."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake_root: str,
+        database: str = "datalake",  # DATABASE env, utils.py:25
+        clock: Any | None = None,
+    ) -> None:
+        self.spark = spark
+        self.zones = ZonePaths(lake_root)
+        self.database = database
+        self._clock = clock  # () -> datetime, injectable for tests
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+    # ------------------------------------------------------------------
+    # clock
+    def _now(self) -> datetime | None:
+        return self._clock() if self._clock is not None else None
+
+    # ------------------------------------------------------------------
+    # S6 — in-memory records source (utils.py:40,118,223 `data` param)
+    def records_to_df(self, data: Iterable[dict[str, Any]]) -> DataFrame:
+        """list[dict] (possibly nested) → DataFrame via the JSON-lines
+        reader, which gives the same dynamic schema inference the Glue
+        DynamicFrame provided (src/glue/staging_to_curated.py:85-95)."""
+        lines = [json.dumps(rec, default=str) for rec in data]
+        if not lines:
+            return self.spark.createDataFrame([], "dummy string").limit(0).drop("dummy")
+        return self.spark.read.json(self.spark.sparkContext.parallelize(lines, max(1, len(lines) // 5000 + 1)))
+
+    # ------------------------------------------------------------------
+    # K4 — gzipped JSON raw archive (utils.py:210-220)
+    def save_to_raw(self, table: str, data: Iterable[dict[str, Any]], now: datetime | None = None) -> str:
+        now = now or self._now() or datetime.now()
+        path = self.zones.raw(table, now.strftime("%Y"), now.strftime("%m"))
+        df = self.records_to_df(data)
+        (
+            df.write.mode("append")
+            .format("json")
+            .option("compression", "gzip")
+            .save(os.path.join(path, uuid.uuid4().hex))
+        )
+        return path
+
+    # ------------------------------------------------------------------
+    # K5 — staging write (utils.py:118-144): flattened+stringified JSON
+    def save_to_staging(
+        self,
+        table: str,
+        data: Iterable[dict[str, Any]] | DataFrame,
+        incremental: bool = True,
+    ) -> str:
+        df = data if isinstance(data, DataFrame) else self.records_to_df(data)
+        df = apply_ingest_policy(df, stringify=True)
+        df = with_audit_columns(df, self._now())
+        path = self.zones.staging(table)
+        df.write.mode("append").format("json").option("compression", "gzip").save(
+            os.path.join(path, uuid.uuid4().hex)
+        )
+        if incremental:
+            # `_incremental` twin receives the same append (utils.py:153)
+            inc = self.zones.staging(f"{table}_incremental")
+            df.write.mode("append").format("json").option("compression", "gzip").save(
+                os.path.join(inc, uuid.uuid4().hex)
+            )
+        return path
+
+    # ------------------------------------------------------------------
+    # K6 — staging truncate (utils.py:102-115)
+    def prepare_staging(self, table: str) -> None:
+        for t in (table, f"{table}_incremental"):
+            path = self.zones.staging(t)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+
+    # ------------------------------------------------------------------
+    # §3.2 — ingest: records → policy chain → curated partitioned write
+    def ingest_records(
+        self,
+        table: str,
+        data: Iterable[dict[str, Any]],
+        mode: str = "overwrite",
+        partition_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """The role of ``save_to_datalake`` (utils.py:40-89): normalize
+        → audit columns → partitioned Parquet + catalog registration."""
+        df = self.records_to_df(data)
+        df = apply_ingest_policy(df, stringify=True)
+        df = with_audit_columns(df, self._now())
+        self.write_curated(table, df, mode=mode, partition_cols=partition_cols)
+        return self.spark.table(self.qualified(table))
+
+    # ------------------------------------------------------------------
+    # K1/K2/K7/K8 — partitioned Parquet dataset write w/ catalog + evolution
+    def write_curated(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "append",
+        partition_cols: Sequence[str] | None = None,
+        schema_evolution: bool = True,
+    ) -> None:
+        """Partitioned snappy-Parquet write registered in the catalog.
+
+        Reference: ``wr.s3.to_parquet(dataset=True, mode=..., database,
+        table, partition_cols, catalog_versioning=True)`` at
+        ``utils.py:72-83`` and the schema-evolving variant at
+        ``utils.py:241-252``; the Glue-job equivalents are the sink at
+        ``src/glue/staging_to_curated.py:104-115`` plus create-if-absent
+        (122-134) and add-column diff (139-168). Here `saveAsTable` with
+        Hive partitioning covers K1/K3/K7; additive schema evolution
+        (K2/K8) is an explicit ALTER TABLE ADD COLUMNS diff + a
+        positionally-safe unionByName append. Partition discovery K9 is
+        implicit for catalog-managed writes (no MSCK needed; kept as
+        `recover_partitions` for external tables). With Delta jars on
+        the classpath the same call becomes `.format("delta")
+        .option("mergeSchema","true")` — the transaction log then
+        subsumes K7-K9 and catalog versioning; Parquet is the in-repo
+        fallback (no Delta in this image).
+        """
+        parts = list(partition_cols) if partition_cols is not None else [
+            c for c in DEFAULT_PARTITION_COLS if c in df.columns
+        ]
+        df = sanitize_types_for_catalog(df)
+        qtable = self.qualified(table)
+        exists = self.spark.catalog.tableExists(qtable)
+        if exists and mode == "append" and schema_evolution:
+            df = self._evolve_schema(qtable, df)
+        writer = df.write.mode(mode).format("parquet").option("compression", "snappy")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.saveAsTable(qtable)
+
+    def _evolve_schema(self, qtable: str, df: DataFrame) -> DataFrame:
+        """K8 add-column evolution: new df columns → ALTER TABLE ADD
+        COLUMNS; missing df columns → filled null, so the append is
+        positionally safe (the unionByName discipline of SURVEY §2.6 U1)."""
+        existing = self.spark.table(qtable)
+        existing_cols = {c.lower() for c in existing.columns}
+        new_fields = [f for f in df.schema.fields if f.name.lower() not in existing_cols]
+        if new_fields:
+            col_defs = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in new_fields)
+            self.spark.sql(f"ALTER TABLE {qtable} ADD COLUMNS ({col_defs})")
+        target = self.spark.table(qtable).schema
+        out = []
+        df_cols = {c.lower(): c for c in df.columns}
+        for f in target.fields:
+            src = df_cols.get(f.name.lower())
+            if src is not None:
+                out.append(F.col(f"`{src}`").cast(f.dataType).alias(f.name))
+            else:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*out)
+
+    # ------------------------------------------------------------------
+    # §3.3 — staging → curated job (src/glue/staging_to_curated.py)
+    def curate(
+        self,
+        table: str,
+        partition_cols: Sequence[str] | None = None,
+        mode: str = "append",
+    ) -> int:
+        """S1 grouped recursive JSON scan → A1 count gate → typed chain →
+        K2 schema-evolving partitioned write. Returns rows written.
+
+        The reference's DynamicFrame + groupFiles:'inPartition',
+        groupSize:100MB (``staging_to_curated.py:85-95``) maps to
+        ``spark.read.json(recursiveFileLookup=true)`` with Spark's
+        built-in file bin-packing (``spark.sql.files.maxPartitionBytes``,
+        set in session.py); schema inference replaces the DynamicFrame's
+        per-record schema.
+        """
+        path = self.zones.staging(table)
+        if not os.path.exists(path):
+            return 0  # empty-input short-circuit, staging_to_curated.py:97-101
+        df = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .option("compression", "gzip")
+            .json(path)
+        )
+        df = apply_ingest_policy(df, stringify=False)
+        # cheap emptiness gate — limit(1) not full count (SURVEY §4.1)
+        if df.limit(1).count() == 0:
+            return 0
+        self.write_curated(table, df, mode=mode, partition_cols=partition_cols)
+        return self.spark.table(self.qualified(table)).count()
+
+    # ------------------------------------------------------------------
+    # S3/S4 — SQL + views (the Athena role)
+    def sql(self, query: str) -> DataFrame:
+        """spark.sql with the engine database as default — the whole of
+        Athena (src/purchase_orders.py:23-24) collapses to this."""
+        self.spark.catalog.setCurrentDatabase(self.database)
+        return self.spark.sql(query)
+
+    def create_view(self, name: str, query: str) -> None:
+        # S4 — e.g. v_synnex_po_numbers (src/purchase_orders.py:22)
+        self.sql(f"CREATE OR REPLACE VIEW {self.qualified(name)} AS {query}")
+
+    def qualified(self, table: str) -> str:
+        return f"{self.database}.{table}"
+
+    # ------------------------------------------------------------------
+    # K9 — partition discovery for external (non-managed) tables
+    def recover_partitions(self, table: str) -> None:
+        # MSCK REPAIR TABLE, staging_to_curated.py:170-171
+        self.spark.sql(f"MSCK REPAIR TABLE {self.qualified(table)}")

@@ -1,0 +1,194 @@
+"""The ingest-policy transform chain (SURVEY §2.3 P3-P8).
+
+The reference normalizes every inbound record batch with pandas before
+landing it (``utils.py:40-89`` for the datalake write, ``utils.py:
+118-144`` staging, ``utils.py:223-252`` curated):
+
+1. ``pd.json_normalize`` — nested dict → dot-named flat columns
+   (``utils.py:49,129,230``)                              → P4
+2. drop all-NA columns ("NA columns get to be understood as strings
+   until told otherwise", ``utils.py:58-62``)             → P8
+3. string-first coercion: ``astype(str)``, fill ``''``, truncate to
+   10,000 chars, scrub literal ``'nan'``/``'None'``
+   (``utils.py:192-201``)                                 → P5
+4. sanitize column names to catalog-safe identifiers
+   (``wr.catalog.sanitize_dataframe_columns_names``,
+   ``utils.py:68,205``)                                   → P6
+5. drop duplicated column names, keep-first
+   (``wr.catalog.drop_duplicated_columns``, ``utils.py:69,206``) → P7
+
+Here each step is a declarative projection so the whole chain fuses
+into ONE Catalyst ``Project`` (plus one aggregate pass for the NA-drop)
+and runs inside whole-stage codegen — no Python in the per-row path.
+Distribution note (SURVEY §7 "what's hard"): the all-NA drop is a
+*global* aggregate in Spark, where pandas saw only its batch; we define
+batch-global (one aggregate over the whole ingest batch) as the
+engine's semantics.
+
+The Glue-side type whitelist (``src/glue/staging_to_curated.py:
+158-161``) is ``sanitize_types_for_catalog`` — non-whitelisted Catalyst
+types degrade to string before a table write.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_STRING_LEN = 10_000  # utils.py:196 truncation cap
+
+# src/glue/staging_to_curated.py:158-161 — types allowed to reach the
+# catalog; anything else degrades to string.
+CATALOG_TYPE_WHITELIST = frozenset(
+    {
+        "int",
+        "bigint",
+        "integer",
+        "boolean",
+        "tinyint",
+        "smallint",
+        "double",
+        "float",
+        "char",
+        "decimal",
+        "varchar",
+        "string",
+        "binary",
+        "date",
+        "timestamp",
+    }
+)
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """P4 — recursively flatten StructType columns to ``parent_child``.
+
+    Mirrors ``pd.json_normalize`` (``utils.py:49``): nested objects
+    flatten, arrays do NOT explode (json_normalize leaves lists as
+    object values; the string-first cast later stringifies them).
+    Pure projection — zero shuffle, survives any scale.
+    """
+    while True:
+        struct_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
+        if not struct_cols:
+            return df
+        cols = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StructType):
+                for sub in f.dataType.fields:
+                    cols.append(F.col(f"`{f.name}`.`{sub.name}`").alias(f"{f.name}{sep}{sub.name}"))
+            else:
+                cols.append(F.col(f"`{f.name}`"))
+        df = df.select(*cols)
+
+
+def drop_all_null_columns(df: DataFrame) -> DataFrame:
+    """P8 — drop columns with zero non-null values (``utils.py:58-62``).
+
+    One aggregate pass (partial counts map-side, tiny final reduce) —
+    the only action in the chain; at 100 TB it is a single
+    column-pruned scan producing one row.
+    """
+    if not df.columns:
+        return df
+    counts = df.agg(*[F.count(F.col(f"`{c}`")).alias(str(i)) for i, c in enumerate(df.columns)]).collect()[0]
+    empty = [c for i, c in enumerate(df.columns) if counts[str(i)] == 0]
+    return df.drop(*empty) if empty else df
+
+
+def stringify_columns(df: DataFrame, max_len: int = MAX_STRING_LEN) -> DataFrame:
+    """P5 — string-first coercion (``utils.py:192-201``).
+
+    cast→string, nulls and literal 'nan'/'None' → '', truncate to
+    ``max_len``. Non-atomic types (arrays/maps left by P4) stringify
+    via ``to_json`` so the value survives round-trips.
+    """
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            s = F.to_json(c)
+        else:
+            s = c.cast("string")
+        s = F.coalesce(s, F.lit(""))
+        s = F.when(s.isin("nan", "None", "NaN"), F.lit("")).otherwise(s)
+        cols.append(F.substring(s, 1, max_len).alias(f.name))
+    return df.select(*cols)
+
+
+def sanitize_column_names(df: DataFrame) -> DataFrame:
+    """P6 — catalog-safe names (``utils.py:68,205``): lowercase,
+    non-alphanumerics → ``_``, leading digit prefixed."""
+    return df.toDF(*[_sanitize_name(c) for c in df.columns])
+
+
+def _sanitize_name(name: str) -> str:
+    out = re.sub(r"\W", "_", name.strip().lower())
+    if out and out[0].isdigit():
+        out = "_" + out
+    return out or "_"
+
+
+def drop_duplicate_columns(df: DataFrame) -> DataFrame:
+    """P7 — keep-first on duplicated names (``utils.py:69,206``).
+
+    Positional rename to unique temp names sidesteps the ambiguity of
+    selecting a duplicated name, then keep-first restores originals.
+    """
+    cols = df.columns
+    if len(set(cols)) == len(cols):
+        return df
+    tmp = [f"__c{i}" for i in range(len(cols))]
+    renamed = df.toDF(*tmp)
+    seen: set[str] = set()
+    keep = []
+    for i, c in enumerate(cols):
+        if c not in seen:
+            seen.add(c)
+            keep.append(F.col(tmp[i]).alias(c))
+    return renamed.select(*keep)
+
+
+def sanitize_types_for_catalog(df: DataFrame) -> DataFrame:
+    """K8's whitelist (``src/glue/staging_to_curated.py:158-161``) —
+    degrade non-whitelisted top-level types to string before a table
+    write. Decimal keeps its precision (whitelisted as a family)."""
+    cols = []
+    for f in df.schema.fields:
+        name = f.dataType.typeName()
+        if name.startswith("decimal"):
+            name = "decimal"
+        if name in CATALOG_TYPE_WHITELIST or name in {"long", "short", "byte"}:
+            cols.append(F.col(f"`{f.name}`"))
+        elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols.append(F.to_json(F.col(f"`{f.name}`")).alias(f.name))
+        else:
+            cols.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
+    return df.select(*cols)
+
+
+def apply_ingest_policy(
+    df: DataFrame,
+    *,
+    stringify: bool = True,
+    max_len: int = MAX_STRING_LEN,
+) -> DataFrame:
+    """The full P4→P8→P5→P6→P7 chain in the reference's order
+    (``utils.py:40-89``: normalize 49, NA-drop 58-62, astype(str)
+    64-66, sanitize 68, dedup-columns 69).
+
+    With ``stringify=False`` the chain keeps inferred types (the Glue
+    job's mode, ``src/glue/staging_to_curated.py:61-70``) and only
+    flattens/sanitizes — the curated path then applies the catalog
+    type whitelist instead.
+    """
+    df = flatten_structs(df)
+    df = drop_all_null_columns(df)
+    if stringify:
+        df = stringify_columns(df, max_len=max_len)
+    df = sanitize_column_names(df)
+    df = drop_duplicate_columns(df)
+    return df

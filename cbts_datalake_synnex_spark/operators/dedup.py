@@ -1,0 +1,217 @@
+"""Deduplication operators (SURVEY §2.10 X1/X2) — exact, MinHash-LSH,
+SimHash, and exact n-gram Jaccard.
+
+Everything here is built from JVM built-ins (``xxhash64``, ``sha2``,
+array functions, hash aggregates) — no Python in the per-row path, so
+the operators whole-stage-codegen and scale with the cluster:
+
+* exact dedup      — hash-groupBy: one shuffle on a 256-bit digest.
+* MinHash-LSH      — shingle → k minhashes (one aggregate) → banded
+  bucket join (candidates only, never all pairs) → exact-Jaccard
+  verification of candidates. The all-pairs quadratic never happens.
+* SimHash          — 64 weighted-bit sums per doc (one aggregate),
+  near-dup candidates via 16-bit chunk banding (pigeonhole: hamming ≤ 3
+  ⇒ ≥ 1 of 4 chunks equal), verified with ``bit_count(xor)``.
+* n-gram Jaccard   — exact token-set similarity via explode + equi-join
+  on token; correct but O(pairs-sharing-a-token) — the LSH variants are
+  the 100 TB path, this is the small-scope/oracle baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _shingles(text_col: str, size: int) -> F.Column:
+    """Word n-gram shingles as an array column; whole text if shorter."""
+    toks = _tokens(text_col)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - size),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, size)),
+    )
+    return F.when(F.size(toks) < F.lit(size), F.array(F.col(text_col))).otherwise(ngrams)
+
+
+# ----------------------------------------------------------------------
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """X1 — exact content dedup: keep the lowest id per content digest.
+
+    ``sha2(concat_ws(...), 256)`` + min/count aggregate: one shuffle on
+    the digest. Returns (id_col, content_hash, n_copies).
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    return (
+        df.groupBy(digest.alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+# ----------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """X2 (exact baseline) — all pairs with token-set Jaccard ≥ threshold.
+
+    explode(distinct shingles) → self-equi-join on shingle → per-pair
+    intersection count → |A∪B| = |A|+|B|−|A∩B|. Exact, deterministic,
+    oracle-checkable; cost grows with token document frequency, so at
+    scale use ``minhash_lsh_pairs`` and keep this for verification
+    subsets.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(_shingles(text_col, shingle_size))).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc2"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_size: int = 3
+) -> DataFrame:
+    """k seeded-xxhash64 minhashes per document — one explode + one
+    aggregate (map-side partial min), no quadratic anything."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(_shingles(text_col, shingle_size))).alias("sh"),
+    )
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_perm)]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """X2 — MinHash-LSH near-duplicate pairs, candidates verified with
+    exact shingle-set Jaccard.
+
+    banding: ``bands`` bands × ``num_perm/bands`` rows; docs colliding
+    in ≥1 band become candidates (probability 1−(1−s^r)^b). The
+    candidate join is on (band, band_hash) — cardinality ~duplicates,
+    not ~pairs. Verification joins each candidate pair back to its
+    distinct-shingle array and computes exact Jaccard, so the output
+    has NO false positives; recall is the LSH curve (tested vs. the
+    exact operator in tests/).
+    Returns (doc1, doc2, jaccard).
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_size).cache()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+    shing = df.select(
+        F.col(id_col).alias("doc"), F.array_distinct(_shingles(text_col, shingle_size)).alias("shs")
+    )
+    s1 = shing.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
+    s2 = shing.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
+    inter = F.size(F.array_intersect("shs1", "shs2"))
+    union = F.size("shs1") + F.size("shs2") - inter
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X2 — 64-bit SimHash per document from distinct-token xxhash64
+    bits: explode tokens → 64 signed bit-sums in ONE aggregate →
+    bitwise-OR assembly. Returns (id_col, simhash)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(_tokens(text_col))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col("doc").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """X2 — SimHash near-dup pairs with hamming ≤ max_hamming (≤3 uses
+    exact 4×16-bit chunk banding: by pigeonhole any pair within hamming
+    3 shares at least one exact chunk, so candidate generation is an
+    equi-join, never all-pairs). Returns (doc1, doc2, hamming)."""
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"), ham.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,88 @@
+"""As-of join (SURVEY §2.5 J6) — built from union + window, not a
+candidate join.
+
+The naive plan ("join every right row at-or-before the left timestamp,
+then rank") materializes O(|L|·|R|/keys) intermediates — at 100 TB that
+is the job that never finishes. This implementation is the linear one:
+
+1. tag both inputs and union them (no shuffle yet),
+2. ONE shuffle: hash-partition by the join key, sort each partition by
+   (ts, side, tiebreak),
+3. a single window pass carries the last-seen right-side values forward
+   (``last(..., ignorenulls=True)`` over unbounded-preceding),
+4. keep the left rows.
+
+Cost: one exchange + one sort — identical shape to a sort-merge join,
+with none of the fan-out. Right rows sort *before* left rows at equal
+timestamps, giving ``<=`` (pandas ``merge_asof(allow_exact_matches=
+True)``) semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right-side ``value_cols``
+    with ``right_ts <= left_ts`` within the same ``on`` key group.
+
+    ``tiebreak``: right-side column ordering simultaneous right rows
+    (latest wins); defaults to the first value column. Left rows with
+    no earlier right row get nulls (left-outer semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    tiebreak = tiebreak or value_cols[0]
+
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r = right.select(
+        *keys,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *value_cols,
+    ).select(*left_cols, _TS, _SIDE, *value_cols)
+
+    u = l.unionByName(r)
+    # Total order: ts, then right-before-left (<= semantics), then the
+    # right-side tiebreak (nulls last so left rows never outrank a
+    # same-timestamp right row — engines disagree on default null order).
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.asc(_TS), F.asc(_SIDE), F.asc_nulls_last(tiebreak))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        *left_cols,
+        _TS,
+        _SIDE,
+        *[
+            F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS)

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (SURVEY §2.10 X3).
+
+* ``cosine_topk`` — exact brute-force baseline: broadcast the (small)
+  query set against the candidate table; dot products run as built-in
+  ``zip_with``/``aggregate`` higher-order functions (JVM, codegen) in
+  double precision; per-query top-k via window rank. Scan-bound and
+  embarrassingly parallel — correct at any scale, costly at high k·N.
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH (SimHash
+  for vectors). Deterministic hash-derived hyperplanes bucket both
+  sides; only same-bucket (multi-probe: hamming ≤ 1) pairs are scored.
+  Recall < 1 by construction — tests assert recall@k against the exact
+  operator rather than equality (SURVEY §7 "LSH quality gates").
+* ``embedding_near_dup_pairs`` — all candidate pairs with cosine ≥ τ
+  (embedding-space near-duplicate detection, X2's cousin).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Double-precision dot product of two array<float> columns via
+    built-in higher-order functions — sequential fold, no UDF."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, cand_id, cosine, rank). Ranking uses the rounded
+    similarity plus the candidate id as tiebreak so results are
+    deterministic across engines/precisions.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")).withColumn(
+        "cnorm", _norm(F.col("cv"))
+    )
+    q = q.withColumn("qnorm", _norm(F.col("qv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), round_dp))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    across runs/hosts with no RNG state (SURVEY §7: every approximate
+    operator must be seedable/frozen for tests)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(hashlib.md5(f"lshplane:{p}:{d}".encode()).digest()[:8], "big")
+            row.append((h % 2_000_001) / 1_000_000.0 - 1.0)  # uniform [-1, 1]
+        planes.append(row)
+    return planes
+
+
+def _bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id: bit p = (vec · plane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def lsh_bucket_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 10,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only candidates whose LSH bucket is
+    within hamming ≤ 1 of the query's bucket (multi-probe flips each
+    bit once → n_planes+1 probes). Join is equi on bucket id — the
+    all-pairs cross join never materializes; at 1000 executors the
+    bucket join partitions cleanly by bucket id."""
+    planes = _hyperplanes(n_planes, dim)
+    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")).withColumn(
+        "bucket", _bucket(F.col("cv"), planes)
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qbucket", _bucket(F.col("qv"), planes)
+    ).withColumn("qnorm", _norm(F.col("qv")))
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p)) for p in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        q = q.withColumn("bucket", F.col("qbucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (brute force; LSH-bucket the
+    inputs first at scale). Returns (id1, id2, cosine)."""
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")).withColumn("n1", _norm(F.col("v1")))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")).withColumn("n2", _norm(F.col("v2")))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

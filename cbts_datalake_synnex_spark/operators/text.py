@@ -1,0 +1,104 @@
+"""Text-analysis operators (SURVEY §2.10 X4) — language ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are pure column expressions (split / array ops / regexp /
+hash built-ins) — they fuse into the scan projection under whole-stage
+codegen, shuffle nothing, and cost one pass at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language. Deliberately small, deterministic
+# lists — the operator is an honest n-gram/stopword heuristic, and its
+# oracle replicates the exact same scoring, so correctness is checked
+# regardless of how discriminative the markers are on a given corpus.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "zh": ["的", "了", "是", "在", "我", "有"],
+}
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]  # deterministic tie precedence
+
+STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in", "it", "that", "for"]
+
+
+def _toks(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_guess") -> DataFrame:
+    """Stopword-marker language ID: score(lang) = |distinct tokens ∩
+    markers(lang)|; argmax with fixed precedence, 'und' when all zero."""
+    toks = F.array_distinct(_toks(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    guess = F.lit("und")
+    # Build the CASE chain back-to-front so earlier langs win ties.
+    for lang in reversed(LANG_ORDER):
+        cond = scores[lang] > 0
+        for other in LANG_ORDER:
+            if other == lang:
+                break
+            cond = cond & (scores[lang] > scores[other])  # strictly beat earlier langs
+        for other in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])  # ties beat later langs
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+    return df.withColumn(out_col, guess)
+
+
+def quality_score(df: DataFrame, text_col: str, n_chars_col: str | None = None) -> DataFrame:
+    """Heuristic document quality: length, token stats, punctuation and
+    stopword ratios → weighted score in [0,1]. Adds columns
+    (n_tokens, avg_token_len, punct_ratio, stopword_ratio, quality)."""
+    toks = _toks(text_col)
+    n_tokens = F.size(toks)
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
+    text_len = F.length(F.col(text_col))
+    punct_ratio = F.round(n_punct / F.greatest(text_len, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * stop_ratio,
+        6,
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn("avg_token_len", F.round(tok_len_sum / F.greatest(n_tokens, F.lit(1)), 6))
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality", quality)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count
+    (letter-runs / digit-runs / single non-space symbols) — the cheap
+    proxy for 'how many tokens will the tokenizer bill me for'."""
+    ws = F.size(F.split(F.col(text_col), r"\s+"))
+    bpe = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"))
+    return df.withColumn("ws_tokens", ws.cast("bigint")).withColumn(
+        "bpe_tokens", bpe.cast("bigint")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Canonical content fingerprint: lowercase → distinct tokens →
+    sorted → md5. Word-order/duplication invariant (catches shuffled
+    near-copies that exact hashing misses); stays a pure projection."""
+    canon = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), " ")))
+    )
+    return df.withColumn(out_col, F.md5(canon))

@@ -1,0 +1,269 @@
+"""[EXT] LLM-data-pipeline workload (SURVEY §2.10) over the
+``documents`` / ``embeddings`` testdata tables.
+
+Exact operators carry a DuckDB oracle; the approximate ones
+(MinHash-LSH, SimHash, LSH-ANN) are declared without oracle — the
+driver records a rows-only check and ``tests/`` asserts recall against
+the exact baselines (SURVEY §7: "LSH quality gates ... recall@k
+assertions vs exact baseline, not hash equality").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.operators import dedup, multimodal, similarity, text
+from cbts_datalake_synnex_spark.operators.text import LANG_MARKERS, STOPWORDS_EN
+from cbts_datalake_synnex_spark.workload.base import load_table, query
+
+
+# ----------------------------------------------------------------------
+# X1 — exact dedup via content hash.
+@query(
+    "x1_exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, count(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    doc="SURVEY §2.10 X1 — sha256 content dedup, keep-lowest-id.",
+    bench=True,
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, content_cols=["text"], id_col="doc_id")
+
+
+# ----------------------------------------------------------------------
+# X2 — exact n-gram (token-set) Jaccard pairs: the oracle-checkable
+# baseline the LSH variants are measured against.
+@query(
+    "x2_ngram_jaccard_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'fr'),
+    tok AS (SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS sh FROM d),
+    sz AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS i
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc = doc1 JOIN sz sb ON sb.doc = doc2
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.7
+    """,
+    doc="SURVEY §2.10 X2 — exact token-set Jaccard ≥ 0.7 (fr subset); explode+equi-join.",
+)
+def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    return dedup.ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=1)
+
+
+@query(
+    "x2_minhash_lsh_pairs",
+    oracle=None,  # approximate recall — verified vs exact baseline in tests/
+    doc="SURVEY §2.10 X2 — MinHash-LSH (32 perms, 8 bands) near-dup pairs; "
+    "candidates via band-bucket equi-join, verified with exact Jaccard (no false positives).",
+    bench=True,
+)
+def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, num_perm=32, bands=8, shingle_size=3
+    )
+
+
+@query(
+    "x2_simhash_near_dup",
+    oracle=None,  # hash-design-specific; golden-tested in tests/
+    doc="SURVEY §2.10 X2 — 64-bit SimHash, hamming ≤ 3 pairs via exact 4×16-bit chunk banding.",
+)
+def x2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    return dedup.simhash_near_dup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+# ----------------------------------------------------------------------
+# X3 — similarity search.
+@query(
+    "x3_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM e),
+    scored AS (
+      SELECT query_id, cand_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM q JOIN c ON cand_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="SURVEY §2.10 X3 — exact brute-force cosine top-5 (8 query vectors); "
+    "double-precision zip_with/aggregate dot product, window rank.",
+    bench=True,
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query(
+    "x3_lsh_ann_topk",
+    oracle=None,  # approximate — recall@k asserted vs x3_cosine_topk in tests/
+    doc="SURVEY §2.10 X3 — random-hyperplane LSH ANN top-5 with hamming≤1 multi-probe; "
+    "bucket equi-join replaces the cross join at scale.",
+)
+def x3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_bucket_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query(
+    "x3_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """,
+    doc="SURVEY §2.10 X2/X3 — embedding-cosine near-dup pairs (τ=0.4, exact).",
+)
+def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
+
+
+# ----------------------------------------------------------------------
+# X4 — text analysis.
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{markers}]))"
+
+
+_LANG_GUESS_SQL = f"""
+    CASE
+      WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+      WHEN s_es > 0 AND s_es > s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+      WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+      WHEN s_de > 0 AND s_de > s_en AND s_de > s_es AND s_de > s_fr AND s_de >= s_zh THEN 'de'
+      WHEN s_zh > 0 AND s_zh > s_en AND s_zh > s_es AND s_zh > s_fr AND s_zh > s_de THEN 'zh'
+      ELSE 'und'
+    END
+"""
+
+
+@query(
+    "x4_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang, {_LANG_GUESS_SQL} AS lang_guess FROM s
+    """,
+    doc="SURVEY §2.10 X4 — stopword-marker language ID (argmax, fixed tie precedence).",
+)
+def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "text").select("doc_id", "lang", "lang_guess")
+
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+
+@query(
+    "x4_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             length(text) AS text_len,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') * 1.0
+                   / greatest(len(toks), 1), 6) AS avg_token_len,
+             round(n_punct * 1.0 / greatest(text_len, 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0
+                   / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1 - punct_ratio) + 0.3 * stopword_ratio, 6) AS quality
+    FROM r
+    """,
+    doc="SURVEY §2.10 X4 — quality scoring: length/punctuation/stopword ratios → weighted score.",
+)
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "text").select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+@query(
+    "x4_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+    doc="SURVEY §2.10 X4 — whitespace + BPE-ish regex token counting.",
+)
+def x4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+@query(
+    "x4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    doc="SURVEY §2.10 X4 — order-invariant content fingerprint (sorted distinct tokens → md5).",
+)
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# ----------------------------------------------------------------------
+# X5 — multimodal columns: binary payload + metadata via mapInPandas.
+@query(
+    "x5_multimodal_payload",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    doc="SURVEY §2.10 X5 — binary payload column + Arrow mapInPandas feature pass "
+    "(decode itself stubbed; plumbing real).",
+)
+def x5_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = multimodal.attach_binary_payload(docs, "text")
+    feats = multimodal.extract_payload_features(with_payload.select("doc_id", "payload"))
+    return feats.select("doc_id", "byte_len", "payload_sha256")

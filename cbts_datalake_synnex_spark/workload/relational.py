@@ -1,0 +1,778 @@
+"""Relational operator workload (SURVEY §2.1-§2.8, minus streaming).
+
+Each function is the declared Spark-first implementation of one §2
+inventory row; the paired DuckDB SQL is the correctness oracle. The
+reference delegated all of this surface to Athena/Presto
+(``src/purchase_orders.py:23-24``) — here it is Spark SQL/Catalyst.
+
+Scale notes appear inline per query: what shuffles, what broadcasts,
+and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.workload.base import load_table, query
+
+
+# ----------------------------------------------------------------------
+# A2 — grouped aggregation: TPC-H Q1 pricing summary.
+# Hash-aggregate with map-side partials; one shuffle on the (tiny) group
+# key space. At 100 TB this is scan-bound — exactly what we want.
+@query(
+    "a2_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="SURVEY §2.4 A2 — TPC-H Q1: filter → hash-agg (8 aggregates).",
+    bench=True,
+)
+def a2_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# P1+P2 — projection + filter. Both push to the parquet scan
+# (PushedFilters / ReadSchema in explain) — zero shuffle.
+@query(
+    "p2_filter_projection",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+    """,
+    doc="SURVEY §2.3 P1/P2 — projection + predicate, pushed to the scan.",
+)
+def p2_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ----------------------------------------------------------------------
+# A1 — count(*) gate.
+@query(
+    "a1_count_star",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+    doc="SURVEY §2.4 A1 — count(*); parquet row-group stats make this metadata-only.",
+)
+def a1_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ----------------------------------------------------------------------
+# J1 — equi inner join (TPC-H Q3-like). Join order: lineitem ⋈ orders
+# shuffles on orderkey; customer (filtered) broadcasts under AQE.
+@query(
+    "j1_inner_join_topn",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="SURVEY §2.5 J1 — 3-way equi join + agg + global top-N with unique tiebreak.",
+    bench=True,
+)
+def j1_inner_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------
+# J2 — broadcast dimension joins (region/nation are tiny at any SF).
+@query(
+    "j2_broadcast_dim_join",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="SURVEY §2.5 J2 — explicit broadcast() of dims: no shuffle for the join, only the final agg.",
+    bench=True,
+)
+def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# J3 — left outer join (customers keep rows with zero orders).
+@query(
+    "j3_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="SURVEY §2.5 J3 — left outer join preserving empty groups.",
+)
+def j3_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# J4 — semi / anti joins.
+@query(
+    "j4_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    doc="SURVEY §2.5 J4 — left_semi (EXISTS): no payload duplication, one shuffle.",
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "j4_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="SURVEY §2.5 J4 — left_anti (NOT EXISTS): 'PO numbers with no status yet' shape.",
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ----------------------------------------------------------------------
+# J5 — theta/range join: equi key narrows it, then a band predicate.
+# Pure theta joins degrade to broadcast-nested-loop; anchoring on the
+# equi key keeps it a hash join with a residual filter — the pattern to
+# reach for at 100 TB.
+@query(
+    "j5_range_join",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_lines, round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+    GROUP BY p.p_brand
+    """,
+    doc="SURVEY §2.5 J5 — equi+band join: hash join with residual range predicate.",
+)
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (l.l_partkey == p.p_partkey)
+        & (l.l_quantity >= p.p_size - 5)
+        & (l.l_quantity <= p.p_size + 5)
+    )
+    return (
+        l.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+# ----------------------------------------------------------------------
+# J6 — as-of join: for each error event, the latest click event of the
+# same user at-or-before its timestamp. Implemented union-style: ONE
+# shuffle on user_id + a single window pass (O(n log n)), instead of the
+# quadratic "join all earlier then rank" plan — this is the difference
+# between working and not working at 100 TB. Ordering (ts, src,
+# event_id) puts a same-timestamp click before the error (≤ semantics)
+# and is a total order, so results are deterministic.
+@query(
+    "j6_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 'click' AS src FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 'error' AS src FROM events WHERE event_type = 'error'
+    ), w AS (
+      SELECT user_id, ts, event_id, src,
+             last_value(CASE WHEN src = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, src, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+      FROM u
+    )
+    SELECT event_id AS error_id, user_id, last_click_id
+    FROM w WHERE src = 'error'
+    """,
+    doc="SURVEY §2.5 J6 — as-of join via union+window: one shuffle, no quadratic candidate join.",
+    bench=True,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts", value_cols=["click_id"])
+    return out.select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("click_id").alias("last_click_id")
+    )
+
+
+# ----------------------------------------------------------------------
+# W1 — ranking window: top-3 orders per customer.
+@query(
+    "w1_rank_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="SURVEY §2.6 W1 — row_number top-k per group (unique tiebreak).",
+    bench=True,
+)
+def w1_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ----------------------------------------------------------------------
+# W2 — analytic window: lag.
+@query(
+    "w2_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    doc="SURVEY §2.6 W2 — lag() value delta per user.",
+)
+def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # No rounding: identical parquet doubles minus identical doubles is
+    # bit-identical in any IEEE engine.
+    return e.select(
+        "event_id", "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+# ----------------------------------------------------------------------
+# W3 — frame-spec aggregate: running revenue per customer.
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    doc="SURVEY §2.6 W3 — rowsBetween running sum.",
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+# ----------------------------------------------------------------------
+# O1+O2 — global sort + limit with unique tiebreak.
+@query(
+    "o2_global_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    doc="SURVEY §2.6 O1/O2 — TakeOrderedAndProject: per-partition top-k + driver merge, no global sort shuffle.",
+)
+def o2_global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_totalprice"
+    ).limit(25)
+
+
+# ----------------------------------------------------------------------
+# A3 — distinct / count-distinct.
+@query(
+    "a3_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="SURVEY §2.4 A3 — DISTINCT (hash-agg on the pair).",
+)
+def a3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "a3_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="SURVEY §2.4 A3 — multi count-distinct (expand + two-phase agg).",
+)
+def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# A4 — rollup / cube. NULL group markers coalesced to a literal so the
+# hash comparison can't trip on engine-specific null canonicalization.
+@query(
+    "a4_rollup",
+    oracle="""
+    SELECT coalesce(r_name, '__ALL__') AS region_name,
+           coalesce(n_name, '__ALL__') AS nation_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="SURVEY §2.4 A4 — ROLLUP hierarchy totals.",
+)
+def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("__ALL__")).alias("region_name"),
+            F.coalesce("n_name", F.lit("__ALL__")).alias("nation_name"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "a4_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '__ALL__') AS status,
+           coalesce(o_orderpriority, '__ALL__') AS priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="SURVEY §2.4 A4 — CUBE over two dims.",
+)
+def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("__ALL__")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("__ALL__")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# U1 — union (distinct) across two filtered sets.
+@query(
+    "u1_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="SURVEY §2.6 U1 — UNION (distinct); engine API uses unionByName for evolved schemas.",
+)
+def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+# ----------------------------------------------------------------------
+# U2 — intersect / except.
+@query(
+    "u2_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="SURVEY §2.6 U2 — INTERSECT (distinct semantics).",
+)
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "u2_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="SURVEY §2.6 U2 — EXCEPT (distinct semantics).",
+)
+def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ----------------------------------------------------------------------
+# §2.7 scalar families — one query each, all whole-stage-codegen'd.
+@query(
+    "f_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           substring(p_name, 1, 8)                         AS name_prefix,
+           length(p_name)                                  AS name_len,
+           concat_ws('|', p_brand, p_type)                 AS brand_type,
+           replace(p_type, ' ', '_')                       AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+           trim(p_name)                                    AS name_trim
+    FROM part
+    """,
+    doc="SURVEY §2.7 — string family (substring/upper/length/concat_ws/replace/lpad/trim).",
+)
+def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+@query(
+    "f_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)                         AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)                        AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')    AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')                AS orderdate_str
+    FROM orders
+    """,
+    doc="SURVEY §2.7 — date/time family (year/month/date_trunc/datediff/date_format).",
+)
+def f_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate_str"),
+    )
+
+
+@query(
+    "f_math_funcs",
+    oracle="""
+    SELECT round(sum(round(l_extendedprice * l_discount, 2)), 2)  AS revenue_lost,
+           round(sum(abs(l_extendedprice - l_quantity * 1000)), 2) AS abs_spread,
+           round(sum(floor(l_quantity)), 2)                        AS qty_floor_sum,
+           round(sum(ceil(l_discount * 100)), 2)                   AS disc_pct_ceil_sum,
+           round(avg(ln(l_extendedprice + 1)), 6)                  AS avg_log_price,
+           round(avg(pow(l_discount, 2)), 6)                       AS avg_disc_sq,
+           round(stddev(l_quantity), 6)                            AS qty_stddev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+    doc="SURVEY §2.7 — math family over a TPC-H Q6-shaped filter.",
+    bench=True,
+)
+def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount"), 2)), 2).alias("revenue_lost"),
+        F.round(F.sum(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000)), 2).alias("abs_spread"),
+        F.round(F.sum(F.floor("l_quantity")), 2).alias("qty_floor_sum"),
+        F.round(F.sum(F.ceil(F.col("l_discount") * 100)), 2).alias("disc_pct_ceil_sum"),
+        F.round(F.avg(F.log(F.col("l_extendedprice") + 1)), 6).alias("avg_log_price"),
+        F.round(F.avg(F.pow("l_discount", F.lit(2))), 6).alias("avg_disc_sq"),
+        F.round(F.stddev("l_quantity"), 6).alias("qty_stddev"),
+    )
+
+
+@query(
+    "f_null_funcs",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'ERR')      AS type_scrubbed,
+           CASE WHEN value IS NULL THEN -1.0 ELSE value END AS value_clean,
+           (value IS NULL) AS value_missing
+    FROM events
+    """,
+    doc="SURVEY §2.7 — null family (coalesce/nullif/case/isnull).",
+)
+def f_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("type_scrubbed"),
+        F.when(F.col("value").isNull(), F.lit(-1.0)).otherwise(F.col("value")).alias("value_clean"),
+        F.col("value").isNull().alias("value_missing"),
+    )
+
+
+@query(
+    "f_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="SURVEY §2.7 — JSON family: get_json_object over the stringified props payload "
+    "(the engine's upgrade path for the reference's stringified nested data, utils.py:194).",
+)
+def f_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_value")
+    )
+
+
+# ----------------------------------------------------------------------
+# Pivot (§2.6 adjunct) — fixed value list so Spark skips the discovery
+# pass; oracle is the equivalent conditional aggregation.
+@query(
+    "pivot_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_final
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot with pinned values == conditional aggregation (no second pass).",
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_final")
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q5-shaped multi-join (stress: 5-way join tree; dims broadcast,
+# facts shuffle once each).
+@query(
+    "j1_regional_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape — 6-table join; SURVEY §2.5 J1/J2 composition.",
+    bench=True,
+)
+def j1_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Sessionization (SURVEY §2.6/§2.8 batch analogue of T4): lag + gap>30min
+# cumulative flag — two window passes over ONE shuffle on user_id.
+@query(
+    "t_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="sessionization: lag-gap-cumsum; batch twin of streaming session_window (T4).",
+    bench=True,
+)
+def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ----------------------------------------------------------------------
+# Tumbling event-time window, batch form (streaming twin lives in
+# streaming/windows.py and is golden-tested).
+@query(
+    "t_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling 1h event-time window aggregate (batch analogue of T4).",
+)
+def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -1,0 +1,31 @@
+"""Differential oracle tests — every REGISTRY query with an oracle runs
+on Spark and DuckDB over the same parquet; results must match
+(SURVEY §5.2-1). Approximate queries (oracle=None) get a smoke check
+here and dedicated recall tests elsewhere."""
+
+from __future__ import annotations
+
+import pytest
+
+from cbts_datalake_synnex_spark.workload import REGISTRY
+
+from tests.parity import assert_frames_match
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    q = REGISTRY[name]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(q.oracle).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_smoke(name, spark, sf_dir):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
