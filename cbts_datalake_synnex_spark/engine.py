@@ -204,6 +204,11 @@ class LakeEngine:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.saveAsTable(qtable)
+        # Invalidate this session's cached file listing: a write issued
+        # from another session sharing the catalog (e.g. the cloned
+        # micro-batch session inside foreachBatch, T1) would otherwise
+        # leave our relation cache pointing at the pre-append file set.
+        self.spark.catalog.refreshTable(qtable)
 
     def _evolve_schema(self, qtable: str, df: DataFrame) -> DataFrame:
         """K8 add-column evolution: new df columns → ALTER TABLE ADD

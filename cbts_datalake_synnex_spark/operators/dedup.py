@@ -91,17 +91,27 @@ def ngram_jaccard_pairs(
 
 
 # ----------------------------------------------------------------------
+def _minhash_cols(shs_col: str, num_perm: int) -> list:
+    """k seeded-xxhash64 minhashes from a shingle-array column as PURE
+    projections — ``array_min(transform(...))`` per permutation, so
+    signature computation needs NO explode/shuffle/aggregate. At 100 TB
+    this is the difference between a scan-bound map stage and shuffling
+    every (doc, shingle) pair."""
+    return [
+        F.array_min(
+            F.transform(F.col(shs_col), lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_size: int = 3
 ) -> DataFrame:
-    """k seeded-xxhash64 minhashes per document — one explode + one
-    aggregate (map-side partial min), no quadratic anything."""
     sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(_shingles(text_col, shingle_size))).alias("sh"),
+        F.col(id_col).alias("doc"), F.array_distinct(_shingles(text_col, shingle_size)).alias("shs")
     )
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_perm)]
-    return sh.groupBy("doc").agg(*aggs)
+    return sh.select("doc", *_minhash_cols("shs", num_perm))
 
 
 def minhash_lsh_pairs(
@@ -127,7 +137,13 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_size).cache()
+    # One shared shingle projection feeds both the signatures (for
+    # candidate generation) and the verification arrays — cached so the
+    # text is shingled once, not three times.
+    shing = df.select(
+        F.col(id_col).alias("doc"), F.array_distinct(_shingles(text_col, shingle_size)).alias("shs")
+    ).cache()
+    sig = shing.select("doc", *_minhash_cols("shs", num_perm))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -144,9 +160,6 @@ def minhash_lsh_pairs(
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
-    )
-    shing = df.select(
-        F.col(id_col).alias("doc"), F.array_distinct(_shingles(text_col, shingle_size)).alias("shs")
     )
     s1 = shing.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
     s2 = shing.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))

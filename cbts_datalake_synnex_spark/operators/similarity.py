@@ -99,39 +99,47 @@ def lsh_bucket_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_planes: int = 10,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
     dim: int = 64,
-    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates whose LSH bucket is
-    within hamming ≤ 1 of the query's bucket (multi-probe flips each
-    bit once → n_planes+1 probes). Join is equi on bucket id — the
-    all-pairs cross join never materializes; at 1000 executors the
-    bucket join partitions cleanly by bucket id."""
-    planes = _hyperplanes(n_planes, dim)
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``bits_per_table`` sign
+    bits each (the banding trick): a candidate is scored iff it shares
+    at least one table's full signature with the query. For neighbor
+    bit-agreement probability p = 1 − θ/π, recall per neighbor is
+    1 − (1 − p^bits)^tables — e.g. p=0.8 → 0.96 with the defaults.
+    The join is equi on (table, signature): the all-pairs cross join
+    never materializes, and at 1000 executors it partitions cleanly by
+    bucket. Scale rule: grow ``bits_per_table`` ≈ log2(N / wanted
+    bucket size) as the candidate table grows; add tables to restore
+    recall."""
+    planes = _hyperplanes(n_tables * bits_per_table, dim)
+
+    def table_buckets(vec: F.Column) -> F.Column:
+        structs = []
+        for t in range(n_tables):
+            sub = planes[t * bits_per_table : (t + 1) * bits_per_table]
+            structs.append(F.struct(F.lit(t).alias("t"), _bucket(vec, sub).alias("sig")))
+        return F.array(*structs)
+
     c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")).withColumn(
-        "bucket", _bucket(F.col("cv"), planes)
-    ).withColumn("cnorm", _norm(F.col("cv")))
+        "cnorm", _norm(F.col("cv"))
+    ).withColumn("bucket", F.explode(table_buckets(F.col("cv"))))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "qbucket", _bucket(F.col("qv"), planes)
-    ).withColumn("qnorm", _norm(F.col("qv")))
-    if multiprobe:
-        probes = F.array(
-            F.col("qbucket"),
-            *[F.col("qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p)) for p in range(n_planes)],
-        )
-        q = q.withColumn("bucket", F.explode(probes))
-    else:
-        q = q.withColumn("bucket", F.col("qbucket"))
+        "qnorm", _norm(F.col("qv"))
+    ).withColumn("bucket", F.explode(table_buckets(F.col("qv"))))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "qv", "cv", "qnorm", "cnorm")
+        .dropDuplicates(["query_id", "cand_id"])
         .select(
             "query_id",
             "cand_id",
             F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "cand_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (

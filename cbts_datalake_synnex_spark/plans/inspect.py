@@ -1,0 +1,50 @@
+"""Explain-plan introspection — the "is the plan the one I'd want"
+checks SURVEY §4.2 calls for, made assertable in tests.
+
+``pushed_filters`` / ``read_schema`` parse the formatted physical plan
+so tests can pin that a predicate reached the parquet scan and a
+projection pruned the read schema — the two properties that decide
+whether a query is scan-bound (good) or read-everything (broken) at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column names in the scans' ReadSchema (post column-pruning)."""
+    text = explain_str(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.append(name)
+    return cols
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans — widen them, don't multiply
+    them (SURVEY 'stay JVM-side')."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df, "simple"))))

@@ -1,0 +1,125 @@
+"""S5 — credentialed request/response document-exchange source, with
+T3 bounded-concurrency fan-out on executors.
+
+Reference shape (SURVEY §3.2): a Step Functions Map state iterates a PO
+list with ``MaxConcurrency: 5`` and per-item retry/backoff
+(``serverless.yml:157-169``); each Lambda builds an XML
+OrderStatusRequest document, POSTs it, and parses the response into
+records (``src/purchase_orders.py:41-75``). The reference performs an
+HTTP ``GET`` with an XML body (§0.1-4 — a bug); the intent is a POST
+document exchange, which is what we implement.
+
+Spark-first mapping: the request list is a DataFrame; ``coalesce(n)``
+bounds concurrency exactly like ``MaxConcurrency``; the exchange runs
+inside ``mapInPandas`` so fetches fan out on executors (never a
+driver-side loop over ``collect()``); retry/backoff lives inside the
+UDF. The transport is injected — tests use a deterministic fake; real
+deployments pass an ``urllib``-based callable. At 100 TB-scale ingest
+the same plan holds: the bottleneck is the remote API, which is why the
+concurrency bound is a first-class argument.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Iterator, Optional
+from xml.etree import ElementTree as ET
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructField, StructType
+
+# Response schema: flat string records, matching the reference's
+# string-first ingest discipline (SURVEY §1.2).
+STATUS_SCHEMA = StructType(
+    [
+        StructField("po_number", StringType()),
+        StructField("code", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def build_order_status_request(po_number: str, user: str, password: str) -> str:
+    """XML OrderStatusRequest document (src/purchase_orders.py:50-60
+    intent: versioned B2B envelope + credential block + PO number)."""
+    root = ET.Element("OrderStatusRequest", version="2.7")
+    cred = ET.SubElement(root, "Credential")
+    ET.SubElement(cred, "UserID").text = user
+    ET.SubElement(cred, "Password").text = password
+    req = ET.SubElement(root, "Request")
+    ET.SubElement(req, "PONumber").text = po_number
+    return ET.tostring(root, encoding="unicode")
+
+
+def parse_order_status_response(xml_text: str) -> list[dict[str, str]]:
+    """Response document → flat records (src/purchase_orders.py:75
+    ``response.json()`` intent — one record per status line)."""
+    root = ET.fromstring(xml_text)
+    po = root.findtext(".//PONumber") or ""
+    out = []
+    for item in root.iter("Status"):
+        out.append(
+            {
+                "po_number": po,
+                "code": item.findtext("Code") or "",
+                "status": item.findtext("Description") or "",
+                "error": "",
+            }
+        )
+    if not out:  # empty response still yields a row so the PO is visible
+        out.append({"po_number": po, "code": "", "status": "", "error": "empty_response"})
+    return out
+
+
+def fan_out_fetch(
+    requests_df: DataFrame,
+    transport: Callable[[str], str],
+    po_col: str = "po_number",
+    user: str = "",
+    password: str = "",
+    concurrency: int = 5,
+    max_attempts: int = 5,
+    backoff_s: float = 0.1,
+    backoff_rate: float = 2.0,
+    sleep: Optional[Callable[[float], None]] = None,
+) -> DataFrame:
+    """T3 — executor-side fan-out fetch with bounded concurrency.
+
+    ``concurrency`` bounds simultaneous in-flight requests the way the
+    Map state's ``MaxConcurrency: 5`` did (serverless.yml:163); retry
+    geometry mirrors serverless.yml:164-169 (interval × attempts,
+    backoff rate). ``transport`` maps request-XML → response-XML and
+    must be picklable (a module-level function or functools.partial).
+    Failures after retries become rows with ``error`` set — a fan-out
+    over 1e6 POs must not die on one bad item.
+    """
+    _sleep = sleep if sleep is not None else time.sleep
+
+    def fetch_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict[str, str]] = []
+            for po in pdf[po_col].astype(str):
+                payload = build_order_status_request(po, user, password)
+                delay = backoff_s
+                last_err = ""
+                for attempt in range(max_attempts):
+                    try:
+                        rows.extend(parse_order_status_response(transport(payload)))
+                        last_err = ""
+                        break
+                    except Exception as exc:  # retry w/ backoff, then record
+                        last_err = f"{type(exc).__name__}: {exc}"
+                        if attempt < max_attempts - 1:
+                            _sleep(delay)
+                            delay *= backoff_rate
+                if last_err:
+                    rows.append(
+                        {"po_number": po, "code": "", "status": "", "error": last_err}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in STATUS_SCHEMA.fields])
+
+    bounded = requests_df.select(po_col).distinct().coalesce(concurrency)
+    return bounded.mapInPandas(fetch_partition, STATUS_SCHEMA)

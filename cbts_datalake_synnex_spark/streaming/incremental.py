@@ -1,0 +1,79 @@
+"""T1/T2 — incremental staging→curated as a Structured Streaming job.
+
+Reference shape (SURVEY §3.3): Step Functions triggers the Glue job on
+a schedule; ``transformation_ctx`` bookmarks (disabled in the reference,
+``serverless.yml:397``) would otherwise track which staging objects were
+already consumed. Here the file-source + checkpoint pair does both jobs
+natively: the checkpoint log (T2) records consumed files exactly-once,
+and ``foreachBatch`` reuses the SAME batch writer (``write_curated``)
+the batch path uses, so batch and streaming stay semantically identical.
+
+Scale: the staging listing is incremental (only new files are read per
+micro-batch); ``maxFilesPerTrigger`` bounds per-batch work the way the
+reference's Map-state ``MaxConcurrency: 5`` bounded fan-out. At 100 TB
+the curated append is partitioned on the audit columns, so each
+micro-batch touches only its own partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from cbts_datalake_synnex_spark.functions.ingest_policy import apply_ingest_policy
+
+
+def incremental_curate(
+    engine,
+    table: str,
+    checkpoint_dir: str,
+    schema: Optional[StructType] = None,
+    max_files_per_trigger: Optional[int] = None,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    available_now: bool = True,
+):
+    """Stream the staging zone of ``table`` into its curated table.
+
+    ``available_now=True`` processes everything currently staged and
+    stops — the scheduled-batch semantics of the reference's state
+    machine (``serverless.yml:147-219``); ``False`` leaves a continuous
+    micro-batch query running. Returns the StreamingQuery.
+
+    The JSON file source requires an explicit schema (streaming cannot
+    infer); when not provided we infer once from the current staging
+    contents — the same "sample then lock" discipline Glue's
+    DynamicFrame applied per job run.
+    """
+    staging = engine.zones.staging(table)
+    if schema is None:
+        schema = (
+            engine.spark.read.option("recursiveFileLookup", "true").json(staging).schema
+        )
+    reader = (
+        engine.spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("compression", "gzip")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(staging)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = apply_ingest_policy(batch_df, stringify=False)
+        if transform is not None:
+            df = transform(df)
+        if df.limit(1).count() == 0:
+            return  # empty-input short-circuit, staging_to_curated.py:97-101
+        engine.write_curated(table, df, mode="append")
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -12,6 +12,7 @@ from cbts_datalake_synnex_spark.workload.base import REGISTRY, Query, load_table
 
 # Register on import — order matters only for display.
 from cbts_datalake_synnex_spark.workload import relational  # noqa: F401,E402
+from cbts_datalake_synnex_spark.workload import extended  # noqa: F401,E402
 from cbts_datalake_synnex_spark.workload import llm  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "load_table"]

@@ -1,0 +1,226 @@
+"""Extended relational coverage — the SURVEY §2 rows the first workload
+pass left implicit: array/map/hash scalar families (§2.7), the
+remaining window shapes (W1 dense_rank/ntile, W2 lead/first/last),
+GROUPING SETS (A4), and subquery forms (scalar + IN) that exercise
+Catalyst's subquery decorrelation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.workload.base import load_table, query
+
+
+# ----------------------------------------------------------------------
+# §2.7 array family — split/size/element_at/array_contains/sort/join,
+# all codegen'd higher-order built-ins; pure projection, zero shuffle.
+@query(
+    "f_array_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT)            AS n_tokens,
+           string_split(p_name, ' ')[1]                              AS first_tok,
+           list_contains(string_split(p_name, ' '), 'green')         AS has_green,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS toks_sorted
+    FROM part
+    """,
+    doc="SURVEY §2.7 array family — split/size/element_at/contains/sort/join.",
+)
+def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.array_contains(toks, "green").alias("has_green"),
+        F.array_join(F.array_sort(toks), ",").alias("toks_sorted"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 map family — from_json to a map, keys/values/element_at. The
+# upgrade path for the reference's stringified nested payloads.
+@query(
+    "f_map_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+           json_extract_string(props, '$.k')                 AS k_str
+    FROM events
+    """,
+    doc="SURVEY §2.7 map family — from_json → map_keys/element_at over the props payload.",
+)
+def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_str"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 misc family — deterministic digests (md5/sha2); the engine's
+# uuid()/hash surface that tests can actually pin.
+@query(
+    "f_hash_funcs",
+    oracle="""
+    SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+    FROM customer
+    """,
+    doc="SURVEY §2.7 misc — md5/sha256 digests (xxhash64/uuid are engine-side only: no portable oracle).",
+)
+def f_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+    )
+
+
+# ----------------------------------------------------------------------
+# W1 — dense_rank + ntile per priority class.
+@query(
+    "w1_dense_rank_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           dense_rank() OVER w AS drank,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="SURVEY §2.6 W1 — dense_rank + ntile in one window pass (single shuffle on the partition key).",
+)
+def w1_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ----------------------------------------------------------------------
+# W2 — lead / first_value / last_value (explicit full-partition frame
+# for last_value: the default frame stops at CURRENT ROW in both
+# engines, which is a classic silent-wrong-answer — pin the full frame).
+@query(
+    "w2_lead_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           lead(value)        OVER w AS next_value,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SURVEY §2.6 W2 — lead/first/last with explicit full frame for last_value.",
+)
+def w2_lead_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(wfull).alias("last_val"),
+    )
+
+
+# ----------------------------------------------------------------------
+# A4 — GROUPING SETS (beyond rollup/cube): the two asymmetric sets.
+@query(
+    "a4_grouping_sets",
+    oracle="""
+    SELECT coalesce(c_mktsegment, '__ALL__') AS segment,
+           coalesce(o_orderpriority, '__ALL__') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+    """,
+    doc="SURVEY §2.4 A4 — GROUPING SETS with asymmetric sets (one Expand, one shuffle).",
+)
+def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, '__ALL__') AS segment,
+               coalesce(o_orderpriority, '__ALL__') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM gs_orders o JOIN gs_customer c ON c.c_custkey = o.o_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+        """
+    )
+
+
+# ----------------------------------------------------------------------
+# Scalar correlated subquery (TPC-H Q17 shape): revenue of
+# small-quantity lines vs the per-part average. Catalyst decorrelates
+# to an aggregate + join; the per-part aggregate is tiny → broadcast.
+@query(
+    "j_scalar_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           round(sum(l.l_extendedprice), 2) AS small_qty_revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * a.avg_qty
+    GROUP BY l.l_partkey
+    """,
+    doc="TPC-H Q17 shape — per-part scalar aggregate joined back (broadcast at any SF); SURVEY §2.5/§2.4.",
+)
+def j_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.a_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# IN-subquery (decorrelates to left-semi): order priorities of orders
+# containing any deep-discount line.
+@query(
+    "j_in_subquery",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
+    GROUP BY o_orderpriority
+    """,
+    doc="IN-subquery → left-semi join (TPC-H Q4 shape); SURVEY §2.5 J4 via SQL surface.",
+)
+def j_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("insq_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("insq_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM insq_orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM insq_lineitem WHERE l_discount >= 0.09)
+        GROUP BY o_orderpriority
+        """
+    )

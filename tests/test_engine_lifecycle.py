@@ -1,0 +1,97 @@
+"""Golden tests for the LakeEngine lifecycle (SURVEY §5.2-2): ingest →
+staging → curate, schema evolution, zone truncate, views."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from cbts_datalake_synnex_spark.engine import LakeEngine
+
+CLOCK = lambda: datetime(2024, 5, 17, 12, 0, 0, tzinfo=timezone.utc)  # noqa: E731
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    db = f"t_{abs(hash(str(tmp_path))) % 10**9}"
+    eng = LakeEngine(spark, str(tmp_path / "lake"), database=db, clock=CLOCK)
+    yield eng
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+RECORDS = [
+    {"po_number": "PO1", "status": {"code": "OK", "detail": {"msg": "shipped"}}, "qty": 3},
+    {"po_number": "PO2", "status": {"code": "HOLD", "detail": {"msg": None}}, "qty": 5},
+]
+
+
+def test_ingest_records_end_to_end(engine):
+    out = engine.ingest_records("po_status", RECORDS)
+    rows = {r["po_number"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"PO1", "PO2"}
+    # P4 flatten + P5 stringify + P3 audit columns
+    assert rows["PO1"]["status_detail_msg"] == "shipped"
+    assert rows["PO1"]["qty"] == "3"
+    assert rows["PO2"]["status_detail_msg"] == ""  # null → ''
+    assert rows["PO1"]["processed_year"] == "2024"
+    assert rows["PO1"]["processed_month"] == "05"
+    assert rows["PO1"]["processed_at"] == "2024-05-17 08:00:00"  # US/Eastern of noon UTC
+    # K1: Hive-partitioned on the audit keys
+    files = out.inputFiles()
+    assert all("processed_year=2024" in f and "processed_month=05" in f for f in files)
+
+
+def test_staging_to_curated_roundtrip(engine):
+    engine.save_to_staging("po_status", RECORDS)
+    n = engine.curate("po_status")
+    assert n == 2
+    df = engine.sql("SELECT po_number, status_code FROM po_status ORDER BY po_number")
+    assert [tuple(r) for r in df.collect()] == [("PO1", "OK"), ("PO2", "HOLD")]
+    # incremental twin received the same append (utils.py:153)
+    assert os.path.exists(engine.zones.staging("po_status_incremental"))
+
+
+def test_curate_empty_staging_short_circuits(engine):
+    assert engine.curate("missing_table") == 0
+
+
+def test_prepare_staging_truncates(engine):
+    engine.save_to_staging("po_status", RECORDS)
+    assert os.path.exists(engine.zones.staging("po_status"))
+    engine.prepare_staging("po_status")
+    assert not os.path.exists(engine.zones.staging("po_status"))
+    assert not os.path.exists(engine.zones.staging("po_status_incremental"))
+
+
+def test_schema_evolution_append_new_column(engine):
+    engine.ingest_records("evolving", [{"a": 1, "b": "x"}], mode="overwrite")
+    engine.ingest_records("evolving", [{"a": 2, "b": "y", "c": "new"}], mode="append")
+    df = engine.spark.table(engine.qualified("evolving"))
+    assert "c" in df.columns  # K8 add-column
+    rows = {r["a"]: r for r in df.collect()}
+    assert rows["2"]["c"] == "new"
+    assert rows["1"]["c"] is None  # old rows null-filled
+
+
+def test_views_and_sql(engine):
+    engine.ingest_records("po_status", RECORDS)
+    engine.create_view("v_po_numbers", "SELECT DISTINCT po_number FROM po_status")
+    got = {r[0] for r in engine.sql("SELECT po_number FROM v_po_numbers").collect()}
+    assert got == {"PO1", "PO2"}
+    # P2 — the intent of the reference's malformed lookup (SURVEY §0.1-1)
+    one = engine.sql("SELECT po_number FROM v_po_numbers WHERE po_number = 'PO1'")
+    assert [r[0] for r in one.collect()] == ["PO1"]
+
+
+def test_raw_archive_written_gzipped(engine):
+    path = engine.save_to_raw("po_status", RECORDS)
+    found = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".json.gz")
+    ]
+    assert found, "raw zone must contain gzipped JSON parts (K4, utils.py:215)"
+    assert "year=2024" in path and "month=05" in path

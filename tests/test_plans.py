@@ -1,0 +1,70 @@
+"""Plan-shape assertions (SURVEY §4.2 / "push down and prune") and the
+scan-budget guardrail — pins that the physical plans stay the ones
+we'd want at 100 TB, not just ones that pass."""
+
+from __future__ import annotations
+
+import pytest
+
+from cbts_datalake_synnex_spark.plans import (
+    ScanBudgetExceeded,
+    check_scan_budget,
+    pushed_filters,
+    read_schema,
+)
+from cbts_datalake_synnex_spark.plans.budget import estimate_scan_bytes
+from cbts_datalake_synnex_spark.workload import REGISTRY
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    df = REGISTRY["p2_filter_projection"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed and "o_totalprice" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = REGISTRY["p2_filter_projection"].fn(spark, sf_dir)
+    cols = set(read_schema(df))
+    assert cols == {"o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"}
+
+
+def test_q1_prunes_to_needed_columns(spark, sf_dir):
+    df = REGISTRY["a2_pricing_summary"].fn(spark, sf_dir)
+    cols = set(read_schema(df))
+    # 16-column lineitem must scan only the 7 referenced columns
+    assert cols == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+
+
+def test_broadcast_join_in_plan(spark, sf_dir):
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    df = REGISTRY["j2_broadcast_dim_join"].fn(spark, sf_dir)
+    assert "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def test_scan_budget_guardrail(spark, sf_dir):
+    df = REGISTRY["a1_count_star"].fn(spark, sf_dir)
+    scanned = check_scan_budget(df)  # default 100 GiB — sf data passes
+    assert scanned > 0
+    with pytest.raises(ScanBudgetExceeded):
+        check_scan_budget(df, budget_bytes=10)
+
+
+def test_partition_pruning_reduces_estimate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "part")
+    spark.range(1000).withColumn("p", (F.col("id") % 4).cast("int")).write.partitionBy(
+        "p"
+    ).parquet(path)
+    full = estimate_scan_bytes(spark.read.parquet(path))
+    pruned = estimate_scan_bytes(spark.read.parquet(path).filter("p = 1"))
+    assert 0 < pruned < full

@@ -1,0 +1,95 @@
+"""Approximate-operator quality gates (SURVEY §7: "LSH quality gates —
+recall@k assertions vs exact baseline, not hash equality").
+
+Every approximate operator (oracle=None in the registry) gets its
+stronger assertion here:
+
+* MinHash-LSH pairs — precision 1 by construction (candidates are
+  verified with exact Jaccard), recall measured against the exact
+  shingle-Jaccard baseline at the same shingle size.
+* LSH-ANN top-k — recall@k against the exact brute-force cosine top-k.
+* SimHash — golden behavior on constructed near-identical documents.
+"""
+
+from __future__ import annotations
+
+from cbts_datalake_synnex_spark.operators import dedup, similarity
+from cbts_datalake_synnex_spark.workload.base import load_table
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=3
+    )
+    approx = dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, num_perm=32, bands=8, shingle_size=3
+    )
+    truth = {(r["doc1"], r["doc2"]) for r in exact.collect()}
+    found = {(r["doc1"], r["doc2"]) for r in approx.collect()}
+    assert truth, "testdata must contain near-duplicate documents"
+    # no false positives (candidates are exact-verified) ...
+    assert found <= truth
+    # ... and the LSH curve at s≥0.7 (32 perms / 8 bands) keeps recall high
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"MinHash-LSH recall {recall:.3f} below gate"
+
+
+def test_lsh_ann_recall_at_k(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < 8)
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    approx = similarity.lsh_bucket_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    truth: dict[int, set[int]] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got: dict[int, set[int]] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(got.get(qid, set()) & cands) / len(cands) for qid, cands in truth.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # multi-probe hamming≤1 over 10 planes: useful-but-approximate;
+    # gate at 0.4 mean recall@5 (exact operator remains the default).
+    assert mean_recall >= 0.4, f"LSH-ANN mean recall@5 {mean_recall:.3f} below gate"
+
+
+def test_simhash_flags_near_identical_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate → hamming 0, banding-guaranteed
+        (3, "completely different content about spark partitions and shuffles everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0, "identical docs must collide at hamming 0"
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_distance_tracks_edit_size(spark):
+    # 60-token doc: a one-token edit moves few sign-sums across zero, a
+    # full rewrite moves ~half — simhash distance must order them.
+    base = " ".join(f"token{i}" for i in range(60))
+    edited = base.replace("token30", "changed")
+    different = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, different)], "doc_id int, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text").collect()}
+    near = bin(sigs[1] ^ sigs[2]).count("1")
+    far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert near < far, f"one-token edit ({near}) must be closer than a rewrite ({far})"
+    assert near <= 16, f"one-token edit of 60 tokens moved {near} bits — hash is broken"
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {2: 2, 9: 1}

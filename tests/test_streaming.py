@@ -1,0 +1,228 @@
+"""Streaming golden tests (SURVEY §5.2-2: T1-T5) — fixed event-time
+inputs, asserted window outputs including late-row drop."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cbts_datalake_synnex_spark.engine import LakeEngine
+from cbts_datalake_synnex_spark.streaming import (
+    incremental_curate,
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", StringType()),
+        StructField("user_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+CLOCK = lambda: datetime(2024, 5, 17, 12, 0, 0, tzinfo=timezone.utc)  # noqa: E731
+
+
+def _write_file(dirpath: str, name: str, rows: list[dict], mtime: float) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    p = os.path.join(dirpath, name)
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(p, (mtime, mtime))
+
+
+def _run_stream(spark, src_dir, ckpt, build, query_name):
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+# ----------------------------------------------------------------------
+# T1/T2 — incremental staging→curated with checkpointed exactly-once.
+def test_incremental_curate_exactly_once(spark, tmp_path):
+    db = f"t_{abs(hash(str(tmp_path))) % 10**9}"
+    engine = LakeEngine(spark, str(tmp_path / "lake"), database=db, clock=CLOCK)
+    try:
+        ckpt = str(tmp_path / "ckpt")
+        engine.save_to_staging("po_status", [{"po_number": "PO1", "qty": 1}], incremental=False)
+        q = incremental_curate(engine, "po_status", ckpt)
+        q.awaitTermination(120)
+        assert spark.table(engine.qualified("po_status")).count() == 1
+
+        # second batch: same checkpoint consumes ONLY the new file (T2)
+        engine.save_to_staging("po_status", [{"po_number": "PO2", "qty": 2}], incremental=False)
+        q = incremental_curate(engine, "po_status", ckpt)
+        q.awaitTermination(120)
+        rows = {r["po_number"] for r in spark.table(engine.qualified("po_status")).collect()}
+        assert rows == {"PO1", "PO2"}
+        assert spark.table(engine.qualified("po_status")).count() == 2  # no re-ingest
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+# ----------------------------------------------------------------------
+# T4 — tumbling window with watermark: late row dropped.
+def test_tumbling_window_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    now = time.time()
+    # batch 1: two events in the 10:00 window, one at 11:00 (advances
+    # the event-time max to 11:00)
+    _write_file(
+        src,
+        "b1.json",
+        [
+            {"event_id": "e1", "user_id": "u1", "ts": "2024-01-01T10:00:05.000Z", "value": 1.0},
+            {"event_id": "e2", "user_id": "u1", "ts": "2024-01-01T10:02:00.000Z", "value": 2.0},
+            {"event_id": "e3", "user_id": "u1", "ts": "2024-01-01T11:00:00.000Z", "value": 4.0},
+        ],
+        now - 30,
+    )
+    # batch 2: far-future flush → watermark passes every earlier window.
+    # (A separate batch because the watermark used for filtering in
+    # batch N is derived from batches < N.)
+    _write_file(
+        src,
+        "b2.json",
+        [{"event_id": "flush", "user_id": "u1", "ts": "2024-01-01T15:00:00.000Z", "value": 0.0}],
+        now - 20,
+    )
+    # batch 3: a LATE event for the long-closed 10:00 window.
+    _write_file(
+        src,
+        "b3.json",
+        [{"event_id": "late", "user_id": "u1", "ts": "2024-01-01T10:01:00.000Z", "value": 100.0}],
+        now - 10,
+    )
+    out = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        lambda s: tumbling_window_agg(
+            s,
+            "ts",
+            "5 minutes",
+            keys=("user_id",),
+            aggs=(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")),
+            watermark="10 minutes",
+        ),
+        "tumbling_test",
+    )
+    rows = [
+        (r["window_start"].isoformat(), r["n"], r["total"])
+        for r in out.collect()
+        if r["window_start"].isoformat().startswith("2024-01-01T10:0")
+    ]
+    # exactly ONE emission for the 10:00 window, without the late row:
+    # (2, 3.0). Were the late row not dropped, append mode would emit a
+    # second (1, 100.0) row for the same window.
+    assert rows == [("2024-01-01T10:00:00", 2, 3.0)]
+
+
+# ----------------------------------------------------------------------
+# T5 — streaming dedup within watermark.
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_file(
+        src,
+        "b1.json",
+        [
+            {"event_id": "k1", "user_id": "u1", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "k2", "user_id": "u1", "ts": "2024-01-01T10:00:30.000Z", "value": 2.0},
+        ],
+        now - 20,
+    )
+    _write_file(
+        src,
+        "b2.json",
+        [
+            # duplicate k1 inside the watermark horizon → dropped
+            {"event_id": "k1", "user_id": "u1", "ts": "2024-01-01T10:01:00.000Z", "value": 99.0},
+            {"event_id": "k3", "user_id": "u1", "ts": "2024-01-01T10:02:00.000Z", "value": 3.0},
+        ],
+        now - 10,
+    )
+    out = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        lambda s: streaming_dedup(s, keys=["event_id"], ts_col="ts", watermark="30 minutes"),
+        "dedup_test",
+    )
+    got = {(r["event_id"], r["value"]) for r in out.collect()}
+    assert got == {("k1", 1.0), ("k2", 2.0), ("k3", 3.0)}
+
+
+# ----------------------------------------------------------------------
+# T4 batch twins — the same builders in batch mode (watermark no-op).
+@pytest.fixture()
+def events_df(spark):
+    rows = [
+        ("e1", "u1", datetime(2024, 1, 1, 10, 0, 0), 1.0),
+        ("e2", "u1", datetime(2024, 1, 1, 10, 4, 0), 2.0),
+        ("e3", "u1", datetime(2024, 1, 1, 10, 45, 0), 3.0),
+        ("e4", "u2", datetime(2024, 1, 1, 10, 1, 0), 4.0),
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_session_window_batch_golden(spark, events_df):
+    out = session_window_agg(
+        events_df, "ts", "30 minutes", keys=("user_id",), aggs=(F.count(F.lit(1)).alias("n"),)
+    )
+    got = {(r["user_id"], r["window_start"].isoformat(), r["n"]) for r in out.collect()}
+    # u1: e1+e2 one session (gap 4m), e3 a new session (gap 41m)
+    assert got == {
+        ("u1", "2024-01-01T10:00:00", 2),
+        ("u1", "2024-01-01T10:45:00", 1),
+        ("u2", "2024-01-01T10:01:00", 1),
+    }
+
+
+def test_sliding_window_batch_golden(spark, events_df):
+    out = sliding_window_agg(
+        events_df.filter(F.col("user_id") == "u1"),
+        "ts",
+        "10 minutes",
+        "5 minutes",
+        aggs=(F.count(F.lit(1)).alias("n"),),
+    )
+    got = {(r["window_start"].isoformat(), r["n"]) for r in out.collect()}
+    # e1@10:00 lands in [9:55,10:05) and [10:00,10:10); e2@10:04 the same
+    assert got == {
+        ("2024-01-01T09:55:00", 2),
+        ("2024-01-01T10:00:00", 2),
+        ("2024-01-01T10:40:00", 1),
+        ("2024-01-01T10:45:00", 1),
+    }
