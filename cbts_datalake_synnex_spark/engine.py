@@ -104,10 +104,15 @@ class LakeEngine:
 
     # ------------------------------------------------------------------
     # K4 — gzipped JSON raw archive (utils.py:210-220)
-    def save_to_raw(self, table: str, data: Iterable[dict[str, Any]], now: datetime | None = None) -> str:
+    def save_to_raw(
+        self,
+        table: str,
+        data: Iterable[dict[str, Any]] | DataFrame,
+        now: datetime | None = None,
+    ) -> str:
         now = now or self._now() or datetime.now()
         path = self.zones.raw(table, now.strftime("%Y"), now.strftime("%m"))
-        df = self.records_to_df(data)
+        df = data if isinstance(data, DataFrame) else self.records_to_df(data)
         (
             df.write.mode("append")
             .format("json")
@@ -152,13 +157,13 @@ class LakeEngine:
     def ingest_records(
         self,
         table: str,
-        data: Iterable[dict[str, Any]],
+        data: Iterable[dict[str, Any]] | DataFrame,
         mode: str = "overwrite",
         partition_cols: Sequence[str] | None = None,
     ) -> DataFrame:
         """The role of ``save_to_datalake`` (utils.py:40-89): normalize
         → audit columns → partitioned Parquet + catalog registration."""
-        df = self.records_to_df(data)
+        df = data if isinstance(data, DataFrame) else self.records_to_df(data)
         df = apply_ingest_policy(df, stringify=True)
         df = with_audit_columns(df, self._now())
         self.write_curated(table, df, mode=mode, partition_cols=partition_cols)
@@ -263,6 +268,35 @@ class LakeEngine:
             return 0
         self.write_curated(table, df, mode=mode, partition_cols=partition_cols)
         return self.spark.table(self.qualified(table)).count()
+
+    # ------------------------------------------------------------------
+    # §3.2 end-to-end — API fetch → raw archive → ingest to curated
+    def ingest_from_api(
+        self,
+        table: str,
+        po_numbers: Iterable[str],
+        transport,
+        mode: str = "overwrite",
+        concurrency: int = 5,
+        user: str = "",
+        password: str = "",
+    ) -> DataFrame:
+        """Entry point 2 (``get_po_status``, SURVEY §3.2): fan-out fetch
+        the status documents for ``po_numbers`` on executors (S5/T3),
+        archive the payload to the raw zone (K4), then run the ingest
+        chain into the curated table — the composition of
+        ``src/purchase_orders.py:41-88`` minus the Step Functions glue.
+        """
+        from cbts_datalake_synnex_spark.sources.api_source import fan_out_fetch
+
+        reqs = self.spark.createDataFrame([(po,) for po in po_numbers], "po_number string")
+        fetched = fan_out_fetch(
+            reqs, transport, concurrency=concurrency, user=user, password=password
+        ).cache()  # one fan-out feeds both the raw archive and the ingest
+        self.save_to_raw(table, fetched)
+        out = self.ingest_records(table, fetched, mode=mode)
+        fetched.unpersist()
+        return out
 
     # ------------------------------------------------------------------
     # S3/S4 — SQL + views (the Athena role)

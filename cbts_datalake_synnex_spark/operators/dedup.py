@@ -37,6 +37,34 @@ def _shingles(text_col: str, size: int) -> F.Column:
     return F.when(F.size(toks) < F.lit(size), F.array(F.col(text_col))).otherwise(ngrams)
 
 
+def _hashed_shingles_over_tokens(toks_col: str, size: int) -> F.Column:
+    """64-bit-hashed word n-gram shingles — ``xxhash64`` over the size
+    tokens directly, no per-shingle string materialization. Jaccard
+    over hashed shingles equals string-shingle Jaccard up to 64-bit
+    collisions (~n²/2⁶⁴ — irrelevant at any document size).
+
+    ``toks_col`` MUST be a materialized (projected) token-array column,
+    not an inline ``split(...)`` expression: expressions referenced
+    inside higher-order-function lambdas are re-evaluated per element
+    (no common-subexpression elimination across the lambda boundary),
+    which turns O(n) shingling into O(n²) string splitting."""
+    toks = F.col(toks_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - size + 1),
+        lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(size)]),
+    )
+    return F.when(n < F.lit(size), F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(grams)
+
+
+def _hashed_shingle_docs(df: DataFrame, id_col: str, text_col: str, size: int) -> DataFrame:
+    """(doc, shs) with tokens projected FIRST so the shingle lambda
+    binds an attribute (see _hashed_shingles_over_tokens)."""
+    return df.select(
+        F.col(id_col).alias("doc"), _tokens(text_col).alias("toks")
+    ).select("doc", F.array_distinct(_hashed_shingles_over_tokens("toks", size)).alias("shs"))
+
+
 # ----------------------------------------------------------------------
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """X1 — exact content dedup: keep the lowest id per content digest.
@@ -108,9 +136,7 @@ def _minhash_cols(shs_col: str, num_perm: int) -> list:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_size: int = 3
 ) -> DataFrame:
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.array_distinct(_shingles(text_col, shingle_size)).alias("shs")
-    )
+    sh = _hashed_shingle_docs(df, id_col, text_col, shingle_size)
     return sh.select("doc", *_minhash_cols("shs", num_perm))
 
 
@@ -140,9 +166,7 @@ def minhash_lsh_pairs(
     # One shared shingle projection feeds both the signatures (for
     # candidate generation) and the verification arrays — cached so the
     # text is shingled once, not three times.
-    shing = df.select(
-        F.col(id_col).alias("doc"), F.array_distinct(_shingles(text_col, shingle_size)).alias("shs")
-    ).cache()
+    shing = _hashed_shingle_docs(df, id_col, text_col, shingle_size).cache()
     sig = shing.select("doc", *_minhash_cols("shs", num_perm))
     band_structs = [
         F.struct(
@@ -165,8 +189,11 @@ def minhash_lsh_pairs(
     s2 = shing.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
     inter = F.size(F.array_intersect("shs1", "shs2"))
     union = F.size("shs1") + F.size("shs2") - inter
+    # Candidate pairs are ~|near-duplicates| — tiny relative to the doc
+    # table at any scale — so broadcast THEM into the shingle joins:
+    # the (huge) shingle table is never shuffled for verification.
     return (
-        cand.join(s1, "doc1")
+        s1.join(F.broadcast(cand), "doc1")
         .join(s2, "doc2")
         .select("doc1", "doc2", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

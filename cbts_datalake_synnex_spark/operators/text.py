@@ -94,6 +94,43 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_docs: int | None = None
+) -> DataFrame:
+    """X4 — top-k characteristic terms per document by tf-idf.
+
+    tf = in-document term count (explode + hash-agg on (doc, term));
+    df(term) via a window count over term — the SAME shuffled layout
+    the tf aggregate produced, so Catalyst reuses one exchange;
+    idf = ln((N+1)/(df+1)) smoothed. ``n_docs`` can be passed when the
+    caller already knows it (saves the count job).
+    Returns (id_col, term, tfidf, rnk) with rnk ≤ k, deterministic
+    tiebreak on term. Scale: everything keys on term or doc — no
+    all-pairs anything; skewed stop-terms are exactly the rows idf
+    drives to ~0.
+    """
+    from pyspark.sql import Window as W
+
+    if n_docs is None:
+        n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("term"))
+    scored = tf.withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (dfreq + 1.0)), 6),
+    )
+    rnk = F.row_number().over(W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term")))
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tfidf", "rnk")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
     """Canonical content fingerprint: lowercase → distinct tokens →
     sorted → md5. Word-order/duplication invariant (catches shuffled

@@ -14,5 +14,6 @@ from cbts_datalake_synnex_spark.workload.base import REGISTRY, Query, load_table
 from cbts_datalake_synnex_spark.workload import relational  # noqa: F401,E402
 from cbts_datalake_synnex_spark.workload import extended  # noqa: F401,E402
 from cbts_datalake_synnex_spark.workload import llm  # noqa: F401,E402
+from cbts_datalake_synnex_spark.workload import udfs  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "load_table"]

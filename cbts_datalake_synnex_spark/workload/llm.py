@@ -236,6 +236,32 @@ def x4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x4_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfr AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, round(tf.tf * ln((n.n + 1.0) / (dfr.dfc + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfr ON dfr.term = tf.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="SURVEY §2.10 X4 — tf-idf top-3 characteristic terms per document "
+    "(smoothed idf, window df over the tf exchange).",
+)
+def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=3)
+
+
+@query(
     "x4_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,103 @@
+"""SURVEY §2.9 — the UDF/UDAF/grouped-map surface, demonstrated with
+Arrow-vectorized pandas UDFs (never row-at-a-time ``F.udf``).
+
+Each query is deliberately computable by DuckDB too, so even the
+Python-boundary operators get full value-level oracle checks. These are
+surface-coverage demos: every transform here COULD be a built-in
+expression (and the built-in is what the rest of the workload uses) —
+the point is pinning the Arrow round-trip semantics (nulls, types,
+grouping) that real custom logic (model scoring, tokenizers) rides on.
+
+Scale notes: scalar pandas UDFs stream Arrow batches inside the scan
+stage (no shuffle); grouped-agg/grouped-map shuffle once on the group
+key — identical to their built-in counterparts. The Python worker pool
+is the throughput ceiling (SURVEY 'UDFs are the slow path'), which is
+why only semantics that built-ins can't express should land here.
+
+(pandas_udf objects are created inside each query function — the
+decorator parses its DDL return type against the ACTIVE session, so
+module-level creation would require a SparkContext at import time.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cbts_datalake_synnex_spark.workload.base import load_table, query
+
+
+@query(
+    "udf_scalar_sigmoid",
+    oracle="""
+    SELECT event_id, round(1.0 / (1.0 + exp(-value)), 6) AS sigmoid_value
+    FROM events WHERE value IS NOT NULL
+    """,
+    doc="SURVEY §2.9 scalar pandas_udf (Series→Series, Arrow-batched) with null passthrough.",
+)
+def udf_scalar_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def sigmoid(v: pd.Series) -> pd.Series:
+        return v.map(lambda x: None if pd.isna(x) else 1.0 / (1.0 + math.exp(-x)))
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.select("event_id", F.round(sigmoid("value"), 6).alias("sigmoid_value"))
+
+
+@query(
+    "udf_grouped_agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="SURVEY §2.9 UDAF — grouped-agg pandas_udf (Series→scalar), one shuffle like the built-in.",
+)
+def udf_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg_price("l_extendedprice", "l_quantity"), 6).alias("w_avg_price")
+    )
+
+
+@query(
+    "udf_grouped_map_minmax",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, min(value) AS lo, max(value) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round(CASE WHEN b.hi = b.lo THEN 0.0 ELSE (e.value - b.lo) / (b.hi - b.lo) END, 6)
+             AS value_scaled
+    FROM events e JOIN b ON b.user_id = e.user_id
+    WHERE e.value IS NOT NULL
+    """,
+    doc="SURVEY §2.9 grouped-map applyInPandas — per-user min-max scaling (full-group context per call).",
+)
+def udf_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "value"
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        out = pdf[["event_id", "user_id"]].copy()
+        if hi == lo:
+            out["value_scaled"] = 0.0
+        else:
+            out["value_scaled"] = ((pdf["value"] - lo) / (hi - lo)).round(6)
+        return out
+
+    return e.groupBy("user_id").applyInPandas(
+        scale, schema="event_id bigint, user_id bigint, value_scaled double"
+    )

@@ -85,6 +85,20 @@ def test_views_and_sql(engine):
     assert [r[0] for r in one.collect()] == ["PO1"]
 
 
+def test_ingest_from_api_end_to_end(engine):
+    from tests.test_api_source import _fake_transport
+
+    out = engine.ingest_from_api("po_status", ["PO1", "PO2"], _fake_transport)
+    rows = out.collect()
+    # 2 POs × 2 status lines from the fake endpoint
+    assert len(rows) == 4
+    assert {r["po_number"] for r in rows} == {"PO1", "PO2"}
+    assert {r["status"] for r in rows} == {"accepted", "shipped"}
+    # raw archive landed too (K4)
+    raw = engine.zones.raw("po_status", "2024", "05")
+    assert os.path.exists(raw)
+
+
 def test_raw_archive_written_gzipped(engine):
     path = engine.save_to_raw("po_status", RECORDS)
     found = [
