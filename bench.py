@@ -27,16 +27,23 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
-    # JVM + parquet-footer warmup so q1 doesn't pay session startup.
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
-
     names = [n for n, q in REGISTRY.items() if q.bench]
+
+    # Steady-state measurement: one untimed pass warms the JVM (JIT,
+    # generated code, parquet footers), then caches are DROPPED so the
+    # timed pass re-executes every stage — codegen stays warm, data
+    # results don't.
+    for name in names:
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in names:
         q = REGISTRY[name]
         start = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        spark.catalog.clearCache()  # no cross-query result reuse
 
     total = round(sum(timings.values()), 3)
     print(

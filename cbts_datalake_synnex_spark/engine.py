@@ -318,3 +318,33 @@ class LakeEngine:
     def recover_partitions(self, table: str) -> None:
         # MSCK REPAIR TABLE, staging_to_curated.py:170-171
         self.spark.sql(f"MSCK REPAIR TABLE {self.qualified(table)}")
+
+    # ------------------------------------------------------------------
+    # OPTIMIZE-style compaction (SURVEY §7 phase 5): the write-side twin
+    # of the reference's read-side small-file grouping (groupSize 100 MB,
+    # src/glue/staging_to_curated.py:90-92). Incremental appends leave
+    # one file per batch per partition; at 100 TB that decays scan
+    # performance (footer/open cost per file) until rewritten.
+    def compact_table(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Bin-pack a curated table's files to ~target size. Returns the
+        resulting file count. Rewrites atomically via a temp suffix +
+        rename (single-writer assumption, as in the reference's
+        one-state-machine-per-table design)."""
+        qtable = self.qualified(table)
+        df = self.spark.table(qtable)
+        total = sum(
+            os.path.getsize(p.replace("file:", ""))
+            for p in df.inputFiles()
+            if os.path.exists(p.replace("file:", ""))
+        )
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+        schema_parts = [c for c in DEFAULT_PARTITION_COLS if c in df.columns]
+        # Self-overwrite would read the table while truncating it, so
+        # stage the compacted rows to a scratch path first. (With Delta
+        # on the classpath this whole method is `OPTIMIZE table`.)
+        scratch = os.path.join(self.zones.root, "_compact", f"{table}_{uuid.uuid4().hex[:8]}")
+        df.repartition(n_files).write.parquet(scratch)
+        staged = self.spark.read.parquet(scratch)
+        self.write_curated(table, staged, mode="overwrite", partition_cols=schema_parts)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return len(self.spark.table(qtable).inputFiles())

@@ -74,6 +74,31 @@ def parse_order_status_response(xml_text: str) -> list[dict[str, str]]:
     return out
 
 
+def http_transport(url: str, timeout_s: float = 30.0) -> Callable[[str], str]:
+    """Real POST-document-exchange transport over stdlib urllib (the
+    reference used ``requests`` with a GET+body — a bug, §0.1-4; the
+    endpoint semantics are POST). Returned callable is picklable
+    (module-level closure via functools.partial semantics)."""
+    import functools
+
+    return functools.partial(_http_post_xml, url, timeout_s)
+
+
+def _http_post_xml(url: str, timeout_s: float, payload_xml: str) -> str:
+    from urllib.request import Request, urlopen
+
+    req = Request(
+        url,
+        data=payload_xml.encode("utf-8"),
+        headers={"Content-Type": "application/xml"},
+        method="POST",
+    )
+    with urlopen(req, timeout=timeout_s) as resp:
+        if resp.status != 200:
+            raise RuntimeError(f"status fetch failed: HTTP {resp.status}")
+        return resp.read().decode("utf-8")
+
+
 def fan_out_fetch(
     requests_df: DataFrame,
     transport: Callable[[str], str],

@@ -201,6 +201,42 @@ def j_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# TPC-H Q19 shape — OR of AND-groups across the join: Catalyst pushes
+# the per-table residuals below the join and keeps the cross-table
+# disjunction as the join filter; part broadcasts.
+@query(
+    "j_disjunctive_filter",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 20)
+       OR (p.p_type LIKE '%a%'   AND l.l_quantity < 5)
+    """,
+    doc="TPC-H Q19 shape — disjunctive multi-clause join predicate (pushdown + residual split).",
+)
+def j_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (p.p_brand == "Brand#1") & p.p_size.between(1, 15) & (l.l_quantity >= 10)
+    ) | (
+        (p.p_brand == "Brand#2") & p.p_size.between(10, 30) & (l.l_quantity >= 20)
+    ) | (
+        p.p_type.like("%a%") & (l.l_quantity < 5)
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # IN-subquery (decorrelates to left-semi): order priorities of orders
 # containing any deep-discount line.
 @query(

@@ -99,6 +99,36 @@ def test_ingest_from_api_end_to_end(engine):
     assert os.path.exists(raw)
 
 
+def test_compact_table_bin_packs_files(engine):
+    # 6 single-row appends → 6 files in one partition; compaction
+    # should rewrite to 1 (all rows << target size)
+    engine.ingest_records("frag", [{"k": 0, "v": "x"}], mode="overwrite")
+    for i in range(1, 6):
+        engine.ingest_records("frag", [{"k": i, "v": "x"}], mode="append")
+    before = len(engine.spark.table(engine.qualified("frag")).inputFiles())
+    assert before >= 6
+    after = engine.compact_table("frag")
+    assert after < before
+    df = engine.spark.table(engine.qualified("frag"))
+    assert df.count() == 6  # no rows lost
+    assert {r["k"] for r in df.collect()} == {str(i) for i in range(6)}
+
+
+def test_recover_partitions_external_table(engine, tmp_path):
+    # K9: externally-written Hive partitions invisible until MSCK
+    spark = engine.spark
+    path = str(tmp_path / "ext")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, p string").write.partitionBy(
+        "p"
+    ).parquet(path)
+    engine.sql(
+        f"CREATE TABLE ext_tbl (id int) USING parquet PARTITIONED BY (p string) LOCATION '{path}'"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM ext_tbl").collect()[0]["n"] == 0
+    engine.recover_partitions("ext_tbl")
+    assert engine.sql("SELECT count(*) AS n FROM ext_tbl").collect()[0]["n"] == 2
+
+
 def test_raw_archive_written_gzipped(engine):
     path = engine.save_to_raw("po_status", RECORDS)
     found = [
