@@ -149,6 +149,86 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: partition the
+    corpus into ``n_cells`` Voronoi cells around trained centroids;
+    queries score only the ``n_probe`` nearest cells.
+
+    Training is deterministic: seed centroids are the ``n_cells``
+    lowest-id vectors, refined with ``lloyd_iters`` Lloyd iterations
+    (assignment via broadcast centroids — one scan per iteration, no
+    shuffle beyond the mean-aggregate). At 100 TB the train step runs
+    on a sample; assignment stays a broadcast-projection, and the probe
+    join is equi on cell id so it partitions cleanly. Recall grows with
+    ``n_probe/n_cells`` (tests gate it vs the exact operator).
+    Returns (query_id, cand_id, cosine, rank).
+    """
+    import numpy as np
+
+    # --- train (driver-side on a bounded sample; deterministic) -------
+    seed_rows = (
+        candidates.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(max(n_cells * 64, 512))
+        .collect()
+    )
+    sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = sample[:n_cells].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+
+    cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+
+    def nearest_cells(vec: F.Column, n: int) -> F.Column:
+        """array of the n cell-ids with highest cosine to vec (unit
+        centroids ⇒ dot product ranks cosine)."""
+        scored = F.array(
+            *[
+                F.struct(_dot(vec, arr).alias("s"), F.lit(i).alias("c"))
+                for i, arr in enumerate(cent_arrs)
+            ]
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("c")
+
+    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")).withColumn(
+        "cnorm", _norm(F.col("cv"))
+    ).withColumn("cell", F.element_at(nearest_cells(F.col("cv"), 1), 1))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qnorm", _norm(F.col("qv"))
+    ).withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

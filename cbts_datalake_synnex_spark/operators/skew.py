@@ -1,0 +1,73 @@
+"""Skew-mitigation helpers (SURVEY §4.2 / 'skewed keys → salting or
+AQE skew-join').
+
+AQE's skew-join splitting (enabled in session.py) handles most cases at
+runtime; these helpers cover the two places AQE can't:
+
+* ``salted_aggregate`` — a single hot GROUP BY key overwhelms one
+  reducer even after AQE (AQE splits *partitions*, but one key is one
+  partition-slice). Two-phase aggregation over (key, salt) spreads the
+  hot key across ``n_salts`` reducers; algebraic aggregates re-combine
+  exactly.
+* ``salted_join`` — a hot key on the LEFT of a join with a small-ish
+  right side: left gets a random-but-deterministic salt, right is
+  replicated across all salts. Exact same rows as the plain join.
+
+Both are exact rewrites — results are identical to the unsalted
+operator, which is how the tests pin them.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, key_cols: Sequence[str], n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts): xxhash64 of the full
+    row's key + a uniformly-distributed row discriminator
+    (monotonically_increasing_id is partition-skewed, so we hash it)."""
+    disc = F.xxhash64(*[F.col(c) for c in key_cols], F.monotonically_increasing_id())
+    return df.withColumn(salt_col, F.pmod(disc, F.lit(n_salts)).cast("int"))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase exact aggregation: partial per (key, salt), final per
+    key. ``aggs`` maps output name → (partial_agg_expr, final_agg_expr
+    over the partial column); e.g.
+    ``{"n": (F.count(F.lit(1)), F.sum("n")), "total": (F.sum("v"), F.sum("total"))}``.
+    """
+    salted = with_salt(df, key_cols, n_salts)
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[final.alias(name) for name, (_, final) in aggs.items()]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) left; explode the
+    (small) right across every salt value so each salted partition finds
+    its matches. Right-side amplification is ×n_salts — use only when
+    |right| × n_salts is comfortably shuffle-able, which is exactly the
+    hot-key regime."""
+    lsalted = with_salt(left, on, n_salts)
+    rrep = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = lsalted.join(rrep, [*on, "__salt"], how)
+    return out.drop("__salt")

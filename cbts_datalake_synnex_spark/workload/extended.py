@@ -27,6 +27,7 @@ from cbts_datalake_synnex_spark.workload.base import load_table, query
     FROM part
     """,
     doc="SURVEY §2.7 array family — split/size/element_at/contains/sort/join.",
+    bench=True,
 )
 def f_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
@@ -215,6 +216,7 @@ def j_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (p.p_type LIKE '%a%'   AND l.l_quantity < 5)
     """,
     doc="TPC-H Q19 shape — disjunctive multi-clause join predicate (pushdown + residual split).",
+    bench=True,
 )
 def j_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
@@ -233,6 +235,23 @@ def j_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# A3 at 100 TB — HyperLogLog++ approximate distinct. No SQL oracle
+# (estimator-specific); tests/ bounds the error vs the exact count.
+@query(
+    "a3_approx_count_distinct",
+    oracle=None,
+    doc="SURVEY §2.4 A3 — approx_count_distinct (HLL++, rsd 2%): the sketch replaces the "
+    "two-phase expand of exact count-distinct; tolerance-tested vs exact in tests/.",
+)
+def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
     )
 
 

@@ -128,6 +128,18 @@ def x3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x3_ivf_topk",
+    oracle=None,  # approximate — recall@k asserted vs x3_cosine_topk in tests/
+    doc="SURVEY §2.10 X3 — IVF top-5: deterministic Lloyd-trained cells, n_probe=4/16; "
+    "equi-join on cell id replaces the cross join at scale.",
+)
+def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query(
     "x3_embedding_near_dup",
     oracle="""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
@@ -255,6 +267,7 @@ def x4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="SURVEY §2.10 X4 — tf-idf top-3 characteristic terms per document "
     "(smoothed idf, window df over the tf exchange).",
+    bench=True,
 )
 def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -55,6 +55,22 @@ def test_lsh_ann_recall_at_k(spark, sf_dir):
     assert mean_recall >= 0.4, f"LSH-ANN mean recall@5 {mean_recall:.3f} below gate"
 
 
+def test_ivf_recall_at_k(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < 8)
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    approx = similarity.ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    truth: dict[int, set[int]] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got: dict[int, set[int]] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [len(got.get(q, set()) & c) / len(c) for q, c in truth.items()]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"IVF mean recall@5 {mean_recall:.3f} below gate"
+
+
 def test_simhash_flags_near_identical_docs(spark):
     base = "the quick brown fox jumps over the lazy dog near the river bank today"
     rows = [
@@ -85,6 +101,32 @@ def test_simhash_distance_tracks_edit_size(spark):
     far = bin(sigs[1] ^ sigs[3]).count("1")
     assert near < far, f"one-token edit ({near}) must be closer than a rewrite ({far})"
     assert near <= 16, f"one-token edit of 60 tokens moved {near} bits — hash is broken"
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["p"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_suppkey").alias("s"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["n_parts_approx"], r["n_supps_approx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
+        )
+        .collect()
+    }
+    for flag, (p, s) in exact.items():
+        ap, asup = approx[flag]
+        # HLL++ with rsd=2%: allow 4 sigma
+        assert abs(ap - p) <= max(4, 0.08 * p), f"{flag}: {ap} vs exact {p}"
+        assert abs(asup - s) <= max(4, 0.08 * s), f"{flag}: {asup} vs exact {s}"
 
 
 def test_exact_dedup_keeps_lowest_id(spark):
