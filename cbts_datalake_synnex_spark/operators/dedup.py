@@ -201,6 +201,70 @@ def minhash_lsh_pairs(
 
 
 # ----------------------------------------------------------------------
+def dedup_clusters(
+    pairs: DataFrame,
+    doc1_col: str = "doc1",
+    doc2_col: str = "doc2",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list → canonical
+    representative per cluster (the minimum id).
+
+    Iterative min-label propagation with pointer doubling: each round
+    every node adopts the smallest of (its label, its neighbors'
+    labels, its label's label). The label-of-label contraction halves
+    path lengths, so convergence is O(log(diameter)) rounds even for
+    chain-shaped clusters; ``max_iters`` bounds the pathological case.
+    Each round is two keyed joins + one aggregate — all shuffles key on
+    doc id, so a round scales like any grouped aggregate.
+    ``localCheckpoint`` truncates the growing lineage (the classic
+    iterative-DataFrame trap).
+
+    Returns (doc, canonical) for every document that appears in
+    ``pairs`` — downstream, keep rows whose doc == canonical (plus all
+    never-paired docs) for the deduplicated corpus.
+    """
+    edges = (
+        pairs.select(F.col(doc1_col).alias("a"), F.col(doc2_col).alias("b"))
+        .union(pairs.select(F.col(doc2_col).alias("a"), F.col(doc1_col).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("doc")).distinct().withColumn("label", F.col("doc"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc)
+            .groupBy(edges.a.alias("doc"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(neighbor_min, "doc", "left").select(
+            "doc",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+        )
+        # pointer doubling: label := min(label, label(label))
+        grand = stepped.select(F.col("doc").alias("gdoc"), F.col("label").alias("glabel"))
+        new_labels = (
+            stepped.join(grand, stepped.label == grand.gdoc, "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("glabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("canonical"))
+
+
+# ----------------------------------------------------------------------
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """X2 — 64-bit SimHash per document from distinct-token xxhash64
     bits: explode tokens → 64 signed bit-sums in ONE aggregate →

@@ -289,6 +289,68 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# X2 composition — near-dup clustering: MinHash-LSH pairs → connected
+# components → canonical doc per cluster. The full "dedup a corpus"
+# pipeline a training-data run executes.
+@query(
+    "x2_dedup_clusters",
+    oracle=None,  # iterative fixpoint — golden-tested in tests/
+    doc="SURVEY §2.10 X2 — connected components over near-dup pairs "
+    "(iterative min-label propagation); returns (doc, canonical).",
+)
+def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, num_perm=32, bands=8, shingle_size=3
+    )
+    return dedup.dedup_clusters(pairs)
+
+
+# ----------------------------------------------------------------------
+# End-to-end training-set pipeline: quality filter + language filter +
+# exact dedup + embedding join — the composed "documents in, training
+# manifest out" query. Every stage is an already-oracled operator; the
+# composition gets its own oracle.
+@query(
+    "pipeline_training_set",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(len(list_filter(string_split(text, ' '), t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+             lang, text
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang, text FROM q WHERE n_tokens >= 20 AND stopword_ratio >= 0.05
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+    )
+    SELECT k.doc_id, k.lang,
+           CAST(len(e.embedding) AS BIGINT) AS dim
+    FROM kept k JOIN canon c ON c.doc_id = k.doc_id
+                JOIN embeddings e ON e.vec_id = k.doc_id
+    """,
+    doc="[EXT] composed pipeline: quality gate -> exact dedup (keep lowest id) -> embedding join; "
+    "the 'documents in, training manifest out' path.",
+    bench=True,
+)
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = text.quality_score(docs, "text")
+    kept = scored.filter((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.05))
+    canon = dedup.exact_dedup(kept, content_cols=["text"], id_col="doc_id").select("doc_id")
+    return (
+        kept.join(canon, "doc_id")
+        .join(emb, kept.doc_id == emb.vec_id)
+        .select("doc_id", "lang", F.size("embedding").cast("bigint").alias("dim"))
+    )
+
+
+# ----------------------------------------------------------------------
 # X5 — multimodal columns: binary payload + metadata via mapInPandas.
 @query(
     "x5_multimodal_payload",

@@ -50,6 +50,28 @@ def test_broadcast_join_in_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in explain_str(df, "simple")
 
 
+def test_single_shuffle_plans(spark, sf_dir):
+    """The operators designed around 'ONE shuffle + one window pass'
+    (sessionize, as-of join) must actually plan that way — a second
+    exchange here is the difference between working and not working at
+    100 TB (SURVEY §2.5 J6 / t_sessionize docstrings)."""
+    import re
+
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    for name, max_ex, max_sort in [
+        ("t_sessionize", 1, 1),  # both windows + final agg reuse one user_id exchange
+        ("j6_asof_join", 1, 1),  # union + window: one shuffle, one sort
+        ("a2_pricing_summary", 1, 0),  # partial/final hash-agg, no sort
+        ("j2_broadcast_dim_join", 1, 0),  # dims broadcast; only the agg shuffles
+    ]:
+        txt = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        n_ex = len(re.findall(r"Exchange hashpartitioning", txt))
+        n_sort = len(re.findall(r"\bSort\b", txt))
+        assert n_ex <= max_ex, f"{name}: {n_ex} hash exchanges (max {max_ex})"
+        assert n_sort <= max_sort, f"{name}: {n_sort} sorts (max {max_sort})"
+
+
 def test_scan_budget_guardrail(spark, sf_dir):
     df = REGISTRY["a1_count_star"].fn(spark, sf_dir)
     scanned = check_scan_budget(df)  # default 100 GiB — sf data passes

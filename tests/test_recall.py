@@ -129,6 +129,24 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert abs(asup - s) <= max(4, 0.08 * s), f"{flag}: {asup} vs exact {s}"
 
 
+def test_dedup_clusters_connected_components(spark):
+    # two clusters: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton 5 only
+    # appears via no pair (absent from output by contract)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc1 int, doc2 int"
+    )
+    out = {r["doc"]: r["canonical"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a 40-node chain exercises multi-round propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "doc1 int, doc2 int")
+    out = {r["doc"]: r["canonical"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 41
+
+
 def test_exact_dedup_keeps_lowest_id(spark):
     df = spark.createDataFrame(
         [(5, "same"), (2, "same"), (9, "other")], "doc_id int, text string"

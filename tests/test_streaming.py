@@ -185,6 +185,55 @@ def test_streaming_dedup(spark, tmp_path):
 
 
 # ----------------------------------------------------------------------
+# T4 — session window in TRUE streaming mode: sessions merge within a
+# batch, close when the watermark passes gap, late rows dropped.
+def test_session_window_streaming(spark, tmp_path):
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_file(
+        src,
+        "b1.json",
+        [
+            {"event_id": "e1", "user_id": "u1", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "e2", "user_id": "u1", "ts": "2024-01-01T10:10:00.000Z", "value": 2.0},
+            {"event_id": "e3", "user_id": "u1", "ts": "2024-01-01T12:00:00.000Z", "value": 3.0},
+        ],
+        now - 20,
+    )
+    # flush batch: watermark passes every session's close
+    _write_file(
+        src,
+        "b2.json",
+        [{"event_id": "flush", "user_id": "u2", "ts": "2024-01-02T00:00:00.000Z", "value": 0.0}],
+        now - 10,
+    )
+    out = _run_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        lambda s: session_window_agg(
+            s,
+            "ts",
+            "30 minutes",
+            keys=("user_id",),
+            aggs=(F.count(F.lit(1)).alias("n"),),
+            watermark="10 minutes",
+        ),
+        "session_stream_test",
+    )
+    got = {
+        (r["user_id"], r["window_start"].isoformat(), r["n"])
+        for r in out.collect()
+        if r["user_id"] == "u1"
+    }
+    # e1+e2 merge into one session (gap 10m < 30m); e3 is its own
+    assert got == {
+        ("u1", "2024-01-01T10:00:00", 2),
+        ("u1", "2024-01-01T12:00:00", 1),
+    }
+
+
+# ----------------------------------------------------------------------
 # T4 batch twins — the same builders in batch mode (watermark no-op).
 @pytest.fixture()
 def events_df(spark):
