@@ -52,6 +52,52 @@ def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
     )
 
 
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = 1024,
+    stride: int = 4,
+    max_frames: int = 16,
+) -> DataFrame:
+    """X5 — frame-sampling plumbing: emit every ``stride``-th
+    ``frame_bytes`` chunk of each payload as its own row (one row per
+    sampled frame), capped at ``max_frames``.
+
+    This is the SHAPE of video frame sampling — UDTF-style row
+    expansion from a binary column inside ``mapInPandas`` — with byte
+    chunking standing in for codec-true frame extraction (no codec libs
+    in this image; a real decoder slots into ``decode_media``). The
+    expansion factor is bounded (max_frames), so output size is
+    predictable for the shuffle planner at any scale.
+    Output: (passthrough..., frame_idx, frame: binary, frame_sha256).
+    """
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["frame_idx int", "frame binary", "frame_sha256 string"]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[payload_col])
+                n_chunks = max(1, -(-len(data) // frame_bytes))
+                picked = list(range(0, n_chunks, stride))[:max_frames]
+                for out_idx, chunk_idx in enumerate(picked):
+                    chunk = data[chunk_idx * frame_bytes : (chunk_idx + 1) * frame_bytes]
+                    rec = {c: row[c] for c in passthrough}
+                    rec["frame_idx"] = out_idx
+                    rec["frame"] = chunk
+                    rec["frame_sha256"] = hashlib.sha256(chunk).hexdigest()
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=passthrough + ["frame_idx", "frame", "frame_sha256"]
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def extract_payload_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

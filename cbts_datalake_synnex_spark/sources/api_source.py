@@ -74,6 +74,33 @@ def parse_order_status_response(xml_text: str) -> list[dict[str, str]]:
     return out
 
 
+class TTLCache:
+    """Driver-side TTL cache for credential/parameter lookups — the
+    role of ``cachetools.TTLCache(4196, ttl=600)`` at ``utils.py:91-99``
+    (SSM credential fetch memoization). Injectable clock for tests."""
+
+    def __init__(self, ttl_s: float = 600.0, maxsize: int = 4196, clock=None):
+        import time as _time
+
+        self._ttl = ttl_s
+        self._maxsize = maxsize
+        self._clock = clock or _time.monotonic
+        self._store: dict = {}
+
+    def get_or_load(self, key, loader: Callable[[], object]):
+        now = self._clock()
+        hit = self._store.get(key)
+        if hit is not None and now - hit[0] < self._ttl:
+            return hit[1]
+        value = loader()
+        if len(self._store) >= self._maxsize:
+            # evict the stalest entry (small cache — O(n) scan is fine)
+            oldest = min(self._store, key=lambda k: self._store[k][0])
+            del self._store[oldest]
+        self._store[key] = (now, value)
+        return value
+
+
 def http_transport(url: str, timeout_s: float = 30.0) -> Callable[[str], str]:
     """Real POST-document-exchange transport over stdlib urllib (the
     reference used ``requests`` with a GET+body — a bug, §0.1-4; the

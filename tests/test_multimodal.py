@@ -38,6 +38,45 @@ def test_extract_payload_features_roundtrip(spark):
     assert [round(v, 6) for v in feat] == pytest.approx(expected, abs=1e-6)
 
 
+def test_sample_frames_expansion(spark):
+    # 10 KB payload, 1 KB frames, stride 4 → chunks 0,4,8 sampled
+    blob = bytes(range(256)) * 40  # 10240 bytes
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id int, payload binary")
+    out = multimodal.sample_frames(df, frame_bytes=1024, stride=4, max_frames=16)
+    rows = sorted(out.collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert bytes(rows[0]["frame"]) == blob[:1024]
+    assert bytes(rows[1]["frame"]) == blob[4096:5120]
+    assert all(r["doc_id"] == 1 for r in rows)
+    assert rows[0]["frame_sha256"] == hashlib.sha256(blob[:1024]).hexdigest()
+
+
+def test_sample_frames_caps_expansion(spark):
+    blob = b"\x01" * (1024 * 100)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id int, payload binary")
+    out = multimodal.sample_frames(df, frame_bytes=1024, stride=1, max_frames=5)
+    assert out.count() == 5  # bounded expansion for the shuffle planner
+
+
+def test_ttl_cache_semantics():
+    from cbts_datalake_synnex_spark.sources.api_source import TTLCache
+
+    t = [0.0]
+    loads = []
+    cache = TTLCache(ttl_s=600, clock=lambda: t[0])
+
+    def loader():
+        loads.append(1)
+        return f"cred-{len(loads)}"
+
+    assert cache.get_or_load("k", loader) == "cred-1"
+    t[0] = 599
+    assert cache.get_or_load("k", loader) == "cred-1"  # within TTL: cached
+    t[0] = 601
+    assert cache.get_or_load("k", loader) == "cred-2"  # expired: reloaded
+    assert len(loads) == 2
+
+
 def test_decode_media_is_an_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG...", "image/png")
