@@ -239,6 +239,26 @@ def j_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# §2.7 misc — id generation (uuid, monotonically_increasing_id,
+# xxhash64). Nondeterministic by design → no value oracle; the test
+# suite asserts uniqueness and the driver records a rows-only check.
+@query(
+    "f_id_generation",
+    oracle=None,
+    doc="SURVEY §2.7 misc — uuid()/monotonically_increasing_id()/xxhash64 id surface "
+    "(nondeterministic: uniqueness-tested, rows-only driver check).",
+)
+def f_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("uuid()").alias("row_uuid"),
+        F.monotonically_increasing_id().alias("row_mid"),
+        F.xxhash64("c_custkey", "c_name").alias("row_hash"),
+    )
+
+
+# ----------------------------------------------------------------------
 # TPC-H Q7 shape — trade volume between two nation pairs: nation joins
 # BOTH sides of the fact chain (supplier's and customer's), classic
 # self-referenced-dimension query. Both nation copies broadcast.

@@ -115,6 +115,67 @@ def test_ingest_policy_invariants(spark, records):
             assert v not in ("nan", "None", "NaN")
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(records=_records)
+def test_flatten_matches_pandas_json_normalize(spark, records):
+    """SURVEY §7 'json_normalize fidelity': our flatten must produce the
+    same (sanitized) column set pandas json_normalize would, with
+    nested dicts dot-flattened and nothing exploded."""
+    import pandas as pd
+
+    from cbts_datalake_synnex_spark.functions.ingest_policy import _sanitize_name
+
+    df = _df_from_records(spark, records)
+    if not df.columns:
+        return
+    ours = set(apply_ingest_policy(df).columns)
+    # pandas side: json_normalize w/ sep '_', then the same sanitize +
+    # drop of all-NA columns the reference applies (utils.py:49,58-62)
+    pdf = pd.json_normalize(records, sep="_")
+    pdf = pdf.dropna(axis=1, how="all")
+    theirs = []
+    for c in pdf.columns:
+        name = _sanitize_name(str(c))
+        if name not in theirs:
+            theirs.append(name)
+    assert ours == set(theirs)
+
+
+def test_id_generation_unique(spark, sf_dir):
+    from cbts_datalake_synnex_spark.workload import REGISTRY
+
+    df = REGISTRY["f_id_generation"].fn(spark, sf_dir)
+    n = df.count()
+    assert df.select("row_uuid").distinct().count() == n
+    assert df.select("row_mid").distinct().count() == n
+
+
+def test_reingest_idempotent_under_dedup_key(spark, tmp_path):
+    """SURVEY §5.2-3: the _incremental convention appends duplicates;
+    content-hash dedup downstream restores exactly-once semantics."""
+    from datetime import datetime, timezone
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+    from cbts_datalake_synnex_spark.operators.dedup import exact_dedup
+
+    db = f"t_{abs(hash(str(tmp_path))) % 10**9}"
+    eng = LakeEngine(
+        spark, str(tmp_path / "lake"), database=db,
+        clock=lambda: datetime(2024, 5, 17, 12, 0, 0, tzinfo=timezone.utc),
+    )
+    try:
+        batch = [{"po_number": "PO1", "qty": 1}, {"po_number": "PO2", "qty": 2}]
+        eng.save_to_staging("po", batch, incremental=False)
+        eng.save_to_staging("po", batch, incremental=False)  # re-delivery
+        eng.curate("po")
+        tbl = spark.table(eng.qualified("po"))
+        assert tbl.count() == 4  # appends preserved (reference behavior)
+        deduped = exact_dedup(tbl, content_cols=["po_number", "qty"], id_col="po_number")
+        assert deduped.count() == 2  # dedup key restores exactly-once
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_ingest_policy_idempotent(spark):
     df = _df_from_records(spark, [{"A B": {"c": 1}, "x": None, "y": "ok"}])
     once = apply_ingest_policy(df)
