@@ -51,6 +51,15 @@ from cbts_datalake_synnex_spark.functions.ingest_policy import (
 DEFAULT_PARTITION_COLS = ["processed_year", "processed_month"]  # utils.py:223
 
 
+def _delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake jars are on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
 @dataclass(frozen=True)
 class ZonePaths:
     """Path layout — one lake root, reference key-value zone encoding."""
@@ -79,11 +88,18 @@ class LakeEngine:
         lake_root: str,
         database: str = "datalake",  # DATABASE env, utils.py:25
         clock: Any | None = None,
+        table_format: str | None = None,
     ) -> None:
         self.spark = spark
         self.zones = ZonePaths(lake_root)
         self.database = database
         self._clock = clock  # () -> datetime, injectable for tests
+        # Delta when the jars are on the classpath, else plain Parquet
+        # (BASELINE: "DataFrame read/write over Delta/Parquet"). Under
+        # Delta, schema evolution/time travel come from the transaction
+        # log (mergeSchema); under Parquet we do the explicit ALTER
+        # TABLE diff (K8) ourselves.
+        self.table_format = table_format or ("delta" if _delta_available(spark) else "parquet")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
 
     # ------------------------------------------------------------------
@@ -203,9 +219,15 @@ class LakeEngine:
         df = sanitize_types_for_catalog(df)
         qtable = self.qualified(table)
         exists = self.spark.catalog.tableExists(qtable)
-        if exists and mode == "append" and schema_evolution:
-            df = self._evolve_schema(qtable, df)
-        writer = df.write.mode(mode).format("parquet").option("compression", "snappy")
+        writer = df.write.mode(mode).format(self.table_format)
+        if self.table_format == "delta":
+            if exists and mode == "append" and schema_evolution:
+                writer = writer.option("mergeSchema", "true")  # K2/K8 via txn log
+        else:
+            if exists and mode == "append" and schema_evolution:
+                df = self._evolve_schema(qtable, df)
+                writer = df.write.mode(mode).format(self.table_format)
+            writer = writer.option("compression", "snappy")
         if parts:
             writer = writer.partitionBy(*parts)
         writer.saveAsTable(qtable)

@@ -1,0 +1,136 @@
+"""Event-analytics workload — the product-analytics shapes a lake
+engine over an ``events`` stream table must serve (SURVEY §2.6/§2.8
+batch surface): funnel conversion, cohort retention, percentile
+latency. All window/aggregate compositions over ONE shuffle on the
+analysis key; all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.workload.base import load_table, query
+
+
+# ----------------------------------------------------------------------
+# Funnel: purchases attributed to the last click ≤ 1h before. Same
+# union+window trick as the as-of join (J6) — one shuffle on user_id,
+# no candidate join.
+@query(
+    "t_funnel_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 'click' AS src FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT user_id, ts, event_id, src,
+             last_value(CASE WHEN src = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, src, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM u
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           CAST(sum(CASE WHEN last_click_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(last_click_ts) <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM w WHERE src = 'purchase'
+    GROUP BY user_id
+    """,
+    doc="funnel conversion — purchases with a click ≤1h before, per user; "
+    "union+window (J6 shape), one shuffle on user_id.",
+)
+def t_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit("click").alias("src")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit("purchase").alias("src")
+    )
+    u = clicks.unionByName(buys)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_click = F.last(F.when(F.col("src") == "click", F.col("ts")), ignorenulls=True).over(w)
+    converted = (
+        F.col("last_click_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("last_click_ts") <= 3_600_000_000)
+    )
+    return (
+        u.withColumn("last_click_ts", last_click)
+        .filter(F.col("src") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(converted, 1).otherwise(0)).cast("bigint").alias("n_converted"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Cohort retention: of users active in hour h, how many are also active
+# in hour h+1. Self-join on (user, hour) pairs — distinct first so the
+# join carries user-hours, not raw events.
+@query(
+    "t_hourly_retention",
+    oracle="""
+    WITH uh AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    )
+    SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           count(*) AS n_active,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+    FROM uh a LEFT JOIN uh b
+      ON b.user_id = a.user_id AND b.h = a.h + INTERVAL 1 HOUR
+    GROUP BY a.h
+    """,
+    doc="hourly cohort retention — distinct user-hours self-joined on (user, hour+1).",
+)
+def t_hourly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uh = e.select("user_id", F.date_trunc("hour", "ts").alias("h")).distinct()
+    nxt = uh.select(F.col("user_id").alias("b_user"), F.col("h").alias("b_h"))
+    joined = uh.join(
+        nxt,
+        (F.col("b_user") == F.col("user_id"))
+        & (F.col("b_h") == F.col("h") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_retained"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Exact percentiles (§2.7 math at the tail): Spark `percentile` and
+# DuckDB `quantile_cont` both do linear interpolation — value-level
+# oracle parity. At 100 TB switch to approx_percentile (t-digest) and
+# drop the oracle to tolerance, as with HLL.
+@query(
+    "f_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="SURVEY §2.7 math — exact interpolated percentiles per group "
+    "(approx_percentile is the 100TB swap-in).",
+)
+def f_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

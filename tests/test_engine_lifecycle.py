@@ -99,6 +99,13 @@ def test_ingest_from_api_end_to_end(engine):
     assert os.path.exists(raw)
 
 
+def test_table_format_falls_back_to_parquet(engine):
+    # no Delta jars in this image → parquet fallback must be selected
+    # and the whole lifecycle must run on it (the suite itself proves
+    # the latter). With jars present the same engine flips to delta.
+    assert engine.table_format == "parquet"
+
+
 def test_compact_table_bin_packs_files(engine):
     # 6 single-row appends → 6 files in one partition; compaction
     # should rewrite to 1 (all rows << target size)
