@@ -98,6 +98,38 @@ def sample_frames(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def resize_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    scale_divisor: int = 2,
+) -> DataFrame:
+    """X5 — resize plumbing: emit a payload reduced by ``scale_divisor``
+    alongside the original's metadata.
+
+    Byte-stride downsampling stands in for pixel-space resampling (a
+    real implementation decodes via ``decode_media`` and resamples);
+    the mapInPandas shape — binary in, smaller binary out, metadata
+    updated — is exactly what a PIL/libvips resize rides on. Output:
+    (passthrough..., resized: binary, orig_bytes, resized_bytes).
+    """
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["resized binary", "orig_bytes bigint", "resized_bytes bigint"]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[passthrough].copy()
+            resized = [bytes(p)[::scale_divisor] for p in pdf[payload_col]]
+            out["resized"] = resized
+            out["orig_bytes"] = [len(bytes(p)) for p in pdf[payload_col]]
+            out["resized_bytes"] = [len(r) for r in resized]
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def extract_payload_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

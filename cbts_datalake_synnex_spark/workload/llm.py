@@ -368,3 +368,15 @@ def x5_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = multimodal.attach_binary_payload(docs, "text")
     feats = multimodal.extract_payload_features(with_payload.select("doc_id", "payload"))
     return feats.select("doc_id", "byte_len", "payload_sha256")
+
+
+@query(
+    "x5_frame_sample",
+    oracle=None,  # binary chunking — golden-tested in tests/test_multimodal.py
+    doc="SURVEY §2.10 X5 — bounded frame sampling from binary payloads "
+    "(mapInPandas row expansion; codec-true decode slots into decode_media).",
+)
+def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = multimodal.attach_binary_payload(docs, "text").select("doc_id", "payload")
+    return multimodal.sample_frames(with_payload, frame_bytes=64, stride=2, max_frames=4)

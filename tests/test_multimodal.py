@@ -58,6 +58,14 @@ def test_sample_frames_caps_expansion(spark):
     assert out.count() == 5  # bounded expansion for the shuffle planner
 
 
+def test_resize_payload_plumbing(spark):
+    blob = bytes(range(100))
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id int, payload binary")
+    out = multimodal.resize_payload(df, scale_divisor=2).collect()[0]
+    assert out["orig_bytes"] == 100 and out["resized_bytes"] == 50
+    assert bytes(out["resized"]) == blob[::2]
+
+
 def test_ttl_cache_semantics():
     from cbts_datalake_synnex_spark.sources.api_source import TTLCache
 
