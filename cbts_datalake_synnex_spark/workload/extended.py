@@ -239,6 +239,57 @@ def j_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# W3 — RANGE frame (value-based window): trailing-30-day spend per
+# order. rangeBetween needs a numeric ordering key → epoch seconds.
+@query(
+    "w3_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d_spend
+    FROM orders
+    """,
+    doc="SURVEY §2.6 W3 — rangeBetween (trailing 30 days by event time, not row count).",
+)
+def w3_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q14 shape — conditional-aggregate revenue share.
+@query(
+    "a2_promo_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'STANDARD%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    doc="TPC-H Q14 shape — conditional-aggregate share of revenue (single agg, part broadcast).",
+)
+def a2_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("STANDARD%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_share_pct"))
+    )
+
+
+# ----------------------------------------------------------------------
 # §2.7 misc — id generation (uuid, monotonically_increasing_id,
 # xxhash64). Nondeterministic by design → no value oracle; the test
 # suite asserts uniqueness and the driver records a rows-only check.

@@ -351,6 +351,37 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Deterministic train/val/test split — hash-bucket assignment, stable
+# across runs/engines/cluster sizes (never random() — resuming a
+# pipeline must not reshuffle the split). 80/10/10 by md5 bucket.
+@query(
+    "pipeline_train_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="[EXT] deterministic 80/10/10 split via md5 hash-bucket — stable across engines "
+    "and cluster sizes (resume-safe, unlike random()).",
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+# ----------------------------------------------------------------------
 # X5 — multimodal columns: binary payload + metadata via mapInPandas.
 @query(
     "x5_multimodal_payload",
