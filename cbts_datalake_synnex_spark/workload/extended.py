@@ -436,3 +436,162 @@ def j_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q12 shape — late-shipment priority distribution. The cross-table
+# date predicate evaluates as the join residual; conditional counts are
+# a single hash-agg (partial+final, no extra shuffle).
+@query(
+    "a2_late_priority_dist",
+    oracle="""
+    SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape — conditional counts over a join with a cross-table "
+    "date residual (ref delegates such SQL to Athena: src/purchase_orders.py:23-24).",
+)
+def a2_late_priority_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q13 shape — orders-per-customer distribution. Two-level agg:
+# left outer join preserves order-less customers (c_count = 0); the
+# second groupBy is tiny (distinct counts), so the only real shuffle is
+# the first, on c_custkey.
+@query(
+    "j3_custorder_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape — left outer join + two-level aggregation "
+    "(customers with zero orders kept; count(col) skips the null-extended rows).",
+)
+def j3_custorder_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q16 shape — distinct-supplier counts with a NOT IN exclusion.
+# The NOT IN (no NULLs in the key) decorrelates to a left-anti join;
+# supplier is tiny → broadcast anti join, then part broadcasts into the
+# fact scan. One shuffle total (the distinct-agg on the group keys).
+@query(
+    "a3_supplier_cnt_by_part",
+    oracle="""
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape — count-distinct grouped agg behind a broadcast anti join "
+    "(NOT IN exclusion list) and a broadcast dim join.",
+)
+def a3_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders: HAVING on a pre-aggregated
+# key set, then semi-filter the join. Aggregating lineitem FIRST (before
+# joining customer/orders) is the scale-correct order: the HAVING cuts
+# ~15k orders to a handful, so the 3-way join runs on a tiny keyset.
+@query(
+    "j_large_volume_orders",
+    oracle="""
+    SELECT c_name, o.o_orderkey, o_totalprice, sum_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) big ON big.l_orderkey = o.o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape — HAVING-filtered pre-aggregation drives a selective "
+    "3-way join (aggregate-then-join beats join-then-aggregate at 100 TB).",
+)
+def j_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select("c_name", o.o_orderkey, "o_totalprice", "sum_qty")
+    )
+
+
+# ----------------------------------------------------------------------
+# TPC-H Q22 shape — above-average account balance + no orders: a scalar
+# subquery (global avg, broadcast as a 1-row cross join) and an anti
+# join against the orders key set.
+@query(
+    "j4_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape — scalar-subquery threshold (broadcast 1-row cross join) "
+    "+ anti join against the orders key set.",
+)
+def j4_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -275,3 +275,56 @@ def test_sliding_window_batch_golden(spark, events_df):
         ("2024-01-01T10:40:00", 1),
         ("2024-01-01T10:45:00", 1),
     }
+
+
+# ----------------------------------------------------------------------
+# T5+ — custom stateful operator (applyInPandasWithState): cumulative
+# per-key stats must CARRY ACROSS micro-batches (that's the state).
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    from cbts_datalake_synnex_spark.streaming import running_stats
+
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_file(
+        src,
+        "b1.json",
+        [
+            {"event_id": "e1", "user_id": "u1", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "e2", "user_id": "u1", "ts": "2024-01-01T10:01:00.000Z", "value": 5.0},
+            {"event_id": "e3", "user_id": "u2", "ts": "2024-01-01T10:02:00.000Z", "value": 7.0},
+        ],
+        now - 20,
+    )
+    _write_file(
+        src,
+        "b2.json",
+        [
+            {"event_id": "e4", "user_id": "u1", "ts": "2024-01-01T11:00:00.000Z", "value": 2.0},
+        ],
+        now - 10,
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        running_stats(stream, key="user_id", value_col="value")
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_test").collect()
+    # update mode re-emits per batch; the final row per key holds the
+    # cumulative totals — u1 must include batch-1 AND batch-2 events.
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    u1, u2 = final["u1"], final["u2"]
+    assert u1["n_events"] == 3 and u1["total_value"] == 8.0 and u1["max_value"] == 5.0
+    assert u2["n_events"] == 1 and u2["total_value"] == 7.0 and u2["max_value"] == 7.0
