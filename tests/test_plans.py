@@ -90,3 +90,45 @@ def test_partition_pruning_reduces_estimate(spark, tmp_path):
     full = estimate_scan_bytes(spark.read.parquet(path))
     pruned = estimate_scan_bytes(spark.read.parquet(path).filter("p = 1"))
     assert 0 < pruned < full
+
+
+def test_q6_shape_is_pure_scan(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate pushed to the parquet reader,
+    only the 4 referenced columns scanned, zero wide shuffles — the
+    scan-throughput floor a 100 TB plan must hit."""
+    import re
+
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    df = REGISTRY["a2_revenue_forecast"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+    assert set(read_schema(df)) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+    txt = explain_str(df, "simple")
+    assert not re.findall(r"Exchange hashpartitioning", txt)
+
+
+def test_wide_join_sweep_broadcasts_dims(spark, sf_dir):
+    """Q8/Q9 shapes: every dimension side must broadcast (no
+    sort-merge against a dim, no cartesian product); fact-side
+    shuffles stay bounded."""
+    import re
+
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    for name, min_bhj, max_ex in [
+        ("j_market_share", 4, 3),
+        ("j_product_profit", 3, 3),
+    ]:
+        txt = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        n_bhj = len(re.findall(r"BroadcastHashJoin", txt))
+        n_ex = len(re.findall(r"Exchange hashpartitioning", txt))
+        assert n_bhj >= min_bhj, f"{name}: only {n_bhj} broadcast joins"
+        assert n_ex <= max_ex, f"{name}: {n_ex} hash exchanges (max {max_ex})"
+        assert "CartesianProduct" not in txt
