@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 from datetime import datetime
 from typing import Any, Iterable, Sequence
@@ -370,3 +371,107 @@ class LakeEngine:
         self.write_curated(table, staged, mode="overwrite", partition_cols=schema_parts)
         shutil.rmtree(scratch, ignore_errors=True)
         return len(self.spark.table(qtable).inputFiles())
+
+    # ------------------------------------------------------------------
+    # Upsert / MERGE — the lakehouse write mode the reference approximates
+    # with its overwrite-partition pattern (save_to_datalake mode='overwrite'
+    # + partition_cols, src/purchase_orders.py:88): replace the row for a
+    # key if present, insert otherwise. First-class here because an
+    # incremental PO-status feed is exactly an upsert-by-po_number.
+    def merge_upsert(
+        self,
+        table: str,
+        df: DataFrame,
+        keys: Sequence[str],
+        partition_cols: Sequence[str] | None = None,
+    ) -> None:
+        """Key-based upsert into a curated table.
+
+        Delta path: a single transactional ``MERGE`` (file-pruned by the
+        key predicate — touches only files containing matched keys).
+        Parquet fallback: partition-scoped rewrite — only partitions
+        present in the source batch are re-written (dynamic partition
+        overwrite), so cost scales with the touched slice, not the
+        table. At 100 TB the Delta path is the real answer; the
+        fallback stays correct and bounded when the source batch is
+        partition-aligned (the reference's own layout guarantees this:
+        every batch carries processed_year/month).
+        """
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            self.write_curated(table, df, mode="overwrite", partition_cols=partition_cols)
+            return
+        if self.table_format == "delta":
+            from delta.tables import DeltaTable  # type: ignore[import-not-found]
+
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+            (
+                DeltaTable.forName(self.spark, qtable)
+                .alias("t")
+                .merge(df.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            self.spark.catalog.refreshTable(qtable)
+            return
+        # Parquet fallback. Align the source to the table schema (adds
+        # genuinely new columns via K8 ALTER, nulls missing ones) ...
+        aligned = self._evolve_schema(qtable, df)
+        target = self.spark.table(qtable)
+        parts = [c for c in (partition_cols or DEFAULT_PARTITION_COLS) if c in target.columns]
+        if parts:
+            # ... restrict the rewrite to partitions the batch touches;
+            # the partition list is small by construction (collect is
+            # driver-safe), and partition pruning cuts the target scan.
+            touched = [
+                tuple(r) for r in aligned.select(*parts).distinct().collect()
+            ]
+            pred = F.lit(False)
+            for combo in touched:
+                clause = F.lit(True)
+                for c, v in zip(parts, combo):
+                    clause = clause & (F.col(c).eqNullSafe(F.lit(v)))
+                pred = pred | clause
+            target_slice = target.filter(pred)
+        else:
+            target_slice = target
+        kept = target_slice.join(
+            aligned.select(*[F.col(k) for k in keys]).distinct(), on=list(keys), how="left_anti"
+        )
+        merged = kept.unionByName(aligned)
+        # Self-overwrite would read while truncating → stage to scratch.
+        scratch = os.path.join(self.zones.root, "_merge", f"{table}_{uuid.uuid4().hex[:8]}")
+        merged.write.parquet(scratch)
+        staged = self.spark.read.parquet(scratch)
+        if parts:
+            # dynamic partition overwrite: replace ONLY the touched
+            # partitions, leave the rest of the table's files untouched.
+            with _conf_override(
+                self.spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                cols = self.spark.table(qtable).columns
+                staged.select(*cols).write.insertInto(qtable, overwrite=True)
+        else:
+            self.write_curated(table, staged, mode="overwrite", partition_cols=[])
+        shutil.rmtree(scratch, ignore_errors=True)
+        self.spark.catalog.refreshTable(qtable)
+
+
+@contextmanager
+def _conf_override(spark: SparkSession, key: str, value: str):
+    """Set a runtime conf for the duration of one operation, restoring
+    the caller's value after (the engine must not leak session-wide
+    config changes into a driver-owned session)."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -63,6 +63,16 @@ CATALOG_TYPE_WHITELIST = frozenset(
 )
 
 
+def _positional(df: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Rename to unique positional temp names so no step resolves a
+    column by its user-supplied name. Spark resolution is
+    case-INsensitive by default, so records like ``{'A':…,'a':…}``
+    (legal JSON, distinct pandas columns) make ``F.col('A')``
+    ambiguous; ``toDF`` renames positionally and sidesteps that."""
+    orig = df.columns
+    return df.toDF(*[f"__c{i}" for i in range(len(orig))]), orig
+
+
 def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
     """P4 — recursively flatten StructType columns to ``parent_child``.
 
@@ -72,17 +82,22 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
     Pure projection — zero shuffle, survives any scale.
     """
     while True:
-        struct_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
-        if not struct_cols:
+        if not any(isinstance(f.dataType, T.StructType) for f in df.schema.fields):
             return df
-        cols = []
-        for f in df.schema.fields:
+        renamed, orig = _positional(df)
+        sel: list[str] = []
+        out_names: list[str] = []
+        for f, name in zip(renamed.schema.fields, orig):
             if isinstance(f.dataType, T.StructType):
-                for sub in f.dataType.fields:
-                    cols.append(F.col(f"`{f.name}`.`{sub.name}`").alias(f"{f.name}{sep}{sub.name}"))
+                # star-expand (positional) rather than field-by-name:
+                # struct fields can themselves be case-duplicates
+                # ({'A':…,'a':…}), where `.getField('A')` is ambiguous.
+                sel.append(f"{f.name}.*")
+                out_names.extend(f"{name}{sep}{sub.name}" for sub in f.dataType.fields)
             else:
-                cols.append(F.col(f"`{f.name}`"))
-        df = df.select(*cols)
+                sel.append(f.name)
+                out_names.append(name)
+        df = renamed.select(*sel).toDF(*out_names)
 
 
 def drop_all_null_columns(df: DataFrame) -> DataFrame:
@@ -94,9 +109,19 @@ def drop_all_null_columns(df: DataFrame) -> DataFrame:
     """
     if not df.columns:
         return df
-    counts = df.agg(*[F.count(F.col(f"`{c}`")).alias(str(i)) for i, c in enumerate(df.columns)]).collect()[0]
-    empty = [c for i, c in enumerate(df.columns) if counts[str(i)] == 0]
-    return df.drop(*empty) if empty else df
+    renamed, orig = _positional(df)
+    tmp = renamed.columns
+    counts = renamed.agg(
+        *[F.count(F.col(t)).alias(str(i)) for i, t in enumerate(tmp)]
+    ).collect()[0]
+    keep = [
+        F.col(t).alias(o)
+        for i, (t, o) in enumerate(zip(tmp, orig))
+        if counts[str(i)] > 0
+    ]
+    if len(keep) == len(orig):
+        return df
+    return renamed.select(*keep)
 
 
 def stringify_columns(df: DataFrame, max_len: int = MAX_STRING_LEN) -> DataFrame:
@@ -106,17 +131,18 @@ def stringify_columns(df: DataFrame, max_len: int = MAX_STRING_LEN) -> DataFrame
     ``max_len``. Non-atomic types (arrays/maps left by P4) stringify
     via ``to_json`` so the value survives round-trips.
     """
+    renamed, orig = _positional(df)
     cols = []
-    for f in df.schema.fields:
-        c = F.col(f"`{f.name}`")
+    for f, name in zip(renamed.schema.fields, orig):
+        c = F.col(f.name)
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
             s = F.to_json(c)
         else:
             s = c.cast("string")
         s = F.coalesce(s, F.lit(""))
         s = F.when(s.isin("nan", "None", "NaN"), F.lit("")).otherwise(s)
-        cols.append(F.substring(s, 1, max_len).alias(f.name))
-    return df.select(*cols)
+        cols.append(F.substring(s, 1, max_len).alias(name))
+    return renamed.select(*cols)
 
 
 def sanitize_column_names(df: DataFrame) -> DataFrame:
@@ -156,18 +182,19 @@ def sanitize_types_for_catalog(df: DataFrame) -> DataFrame:
     """K8's whitelist (``src/glue/staging_to_curated.py:158-161``) —
     degrade non-whitelisted top-level types to string before a table
     write. Decimal keeps its precision (whitelisted as a family)."""
+    renamed, orig = _positional(df)
     cols = []
-    for f in df.schema.fields:
-        name = f.dataType.typeName()
-        if name.startswith("decimal"):
-            name = "decimal"
-        if name in CATALOG_TYPE_WHITELIST or name in {"long", "short", "byte"}:
-            cols.append(F.col(f"`{f.name}`"))
+    for f, name in zip(renamed.schema.fields, orig):
+        tname = f.dataType.typeName()
+        if tname.startswith("decimal"):
+            tname = "decimal"
+        if tname in CATALOG_TYPE_WHITELIST or tname in {"long", "short", "byte"}:
+            cols.append(F.col(f.name).alias(name))
         elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
-            cols.append(F.to_json(F.col(f"`{f.name}`")).alias(f.name))
+            cols.append(F.to_json(F.col(f.name)).alias(name))
         else:
-            cols.append(F.col(f"`{f.name}`").cast("string").alias(f.name))
-    return df.select(*cols)
+            cols.append(F.col(f.name).cast("string").alias(name))
+    return renamed.select(*cols)
 
 
 def apply_ingest_policy(

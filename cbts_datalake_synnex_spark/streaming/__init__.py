@@ -11,6 +11,7 @@ extensions that make the ``events`` table first-class.
 """
 
 from cbts_datalake_synnex_spark.streaming.incremental import incremental_curate
+from cbts_datalake_synnex_spark.streaming.joins import stream_stream_join
 from cbts_datalake_synnex_spark.streaming.stateful import running_stats
 from cbts_datalake_synnex_spark.streaming.windows import (
     session_window_agg,
@@ -26,4 +27,5 @@ __all__ = [
     "session_window_agg",
     "streaming_dedup",
     "running_stats",
+    "stream_stream_join",
 ]

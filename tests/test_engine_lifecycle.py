@@ -146,3 +146,84 @@ def test_raw_archive_written_gzipped(engine):
     ]
     assert found, "raw zone must contain gzipped JSON parts (K4, utils.py:215)"
     assert "year=2024" in path and "month=05" in path
+
+
+# ----------------------------------------------------------------------
+# merge_upsert — key-based upsert (Delta MERGE / parquet partition-scoped
+# rewrite). Three contracts: update-in-place, insert-new, and — the
+# 100 TB one — partitions untouched by the batch are NOT rewritten.
+def _mk_po(spark, rows):
+    return spark.createDataFrame(
+        rows, "po_number string, status string, qty bigint, processed_year string, processed_month string"
+    )
+
+
+def test_merge_upsert_updates_and_inserts(engine, spark):
+    base = _mk_po(
+        spark,
+        [
+            ("PO1", "OPEN", 1, "2024", "04"),
+            ("PO2", "OPEN", 2, "2024", "05"),
+        ],
+    )
+    engine.merge_upsert("po_m", base, keys=["po_number"])
+    batch = _mk_po(
+        spark,
+        [
+            ("PO2", "SHIPPED", 2, "2024", "05"),  # update
+            ("PO3", "OPEN", 7, "2024", "05"),     # insert
+        ],
+    )
+    engine.merge_upsert("po_m", batch, keys=["po_number"])
+    rows = {r["po_number"]: r.asDict() for r in spark.table(engine.qualified("po_m")).collect()}
+    assert set(rows) == {"PO1", "PO2", "PO3"}
+    assert rows["PO1"]["status"] == "OPEN"       # untouched row survives
+    assert rows["PO2"]["status"] == "SHIPPED"    # updated in place
+    assert rows["PO3"]["qty"] == 7               # inserted
+
+
+def test_merge_upsert_leaves_untouched_partitions_alone(engine, spark):
+    base = _mk_po(
+        spark,
+        [
+            ("PO1", "OPEN", 1, "2024", "04"),
+            ("PO2", "OPEN", 2, "2024", "05"),
+        ],
+    )
+    engine.merge_upsert("po_p", base, keys=["po_number"])
+    before = {
+        f: os.path.getmtime(f)
+        for f in (
+            p.replace("file:", "")
+            for p in spark.table(engine.qualified("po_p")).inputFiles()
+        )
+        if "processed_month=04" in f
+    }
+    assert before, "expected files in the 2024/04 partition"
+    batch = _mk_po(spark, [("PO2", "SHIPPED", 2, "2024", "05")])
+    engine.merge_upsert("po_p", batch, keys=["po_number"])
+    after = {
+        f: os.path.getmtime(f)
+        for f in (
+            p.replace("file:", "")
+            for p in spark.table(engine.qualified("po_p")).inputFiles()
+        )
+        if "processed_month=04" in f
+    }
+    # dynamic partition overwrite must not touch the 04 partition's files
+    assert after == before
+    rows = {r["po_number"]: r["status"] for r in spark.table(engine.qualified("po_p")).collect()}
+    assert rows == {"PO1": "OPEN", "PO2": "SHIPPED"}
+
+
+def test_merge_upsert_evolves_schema_on_new_column(engine, spark):
+    base = _mk_po(spark, [("PO1", "OPEN", 1, "2024", "04")])
+    engine.merge_upsert("po_e", base, keys=["po_number"])
+    batch = spark.createDataFrame(
+        [("PO2", "OPEN", 2, "2024", "04", "carrier-x")],
+        "po_number string, status string, qty bigint, processed_year string, processed_month string, carrier string",
+    )
+    engine.merge_upsert("po_e", batch, keys=["po_number"])
+    rows = {r["po_number"]: r.asDict() for r in spark.table(engine.qualified("po_e")).collect()}
+    assert rows["PO2"]["carrier"] == "carrier-x"
+    assert rows["PO1"]["carrier"] is None  # old rows null-filled

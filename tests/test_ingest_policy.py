@@ -182,3 +182,35 @@ def test_ingest_policy_idempotent(spark):
     twice = apply_ingest_policy(once)
     assert once.columns == twice.columns
     assert [tuple(r) for r in once.collect()] == [tuple(r) for r in twice.collect()]
+
+
+def test_case_duplicate_column_names(spark):
+    """Regression: JSON keys differing only by case ({'A':…,'a':…}) are
+    distinct pandas columns but AMBIGUOUS under Spark's
+    case-insensitive resolver — the chain must process them
+    positionally and keep-first after lowercasing (P6+P7)."""
+    from cbts_datalake_synnex_spark.functions.ingest_policy import apply_ingest_policy
+
+    df = spark.createDataFrame([("x", "y", 1)], "A string, a string, n bigint")
+    out = apply_ingest_policy(df)
+    assert out.columns == ["a", "n"]
+    row = out.collect()[0]
+    assert row["a"] == "x"  # keep-first: 'A' wins
+    assert row["n"] == "1"
+
+    # all-NA case duplicates (the hypothesis counterexample) drop cleanly
+    df2 = spark.createDataFrame([(None, None)], "A string, a string")
+    assert apply_ingest_policy(df2).columns == []
+
+
+def test_case_duplicate_fields_inside_struct(spark):
+    """Regression: case-duplicate fields INSIDE a nested object flatten
+    positionally (star expansion), not via ambiguous getField."""
+    from cbts_datalake_synnex_spark.functions.ingest_policy import apply_ingest_policy
+
+    df = spark.createDataFrame(
+        [(("x", "y"),)], "s struct<A string, a string>"
+    )
+    out = apply_ingest_policy(df)
+    assert out.columns == ["s_a"]  # both lower to s_a; keep-first wins
+    assert out.collect()[0]["s_a"] == "x"

@@ -328,3 +328,54 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     u1, u2 = final["u1"], final["u2"]
     assert u1["n_events"] == 3 and u1["total_value"] == 8.0 and u1["max_value"] == 5.0
     assert u2["n_events"] == 1 and u2["total_value"] == 7.0 and u2["max_value"] == 7.0
+
+
+# ----------------------------------------------------------------------
+# Stream-stream join: impressions ⋈ clicks by user within a time band.
+# The click outside the band must NOT match.
+def test_stream_stream_join_within_band(spark, tmp_path):
+    from cbts_datalake_synnex_spark.streaming.joins import stream_stream_join
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    now = time.time()
+    _write_file(
+        imp_dir,
+        "i1.json",
+        [
+            {"event_id": "i1", "user_id": "u1", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "i2", "user_id": "u2", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+        ],
+        now - 20,
+    )
+    clk_schema = StructType(
+        [
+            StructField("click_id", StringType()),
+            StructField("user_id", StringType()),
+            StructField("click_ts", TimestampType()),
+        ]
+    )
+    with open(os.path.join(tmp_path, "c1.json"), "w") as f:
+        # u1 clicks 5 min after impression (inside the 15-min band);
+        # u2 clicks 3 h later (outside) — must not join.
+        f.write(json.dumps({"click_id": "c1", "user_id": "u1", "click_ts": "2024-01-01T10:05:00.000Z"}) + "\n")
+        f.write(json.dumps({"click_id": "c2", "user_id": "u2", "click_ts": "2024-01-01T13:00:00.000Z"}) + "\n")
+    os.makedirs(clk_dir, exist_ok=True)
+    os.replace(os.path.join(tmp_path, "c1.json"), os.path.join(clk_dir, "c1.json"))
+
+    imps = spark.readStream.schema(EVENT_SCHEMA).json(imp_dir)
+    clks = spark.readStream.schema(clk_schema).json(clk_dir)
+    joined = stream_stream_join(
+        imps, clks, key="user_id", left_ts="ts", right_ts="click_ts",
+        watermark="10 minutes", band="15 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, click_id FROM ssj_test").collect()
+    assert {(r["event_id"], r["click_id"]) for r in rows} == {("i1", "c1")}
