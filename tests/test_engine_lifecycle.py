@@ -227,3 +227,30 @@ def test_merge_upsert_evolves_schema_on_new_column(engine, spark):
     rows = {r["po_number"]: r.asDict() for r in spark.table(engine.qualified("po_e")).collect()}
     assert rows["PO2"]["carrier"] == "carrier-x"
     assert rows["PO1"]["carrier"] is None  # old rows null-filled
+
+
+def test_bucketed_join_has_no_exchange(engine, spark, sf_dir):
+    """Co-located join: both sides bucketed on the join key ⇒ the join
+    plans with ZERO exchanges (each task reads matching buckets). The
+    shuffle-elimination primitive for repeated fact-fact joins."""
+    import re
+
+    from cbts_datalake_synnex_spark.engine import write_bucketed
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+    from cbts_datalake_synnex_spark.workload.base import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    db = engine.database
+    write_bucketed(spark, o, f"{db}.orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed(spark, li, f"{db}.lineitem_b", ["l_orderkey"], n_buckets=8)
+    ob, lb = spark.table(f"{db}.orders_b"), spark.table(f"{db}.lineitem_b")
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        txt = explain_str(joined, "simple")
+        assert not re.findall(r"Exchange hashpartitioning", txt), txt
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
