@@ -242,3 +242,34 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def normalize_quantize(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bits_scale: int = 127,
+) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization of an embedding
+    column — the storage/bandwidth prep step of a vector pipeline
+    (quantized vectors are 4× smaller to shuffle/store; cosine on
+    normalized vectors reduces to a dot product).
+
+    Pure higher-order-function projection (no UDF): component →
+    ``floor(x/‖v‖·scale + 0.5)`` (explicit half-up — engine-portable,
+    unlike round()'s tie modes). Zero-norm vectors quantize to an
+    empty string with norm 0 rather than NaN.
+    """
+    v = F.col(vec_col)
+    norm = _norm(v)
+    q = F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") / norm * bits_scale + F.lit(0.5)).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(norm, 6).alias("l2_norm"),
+        F.when(norm == 0, F.lit(""))
+        .otherwise(F.array_join(q.cast("array<string>"), ","))
+        .alias("q_vec"),
+    )

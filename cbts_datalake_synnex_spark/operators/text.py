@@ -139,3 +139,27 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
         " ", F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), " ")))
     )
     return df.withColumn(out_col, F.md5(canon))
+
+
+def redact(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str],
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Pattern redaction — scrub sensitive spans (emails, numbers,
+    entity names) before a corpus leaves the lake, the [EXT]
+    text-analysis twin of the reference's value scrubbing
+    (``utils.py:193,198-199`` scrubs literal 'nan'/'None').
+
+    ``patterns`` maps regex → replacement token, applied in insertion
+    order. Adds ``<out_col>`` and ``<out_col>_n`` (total matches
+    scrubbed — the audit trail). Chained ``regexp_replace`` stays a
+    pure codegen projection: zero shuffle at any scale.
+    """
+    out = F.col(text_col)
+    n = F.lit(0)
+    for pat, repl in patterns.items():
+        n = n + F.regexp_count(F.col(text_col), F.lit(pat))
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out).withColumn(f"{out_col}_n", n.cast("bigint"))

@@ -411,3 +411,55 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = multimodal.attach_binary_payload(docs, "text").select("doc_id", "payload")
     return multimodal.sample_frames(with_payload, frame_bytes=64, stride=2, max_frames=4)
+
+
+# ----------------------------------------------------------------------
+# X4 — pattern redaction: scrub entity tokens + digit runs, count what
+# was scrubbed. Chained regexp_replace = one codegen projection.
+@query(
+    "x4_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, 'customer|supplier', '[ENTITY]', 'g'),
+                          '[0-9]+', '[NUM]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, 'customer|supplier'))
+                + len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS redacted_n
+    FROM documents
+    """,
+    doc="SURVEY §2.10 X4 — pattern redaction with audit count "
+    "(operators/text.redact; pure projection, zero shuffle).",
+)
+def x4_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.redact(
+        docs, "text", {"customer|supplier": "[ENTITY]", "[0-9]+": "[NUM]"}, out_col="redacted"
+    )
+    return out.select("doc_id", "redacted", F.col("redacted_n"))
+
+
+# ----------------------------------------------------------------------
+# X3 — embedding normalize + int8 quantization (storage/bandwidth prep).
+@query(
+    "x3_normalize_quantize",
+    oracle="""
+    SELECT vec_id,
+           round(norm, 6) AS l2_norm,
+           CASE WHEN norm = 0 THEN ''
+                ELSE array_to_string(
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127 + 0.5) AS INTEGER)), ',')
+           END AS q_vec
+    FROM (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) AS norm
+      FROM embeddings
+    )
+    """,
+    doc="SURVEY §2.10 X3 — L2-normalize + symmetric int8 quantization "
+    "(operators/similarity.normalize_quantize; HOF projection, no UDF).",
+)
+def x3_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.normalize_quantize(emb, "embedding", "vec_id")

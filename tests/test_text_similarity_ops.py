@@ -1,0 +1,48 @@
+"""Golden tests for the redaction and embedding-quantization operators
+(SURVEY §2.10 X3/X4) on crafted inputs the synthetic corpus can't
+exercise (real PII shapes, zero vectors)."""
+
+from __future__ import annotations
+
+from cbts_datalake_synnex_spark.operators.similarity import normalize_quantize
+from cbts_datalake_synnex_spark.operators.text import redact
+
+
+def test_redact_pii_shapes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com card 4111-1111-2222-3333 ok"),
+            (2, "nothing sensitive here"),
+            (3, None),
+        ],
+        "id bigint, text string",
+    )
+    out = redact(
+        df,
+        "text",
+        {
+            r"[\w.+-]+@[\w-]+\.[\w.]+": "[EMAIL]",
+            r"\d[\d-]{7,}\d": "[CARD]",
+        },
+    ).collect()
+    rows = {r["id"]: r.asDict() for r in out}
+    assert rows[1]["redacted"] == "mail [EMAIL] card [CARD] ok"
+    assert rows[1]["redacted_n"] == 2
+    assert rows[2]["redacted"] == "nothing sensitive here"
+    assert rows[2]["redacted_n"] == 0
+    assert rows[3]["redacted"] is None  # null text passes through
+
+
+def test_normalize_quantize_golden(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r.asDict() for r in normalize_quantize(df, "embedding", "vec_id").collect()}
+    # [3,4] → norm 5, unit (0.6, 0.8) → (76, 102) with half-up floor
+    assert rows[1]["l2_norm"] == 5.0
+    assert rows[1]["q_vec"] == "76,102"
+    # zero vector: defined, not NaN
+    assert rows[2]["l2_norm"] == 0.0 and rows[2]["q_vec"] == ""
+    # negative components round half-up toward +inf: -127 stays -127
+    assert rows[3]["q_vec"] == "-127,0"
