@@ -283,6 +283,10 @@ class LakeEngine:
         df = (
             self.spark.read.option("recursiveFileLookup", "true")
             .option("compression", "gzip")
+            # DynamicFrame semantics: unparseable records are skipped,
+            # not nulled into the curated zone (a poisoned staging line
+            # must not become an all-null curated row).
+            .option("mode", "DROPMALFORMED")
             .json(path)
         )
         df = apply_ingest_policy(df, stringify=False)
@@ -341,6 +345,29 @@ class LakeEngine:
     def recover_partitions(self, table: str) -> None:
         # MSCK REPAIR TABLE, staging_to_curated.py:170-171
         self.spark.sql(f"MSCK REPAIR TABLE {self.qualified(table)}")
+
+    # ------------------------------------------------------------------
+    # CBO statistics — the engine-internal replacement for the Glue
+    # catalog's table stats. At 100 TB the optimizer's join-order and
+    # broadcast decisions are only as good as its size/NDV estimates;
+    # ANALYZE after each curate batch keeps them honest.
+    def analyze_table(self, table: str, columns: Sequence[str] | None = None) -> dict[str, str]:
+        """Run ``ANALYZE TABLE`` (optionally per-column NDV/min/max
+        histograms) and return the recorded statistics line. Column
+        stats feed Catalyst's CBO (join reordering, broadcast
+        selection); table stats alone fix size estimates."""
+        qtable = self.qualified(table)
+        if columns:
+            cols = ", ".join(f"`{c}`" for c in columns)
+            self.spark.sql(f"ANALYZE TABLE {qtable} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        else:
+            self.spark.sql(f"ANALYZE TABLE {qtable} COMPUTE STATISTICS")
+        rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {qtable}").collect()
+        return {
+            r["col_name"]: r["data_type"]
+            for r in rows
+            if r["col_name"] in ("Statistics", "Table", "Database")
+        }
 
     # ------------------------------------------------------------------
     # OPTIMIZE-style compaction (SURVEY §7 phase 5): the write-side twin

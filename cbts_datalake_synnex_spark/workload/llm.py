@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cbts_datalake_synnex_spark.operators import dedup, multimodal, similarity, text
+from cbts_datalake_synnex_spark.operators import dedup, multimodal, sampling, similarity, text
 from cbts_datalake_synnex_spark.operators.text import LANG_MARKERS, STOPWORDS_EN
 from cbts_datalake_synnex_spark.workload.base import load_table, query
 
@@ -463,3 +463,28 @@ def x4_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.normalize_quantize(emb, "embedding", "vec_id")
+
+
+# ----------------------------------------------------------------------
+# [EXT] deterministic stratified sampling — language rebalancing at
+# ingest (keep all rare-language docs, down-sample the dominant one).
+@query(
+    "pipeline_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN 400000 ELSE 1000000 END
+    """,
+    doc="[EXT] hash-keyed stratified sample (40% en, 100% others) — "
+    "partitioning-independent, idempotent on re-run (operators/sampling.py).",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.4}, default_fraction=1.0
+    )

@@ -254,3 +254,34 @@ def test_bucketed_join_has_no_exchange(engine, spark, sf_dir):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_curate_skips_malformed_staging_lines(engine, spark, tmp_path):
+    """A poisoned line in staging must be skipped (DynamicFrame
+    semantics), not landed as an all-null curated row."""
+    import gzip
+
+    engine.save_to_staging("poisoned", [{"po_number": "PO1", "qty": 1}], incremental=False)
+    bad_dir = os.path.join(engine.zones.staging("poisoned"), "bad")
+    os.makedirs(bad_dir, exist_ok=True)
+    with gzip.open(os.path.join(bad_dir, "junk.json.gz"), "wt") as f:
+        f.write('{"po_number": "PO2", "qty": \n')  # truncated JSON
+        f.write("not json at all\n")
+    n = engine.curate("poisoned")
+    rows = spark.table(engine.qualified("poisoned")).collect()
+    assert n == len(rows)
+    pos = {r["po_number"] for r in rows}
+    assert "PO1" in pos and "PO2" not in pos
+    assert None not in pos  # no all-null ghost rows
+
+
+def test_analyze_table_records_statistics(engine, spark):
+    engine.ingest_records("po_stats", RECORDS)
+    stats = engine.analyze_table("po_stats", columns=["po_number"])
+    assert "Statistics" in stats and "bytes" in stats["Statistics"]
+    # column-level stats visible to the optimizer
+    desc = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {engine.qualified('po_stats')} po_number"
+    ).collect()
+    info = {r["info_name"]: r["info_value"] for r in desc}
+    assert info.get("distinct_count") == "2"

@@ -4,6 +4,8 @@ exercise (real PII shapes, zero vectors)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cbts_datalake_synnex_spark.operators.similarity import normalize_quantize
 from cbts_datalake_synnex_spark.operators.text import redact
 
@@ -46,3 +48,31 @@ def test_normalize_quantize_golden(spark):
     assert rows[2]["l2_norm"] == 0.0 and rows[2]["q_vec"] == ""
     # negative components round half-up toward +inf: -127 stays -127
     assert rows[3]["q_vec"] == "-127,0"
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    """The whole point vs df.sample(): identical rows regardless of
+    partitioning, and salt derives an independent sample."""
+    from cbts_datalake_synnex_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(df.repartition(17), "doc_id", 0.3).collect()}
+    assert a == b
+    assert 0.25 < len(a) / 2000 < 0.35
+    salted = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3, salt="ep2").collect()}
+    assert salted != a
+
+
+def test_stratified_hash_sample_rates(spark):
+    from cbts_datalake_synnex_spark.operators.sampling import stratified_hash_sample
+
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("rare"))
+    )
+    out = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.1}, default_fraction=1.0)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 2000          # default 1.0 keeps everything
+    assert 50 < counts["en"] < 150         # ~10% of 1000
