@@ -237,6 +237,40 @@ class LakeEngine:
         # micro-batch session inside foreachBatch, T1) would otherwise
         # leave our relation cache pointing at the pre-append file set.
         self.spark.catalog.refreshTable(qtable)
+        self._journal_schema(table)
+
+    # ------------------------------------------------------------------
+    # Catalog versioning (utils.py:78,247 `catalog_versioning=True`):
+    # the Glue catalog keeps a version per table-schema change; Delta's
+    # transaction log subsumes it. The Parquet fallback journals schema
+    # versions explicitly so "what did this table look like when batch
+    # N landed" stays answerable.
+    def _journal_path(self, table: str) -> str:
+        return os.path.join(self.zones.root, "_schema_log", f"{table}.jsonl")
+
+    def _journal_schema(self, table: str) -> None:
+        schema = self.spark.table(self.qualified(table)).schema.jsonValue()
+        history = self.schema_history(table)
+        if history and history[-1]["schema"] == schema:
+            return  # only schema CHANGES create a version (Glue semantics)
+        now = self._now() or datetime.now()
+        entry = {
+            "version": len(history) + 1,
+            "at": now.strftime("%Y-%m-%d %H:%M:%S"),
+            "schema": schema,
+        }
+        path = self._journal_path(table)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def schema_history(self, table: str) -> list[dict[str, Any]]:
+        """All recorded schema versions, oldest first."""
+        path = self._journal_path(table)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
 
     def _evolve_schema(self, qtable: str, df: DataFrame) -> DataFrame:
         """K8 add-column evolution: new df columns → ALTER TABLE ADD
@@ -368,6 +402,43 @@ class LakeEngine:
             for r in rows
             if r["col_name"] in ("Statistics", "Table", "Database")
         }
+
+    # ------------------------------------------------------------------
+    # Materialized views — the precomputed-result tier Athena-based
+    # stacks bolt on with CTAS (the reference's Athena workgroup serves
+    # plain views only, src/purchase_orders.py:22). A recurring
+    # dashboard query over 100 TB
+    # should read a small materialized table refreshed per batch, not
+    # re-scan the facts every run.
+    def create_materialized_view(
+        self,
+        name: str,
+        query: str,
+        partition_cols: Sequence[str] | None = None,
+    ) -> None:
+        """CTAS + remembered definition. ``refresh_materialized_view``
+        recomputes (full refresh — incremental refresh is the Delta/
+        Structured-Streaming upgrade path, documented not implemented)."""
+        defs = self._mview_defs()
+        defs[name] = {"query": query, "partition_cols": list(partition_cols or [])}
+        path = os.path.join(self.zones.root, "_mviews.json")
+        with open(path, "w") as f:
+            json.dump(defs, f, indent=2)
+        self.refresh_materialized_view(name)
+
+    def refresh_materialized_view(self, name: str) -> None:
+        spec = self._mview_defs()[name]
+        df = self.spark.sql(spec["query"])
+        self.write_curated(
+            name, df, mode="overwrite", partition_cols=spec["partition_cols"]
+        )
+
+    def _mview_defs(self) -> dict[str, Any]:
+        path = os.path.join(self.zones.root, "_mviews.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
 
     # ------------------------------------------------------------------
     # OPTIMIZE-style compaction (SURVEY §7 phase 5): the write-side twin

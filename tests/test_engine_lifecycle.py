@@ -285,3 +285,35 @@ def test_analyze_table_records_statistics(engine, spark):
     ).collect()
     info = {r["info_name"]: r["info_value"] for r in desc}
     assert info.get("distinct_count") == "2"
+
+
+def test_schema_history_versions_on_change_only(engine, spark):
+    engine.ingest_records("po_v", [{"po_number": "PO1", "qty": 1}])
+    engine.ingest_records("po_v", [{"po_number": "PO2", "qty": 2}], mode="append")
+    h = engine.schema_history("po_v")
+    assert len(h) == 1  # same schema appended → no new version
+    engine.ingest_records(
+        "po_v", [{"po_number": "PO3", "qty": 3, "carrier": "x"}], mode="append"
+    )
+    h = engine.schema_history("po_v")
+    assert len(h) == 2 and h[-1]["version"] == 2
+    new_cols = {f["name"] for f in h[-1]["schema"]["fields"]}
+    assert "carrier" in new_cols
+    old_cols = {f["name"] for f in h[0]["schema"]["fields"]}
+    assert "carrier" not in old_cols
+    assert h[0]["at"] == "2024-05-17 12:00:00"  # injectable clock
+
+
+def test_materialized_view_refresh(engine, spark):
+    engine.ingest_records("po_src", [{"po_number": "PO1", "qty": 2}])
+    engine.create_materialized_view(
+        "mv_qty",
+        f"SELECT po_number, sum(cast(qty AS bigint)) AS total_qty "
+        f"FROM {engine.qualified('po_src')} GROUP BY po_number",
+    )
+    assert {r["po_number"]: r["total_qty"] for r in spark.table(engine.qualified("mv_qty")).collect()} == {"PO1": 2}
+    engine.ingest_records("po_src", [{"po_number": "PO1", "qty": 5}], mode="append")
+    # stale until refreshed (materialized, not a live view)
+    assert spark.table(engine.qualified("mv_qty")).collect()[0]["total_qty"] == 2
+    engine.refresh_materialized_view("mv_qty")
+    assert spark.table(engine.qualified("mv_qty")).collect()[0]["total_qty"] == 7
