@@ -134,3 +134,19 @@ def f_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@query(
+    "f_approx_percentiles",
+    oracle=None,  # sketch-based — tolerance-gated vs f_percentiles in tests/
+    doc="SURVEY §2.7 math — approx_percentile (Greenwald-Khanna sketch): the "
+    "100 TB swap for f_percentiles. Mergeable partial sketches ⇒ one narrow "
+    "shuffle of sketch state, never the values.",
+)
+def f_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.round(F.approx_percentile("value", F.lit(0.5), F.lit(10000)), 6).alias("p50"),
+        F.round(F.approx_percentile("value", F.lit(0.95), F.lit(10000)), 6).alias("p95"),
+        F.round(F.approx_percentile("value", F.lit(0.99), F.lit(10000)), 6).alias("p99"),
+    )

@@ -101,3 +101,67 @@ def udf_grouped_map_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         scale, schema="event_id bigint, user_id bigint, value_scaled double"
     )
+
+
+# ----------------------------------------------------------------------
+# UDTF — the table-function rung of the ladder (SURVEY §2.9): one input
+# row → many output rows. Demonstrated with token bigrams per document.
+# NOTE the scale hierarchy: the BUILT-IN path (explode over transform,
+# used here) keeps generation inside codegen; a Python @udtf expresses
+# arbitrary row-expansion logic but pays the Python worker boundary —
+# reserve it for semantics no higher-order function can express.
+@query(
+    "udtf_bigrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE lang = 'de'),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram HAVING count(*) >= 25
+    """,
+    doc="SURVEY §2.9 UDTF — row-expanding table function (doc → bigrams) as "
+    "explode(transform(...)): codegen'd generation, no Python boundary.",
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 25)
+    )
+
+
+@query(
+    "udtf_python_bigrams",
+    oracle=None,  # same semantics as udtf_bigrams — equivalence golden in tests/
+    doc="SURVEY §2.9 UDTF — the same expansion as a Python arrow-batched "
+    "mapInPandas table function: the escape hatch when no built-in expresses "
+    "the row-expansion (tokenizers, parsers). Equivalence-tested against the "
+    "codegen path.",
+)
+def udtf_python_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+
+    def expand(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                toks = text.split(" ")
+                out.extend(" ".join(p) for p in zip(toks, toks[1:]))
+            yield pd.DataFrame({"bigram": out})
+
+    grams = docs.select("text").mapInPandas(expand, "bigram string")
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 25)
+    )

@@ -76,3 +76,49 @@ def test_stratified_hash_sample_rates(spark):
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts["rare"] == 2000          # default 1.0 keeps everything
     assert 50 < counts["en"] < 150         # ~10% of 1000
+
+
+def test_python_udtf_equals_codegen_expansion(spark, sf_dir):
+    """The mapInPandas table-function escape hatch must produce exactly
+    the rows of the codegen explode/transform path."""
+    from cbts_datalake_synnex_spark.workload import REGISTRY
+
+    a = (
+        REGISTRY["udtf_bigrams"].fn(spark, sf_dir).toPandas()
+        .sort_values("bigram").reset_index(drop=True)
+    )
+    b = (
+        REGISTRY["udtf_python_bigrams"].fn(spark, sf_dir).toPandas()
+        .sort_values("bigram").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_approx_percentiles_within_quantile_bracket(spark, sf_dir):
+    """The sketch's accuracy contract: each approx percentile must land
+    inside the exact neighboring-quantile bracket (approx returns a
+    real element; exact interpolates — value-equality is the wrong
+    check, rank-neighborhood is the right one)."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.workload import REGISTRY
+    from cbts_datalake_synnex_spark.workload.base import load_table
+
+    ap = REGISTRY["f_approx_percentiles"].fn(spark, sf_dir).toPandas().set_index("event_type")
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    brackets = (
+        e.groupBy("event_type")
+        .agg(
+            *[
+                F.percentile("value", F.lit(q)).alias(f"q{int(q * 1000)}")
+                for q in (0.45, 0.55, 0.90, 0.97, 0.98, 1.0)
+            ]
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, row in ap.iterrows():
+        b = brackets.loc[et]
+        assert b["q450"] <= row["p50"] <= b["q550"], f"{et} p50 {row['p50']} outside [{b['q450']}, {b['q550']}]"
+        assert b["q900"] <= row["p95"] <= b["q980"], f"{et} p95 {row['p95']} outside [{b['q900']}, {b['q980']}]"
+        assert b["q970"] <= row["p99"] <= b["q1000"], f"{et} p99 {row['p99']} outside [{b['q970']}, {b['q1000']}]"
