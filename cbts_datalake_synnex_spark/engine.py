@@ -446,11 +446,24 @@ class LakeEngine:
     # src/glue/staging_to_curated.py:90-92). Incremental appends leave
     # one file per batch per partition; at 100 TB that decays scan
     # performance (footer/open cost per file) until rewritten.
-    def compact_table(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact_table(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: Sequence[str] | None = None,
+    ) -> int:
         """Bin-pack a curated table's files to ~target size. Returns the
         resulting file count. Rewrites atomically via a temp suffix +
         rename (single-writer assumption, as in the reference's
-        one-state-machine-per-table design)."""
+        one-state-machine-per-table design).
+
+        ``cluster_by`` additionally range-partitions + sorts the rewrite
+        on those columns (OPTIMIZE ... ZORDER's single-dimension
+        analogue): each output file then covers a narrow min/max band,
+        so later filtered scans skip whole files/row-groups on parquet
+        statistics instead of reading everything. The highest-leverage
+        layout knob for a 100 TB table queried by a selective key.
+        """
         qtable = self.qualified(table)
         df = self.spark.table(qtable)
         total = sum(
@@ -466,6 +479,12 @@ class LakeEngine:
         scratch = os.path.join(self.zones.root, "_compact", f"{table}_{uuid.uuid4().hex[:8]}")
         df.repartition(n_files).write.parquet(scratch)
         staged = self.spark.read.parquet(scratch)
+        if cluster_by:
+            # cluster on the FINAL write (the scratch hop exists only to
+            # break the self-read; re-reading it bin-packs files and
+            # would destroy any earlier ordering).
+            cols = [F.col(c) for c in cluster_by]
+            staged = staged.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
         self.write_curated(table, staged, mode="overwrite", partition_cols=schema_parts)
         shutil.rmtree(scratch, ignore_errors=True)
         return len(self.spark.table(qtable).inputFiles())

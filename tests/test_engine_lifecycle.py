@@ -317,3 +317,63 @@ def test_materialized_view_refresh(engine, spark):
     assert spark.table(engine.qualified("mv_qty")).collect()[0]["total_qty"] == 2
     engine.refresh_materialized_view("mv_qty")
     assert spark.table(engine.qualified("mv_qty")).collect()[0]["total_qty"] == 7
+
+
+def test_compact_cluster_by_narrows_file_bands(engine, spark):
+    """cluster_by compaction must leave each file covering a narrow
+    min/max band of the cluster key, so parquet stats can skip files
+    on selective filters."""
+    import pyarrow.parquet as pq
+
+    import hashlib
+    import random
+
+    # zero-padded so the ingest-stringified key sorts like the number;
+    # incompressible payload so the size-based file split actually splits
+    rows = [
+        {"k": "%05d" % k, "payload": hashlib.sha256(str(k).encode()).hexdigest() * 4}
+        for k in range(2000)
+    ]
+    random.Random(7).shuffle(rows)
+    engine.ingest_records("clustered", rows, partition_cols=[])
+    # small target → several output files
+    n = engine.compact_table("clustered", target_file_bytes=48 * 1024, cluster_by=["k"])
+    assert n >= 3
+    files = [
+        p.replace("file:", "") for p in spark.table(engine.qualified("clustered")).inputFiles()
+    ]
+    widths = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "k"
+            )
+            mins.append(int(col.statistics.min))
+            maxs.append(int(col.statistics.max))
+        widths.append(max(maxs) - min(mins))
+    # unclustered files would each span ~the full 0..1999 range;
+    # clustered files must cover narrow disjoint bands
+    assert sum(widths) < 2000 * 1.25, widths
+
+
+def test_merge_upsert_idempotent(engine, spark):
+    """Re-applying the same batch must be a no-op (resume-safe)."""
+    base = _mk_po(spark, [("PO1", "OPEN", 1, "2024", "04")])
+    engine.merge_upsert("po_idem", base, keys=["po_number"])
+    batch = _mk_po(spark, [("PO1", "SHIPPED", 2, "2024", "04"), ("PO2", "OPEN", 3, "2024", "05")])
+    engine.merge_upsert("po_idem", batch, keys=["po_number"])
+    first = sorted(
+        (r.asDict() for r in spark.table(engine.qualified("po_idem")).collect()),
+        key=lambda d: d["po_number"],
+    )
+    engine.merge_upsert("po_idem", batch, keys=["po_number"])
+    second = sorted(
+        (r.asDict() for r in spark.table(engine.qualified("po_idem")).collect()),
+        key=lambda d: d["po_number"],
+    )
+    assert first == second
+    assert len(first) == 2
