@@ -490,6 +490,25 @@ class LakeEngine:
         return len(self.spark.table(qtable).inputFiles())
 
     # ------------------------------------------------------------------
+    # Scratch hygiene: compact/merge stage through _compact/_merge and
+    # clean up on success; a crashed job can leave orphans behind. At
+    # 100 TB orphaned rewrite attempts are real storage money — this is
+    # the engine's (trivial) VACUUM.
+    def vacuum_scratch(self) -> int:
+        """Delete leftover compact/merge scratch dirs (single-writer
+        assumption — nothing references scratch once the owning call
+        returned). Returns the number of dirs removed."""
+        removed = 0
+        for sub in ("_compact", "_merge"):
+            base = os.path.join(self.zones.root, sub)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                removed += 1
+        return removed
+
+    # ------------------------------------------------------------------
     # Upsert / MERGE — the lakehouse write mode the reference approximates
     # with its overwrite-partition pattern (save_to_datalake mode='overwrite'
     # + partition_cols, src/purchase_orders.py:88): replace the row for a

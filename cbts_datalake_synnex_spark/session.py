@@ -43,6 +43,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # rejects outright; read it as raw int64 nanos and convert to a µs
     # timestamp in the loader (matches DuckDB's ns→µs truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Cost-based optimization: consume the size/NDV statistics that
+    # `engine.analyze_table` records (join reordering + better
+    # broadcast decisions). No-op on stat-less path-based reads, so
+    # the oracle workload's plans are unaffected.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
 }
 
 

@@ -377,3 +377,29 @@ def test_merge_upsert_idempotent(engine, spark):
     )
     assert first == second
     assert len(first) == 2
+
+
+def test_vacuum_scratch_removes_orphans(engine):
+    orphan = os.path.join(engine.zones.root, "_compact", "crashed_attempt")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    assert engine.vacuum_scratch() == 1
+    assert not os.path.exists(orphan)
+
+
+def test_analyzed_stats_reach_the_optimizer(engine, spark):
+    """ANALYZE output must actually flow into plan statistics (the CBO
+    is enabled in the engine session) — otherwise analyze_table is
+    decoration."""
+    engine.ingest_records("po_cbo", [{"po_number": f"PO{i}", "qty": i} for i in range(50)])
+    engine.analyze_table("po_cbo", columns=["po_number"])
+    plan_stats = (
+        spark.table(engine.qualified("po_cbo"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+    )
+    # rowCount only exists when column/table stats were recorded + read
+    assert plan_stats.rowCount().isDefined()
+    assert plan_stats.rowCount().get() == 50
