@@ -34,6 +34,7 @@ def incremental_curate(
     max_files_per_trigger: Optional[int] = None,
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     available_now: bool = True,
+    refresh_views: Optional[list[str]] = None,
 ):
     """Stream the staging zone of ``table`` into its curated table.
 
@@ -68,6 +69,12 @@ def incremental_curate(
         if df.limit(1).count() == 0:
             return  # empty-input short-circuit, staging_to_curated.py:97-101
         engine.write_curated(table, df, mode="append")
+        # Dependent materialized views stay one micro-batch behind at
+        # most (full recompute per batch — the simple-but-correct
+        # maintenance mode; incremental maintenance is the Delta
+        # upgrade path noted in engine.create_materialized_view).
+        for mv in refresh_views or []:
+            engine.refresh_materialized_view(mv)
 
     writer = (
         stream.writeStream.foreachBatch(write_batch)

@@ -379,3 +379,27 @@ def test_stream_stream_join_within_band(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT event_id, click_id FROM ssj_test").collect()
     assert {(r["event_id"], r["click_id"]) for r in rows} == {("i1", "c1")}
+
+
+# ----------------------------------------------------------------------
+# T1 + materialized views: dependent mviews refresh per micro-batch.
+def test_incremental_curate_refreshes_mviews(spark, tmp_path):
+    db = f"t_{abs(hash(str(tmp_path))) % 10**9}"
+    engine = LakeEngine(spark, str(tmp_path / "lake"), database=db, clock=CLOCK)
+    try:
+        ckpt = str(tmp_path / "ckpt")
+        engine.save_to_staging("po_status", [{"po_number": "PO1", "qty": 1}], incremental=False)
+        q = incremental_curate(engine, "po_status", ckpt)
+        q.awaitTermination(120)
+        engine.create_materialized_view(
+            "mv_po_count",
+            f"SELECT count(*) AS n FROM {engine.qualified('po_status')}",
+        )
+        assert spark.table(engine.qualified("mv_po_count")).collect()[0]["n"] == 1
+
+        engine.save_to_staging("po_status", [{"po_number": "PO2", "qty": 2}], incremental=False)
+        q = incremental_curate(engine, "po_status", ckpt, refresh_views=["mv_po_count"])
+        q.awaitTermination(120)
+        assert spark.table(engine.qualified("mv_po_count")).collect()[0]["n"] == 2
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
