@@ -830,3 +830,31 @@ def j4_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ----------------------------------------------------------------------
+# W1 completion — distribution ranks (percent_rank / cume_dist): the
+# relative-standing twins of row_number/ntile. Same single-shuffle
+# window plan as every other W1 shape.
+@query(
+    "w1_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           round(percent_rank() OVER w, 6) AS acct_pct_rank,
+           round(cume_dist() OVER w, 6)    AS acct_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="SURVEY §2.6 W1 — percent_rank + cume_dist per market segment "
+    "(unique tiebreak key keeps the rank deterministic).",
+)
+def w1_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("acct_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("acct_cume_dist"),
+    )
