@@ -403,3 +403,63 @@ def test_incremental_curate_refreshes_mviews(spark, tmp_path):
         assert spark.table(engine.qualified("mv_po_count")).collect()[0]["n"] == 2
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """Left-outer band join: the unmatched left row must appear with a
+    null right side — but only once the watermark has passed its
+    band (Spark can't declare 'no match' earlier)."""
+    from cbts_datalake_synnex_spark.streaming.joins import stream_stream_join
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    now = time.time()
+    _write_file(
+        imp_dir,
+        "i1.json",
+        [
+            {"event_id": "i1", "user_id": "u1", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "i2", "user_id": "u2", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+        ],
+        now - 30,
+    )
+    # a later batch on BOTH sides advances the watermark far past the
+    # band, forcing the unmatched i2 to be emitted null-extended
+    _write_file(
+        imp_dir,
+        "i2.json",
+        [{"event_id": "i9", "user_id": "u9", "ts": "2024-01-01T12:00:00.000Z", "value": 1.0}],
+        now - 10,
+    )
+    clk_schema = StructType(
+        [
+            StructField("click_id", StringType()),
+            StructField("user_id", StringType()),
+            StructField("click_ts", TimestampType()),
+        ]
+    )
+    os.makedirs(clk_dir, exist_ok=True)
+    with open(os.path.join(clk_dir, "c1.json"), "w") as f:
+        f.write(json.dumps({"click_id": "c1", "user_id": "u1", "click_ts": "2024-01-01T10:05:00.000Z"}) + "\n")
+    with open(os.path.join(clk_dir, "c2.json"), "w") as f:
+        f.write(json.dumps({"click_id": "c9", "user_id": "u9", "click_ts": "2024-01-01T12:00:01.000Z"}) + "\n")
+    os.utime(os.path.join(clk_dir, "c1.json"), (now - 30, now - 30))
+    os.utime(os.path.join(clk_dir, "c2.json"), (now - 10, now - 10))
+
+    imps = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).json(imp_dir)
+    clks = spark.readStream.schema(clk_schema).option("maxFilesPerTrigger", 1).json(clk_dir)
+    joined = stream_stream_join(
+        imps, clks, key="user_id", left_ts="ts", right_ts="click_ts",
+        watermark="5 minutes", band="15 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {(r["event_id"], r["click_id"]) for r in spark.sql("SELECT event_id, click_id FROM ssj_outer").collect()}
+    assert ("i1", "c1") in rows          # matched inside the band
+    assert ("i2", None) in rows          # unmatched → null-extended after watermark
