@@ -86,3 +86,44 @@ def asof_join(
         ],
     )
     return carried.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS)
+
+
+def banded_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: int,
+) -> DataFrame:
+    """Pure range join (no equi key) as a HASH join — the J5 rewrite
+    that survives 100 TB.
+
+    Spark plans a keyless ``point BETWEEN lo AND hi`` join as
+    BroadcastNestedLoopJoin — quadratic, and impossible once neither
+    side broadcasts. This discretizes the range dimension into bands of
+    ``band_width``: a point lands in exactly one band, an interval is
+    exploded to the bands it overlaps (``sequence`` — bounded when
+    interval length is bounded), the join becomes an equi-join on the
+    band id, and the exact predicate is the residual filter. A
+    qualifying (point, interval) pair meets in exactly one band — the
+    point's own — so the result needs no dedup.
+
+    Cost: |intervals| × (len/band_width + 1) exploded rows shuffled by
+    band; pick ``band_width`` ≈ the typical interval length so the
+    blow-up factor stays ≈ 2. Band skew (a hot time window) is AQE
+    skew-join territory, same as any hash join.
+
+    Both columns must be numeric (cast timestamps to epoch seconds
+    first). Column names must be disjoint.
+    """
+    p_band = F.floor(F.col(point_col) / band_width)
+    i_bands = F.sequence(
+        F.floor(F.col(lo_col) / band_width), F.floor(F.col(hi_col) / band_width)
+    )
+    p = points.withColumn("__band", p_band)
+    i = intervals.withColumn("__band", F.explode(i_bands))
+    joined = p.join(i, "__band").filter(
+        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+    )
+    return joined.drop("__band")

@@ -776,3 +776,44 @@ def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+# ----------------------------------------------------------------------
+# J5b — PURE range join (no equi key): each error event joined to the
+# signup "sessions" whose ±5-minute interval contains it. Keyless
+# BETWEEN would plan BroadcastNestedLoopJoin (quadratic); the banded
+# rewrite makes it a hash join on a derived band id (plan-pinned).
+@query(
+    "j5_banded_interval_join",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id AS err_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'error'
+    ),
+    iv AS (
+      SELECT event_id AS signup_id,
+             CAST(floor(epoch(ts)) AS BIGINT) - 300 AS lo,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS hi
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT err_id, CAST(count(*) AS BIGINT) AS n_windows
+    FROM pts JOIN iv ON t BETWEEN lo AND hi
+    GROUP BY err_id
+    """,
+    doc="SURVEY §2.5 J5 — keyless interval containment via the banded rewrite "
+    "(operators/joins.banded_interval_join): hash join on band id, exact residual.",
+)
+def j5_banded_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pts = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.unix_timestamp("ts").alias("t")
+    )
+    iv = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        (F.unix_timestamp("ts") - 300).alias("lo"),
+        (F.unix_timestamp("ts") + 300).alias("hi"),
+    )
+    from cbts_datalake_synnex_spark.operators import joins
+
+    joined = joins.banded_interval_join(pts, iv, "t", "lo", "hi", band_width=600)
+    return joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_windows"))

@@ -132,3 +132,15 @@ def test_wide_join_sweep_broadcasts_dims(spark, sf_dir):
         assert n_bhj >= min_bhj, f"{name}: only {n_bhj} broadcast joins"
         assert n_ex <= max_ex, f"{name}: {n_ex} hash exchanges (max {max_ex})"
         assert "CartesianProduct" not in txt
+
+
+def test_banded_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The keyless range join MUST plan as a hash/broadcast-hash join
+    on the derived band id — a BroadcastNestedLoopJoin here is the
+    quadratic plan the rewrite exists to eliminate."""
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    txt = explain_str(REGISTRY["j5_banded_interval_join"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert "Join" in txt  # it IS still a join, on the band key

@@ -122,3 +122,31 @@ def test_approx_percentiles_within_quantile_bracket(spark, sf_dir):
         assert b["q450"] <= row["p50"] <= b["q550"], f"{et} p50 {row['p50']} outside [{b['q450']}, {b['q550']}]"
         assert b["q900"] <= row["p95"] <= b["q980"], f"{et} p95 {row['p95']} outside [{b['q900']}, {b['q980']}]"
         assert b["q970"] <= row["p99"] <= b["q1000"], f"{et} p99 {row['p99']} outside [{b['q970']}, {b['q1000']}]"
+
+
+def test_banded_interval_join_exactness(spark):
+    """Band boundaries: every (point ∈ [lo,hi]) pair appears exactly
+    once, including points on band edges and intervals spanning
+    multiple bands."""
+    from cbts_datalake_synnex_spark.operators.joins import banded_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 9, 10, 11, 19, 20, 25, 99])],
+        "pid bigint, t bigint",
+    )
+    iv = spark.createDataFrame(
+        [(100, 0, 9), (200, 5, 25), (300, 10, 10), (400, 90, 120)],
+        "iid bigint, lo bigint, hi bigint",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in banded_interval_join(pts, iv, "t", "lo", "hi", band_width=10).collect()
+    }
+    pts_v = {0: 0, 1: 9, 2: 10, 3: 11, 4: 19, 5: 20, 6: 25, 7: 99}
+    expect = {
+        (p, i)
+        for p, v in pts_v.items()
+        for i, (lo, hi) in {100: (0, 9), 200: (5, 25), 300: (10, 10), 400: (90, 120)}.items()
+        if lo <= v <= hi
+    }
+    assert got == expect
