@@ -555,13 +555,38 @@ class LakeEngine:
         # genuinely new columns via K8 ALTER, nulls missing ones) ...
         aligned = self._evolve_schema(qtable, df)
         target = self.spark.table(qtable)
-        parts = [c for c in (partition_cols or DEFAULT_PARTITION_COLS) if c in target.columns]
+        # The table's ACTUAL partition columns — not merely columns that
+        # share a name. Dynamic partition overwrite on a table that is
+        # not really partitioned by `parts` would replace the WHOLE
+        # table with just the touched slice (silent data loss).
+        actual_parts = {
+            c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition
+        }
+        parts = [
+            c for c in (partition_cols or DEFAULT_PARTITION_COLS) if c in actual_parts
+        ]
         if parts:
-            # ... restrict the rewrite to partitions the batch touches;
-            # the partition list is small by construction (collect is
-            # driver-safe), and partition pruning cuts the target scan.
+            # ... restrict the rewrite to partitions the batch touches
+            # PLUS partitions where a matched key currently lives — a
+            # key whose partition values changed (PO re-dated to a new
+            # month) would otherwise leave its stale row behind in the
+            # old, un-rewritten partition. The key-location lookup is
+            # one semi-join scan of the target (Delta MERGE's file
+            # pruning is what makes this cheap at scale; here parquet
+            # stats/clustering prune what they can). The partition list
+            # is small by construction (collect is driver-safe).
+            batch_parts = aligned.select(*parts).distinct()
+            moved_parts = (
+                target.join(
+                    aligned.select(*[F.col(k) for k in keys]).distinct(),
+                    on=list(keys),
+                    how="left_semi",
+                )
+                .select(*parts)
+                .distinct()
+            )
             touched = [
-                tuple(r) for r in aligned.select(*parts).distinct().collect()
+                tuple(r) for r in batch_parts.union(moved_parts).distinct().collect()
             ]
             pred = F.lit(False)
             for combo in touched:

@@ -403,3 +403,35 @@ def test_analyzed_stats_reach_the_optimizer(engine, spark):
     # rowCount only exists when column/table stats were recorded + read
     assert plan_stats.rowCount().isDefined()
     assert plan_stats.rowCount().get() == 50
+
+
+def test_merge_upsert_unpartitioned_table_with_audit_columns(engine, spark):
+    """Regression guard: a table that HAS processed_year/month as data
+    columns but is NOT partitioned by them must take the full-rewrite
+    path — dynamic partition overwrite here would silently drop every
+    row outside the batch's slice."""
+    base = _mk_po(spark, [("PO1", "OPEN", 1, "2024", "04"), ("PO2", "OPEN", 2, "2024", "05")])
+    engine.write_curated("po_flat", base, mode="overwrite", partition_cols=[])
+    batch = _mk_po(spark, [("PO2", "SHIPPED", 2, "2024", "05")])
+    engine.merge_upsert("po_flat", batch, keys=["po_number"])
+    rows = {r["po_number"]: r["status"] for r in spark.table(engine.qualified("po_flat")).collect()}
+    assert rows == {"PO1": "OPEN", "PO2": "SHIPPED"}  # PO1 must survive
+
+
+def test_merge_upsert_key_moves_partition(engine, spark):
+    """Regression: when a batch re-dates a key into a DIFFERENT
+    partition, the stale row in the old partition must be removed —
+    the rewrite set includes partitions where matched keys live, not
+    just partitions the batch carries."""
+    base = _mk_po(spark, [("PO1", "OPEN", 1, "2024", "04"), ("PO2", "OPEN", 2, "2024", "04")])
+    engine.merge_upsert("po_move", base, keys=["po_number"])
+    batch = _mk_po(spark, [("PO1", "SHIPPED", 1, "2024", "05")])  # moved 04 → 05
+    engine.merge_upsert("po_move", batch, keys=["po_number"])
+    rows = [r.asDict() for r in spark.table(engine.qualified("po_move")).collect()]
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["po_number"], []).append(r)
+    assert len(by_key["PO1"]) == 1, f"stale duplicate: {by_key['PO1']}"
+    assert by_key["PO1"][0]["processed_month"] == "05"
+    assert by_key["PO1"][0]["status"] == "SHIPPED"
+    assert len(by_key["PO2"]) == 1 and by_key["PO2"][0]["status"] == "OPEN"
