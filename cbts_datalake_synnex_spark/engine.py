@@ -466,11 +466,12 @@ class LakeEngine:
         """
         qtable = self.qualified(table)
         df = self.spark.table(qtable)
-        total = sum(
-            os.path.getsize(p.replace("file:", ""))
-            for p in df.inputFiles()
-            if os.path.exists(p.replace("file:", ""))
-        )
+        # estimate_scan_bytes handles non-local URIs (s3a/hdfs) via the
+        # Hadoop FileSystem API; a local-only getsize would see total=0
+        # there and collapse the table into a single file.
+        from cbts_datalake_synnex_spark.plans.budget import estimate_scan_bytes
+
+        total = estimate_scan_bytes(df)
         n_files = max(1, -(-total // target_file_bytes))  # ceil
         schema_parts = [c for c in DEFAULT_PARTITION_COLS if c in df.columns]
         # Self-overwrite would read the table while truncating it, so

@@ -100,24 +100,40 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
         df = renamed.select(*sel).toDF(*out_names)
 
 
-def drop_all_null_columns(df: DataFrame) -> DataFrame:
-    """P8 — drop columns with zero non-null values (``utils.py:58-62``).
+def drop_all_null_columns(df: DataFrame, na_drop: str = "all") -> DataFrame:
+    """P8 — drop NA columns in one aggregate pass (``utils.py:57-62``).
+
+    ``na_drop`` pins which semantics (INTENT DECISION, SURVEY §0.1):
+
+    * ``"all"`` (engine default) — drop columns with ZERO non-null
+      values. A column that is null for every row of the batch carries
+      no information; one stray null should not delete real data.
+    * ``"any"`` — the reference's literal behavior
+      (``df.isna().any()``, ``utils.py:57-62``): drop columns with AT
+      LEAST ONE null. Provided for bug-compatible parity runs.
 
     One aggregate pass (partial counts map-side, tiny final reduce) —
     the only action in the chain; at 100 TB it is a single
     column-pruned scan producing one row.
     """
+    if na_drop not in ("all", "any"):
+        raise ValueError(f"na_drop must be 'all' or 'any', got {na_drop!r}")
     if not df.columns:
         return df
     renamed, orig = _positional(df)
     tmp = renamed.columns
     counts = renamed.agg(
-        *[F.count(F.col(t)).alias(str(i)) for i, t in enumerate(tmp)]
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(F.col(t)).alias(str(i)) for i, t in enumerate(tmp)],
     ).collect()[0]
+    if na_drop == "all":
+        survives = lambda i: counts[str(i)] > 0
+    else:  # "any": keep only columns with no nulls at all
+        survives = lambda i: counts[str(i)] == counts["__n"]
     keep = [
         F.col(t).alias(o)
         for i, (t, o) in enumerate(zip(tmp, orig))
-        if counts[str(i)] > 0
+        if survives(i)
     ]
     if len(keep) == len(orig):
         return df
@@ -202,6 +218,7 @@ def apply_ingest_policy(
     *,
     stringify: bool = True,
     max_len: int = MAX_STRING_LEN,
+    na_drop: str = "all",
 ) -> DataFrame:
     """The full P4→P8→P5→P6→P7 chain in the reference's order
     (``utils.py:40-89``: normalize 49, NA-drop 58-62, astype(str)
@@ -210,10 +227,12 @@ def apply_ingest_policy(
     With ``stringify=False`` the chain keeps inferred types (the Glue
     job's mode, ``src/glue/staging_to_curated.py:61-70``) and only
     flattens/sanitizes — the curated path then applies the catalog
-    type whitelist instead.
+    type whitelist instead. ``na_drop`` selects the NA-column-drop
+    semantics (see ``drop_all_null_columns``; "all" is the engine
+    default, "any" is reference-literal).
     """
     df = flatten_structs(df)
-    df = drop_all_null_columns(df)
+    df = drop_all_null_columns(df, na_drop=na_drop)
     if stringify:
         df = stringify_columns(df, max_len=max_len)
     df = sanitize_column_names(df)

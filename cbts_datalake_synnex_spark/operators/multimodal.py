@@ -4,11 +4,15 @@ binary payloads + typed metadata, processed with Arrow-batched
 
 The Spark-side plumbing here is real and tested: BinaryType payload
 column, metadata struct, partition-friendly batch iteration, stable
-UDF output schema. The actual media decoding is STUBBED — the
-image/audio libraries are not in this container — behind
-``NotImplementedError`` (``decode_media``) and a clearly-marked
-deterministic fake (``fake_feature_extract``) so the pipeline shape is
-exercised end-to-end without pretending to decode pixels.
+UDF output schema. ``decode_media`` carries two REAL dependency-free
+codecs — binary PPM (P6) images and PCM WAV audio, parsed byte-level
+in ``_decode_ppm``/``_decode_wav`` — exercised end-to-end by
+``decode_payloads``; compressed formats (JPEG/MP3/H.264) need codec
+libraries absent from this container and raise ``NotImplementedError``
+(a PIL/libav decoder slots in beside the built-ins). The
+sha256-derived feature vector in ``extract_payload_features`` remains
+a clearly-marked deterministic fake standing in for an embedding
+model.
 
 At 100 TB: payloads ride in parquet/Delta binary columns; ``mapInPandas``
 processes Arrow batches per partition, so memory is bounded by
@@ -42,14 +46,171 @@ def attach_binary_payload(df: DataFrame, text_col: str, media_type: str = "text/
     )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """STUB — media decoding (image decode / audio resample / video
-    frame-sample) requires codec libraries not present in this
-    environment. The mapInPandas plumbing around it is real."""
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Decode a binary media payload to typed metadata + summary stats.
+
+    Two REAL, dependency-free codecs are wired in — binary PPM (P6)
+    images and PCM WAV audio — so the decode slot is exercised by
+    actual byte-level parsing, not only the deterministic fake.
+    Compressed formats (JPEG/PNG/MP3/H.264) still require codec libs
+    absent from this image and raise ``NotImplementedError``; a
+    PIL/libav decoder slots in beside the two built-ins.
+
+    Returns a dict with ``kind`` plus format-specific fields; see
+    ``decode_payloads`` for the columnar shape.
+    """
+    if media_type in ("image/x-portable-pixmap", "image/ppm"):
+        return _decode_ppm(payload)
+    if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _decode_wav(payload)
     raise NotImplementedError(
         f"media decoding for {media_type!r} requires codec libs (PIL/av/librosa) "
         "not available in this image; wire them in here."
     )
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6): ``P6 <width> <height> <maxval>`` header tokens
+    (whitespace/comment separated) then width*height*3 raw bytes."""
+    # header tokenizer: whitespace-separated, '#' comments to EOL
+    tokens, i = [], 0
+    while len(tokens) < 4 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 4 or tokens[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # single whitespace after maxval per spec
+    pixels = payload[i : i + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    mean = sum(pixels) / len(pixels) if pixels else 0.0
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "sample_rate": None,
+        "bits_per_sample": 8,
+        "n_frames": width * height,
+        "mean_level": round(mean, 6),
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE with PCM (format 1) fmt + data chunks; 8/16-bit."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (format={audio_format}, bits={bits})")
+    n_frames = len(data) // block_align if block_align else 0
+    if bits == 16:
+        samples = struct.unpack(f"<{len(data) // 2}h", data[: (len(data) // 2) * 2])
+    else:  # 8-bit WAV is unsigned, centered at 128
+        samples = [b - 128 for b in data]
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 if samples else 0.0
+    return {
+        "kind": "audio",
+        "width": None,
+        "height": None,
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "mean_level": round(rms, 6),
+    }
+
+
+def encode_ppm(width: int, height: int, value: int) -> bytes:
+    """Synthesize a constant-valued P6 image (test/golden helper —
+    deterministic payloads without codec libs)."""
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes([value % 256]) * (width * height * 3)
+
+
+def encode_wav(n_frames: int, amplitude: int, sample_rate: int = 8000) -> bytes:
+    """Synthesize a constant-amplitude 16-bit mono PCM WAV (test/golden
+    helper). RMS of a constant signal == |amplitude|."""
+    import struct
+
+    data = struct.pack(f"<{n_frames}h", *([amplitude] * n_frames))
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+DECODED_FIELDS = (
+    "kind string, width int, height int, n_channels int, sample_rate int, "
+    "bits_per_sample int, n_frames bigint, mean_level double, decode_error string"
+)
+
+
+def decode_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """X5 — decode binary payloads to typed metadata columns via
+    Arrow-batched ``mapInPandas`` (one Python roundtrip per partition
+    batch, never per row). Undecodable rows keep nulls + a
+    ``decode_error`` string instead of failing the job — at 100 TB a
+    poisoned blob must not kill the stage."""
+    passthrough = [c for c in df.columns if c not in (payload_col, media_type_col)]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + [DECODED_FIELDS]
+    )
+    null_rec = {
+        "kind": None, "width": None, "height": None, "n_channels": None,
+        "sample_rate": None, "bits_per_sample": None, "n_frames": None,
+        "mean_level": None,
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = {c: row[c] for c in passthrough}
+                try:
+                    rec.update(decode_media(bytes(row[payload_col]), row[media_type_col]))
+                    rec["decode_error"] = None
+                except Exception as ex:  # noqa: BLE001 — poisoned blob quarantine
+                    rec.update(null_rec)
+                    rec["decode_error"] = f"{type(ex).__name__}: {ex}"[:500]
+                rows.append(rec)
+            cols = passthrough + [
+                "kind", "width", "height", "n_channels", "sample_rate",
+                "bits_per_sample", "n_frames", "mean_level", "decode_error",
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def sample_frames(

@@ -11,7 +11,9 @@ runtime; these helpers cover the two places AQE can't:
   exactly.
 * ``salted_join`` — a hot key on the LEFT of a join with a small-ish
   right side: left gets a random-but-deterministic salt, right is
-  replicated across all salts. Exact same rows as the plain join.
+  replicated across all salts. Exact same rows as the plain join for
+  inner / left-outer / left-semi / left-anti; right/full outer would
+  emit each unmatched right row once per salt, so those are rejected.
 
 Both are exact rewrites — results are identical to the unsalted
 operator, which is how the tests pin them.
@@ -64,7 +66,18 @@ def salted_join(
     (small) right across every salt value so each salted partition finds
     its matches. Right-side amplification is ×n_salts — use only when
     |right| × n_salts is comfortably shuffle-able, which is exactly the
-    hot-key regime."""
+    hot-key regime.
+
+    Only left-preserving join types are exact under right-side
+    replication: an unmatched RIGHT row exists once per salt replica, so
+    right/full outer joins would emit it ``n_salts`` times. Those are
+    rejected rather than silently wrong."""
+    normalized = how.replace("_", "").lower()
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "replicating the right side across salts duplicates unmatched right rows"
+        )
     lsalted = with_salt(left, on, n_salts)
     rrep = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

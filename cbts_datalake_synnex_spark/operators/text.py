@@ -154,12 +154,16 @@ def redact(
 
     ``patterns`` maps regex → replacement token, applied in insertion
     order. Adds ``<out_col>`` and ``<out_col>_n`` (total matches
-    scrubbed — the audit trail). Chained ``regexp_replace`` stays a
-    pure codegen projection: zero shuffle at any scale.
+    scrubbed — the audit trail). Each pattern is counted against the
+    PROGRESSIVELY-redacted value (mirroring the replace chain), so with
+    interacting patterns — an earlier replacement consuming or creating
+    a later pattern's match — the count equals what was actually
+    scrubbed. Chained ``regexp_replace`` stays a pure codegen
+    projection: zero shuffle at any scale.
     """
     out = F.col(text_col)
     n = F.lit(0)
     for pat, repl in patterns.items():
-        n = n + F.regexp_count(F.col(text_col), F.lit(pat))
+        n = n + F.regexp_count(out, F.lit(pat))
         out = F.regexp_replace(out, pat, repl)
     return df.withColumn(out_col, out).withColumn(f"{out_col}_n", n.cast("bigint"))

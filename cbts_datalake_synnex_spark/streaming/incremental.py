@@ -50,13 +50,21 @@ def incremental_curate(
     """
     staging = engine.zones.staging(table)
     if schema is None:
+        # Infer with the same DROPMALFORMED discipline as batch curate():
+        # a poisoned staging line must neither add _corrupt_record to the
+        # locked schema nor null-out rows in the curated table.
         schema = (
-            engine.spark.read.option("recursiveFileLookup", "true").json(staging).schema
+            engine.spark.read.option("recursiveFileLookup", "true")
+            .option("compression", "gzip")
+            .option("mode", "DROPMALFORMED")
+            .json(staging)
+            .schema
         )
     reader = (
         engine.spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
         .option("compression", "gzip")
+        .option("mode", "DROPMALFORMED")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -392,7 +392,7 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="SURVEY §2.10 X5 — binary payload column + Arrow mapInPandas feature pass "
-    "(decode itself stubbed; plumbing real).",
+    "(metadata/fingerprint path; codec decode covered by x5_decode_media).",
 )
 def x5_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -413,6 +413,54 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(with_payload, frame_bytes=64, stride=2, max_frames=4)
 
 
+@query(
+    "x5_decode_media",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           CASE WHEN doc_id % 2 = 0 THEN 4 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 3 END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS n_channels,
+           CASE WHEN doc_id % 2 = 1 THEN 8000 END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 8 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 251
+                     ELSE doc_id % 500 END AS DOUBLE) AS mean_level
+    FROM documents
+    """,
+    doc="SURVEY §2.10 X5 — REAL codec decode (binary PPM image + PCM WAV audio, "
+    "dependency-free byte-level parsers in operators/multimodal.decode_media) "
+    "over synthesized payloads whose expected metadata is doc_id-derived, so "
+    "the oracle checks actual decoding. mapInPandas both ways; Arrow-batched.",
+)
+def x5_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            out["payload"] = [
+                multimodal.encode_ppm(4, 3, int(d) % 251)
+                if int(d) % 2 == 0
+                else multimodal.encode_wav(8, int(d) % 500)
+                for d in pdf["doc_id"]
+            ]
+            out["media_type"] = [
+                "image/x-portable-pixmap" if int(d) % 2 == 0 else "audio/wav"
+                for d in pdf["doc_id"]
+            ]
+            yield out
+
+    payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary, media_type string")
+    return multimodal.decode_payloads(payloads).select(
+        "doc_id", "kind", "width", "height", "n_channels", "sample_rate",
+        "bits_per_sample", "n_frames", "mean_level",
+    )
+
+
 # ----------------------------------------------------------------------
 # X4 — pattern redaction: scrub entity tokens + digit runs, count what
 # was scrubbed. Chained regexp_replace = one codegen projection.
@@ -423,7 +471,9 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(regexp_replace(text, 'customer|supplier', '[ENTITY]', 'g'),
                           '[0-9]+', '[NUM]', 'g') AS redacted,
            CAST(len(regexp_extract_all(text, 'customer|supplier'))
-                + len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS redacted_n
+                + len(regexp_extract_all(
+                      regexp_replace(text, 'customer|supplier', '[ENTITY]', 'g'),
+                      '[0-9]+')) AS BIGINT) AS redacted_n
     FROM documents
     """,
     doc="SURVEY §2.10 X4 — pattern redaction with audit count "

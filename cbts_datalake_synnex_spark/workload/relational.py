@@ -603,8 +603,10 @@ def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.agg(
         F.round(F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount"), 2)), 2).alias("revenue_lost"),
         F.round(F.sum(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000)), 2).alias("abs_spread"),
-        F.round(F.sum(F.floor("l_quantity")), 2).alias("qty_floor_sum"),
-        F.round(F.sum(F.ceil(F.col("l_discount") * 100)), 2).alias("disc_pct_ceil_sum"),
+        # floor/ceil sums are BIGINT in Spark but DOUBLE in ANSI/DuckDB; cast so
+        # the canonical string form ("39643.0" vs "39643") matches the oracle.
+        F.round(F.sum(F.floor("l_quantity")), 2).cast("double").alias("qty_floor_sum"),
+        F.round(F.sum(F.ceil(F.col("l_discount") * 100)), 2).cast("double").alias("disc_pct_ceil_sum"),
         F.round(F.avg(F.log(F.col("l_extendedprice") + 1)), 6).alias("avg_log_price"),
         F.round(F.avg(F.pow("l_discount", F.lit(2))), 6).alias("avg_disc_sq"),
         F.round(F.stddev("l_quantity"), 6).alias("qty_stddev"),

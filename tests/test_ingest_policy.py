@@ -214,3 +214,24 @@ def test_case_duplicate_fields_inside_struct(spark):
     out = apply_ingest_policy(df)
     assert out.columns == ["s_a"]  # both lower to s_a; keep-first wins
     assert out.collect()[0]["s_a"] == "x"
+
+
+def test_na_drop_any_matches_reference_literal(spark):
+    """SURVEY §0.1-7: na_drop='any' reproduces the reference's
+    df.isna().any() drop (utils.py:57-62) — one null kills the column;
+    the engine default 'all' keeps it."""
+    from cbts_datalake_synnex_spark.functions.ingest_policy import drop_all_null_columns
+
+    df = _df_from_records(
+        spark,
+        [
+            {"full": 1, "holey": 10, "empty": None},
+            {"full": 2, "holey": None, "empty": None},
+        ],
+    )
+    assert set(drop_all_null_columns(df, na_drop="all").columns) == {"full", "holey"}
+    assert set(drop_all_null_columns(df, na_drop="any").columns) == {"full"}
+    import pytest
+
+    with pytest.raises(ValueError, match="na_drop"):
+        drop_all_null_columns(df, na_drop="some")

@@ -85,6 +85,54 @@ def test_ttl_cache_semantics():
     assert len(loads) == 2
 
 
-def test_decode_media_is_an_explicit_stub():
+def test_decode_media_compressed_formats_still_stubbed():
+    # Only formats needing external codec libs raise; PPM/WAV are real.
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG...", "image/png")
+
+
+def test_decode_ppm_golden():
+    # hand-built 2x2 P6 with a header comment; pixels 0,60,120,180 per channel
+    pix = bytes([0, 0, 0, 60, 60, 60, 120, 120, 120, 180, 180, 180])
+    payload = b"P6\n# comment\n2 2\n255\n" + pix
+    meta = multimodal.decode_media(payload, "image/x-portable-pixmap")
+    assert meta["kind"] == "image"
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (2, 2, 3)
+    assert meta["n_frames"] == 4
+    assert meta["mean_level"] == 90.0  # (0+60+120+180)/4
+
+
+def test_decode_wav_golden():
+    payload = multimodal.encode_wav(16, 1000, sample_rate=44100)
+    meta = multimodal.decode_media(payload, "audio/wav")
+    assert meta["kind"] == "audio"
+    assert meta["sample_rate"] == 44100 and meta["n_channels"] == 1
+    assert meta["bits_per_sample"] == 16 and meta["n_frames"] == 16
+    assert meta["mean_level"] == 1000.0  # RMS of constant amplitude
+
+
+def test_decode_roundtrip_encoders():
+    meta = multimodal.decode_media(multimodal.encode_ppm(5, 7, 42), "image/ppm")
+    assert (meta["width"], meta["height"], meta["mean_level"]) == (5, 7, 42.0)
+
+
+def test_decode_rejects_truncated_ppm():
+    bad = multimodal.encode_ppm(4, 4, 9)[:-5]
+    with pytest.raises(ValueError):
+        multimodal.decode_media(bad, "image/ppm")
+
+
+def test_decode_payloads_quarantines_poison(spark):
+    rows = [
+        (1, bytearray(multimodal.encode_ppm(3, 2, 100)), "image/ppm"),
+        (2, bytearray(multimodal.encode_wav(8, 250)), "audio/wav"),
+        (3, bytearray(b"not media at all"), "image/ppm"),       # poisoned blob
+        (4, bytearray(b"\x89PNG\r\n"), "image/png"),            # unsupported codec
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, payload binary, media_type string")
+    out = {r["doc_id"]: r for r in multimodal.decode_payloads(df).collect()}
+    assert out[1]["kind"] == "image" and out[1]["mean_level"] == 100.0
+    assert out[2]["kind"] == "audio" and out[2]["mean_level"] == 250.0
+    # poisoned rows survive with nulls + a decode_error, never fail the stage
+    assert out[3]["kind"] is None and "ValueError" in out[3]["decode_error"]
+    assert out[4]["kind"] is None and "NotImplementedError" in out[4]["decode_error"]

@@ -52,3 +52,15 @@ def test_salted_join_matches_plain(spark):
         (r["k"], r["v"]) for r in skew.salted_join(left, right, ["k"], n_salts=8, how="left").collect()
     )
     assert salted_l == plain_l
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    """Right/full outer would duplicate unmatched right rows n_salts
+    times; the ADVICE-flagged contract is to reject, not be wrong."""
+    import pytest
+
+    left = _skewed_df(spark)
+    right = spark.createDataFrame([("HOT", "d")], "k string, label string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            skew.salted_join(left, right, ["k"], n_salts=4, how=how)

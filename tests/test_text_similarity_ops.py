@@ -150,3 +150,21 @@ def test_banded_interval_join_exactness(spark):
         if lo <= v <= hi
     }
     assert got == expect
+
+
+def test_redact_interacting_patterns_count_matches_scrub(spark):
+    """ADVICE: the audit count must reflect what was ACTUALLY scrubbed
+    when patterns interact — an earlier replacement consuming a later
+    pattern's match must not be double-counted."""
+    df = spark.createDataFrame([(1, "card 1234-5678 pin 99")], "id bigint, text string")
+    out = redact(
+        df,
+        "text",
+        {
+            r"\d{4}-\d{4}": "[CARD]",  # consumes the digits a later pattern would see
+            r"\d+": "[NUM]",
+        },
+    ).collect()[0]
+    assert out["redacted"] == "card [CARD] pin [NUM]"
+    # original-text counting would say 1 + 3 = 4; chain-aware says 2
+    assert out["redacted_n"] == 2
