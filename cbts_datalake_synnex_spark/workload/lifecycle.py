@@ -1,0 +1,425 @@
+"""Lifecycle workload — the ingest/curate/evolve/merge surface (SURVEY
+§2.1-§2.4: S1/S2/S6, K1-K9, P3-P8) exposed as driver-checkable queries.
+
+Round-1 verdict: every lifecycle component passed local goldens but had
+no driver CORRECTNESS row because none was reachable from ``queries()``.
+These entries close that gap: each one drives real engine writes into a
+scratch lake (unique temp root + catalog database per invocation, torn
+down afterward) seeded from the driver's own parquet tables, so a plain
+DuckDB SELECT over those tables states the expected output exactly.
+
+Determinism: the engine clock is pinned (``_FIXED_NOW``) so the P3
+audit columns (``functions/audit.py``; reference ``utils.py:29-30``)
+are literals the oracle can assert. Results are materialized to a
+local DataFrame BEFORE the scratch database is dropped — the driver
+collects after this function returns, and the rows must outlive the
+temp tables. The seed tables are the tiny dims (region 5 / nation 25
+rows), so the driver-side materialization is bounded by construction;
+the lifecycle plumbing itself (partitioned writes, ALTER evolution,
+dynamic-partition merge) is exactly what runs at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from contextlib import contextmanager
+from datetime import datetime
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.engine import LakeEngine
+from cbts_datalake_synnex_spark.functions.audit import with_audit_columns
+from cbts_datalake_synnex_spark.functions.ingest_policy import apply_ingest_policy
+from cbts_datalake_synnex_spark.workload.base import load_table, query
+
+_FIXED_NOW = datetime(2024, 3, 15, 12, 0, 0)
+AUDIT_AT, AUDIT_Y, AUDIT_M = "2024-03-15 12:00:00", "2024", "03"
+# the audit-column tail every oracle appends (P3, utils.py:29-30,44)
+_AUDIT_SQL = (
+    f"'{AUDIT_AT}' AS processed_at, '{AUDIT_Y}' AS processed_year, "
+    f"'{AUDIT_M}' AS processed_month"
+)
+
+
+@contextmanager
+def _scratch_engine(spark: SparkSession):
+    """A throwaway LakeEngine: unique lake root + database, pinned
+    clock; dropped (CASCADE) and deleted on exit."""
+    root = tempfile.mkdtemp(prefix="lc_lake_")
+    db = f"lc_{uuid.uuid4().hex[:8]}"
+    eng = LakeEngine(spark, root, database=db, clock=lambda: _FIXED_NOW)
+    try:
+        yield eng
+    finally:
+        try:
+            spark.catalog.setCurrentDatabase("default")
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Pin tiny results to a local DataFrame so they survive scratch
+    teardown. Bounded: every lifecycle query returns ≤ 2×|nation| rows
+    (the collect is the test harness's, not an operator's — engine
+    writes themselves never collect)."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def _nation_records(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Nested ingest batch derived from the driver's nation table —
+    messy source keys (spaces, case, dashes, nesting) so the P4/P6
+    chain has real work to do."""
+    rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    # testdata nation has no comment column; derive one deterministically
+    return [
+        {
+            "NATION KEY": int(r["n_nationkey"]),
+            "Meta": {"name": r["n_name"], "region-key": int(r["n_regionkey"])},
+            "comment": f"note {r['n_name']}:{r['n_nationkey']}",
+        }
+        for r in rows
+    ]
+
+
+def _region_records(spark: SparkSession, sf_dir: str, with_comment: bool) -> list[dict]:
+    rows = load_table(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    return [
+        {
+            "region key": int(r["r_regionkey"]),
+            "name": r["r_name"],
+            **({"comment": f"about {r['r_name']}"} if with_comment else {}),
+        }
+        for r in rows
+    ]
+
+
+_CURATED_COLS = [
+    "nation_key", "meta_name", "meta_region_key", "comment",
+    "processed_at", "processed_year", "processed_month",
+]
+
+_NATION_ORACLE = f"""
+    SELECT CAST(n_nationkey AS VARCHAR) AS nation_key,
+           n_name                       AS meta_name,
+           CAST(n_regionkey AS VARCHAR) AS meta_region_key,
+           'note ' || n_name || ':' || CAST(n_nationkey AS VARCHAR) AS comment,
+           {_AUDIT_SQL}
+    FROM nation
+"""
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_ingest_nested_json",
+    oracle=_NATION_ORACLE,
+    doc="SURVEY §3.2 S6+P3-P8+K1/K7 — in-memory nested records through the "
+    "full ingest-policy chain (flatten/NA-drop/stringify/sanitize/dedup + "
+    "audit columns) into a partitioned curated table (utils.py:40-89).",
+)
+def lc_ingest_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = _nation_records(spark, sf_dir)
+    with _scratch_engine(spark) as eng:
+        out = eng.ingest_records("nation_lc", records, mode="overwrite")
+        return _materialize(spark, out.select(*_CURATED_COLS))
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_staging_allstring_read",
+    oracle=_NATION_ORACLE,
+    doc="SURVEY §2.1 S2+K5+K6 — staging truncate, gzipped-JSON stringified "
+    "staging write (+_incremental twin), recursive all-string read-back "
+    "(utils.py:102-144).",
+)
+def lc_staging_allstring_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = _nation_records(spark, sf_dir)
+    with _scratch_engine(spark) as eng:
+        eng.prepare_staging("nation_lc")  # K6 truncate-before-load
+        eng.save_to_staging("nation_lc", records)
+        staged = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("compression", "gzip")
+            .json(eng.zones.staging("nation_lc"))
+        )
+        # staging is stringified (P5), so inference yields all-string —
+        # the S2 "understand everything as strings" contract.
+        assert all(t == "string" for _, t in staged.dtypes)
+        return _materialize(spark, staged.select(*_CURATED_COLS))
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_curate_staging_to_table",
+    oracle=_NATION_ORACLE,
+    doc="SURVEY §3.3 S1+A1+K2/K7 — the Glue-job path: recursive grouped "
+    "staging scan, empty-input gate, typed chain, partitioned catalog write "
+    "(src/glue/staging_to_curated.py).",
+)
+def lc_curate_staging_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = _nation_records(spark, sf_dir)
+    with _scratch_engine(spark) as eng:
+        eng.prepare_staging("nation_lc")
+        eng.save_to_staging("nation_lc", records)
+        eng.curate("nation_lc")
+        out = spark.table(eng.qualified("nation_lc"))
+        return _materialize(spark, out.select(*_CURATED_COLS))
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_raw_archive_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+           n_name                      AS name,
+           CAST(n_regionkey AS BIGINT) AS region_key,
+           'note ' || n_name || ':' || CAST(n_nationkey AS VARCHAR) AS comment
+    FROM nation
+    """,
+    doc="SURVEY §2.1 K4 — gzipped-JSON raw archive under "
+    "year=/month= partitions preserves records VERBATIM (nesting intact, "
+    "no policy chain), the reference's replay surface (utils.py:210-220).",
+)
+def lc_raw_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = _nation_records(spark, sf_dir)
+    with _scratch_engine(spark) as eng:
+        path = eng.save_to_raw("nation_lc", records)
+        assert f"year={AUDIT_Y}" in path and f"month={AUDIT_M}" in path
+        raw = spark.read.option("recursiveFileLookup", "true").json(path)
+        out = raw.select(
+            F.col("`NATION KEY`").alias("nation_key"),
+            F.col("Meta.name").alias("name"),
+            F.col("`Meta.region-key`").alias("region_key")
+            if "Meta.region-key" in raw.columns
+            else F.col("Meta.`region-key`").alias("region_key"),
+            F.col("comment"),
+        )
+        return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_schema_evolution_append",
+    oracle=f"""
+    SELECT CAST(r_regionkey AS VARCHAR) AS region_key,
+           r_name AS name,
+           CAST(NULL AS VARCHAR) AS comment,
+           {_AUDIT_SQL}
+    FROM region
+    UNION ALL
+    SELECT CAST(r_regionkey AS VARCHAR), r_name, 'about ' || r_name, {_AUDIT_SQL}
+    FROM region
+    """,
+    doc="SURVEY §2.2 K2/K8 — additive schema evolution: append a batch "
+    "carrying a new column; ALTER TABLE ADD COLUMNS + positionally-safe "
+    "union leaves old rows null (staging_to_curated.py:139-168).",
+)
+def lc_schema_evolution_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        eng.ingest_records("region_lc", _region_records(spark, sf_dir, False), mode="overwrite")
+        eng.ingest_records("region_lc", _region_records(spark, sf_dir, True), mode="append")
+        out = spark.table(eng.qualified("region_lc")).select(
+            "region_key", "name", "comment",
+            "processed_at", "processed_year", "processed_month",
+        )
+        return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_schema_journal",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version, CAST(5 AS BIGINT) AS n_cols,
+           '2024-03-15 12:00:00' AS at
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(6 AS BIGINT), '2024-03-15 12:00:00'
+    """,
+    doc="SURVEY §2.2 K7 catalog versioning (utils.py:78 "
+    "catalog_versioning=True) — the schema journal records one version per "
+    "schema CHANGE: v1 = 2 data + 3 audit cols, v2 adds the evolved column.",
+)
+def lc_schema_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        eng.ingest_records("region_lc", _region_records(spark, sf_dir, False), mode="overwrite")
+        eng.ingest_records("region_lc", _region_records(spark, sf_dir, True), mode="append")
+        hist = eng.schema_history("region_lc")
+        rows = [
+            (int(h["version"]), len(h["schema"]["fields"]), h["at"]) for h in hist
+        ]
+        return spark.createDataFrame(rows, "version bigint, n_cols bigint, at string")
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_merge_upsert",
+    oracle=f"""
+    SELECT CAST(r_regionkey AS VARCHAR) AS region_key,
+           CASE WHEN r_regionkey <= 1 THEN 'UPD_' || r_name ELSE r_name END AS name,
+           {_AUDIT_SQL}
+    FROM region
+    UNION ALL
+    SELECT '99', 'BRAND_NEW', {_AUDIT_SQL}
+    """,
+    doc="SURVEY §2.2 merge/upsert — key-based MERGE semantics (update "
+    "matched, insert new) via Delta MERGE or the partition-scoped parquet "
+    "rewrite; the reference's overwrite-partition approximation "
+    "(src/purchase_orders.py:88) made exact.",
+)
+def lc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seed = _region_records(spark, sf_dir, False)
+    updates = [
+        {"region key": r["region key"], "name": f"UPD_{r['name']}"}
+        for r in seed
+        if r["region key"] <= 1
+    ] + [{"region key": 99, "name": "BRAND_NEW"}]
+    with _scratch_engine(spark) as eng:
+        eng.ingest_records("region_lc", seed, mode="overwrite")
+        batch = with_audit_columns(
+            apply_ingest_policy(eng.records_to_df(updates), stringify=True), _FIXED_NOW
+        )
+        eng.merge_upsert("region_lc", batch, keys=["region_key"])
+        out = spark.table(eng.qualified("region_lc")).select(
+            "region_key", "name", "processed_at", "processed_year", "processed_month"
+        )
+        return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_truncate_reload",
+    oracle=f"""
+    SELECT CAST(r_regionkey AS VARCHAR) AS region_key, r_name AS name,
+           {_AUDIT_SQL}
+    FROM region WHERE r_regionkey < 2
+    """,
+    doc="SURVEY §2.1 K6 — staging truncate between loads: only the "
+    "post-truncate batch reaches curated (utils.py:102-115 "
+    "prepare_stage_file_location).",
+)
+def lc_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = _region_records(spark, sf_dir, False)
+    with _scratch_engine(spark) as eng:
+        eng.prepare_staging("region_lc")
+        eng.save_to_staging("region_lc", full)
+        eng.prepare_staging("region_lc")  # K6: drop the staged batch
+        eng.save_to_staging("region_lc", [r for r in full if r["region key"] < 2])
+        eng.curate("region_lc")
+        out = spark.table(eng.qualified("region_lc")).select(
+            "region_key", "name", "processed_at", "processed_year", "processed_month"
+        )
+        return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_partition_discovery",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY 1
+    """,
+    doc="SURVEY §2.2 K9 — MSCK REPAIR partition discovery: hive-layout "
+    "files written OUTSIDE the catalog become queryable after recovery "
+    "(staging_to_curated.py:170-171).",
+)
+def lc_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("nation_key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("bigint").alias("region_key"),
+    )
+    with _scratch_engine(spark) as eng:
+        loc = f"{eng.zones.root}/external_nation"
+        nation.write.partitionBy("region_key").parquet(loc)
+        tbl = eng.qualified("nation_ext")
+        spark.sql(
+            f"CREATE TABLE {tbl} (nation_key BIGINT, name STRING, region_key BIGINT) "
+            f"USING PARQUET PARTITIONED BY (region_key) LOCATION '{loc}'"
+        )
+        eng.recover_partitions("nation_ext")  # K9 — without this: 0 rows
+        out = (
+            spark.table(tbl)
+            .groupBy("region_key")
+            .agg(F.count(F.lit(1)).alias("n_nations"))
+        )
+        return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+def _fake_status_transport(payload_xml: str) -> str:
+    """Deterministic S5 transport double: echoes the requested PO with a
+    status derived from it (module-level, hence picklable — it runs on
+    executors inside fan_out_fetch's mapInPandas)."""
+    po = ET.fromstring(payload_xml).findtext(".//PONumber") or "0"
+    k = int(po) % 3
+    return (
+        "<OrderStatusResponse>"
+        f"<Request><PONumber>{po}</PONumber></Request>"
+        f"<Status><Code>{k}</Code><Description>S{k}</Description></Status>"
+        "</OrderStatusResponse>"
+    )
+
+
+@query(
+    "lc_api_ingest",
+    oracle=f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS po_number,
+           CAST(o_orderkey % 3 AS VARCHAR) AS code,
+           'S' || CAST(o_orderkey % 3 AS VARCHAR) AS status,
+           '' AS error,
+           {_AUDIT_SQL}
+    FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10)
+    """,
+    doc="SURVEY §3.2 S5+T3+K4 — the get_po_status composition: executor-side "
+    "bounded fan-out XML document exchange (deterministic transport double), "
+    "raw archive, ingest to curated (src/purchase_orders.py:41-88).",
+)
+def lc_api_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = [
+        str(r["o_orderkey"])
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey").orderBy("o_orderkey").limit(10).collect()
+    ]
+    with _scratch_engine(spark) as eng:
+        out = eng.ingest_from_api(
+            "po_status_lc", pos, _fake_status_transport, mode="overwrite"
+        )
+        return _materialize(
+            spark,
+            out.select(
+                "po_number", "code", "status", "error",
+                "processed_at", "processed_year", "processed_month",
+            ),
+        )
+
+
+# ----------------------------------------------------------------------
+@query(
+    "lc_incremental_stream_curate",
+    oracle=_NATION_ORACLE,
+    doc="SURVEY §2.8 T1/T2 — Structured Streaming staging→curated with "
+    "checkpointed exactly-once file consumption (availableNow micro-batch), "
+    "sharing the batch writer so batch and stream stay identical "
+    "(streaming/incremental.py; reference serverless.yml:147-219).",
+)
+def lc_incremental_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.streaming.incremental import incremental_curate
+
+    records = _nation_records(spark, sf_dir)
+    with _scratch_engine(spark) as eng:
+        eng.prepare_staging("nation_lc")
+        eng.save_to_staging("nation_lc", records)
+        q = incremental_curate(
+            eng, "nation_lc", checkpoint_dir=os.path.join(eng.zones.root, "_ckpt")
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        out = spark.table(eng.qualified("nation_lc"))
+        return _materialize(spark, out.select(*_CURATED_COLS))
