@@ -53,7 +53,20 @@ DEFAULT_PARTITION_COLS = ["processed_year", "processed_month"]  # utils.py:223
 
 
 def _delta_available(spark: SparkSession) -> bool:
-    """True when the Delta Lake jars are on the session classpath."""
+    """True when the Delta Lake jars are on the session classpath.
+
+    BEST-EFFORT branch, by declaration: this build container has no
+    delta-spark package, no Delta jars, and no network to fetch them,
+    so every Delta code path (``merge_upsert`` MERGE, ``mergeSchema``
+    evolution, time travel) is written to the published Delta API but
+    has only ever executed its parquet fallback here. The parquet path
+    is the *certified* one: explicit ALTER TABLE evolution (K8), the
+    schema journal (``schema_history``) standing in for the
+    transaction log (reference ``utils.py:78`` catalog_versioning),
+    and partition-scoped dynamic overwrite standing in for MERGE. On a
+    cluster with Delta present this probe flips the engine to the
+    native branch; treat that branch as untested until run there.
+    """
     try:
         spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")  # type: ignore[union-attr]
         return True

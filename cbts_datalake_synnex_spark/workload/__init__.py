@@ -17,5 +17,6 @@ from cbts_datalake_synnex_spark.workload import llm  # noqa: F401,E402
 from cbts_datalake_synnex_spark.workload import udfs  # noqa: F401,E402
 from cbts_datalake_synnex_spark.workload import events_analytics  # noqa: F401,E402
 from cbts_datalake_synnex_spark.workload import lifecycle  # noqa: F401,E402
+from cbts_datalake_synnex_spark.workload import functions_ext  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "load_table"]

@@ -1,0 +1,269 @@
+"""Second scalar-function sweep + native event-time window twins.
+
+Deepens SURVEY §2.7 (stats/bitwise/interval/array-aggregate/string
+families the first pass left implicit) and adds batch twins for the
+§2.8 T4 sliding/session windows using Spark's *native*
+``F.window``/``F.session_window`` operators (the streaming goldens in
+``tests/test_streaming.py`` exercise the same operators under
+watermarks; these entries give them driver-checkable oracles).
+
+All are pure projections or single-shuffle aggregates — nothing here
+adds an exchange beyond the groupBy key, so every query is
+100 TB-shaped by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.workload.base import load_table, query
+
+
+# ----------------------------------------------------------------------
+# §2.7 math/stats family — the bivariate/statistical aggregates the
+# first-pass f_math_funcs (moments only) skipped. All are single-pass
+# mergeable aggregates (partial+final hash agg, one shuffle on the
+# 3-value group key).
+@query(
+    "f_stats_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 4)   AS qty_price_covp,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covs,
+           round(var_pop(l_quantity), 6)                      AS qty_varp,
+           round(var_samp(l_quantity), 6)                     AS qty_vars,
+           round(stddev_pop(l_quantity), 6)                   AS qty_stdp,
+           round(regr_slope(l_extendedprice, l_quantity), 4)  AS price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="SURVEY §2.7 math/stats — corr/covar/variance/regression aggregates; "
+    "all mergeable single-pass (partial+final), one shuffle on l_returnflag.",
+)
+def f_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covs"),
+        F.round(F.var_pop("l_quantity"), 6).alias("qty_varp"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_vars"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stdp"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("price_intercept"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 bitwise family — scalar shifts/masks/popcount feeding the
+# bit_and/bit_or/bit_xor aggregates. Sums are wrapped CAST AS BIGINT on
+# the oracle side because DuckDB widens sum(BIGINT) to HUGEINT.
+@query(
+    "f_bitwise_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey & 255)                          AS key_and,
+           bit_or(o_orderkey & 255)                           AS key_or,
+           bit_xor(o_orderkey & 255)                          AS key_xor,
+           CAST(sum(bit_count(CAST(o_orderkey AS BIGINT))) AS BIGINT) AS total_bits,
+           CAST(sum(o_orderkey << 2) AS BIGINT)               AS lshift_sum,
+           CAST(sum(o_orderkey >> 2) AS BIGINT)               AS rshift_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="SURVEY §2.7 bitwise — &/shiftleft/shiftright/bit_count scalars + "
+    "bit_and/bit_or/bit_xor aggregates, one shuffle on priority.",
+)
+def f_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(F.expr("o_orderkey & 255")).alias("key_and"),
+        F.bit_or(F.expr("o_orderkey & 255")).alias("key_or"),
+        F.bit_xor(F.expr("o_orderkey & 255")).alias("key_xor"),
+        F.sum(F.bit_count("o_orderkey").cast("bigint")).cast("bigint").alias("total_bits"),
+        F.sum(F.shiftleft(F.col("o_orderkey"), 2)).cast("bigint").alias("lshift_sum"),
+        F.sum(F.shiftright(F.col("o_orderkey"), 2)).cast("bigint").alias("rshift_sum"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 date/time interval family — calendar arithmetic beyond the
+# first-pass extraction functions. Results emitted as strings/bigints
+# per the oracle conventions (base.py docstring).
+@query(
+    "f_interval_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus_3mo,
+           strftime(CAST(o_orderdate - INTERVAL 10 DAY AS DATE), '%Y-%m-%d')  AS minus_10d,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')                        AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT)                               AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT)                            AS iso_week,
+           CAST(dayofyear(o_orderdate) AS BIGINT)                             AS doy,
+           CAST(day(o_orderdate) AS BIGINT)                                   AS dom
+    FROM orders
+    """,
+    doc="SURVEY §2.7 date/time — calendar interval arithmetic "
+    "(add_months/date_sub/last_day) + quarter/ISO-week/day extraction; "
+    "pure projection, fuses into the scan.",
+)
+def f_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.date_format(F.date_sub(d, 10), "yyyy-MM-dd").alias("minus_10d"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 array-aggregate family — collect_list/collect_set with a
+# deterministic order imposed AFTER collection (array_sort), because
+# collection order under distribution is arbitrary; sorting makes the
+# aggregate partitioning-independent and hence oracle-comparable.
+@query(
+    "f_array_agg_funcs",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name)  AS nations_csv,
+           array_to_string(list_sort(list(DISTINCT substring(n_name, 1, 1))), ',')
+                                                     AS initials_csv,
+           CAST(count(*) AS BIGINT)                  AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="SURVEY §2.7 array-agg — collect_list/collect_set made "
+    "order-deterministic via array_sort (collection order is "
+    "partitioning-dependent; the sort restores value semantics).",
+)
+def f_array_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.substring("n_name", 1, 1))), ","
+        ).alias("initials_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.7 string family, second pass — regex capture, position search,
+# reverse/repeat/translate. Pure projection.
+@query(
+    "f_string_regex_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1)  AS first_word,
+           CAST(strpos(p_name, 'a') AS BIGINT)    AS a_pos,
+           reverse(p_brand)                        AS brand_rev,
+           repeat(p_brand, 2)                      AS brand_twice,
+           translate(p_type, 'aeiou', '_____')     AS type_devoweled
+    FROM part
+    """,
+    doc="SURVEY §2.7 string (2nd pass) — regexp_extract capture group, "
+    "instr/strpos, reverse, repeat, translate.",
+)
+def f_string_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.instr("p_name", "a").cast("bigint").alias("a_pos"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.translate("p_type", "aeiou", "_____").alias("type_devoweled"),
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.8 T4 batch twin: SLIDING window via the native F.window operator
+# (10-min width, 5-min slide). Each event lands in exactly width/slide
+# = 2 windows; the oracle reproduces that as a union of the two
+# shifted 5-min tumbling grids (both engines epoch-align buckets).
+@query(
+    "t_sliding_window",
+    oracle="""
+    WITH g AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w0, event_type FROM events
+    ), s AS (
+      SELECT w0 AS ws, event_type FROM g
+      UNION ALL
+      SELECT w0 - INTERVAL 5 MINUTE AS ws, event_type FROM g
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY ws, event_type
+    """,
+    doc="SURVEY §2.8 T4 — native sliding event-time window "
+    "(F.window width 10m slide 5m); the streaming twin runs the same "
+    "operator under a watermark (streaming/windows.py).",
+)
+def t_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.8 T4 batch twin: SESSION window via the native F.session_window
+# operator (30-min gap). Session start == min(ts) by definition; the
+# oracle is the classic gaps-and-islands rewrite (lag → new-session
+# flag → running sum as session id). Avoids window.end (Spark defines
+# it as last_ts + gap, which plain SQL states differently).
+@query(
+    "t_session_window",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_event,
+           CAST(count(*) AS BIGINT)               AS n_events
+    FROM y GROUP BY user_id, sess_id
+    """,
+    doc="SURVEY §2.8 T4 — native session window (F.session_window, 30-min "
+    "gap) in batch mode; oracle = gaps-and-islands. One shuffle on user_id.",
+)
+def t_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("last_event"),
+            "n_events",
+        )
+    )
