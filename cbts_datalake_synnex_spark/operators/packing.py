@@ -1,0 +1,60 @@
+"""Sequence packing for LLM training batches ([EXT], SURVEY §2.10).
+
+Pretraining pipelines concatenate documents in a fixed order and chunk
+the stream into context-window-sized sequences ("concat-then-chunk"
+packing). The distributed form here assigns each document to the chunk
+(bin) where its first token lands: an exclusive running token count
+within each shard, integer-divided by the token budget.
+
+Scale shape: ONE shuffle on the shard key (the window partition).
+The running sum is a partitioned window — never a global order-by —
+so shards pack independently exactly as a 1000-executor job would
+want. Deterministic: (shard, order key) fully defines the packing,
+independent of physical partitioning (same property as
+``operators/sampling.py``'s hash sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# BPE-ish token estimate — MUST stay in sync with operators/text.py
+# token_counts (letter-runs / digit-runs / single symbols).
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_pack(
+    df: DataFrame,
+    text_col: str,
+    shard_col: str,
+    order_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each row a ``bin_id`` per concat-then-chunk packing.
+
+    Within each ``shard_col`` group, rows are laid out in ``order_col``
+    order; ``bin_id = floor(exclusive_cumulative_tokens / budget)``.
+    Adds ``tokens`` (BPE-ish estimate), ``start_tok`` (offset of the
+    row's first token in the shard stream) and ``bin_id``.
+    """
+    tokens = F.regexp_count(F.col(text_col), F.lit(_BPE_PATTERN)).cast("bigint")
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    with_tok = df.withColumn("tokens", tokens)
+    start = F.coalesce(F.sum("tokens").over(w), F.lit(0)).cast("bigint")
+    return with_tok.withColumn("start_tok", start).withColumn(
+        "bin_id", F.floor(F.col("start_tok") / budget).cast("bigint")
+    )
+
+
+def pack_summary(packed: DataFrame, shard_col: str) -> DataFrame:
+    """Per-(shard, bin) roll-up: document count and token mass. The
+    downstream writer would emit one training sequence per bin."""
+    return packed.groupBy(shard_col, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("bin_tokens"),
+    )

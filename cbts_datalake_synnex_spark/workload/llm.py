@@ -538,3 +538,37 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_hash_sample(
         docs, "doc_id", "lang", {"en": 0.4}, default_fraction=1.0
     )
+
+
+# ----------------------------------------------------------------------
+# [EXT] sequence packing — concat-then-chunk training-batch assembly
+# (operators/packing.py). One shuffle on the shard key; the running
+# token count is a partitioned window, never a global sort.
+@query(
+    "pipeline_token_pack",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS tokens
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, tokens,
+             CAST(coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT source, CAST(start_tok // 512 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY source, start_tok // 512
+    """,
+    doc="[EXT] concat-then-chunk sequence packing: per-source exclusive "
+    "running token count // 512-token budget → bin assignment + roll-up "
+    "(operators/packing.py token_pack).",
+)
+def pipeline_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.packing import pack_summary, token_pack
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    packed = token_pack(docs, "text", shard_col="source", order_col="doc_id", budget=512)
+    return pack_summary(packed, "source")

@@ -72,6 +72,34 @@ def test_single_shuffle_plans(spark, sf_dir):
         assert n_sort <= max_sort, f"{name}: {n_sort} sorts (max {max_sort})"
 
 
+def test_functions_ext_plan_shapes(spark, sf_dir):
+    """Round-2 additions hold the same discipline: scalar families are
+    zero-exchange scan projections; stat/bitwise/array aggregates are
+    partial+final with exactly one exchange; the sliding window Expands
+    (2 windows/row) into one hash agg; the session window plans as the
+    native partial-agg → single exchange → MergingSessions chain."""
+    import re
+
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    for name, max_ex, max_sort in [
+        ("f_stats_funcs", 1, 0),
+        ("f_bitwise_funcs", 1, 0),
+        ("f_array_agg_funcs", 1, 0),
+        ("f_interval_funcs", 0, 0),
+        ("f_string_regex_funcs", 0, 0),
+        ("t_sliding_window", 1, 0),
+        ("t_session_window", 1, 1),  # sort feeds MergingSessions
+    ]:
+        txt = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        n_ex = len(re.findall(r"Exchange hashpartitioning", txt))
+        n_sort = len(re.findall(r"\bSort\b", txt))
+        assert n_ex <= max_ex, f"{name}: {n_ex} hash exchanges (max {max_ex})"
+        assert n_sort <= max_sort, f"{name}: {n_sort} sorts (max {max_sort})"
+    txt = explain_str(REGISTRY["t_session_window"].fn(spark, sf_dir), "simple")
+    assert "MergingSessions" in txt
+
+
 def test_scan_budget_guardrail(spark, sf_dir):
     df = REGISTRY["a1_count_star"].fn(spark, sf_dir)
     scanned = check_scan_budget(df)  # default 100 GiB — sf data passes

@@ -168,3 +168,28 @@ def test_redact_interacting_patterns_count_matches_scrub(spark):
     assert out["redacted"] == "card [CARD] pin [NUM]"
     # original-text counting would say 1 + 3 = 4; chain-aware says 2
     assert out["redacted_n"] == 2
+
+
+def test_token_pack_boundary_and_partitioning_invariance(spark):
+    """Packing is defined by (shard, order key) alone: a document whose
+    first token lands at the budget boundary starts the next bin, and
+    physical repartitioning must not change any assignment."""
+    from cbts_datalake_synnex_spark.operators.packing import token_pack
+
+    rows = [
+        # shard a: token counts 3, 3, 2 with budget 4 →
+        # starts 0,3,6 → bins 0,0,1 (doc 2 straddles 4 but STARTS in bin 0)
+        ("a", 1, "x y z"),
+        ("a", 2, "p q r"),
+        ("a", 3, "m n"),
+        # shard b packs independently from offset 0
+        ("b", 1, "a b c d e"),
+        ("b", 2, "f"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    expect = {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("b", 1): 0, ("b", 2): 1}
+
+    for layout in (df, df.repartition(7), df.repartition(1)):
+        packed = token_pack(layout, "text", "source", "doc_id", budget=4)
+        got = {(r["source"], r["doc_id"]): r["bin_id"] for r in packed.collect()}
+        assert got == expect
