@@ -92,6 +92,11 @@ class ZonePaths:
         # utils.py:243: etl_process=processed/table=T/
         return os.path.join(self.root, "etl_process=processed", f"table={table}")
 
+    def quarantine(self, table: str) -> str:
+        # engine extension (no reference analogue): malformed staging
+        # lines land here for replay instead of being silently dropped
+        return os.path.join(self.root, "etl_process=quarantine", f"table={table}")
+
 
 class LakeEngine:
     """One SparkSession + one zoned lake root + one catalog database."""
@@ -313,6 +318,7 @@ class LakeEngine:
         table: str,
         partition_cols: Sequence[str] | None = None,
         mode: str = "append",
+        quarantine: bool = False,
     ) -> int:
         """S1 grouped recursive JSON scan → A1 count gate → typed chain →
         K2 schema-evolving partitioned write. Returns rows written.
@@ -323,19 +329,47 @@ class LakeEngine:
         built-in file bin-packing (``spark.sql.files.maxPartitionBytes``,
         set in session.py); schema inference replaces the DynamicFrame's
         per-record schema.
+
+        ``quarantine=True`` archives unparseable lines to the quarantine
+        zone (gzipped text, replayable) instead of silently dropping
+        them; the parsed rows curate identically either way. One extra
+        pass over the cached parse — use it when staging input is
+        untrusted enough that "how many lines did we lose" matters.
         """
         path = self.zones.staging(table)
         if not os.path.exists(path):
             return 0  # empty-input short-circuit, staging_to_curated.py:97-101
-        df = (
+        reader = (
             self.spark.read.option("recursiveFileLookup", "true")
             .option("compression", "gzip")
+        )
+        if quarantine:
+            # PERMISSIVE + corrupt-record column: split instead of drop.
+            # Spark requires the parsed frame be cached before the
+            # corrupt column can be filtered (it is not derivable from
+            # the pruned re-parse).
+            df = (
+                reader.option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt_record")
+                .json(path)
+            )
+            if "_corrupt_record" in df.columns:
+                df = df.cache()
+                bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+                    F.col("_corrupt_record").alias("value")
+                )
+                if bad.limit(1).count() > 0:
+                    (
+                        bad.write.mode("append")
+                        .option("compression", "gzip")
+                        .text(os.path.join(self.zones.quarantine(table), uuid.uuid4().hex))
+                    )
+                df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        else:
             # DynamicFrame semantics: unparseable records are skipped,
             # not nulled into the curated zone (a poisoned staging line
             # must not become an all-null curated row).
-            .option("mode", "DROPMALFORMED")
-            .json(path)
-        )
+            df = reader.option("mode", "DROPMALFORMED").json(path)
         df = apply_ingest_policy(df, stringify=False)
         # cheap emptiness gate — limit(1) not full count (SURVEY §4.1)
         if df.limit(1).count() == 0:

@@ -306,6 +306,49 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs)
 
 
+# Same connected-components operator, fed the EXACT Jaccard pair set
+# (x2_ngram_jaccard_pairs input) — deterministic end to end, so the
+# fixpoint itself gets a driver-checkable oracle: DuckDB transitive
+# closure (recursive CTE) → min reachable id per node. The LSH-fed
+# variant above stays rows-only (approximate candidate set).
+@query(
+    "x2_dedup_clusters_exact",
+    oracle="""
+    WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE lang = 'fr'),
+    tok AS (SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS sh FROM d),
+    sz AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS i
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2
+      FROM inter JOIN sz sa ON sa.doc = doc1 JOIN sz sb ON sb.doc = doc2
+      WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.7
+    ),
+    edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+              UNION SELECT doc2, doc1 FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc, least(a, min(b)) AS canonical FROM reach GROUP BY a
+    """,
+    doc="SURVEY §2.10 X2 — connected components over the EXACT Jaccard "
+    "pair set: pointer-doubling label propagation vs a DuckDB "
+    "transitive-closure oracle (the deterministic twin of "
+    "x2_dedup_clusters).",
+)
+def x2_dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=1
+    )
+    return dedup.dedup_clusters(pairs)
+
+
 # ----------------------------------------------------------------------
 # End-to-end training-set pipeline: quality filter + language filter +
 # exact dedup + embedding join — the composed "documents in, training
@@ -403,14 +446,40 @@ def x5_multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x5_frame_sample",
-    oracle=None,  # binary chunking — golden-tested in tests/test_multimodal.py
+    # The payload is encode(text) and testdata text is pure ASCII (byte
+    # length == char length at every SF), so DuckDB's varchar substring
+    # states the expected 64-byte chunks exactly. The raw binary frame
+    # column stays in the operator (golden-tested in
+    # tests/test_multimodal.py); the driver-visible projection carries
+    # its digest + length, which pin the same bytes.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) AS n_chunks
+      FROM documents
+    ), x AS (
+      SELECT doc_id, text, unnest(list_slice(range(0, n_chunks, 2), 1, 4)) AS chunk_idx
+      FROM f
+    )
+    SELECT doc_id, CAST(chunk_idx // 2 AS BIGINT) AS frame_idx,
+           sha256(substring(text, CAST(chunk_idx * 64 + 1 AS BIGINT), 64)) AS frame_sha256,
+           CAST(length(substring(text, CAST(chunk_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_len
+    FROM x
+    """,
     doc="SURVEY §2.10 X5 — bounded frame sampling from binary payloads "
-    "(mapInPandas row expansion; codec-true decode slots into decode_media).",
+    "(mapInPandas row expansion, every 2nd 64-byte chunk, max 4; codec-true "
+    "decode slots into decode_media). Oracle checks frame digests + lengths.",
 )
 def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = multimodal.attach_binary_payload(docs, "text").select("doc_id", "payload")
-    return multimodal.sample_frames(with_payload, frame_bytes=64, stride=2, max_frames=4)
+    frames = multimodal.sample_frames(with_payload, frame_bytes=64, stride=2, max_frames=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "frame_sha256",
+        F.length("frame").cast("bigint").alias("frame_len"),
+    )
 
 
 @query(

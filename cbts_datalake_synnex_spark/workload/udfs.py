@@ -142,7 +142,19 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udtf_python_bigrams",
-    oracle=None,  # same semantics as udtf_bigrams — equivalence golden in tests/
+    # identical semantics to udtf_bigrams (equivalence golden in tests/),
+    # so it carries the same oracle — the Python boundary must not change
+    # a single row.
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE lang = 'de'),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram HAVING count(*) >= 25
+    """,
     doc="SURVEY §2.9 UDTF — the same expansion as a Python arrow-batched "
     "mapInPandas table function: the escape hatch when no built-in expresses "
     "the row-expansion (tokenizers, parsers). Equivalence-tested against the "

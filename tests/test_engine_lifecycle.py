@@ -435,3 +435,37 @@ def test_merge_upsert_key_moves_partition(engine, spark):
     assert by_key["PO1"][0]["processed_month"] == "05"
     assert by_key["PO1"][0]["status"] == "SHIPPED"
     assert len(by_key["PO2"]) == 1 and by_key["PO2"][0]["status"] == "OPEN"
+
+
+def test_curate_quarantines_malformed_lines(engine, spark):
+    """quarantine=True must land every unparseable staging line in the
+    quarantine zone (replayable) while curating the parsed rows exactly
+    as the default path would."""
+    import glob
+    import gzip
+
+    engine.save_to_staging("qtable", [{"po_number": "PO1", "qty": 1}], incremental=False)
+    bad_dir = os.path.join(engine.zones.staging("qtable"), "bad")
+    os.makedirs(bad_dir, exist_ok=True)
+    with gzip.open(os.path.join(bad_dir, "junk.json.gz"), "wt") as f:
+        f.write('{"po_number": "PO2", "qty": \n')  # truncated JSON
+        f.write("not json at all\n")
+    n = engine.curate("qtable", quarantine=True)
+    rows = spark.table(engine.qualified("qtable")).collect()
+    assert n == len(rows)
+    assert {r["po_number"] for r in rows} == {"PO1"}
+    qfiles = glob.glob(os.path.join(engine.zones.quarantine("qtable"), "**", "*"), recursive=True)
+    lines = []
+    for p in qfiles:
+        if os.path.isfile(p):
+            with gzip.open(p, "rt") as f:
+                lines.extend(ln.rstrip("\n") for ln in f)
+    assert sorted(lines) == ["not json at all", '{"po_number": "PO2", "qty": ']
+
+
+def test_curate_quarantine_clean_input_writes_nothing(engine, spark):
+    """No corrupt lines → no quarantine directory, identical curate."""
+    engine.save_to_staging("qclean", [{"po_number": "PO9", "qty": 5}], incremental=False)
+    n = engine.curate("qclean", quarantine=True)
+    assert n == 1
+    assert not os.path.exists(engine.zones.quarantine("qclean"))
