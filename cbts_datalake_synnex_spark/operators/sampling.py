@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # md5 hex → first 8 nibbles → bigint, uniform over [0, 2^32)
@@ -51,3 +51,34 @@ def stratified_hash_sample(
             F.col(strata_col) == key, F.lit(int(frac * _BUCKETS))
         ).otherwise(threshold)
     return df.filter(_hash_bucket(id_col, salt) < threshold)
+
+
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    targets: Mapping[str, float],
+    default_target: float = 0.0,
+) -> DataFrame:
+    """Domain-mixing weights: per-stratum resampling weight
+    ``target_frac / actual_frac`` that reshapes the corpus toward a
+    declared mixture (e.g. 30% en). Feed the weights into
+    ``stratified_hash_sample`` (weight < 1 → downsample rate) or an
+    epoch-repeat factor (weight > 1 → oversample).
+
+    One hash aggregate over the corpus; the share/weight arithmetic
+    runs on the |strata|-row aggregate (the unpartitioned window is
+    over strata counts, never over corpus rows).
+    Returns (strata_col, n_rows, actual_frac, target_frac, weight).
+    """
+    target = F.lit(float(default_target))
+    for key, frac in targets.items():
+        target = F.when(F.col(strata_col) == key, F.lit(float(frac))).otherwise(target)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    actual = F.col("n_rows") / F.sum("n_rows").over(W.partitionBy())
+    return counts.select(
+        strata_col,
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(actual, 6).alias("actual_frac"),
+        target.alias("target_frac"),
+        F.round(target / actual, 6).alias("weight"),
+    )

@@ -641,3 +641,150 @@ def pipeline_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
     packed = token_pack(docs, "text", shard_col="source", order_col="doc_id", budget=512)
     return pack_summary(packed, "source")
+
+
+# ----------------------------------------------------------------------
+# [EXT] benchmark decontamination — the eval set is carved from the
+# corpus deterministically (doc_id % 97 == 0 stands in for "the
+# benchmark"); a corpus doc is contaminated when it shares ≥ 5 distinct
+# lowercase token trigrams with the eval union set. Benchmark shingles
+# broadcast (small by construction); overlap is one hash agg on doc id.
+@query(
+    "pipeline_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+      FROM (SELECT string_split_regex(lower(text), '\\s+') AS t
+            FROM documents WHERE doc_id % 97 = 0)
+    ), corp AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS sh
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents WHERE doc_id % 97 <> 0)
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_overlap
+      FROM corp JOIN bench USING (sh) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) >= 5 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    doc="[EXT] benchmark decontamination: distinct-trigram overlap vs a "
+    "broadcast eval shingle set → per-doc contamination report "
+    "(operators/decontaminate.py; anti-join of the flagged ids is the "
+    "training-corpus filter).",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(
+        corpus, bench, id_col="doc_id", text_col="text", n=3, min_overlap=5
+    )
+
+
+# ----------------------------------------------------------------------
+# [EXT] domain mixing — per-language resampling weights toward a
+# declared target mixture; the weight table drives stratified_hash_
+# sample (downsample) or epoch repeats (oversample).
+@query(
+    "pipeline_mixture_weights",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS actual_frac,
+           CASE lang WHEN 'en' THEN 0.3 ELSE 0.175 END AS target_frac,
+           round((CASE lang WHEN 'en' THEN 0.3 ELSE 0.175 END)
+                 / (count(*) * 1.0 / sum(count(*)) OVER ()), 6) AS weight
+    FROM documents GROUP BY lang
+    """,
+    doc="[EXT] domain-mixture weights: target_frac / actual_frac per "
+    "language (operators/sampling.mixture_weights); one corpus "
+    "aggregate, arithmetic on the strata-row frame only.",
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.sampling import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_weights(
+        docs, "lang", {"en": 0.3}, default_target=0.175
+    )
+
+
+# ----------------------------------------------------------------------
+# X4 — intra-document repetition signals (the Gopher/RefinedWeb-style
+# quality rules exact dedup can't see): repeated-token mass and the
+# share of the document consumed by its most frequent bigram. Two
+# keyed aggregates (doc,bigram) → doc; same layout as tf-idf.
+@query(
+    "x4_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+      FROM toks
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, max(c) AS top_bigram_n
+      FROM (SELECT doc_id, bigram, count(*) AS c FROM grams GROUP BY doc_id, bigram)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           round(1.0 - b.n_distinct * 1.0 / b.n_tokens, 6) AS repeated_token_frac,
+           round(coalesce(g.top_bigram_n, 0) * 1.0 / greatest(b.n_tokens - 1, 1), 6)
+             AS top_bigram_frac
+    FROM base b LEFT JOIN bg g ON g.doc_id = b.doc_id
+    """,
+    doc="SURVEY §2.10 X4 — repetition quality signals: repeated-token "
+    "fraction + top-bigram share per document (keyed aggregates, "
+    "tf-idf layout).",
+)
+def x4_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+            )
+        ).alias("bigram"),
+    )
+    top_bg = (
+        grams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        base.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "repeated_token_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )

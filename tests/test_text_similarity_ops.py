@@ -193,3 +193,49 @@ def test_token_pack_boundary_and_partitioning_invariance(spark):
         packed = token_pack(layout, "text", "source", "doc_id", budget=4)
         got = {(r["source"], r["doc_id"]): r["bin_id"] for r in packed.collect()}
         assert got == expect
+
+
+def test_decontaminate_drops_only_overlapping_docs(spark):
+    """A corpus doc sharing >= min_overlap distinct trigrams with the
+    benchmark must be dropped; partial overlap below the bar survives."""
+    from cbts_datalake_synnex_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # full copy → 6 shared trigrams → contaminated
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # shares exactly 2 trigrams ("quick brown fox", "brown fox jumps") → kept
+            (2, "a quick brown fox jumps away from here now"),
+            # no overlap → kept
+            (3, "completely different words in this sentence entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rep = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination_report(corpus, bench, "doc_id", "text", n=3, min_overlap=3).collect()
+    }
+    assert rep[1][1] is True and rep[1][0] >= 3
+    assert rep[2] == (2, False)
+    assert rep[3] == (0, False)
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench, "doc_id", "text", n=3, min_overlap=3).collect()}
+    assert kept == {2, 3}
+
+
+def test_contamination_report_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — shuffling the corpus
+    against it would be the wrong plan at 100 TB."""
+    from cbts_datalake_synnex_spark.operators.decontaminate import contamination_report
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    corpus = spark.createDataFrame([(2, "a b c e")], "doc_id bigint, text string")
+    txt = explain_str(contamination_report(corpus, bench, "doc_id", "text"), "simple")
+    assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt
