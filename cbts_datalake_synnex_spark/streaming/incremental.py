@@ -78,9 +78,9 @@ def incremental_curate(
             return  # empty-input short-circuit, staging_to_curated.py:97-101
         engine.write_curated(table, df, mode="append")
         # Dependent materialized views stay one micro-batch behind at
-        # most (full recompute per batch — the simple-but-correct
-        # maintenance mode; incremental maintenance is the Delta
-        # upgrade path noted in engine.create_materialized_view).
+        # most. Plain mviews recompute fully per batch; views created
+        # with engine.create_incremental_view merge only this batch's
+        # appended files into their stored aggregate state.
         for mv in refresh_views or []:
             engine.refresh_materialized_view(mv)
 

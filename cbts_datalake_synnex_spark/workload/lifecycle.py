@@ -399,6 +399,62 @@ def lc_api_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+def _lc_incremental_mv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Body of lc_incremental_mv (separated so tests can call it)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").cast("int").alias("rk"),
+        F.col("n_nationkey").cast("double").alias("v"),
+    )
+    batch2 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < 10)
+        .select(
+            F.col("n_regionkey").cast("int").alias("rk"),
+            (F.col("n_nationkey") + 100).cast("double").alias("v"),
+        )
+    )
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("mv_src", nation, mode="overwrite", partition_cols=[])
+        eng.create_incremental_view(
+            "mv_by_region",
+            "mv_src",
+            ["rk"],
+            [("sum", "v", "v_sum"), ("count", "*", "n"), ("avg", "v", "v_avg")],
+        )
+        eng.write_curated("mv_src", batch2, mode="append", partition_cols=[])
+        how = eng.refresh_materialized_view("mv_by_region")
+        if how != "incremental":
+            raise RuntimeError(f"expected incremental merge, got {how!r}")
+        out = spark.table(eng.qualified("mv_by_region")).select(
+            "rk", "v_sum", F.col("n").cast("bigint").alias("n"), "v_avg"
+        )
+        return _materialize(spark, out)
+
+
+@query(
+    "lc_incremental_mv",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(n_regionkey AS INTEGER) AS rk,
+             CAST(n_nationkey AS DOUBLE) AS v FROM nation
+      UNION ALL
+      SELECT CAST(n_regionkey AS INTEGER),
+             CAST(n_nationkey + 100 AS DOUBLE) FROM nation WHERE n_nationkey < 10
+    )
+    SELECT rk, SUM(v) AS v_sum, CAST(COUNT(*) AS BIGINT) AS n, AVG(v) AS v_avg
+    FROM src GROUP BY rk
+    """,
+    doc="Incrementally-maintained materialized aggregate: file-level "
+    "delta tracking (DataFrame.inputFiles) + algebraic state merge "
+    "(sum/count merge by sum, avg by sum/cnt decomposition) — refresh "
+    "cost scales with the appended delta, not the 100 TB table "
+    "(engine.create_incremental_view). Raises unless the second refresh "
+    "actually took the incremental path.",
+)
+def lc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lc_incremental_mv_impl(spark, sf_dir)
+
+
 @query(
     "lc_incremental_stream_curate",
     oracle=_NATION_ORACLE,

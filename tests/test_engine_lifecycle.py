@@ -319,6 +319,86 @@ def test_materialized_view_refresh(engine, spark):
     assert spark.table(engine.qualified("mv_qty")).collect()[0]["total_qty"] == 7
 
 
+def _iv_rows(spark, engine, name):
+    df = spark.table(engine.qualified(name))
+    cols = [c for c in df.columns if not c.startswith("__") and not c.startswith("processed_")]
+    return {
+        r["k"]: tuple(r[c] for c in cols if c != "k")
+        for r in df.select(*cols).collect()
+    }
+
+
+def test_incremental_view_merges_only_new_files(engine, spark):
+    """Incremental MV: append → refresh merges the delta files into the
+    stored state and matches a from-scratch recompute for every
+    algebraic aggregate (sum/count/min/max/avg)."""
+    rows1 = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    df1 = spark.createDataFrame(rows1, "k string, v double")
+    engine.write_curated("iv_src", df1, mode="overwrite", partition_cols=[])
+    engine.create_incremental_view(
+        "iv_agg",
+        "iv_src",
+        ["k"],
+        [
+            ("sum", "v", "v_sum"),
+            ("count", "*", "n"),
+            ("min", "v", "v_min"),
+            ("max", "v", "v_max"),
+            ("avg", "v", "v_avg"),
+        ],
+    )
+    assert _iv_rows(spark, engine, "iv_agg") == {
+        "a": (4.0, 2, 1.0, 3.0, 2.0),
+        "b": (10.0, 1, 10.0, 10.0, 10.0),
+    }
+    # append new files: existing group 'a' and a brand-new group 'c'
+    df2 = spark.createDataFrame([("a", 5.0), ("c", 7.0)], "k string, v double")
+    engine.write_curated("iv_src", df2, mode="append", partition_cols=[])
+    how = engine.refresh_materialized_view("iv_agg")
+    assert how == "incremental"
+    assert _iv_rows(spark, engine, "iv_agg") == {
+        "a": (9.0, 3, 1.0, 5.0, 3.0),
+        "b": (10.0, 1, 10.0, 10.0, 10.0),
+        "c": (7.0, 1, 7.0, 7.0, 7.0),
+    }
+    # no new files → refresh is a no-op
+    assert engine.refresh_materialized_view("iv_agg") == "noop"
+    # source overwritten → stored state is unmergeable → full recompute
+    df3 = spark.createDataFrame([("z", 2.0)], "k string, v double")
+    engine.write_curated("iv_src", df3, mode="overwrite", partition_cols=[])
+    assert engine.refresh_materialized_view("iv_agg") == "full"
+    assert _iv_rows(spark, engine, "iv_agg") == {"z": (2.0, 1, 2.0, 2.0, 2.0)}
+
+
+def test_incremental_view_rejects_non_algebraic(engine, spark):
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    engine.write_curated("iv_src2", df, mode="overwrite", partition_cols=[])
+    with pytest.raises(ValueError, match="non-algebraic"):
+        engine.create_incremental_view(
+            "iv_bad", "iv_src2", ["k"], [("median", "v", "v_med")]
+        )
+
+
+def test_incremental_view_partitioned_source(engine, spark):
+    """Partition columns must survive the file-level delta read
+    (basePath recovery) — group by a hive partition column."""
+    df1 = spark.createDataFrame(
+        [("2024", 1.0), ("2024", 2.0), ("2025", 5.0)], "yr string, v double"
+    )
+    engine.write_curated("iv_part", df1, mode="overwrite", partition_cols=["yr"])
+    engine.create_incremental_view(
+        "iv_part_agg", "iv_part", ["yr"], [("sum", "v", "v_sum")]
+    )
+    df2 = spark.createDataFrame([("2025", 10.0)], "yr string, v double")
+    engine.write_curated("iv_part", df2, mode="append", partition_cols=["yr"])
+    assert engine.refresh_materialized_view("iv_part_agg") == "incremental"
+    got = {
+        r["yr"]: r["v_sum"]
+        for r in spark.table(engine.qualified("iv_part_agg")).collect()
+    }
+    assert got == {"2024": 3.0, "2025": 15.0}
+
+
 def test_compact_cluster_by_narrows_file_bands(engine, spark):
     """cluster_by compaction must leave each file covering a narrow
     min/max band of the cluster key, so parquet stats can skip files

@@ -405,6 +405,31 @@ def test_incremental_curate_refreshes_mviews(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_incremental_curate_merges_incremental_view(spark, tmp_path):
+    """An incremental view wired into the per-batch refresh hook must
+    take the merge path (not full recompute) on the second batch."""
+    db = f"t_{abs(hash(str(tmp_path))) % 10**9}"
+    engine = LakeEngine(spark, str(tmp_path / "lake"), database=db, clock=CLOCK)
+    try:
+        ckpt = str(tmp_path / "ckpt")
+        engine.save_to_staging("po_inc", [{"po_number": "PO1", "qty": 1}], incremental=False)
+        q = incremental_curate(engine, "po_inc", ckpt)
+        q.awaitTermination(120)
+        engine.create_incremental_view(
+            "iv_po_count", "po_inc", ["po_number"], [("count", "*", "n")]
+        )
+        engine.save_to_staging("po_inc", [{"po_number": "PO1", "qty": 2}], incremental=False)
+        q = incremental_curate(engine, "po_inc", ckpt, refresh_views=["iv_po_count"])
+        q.awaitTermination(120)
+        rows = {r["po_number"]: r["n"] for r in spark.table(engine.qualified("iv_po_count")).collect()}
+        assert rows == {"PO1": 2}
+        # the stream's refresh went through the merge path: the recorded
+        # file set now matches the table, so a manual refresh is a noop
+        assert engine.refresh_materialized_view("iv_po_count") == "noop"
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     """Left-outer band join: the unmatched left row must appear with a
     null right side — but only once the watermark has passed its
