@@ -319,3 +319,102 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ----------------------------------------------------------------------
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """X2 — string-similarity self-join: all pairs within levenshtein
+    ``max_dist``, without the all-pairs cross join.
+
+    Candidate generation is a character-q-gram inverted index (explode
+    distinct grams → equi-join on gram → count shared grams per pair)
+    with two LOSSLESS filters applied before verification:
+
+    * length band — edit distance ≤ k forces ``|len_a − len_b| ≤ k``;
+    * count bound — one edit changes at most ``q`` positions' grams, so
+      a true pair shares ``≥ max(ng_a, ng_b) − k·q`` distinct grams.
+
+    Survivors are verified with exact ``levenshtein`` (built-in, JVM).
+    The bound degenerates for strings with ``≤ k·q`` distinct grams (a
+    true pair could share zero grams and never meet in the index), so
+    strings shorter than ``q + k·q + k`` chars take a separate
+    length-band equi-join path — bounded lengths, tiny by construction
+    relative to a real corpus. Frequent-gram skew governs the candidate
+    count at scale: pair with a stop-gram cap or prefer the MinHash/
+    SimHash operators when the corpus has heavy gram reuse.
+
+    Returns (doc1, doc2, dist) with doc1 < doc2.
+    """
+    k = max_dist
+    short_len = q + k * q + k  # partners of degenerate strings are below this too
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("txt"),
+            F.length(text_col).alias("len"),
+        )
+        .withColumn(
+            "grams",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.lit(1), F.col("len") - q + 1)),
+                    lambda i: F.col("txt").substr(i, F.lit(q)),
+                )
+            ),
+        )
+        .withColumn("ng", F.size("grams"))
+    )
+    long_docs = base.filter(F.col("len") >= short_len)
+    inv = long_docs.select("doc", "len", "ng", F.explode("grams").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= k),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.col("a.ng").alias("ng1"),
+            F.col("b.ng").alias("ng2"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= F.greatest("ng1", "ng2") - F.lit(k * q))
+        .select("doc1", "doc2")
+    )
+    # short-string path: bounded lengths → length-band equi-join. Only
+    # pairs with at least one TRULY short side (len < short_len) belong
+    # here — both-long pairs are the long path's, and emitting them in
+    # both would duplicate output rows. Probing [len, len+k] from the
+    # short side reaches every partner: an even-shorter partner is
+    # itself truly short and probes back.
+    shortish = base.filter(F.col("len") < short_len + k).select("doc", "len")
+    probe = base.filter(F.col("len") < short_len).select(
+        "doc", F.explode(F.sequence(F.col("len"), F.col("len") + k)).alias("plen")
+    )
+    cand_short = (
+        probe.alias("a")
+        .join(shortish.alias("b"), (F.col("a.plen") == F.col("b.len")) & (F.col("a.doc") != F.col("b.doc")))
+        .select(
+            F.least("a.doc", "b.doc").alias("doc1"),
+            F.greatest("a.doc", "b.doc").alias("doc2"),
+        )
+        .distinct()
+    )
+    texts = base.select("doc", "txt")
+    cand = cand_long.unionByName(cand_short)
+    dist = F.levenshtein(F.col("t1.txt"), F.col("t2.txt"))
+    return (
+        cand.join(texts.alias("t1"), F.col("doc1") == F.col("t1.doc"))
+        .join(texts.alias("t2"), F.col("doc2") == F.col("t2.doc"))
+        .select("doc1", "doc2", dist.cast("bigint").alias("dist"))
+        .filter(F.col("dist") <= k)
+    )

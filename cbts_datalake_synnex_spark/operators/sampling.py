@@ -82,3 +82,42 @@ def mixture_weights(
         target.alias("target_frac"),
         F.round(target / actual, 6).alias("weight"),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    targets: Mapping[str, float],
+    default_target: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """One-shot mixture reshaping: compute the per-stratum weights and
+    APPLY them as deterministic hash-sample rates in the same plan.
+    Weight < 1 downsamples to ``rate = weight``; weight ≥ 1 keeps the
+    whole stratum (oversampling is an epoch-repeat concern, not a
+    filter's). The |strata|-row rate table is broadcast back onto the
+    corpus — one aggregate over the data plus one broadcast join, and
+    the selection stays hash-keyed (partitioning-independent,
+    idempotent on re-run).
+
+    Unrounded ``target/actual`` arithmetic: every step (count ratio,
+    division, least, floor) is a deterministic IEEE-double expression
+    an external oracle can replicate bit-for-bit.
+    """
+    target = F.lit(float(default_target))
+    for key, frac in targets.items():
+        target = F.when(F.col(strata_col) == key, F.lit(float(frac))).otherwise(target)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    actual = F.col("n_rows") / F.sum("n_rows").over(W.partitionBy())
+    rates = counts.select(
+        strata_col,
+        F.floor(F.least(F.lit(1.0), target / actual) * _BUCKETS)
+        .cast("bigint")
+        .alias("__rate_bucket"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(_hash_bucket(id_col, salt) < F.col("__rate_bucket"))
+        .drop("__rate_bucket")
+    )

@@ -267,3 +267,41 @@ def t_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# §2.7 binning — width_bucket equal-width histogram. The oracle spells
+# out the bucket arithmetic (DuckDB has no width_bucket): below-range
+# → 0, at-or-above the upper bound → n+1, else floor((v-lo)/w)+1 with
+# w = (hi-lo)/n chosen so the division is exact in IEEE double. One
+# hash aggregate on the bucket id — the canonical first pass of any
+# distribution profile over a 100 TB fact column.
+@query(
+    "f_histogram",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 110000 THEN 12
+                ELSE CAST(floor(l_extendedprice / 10000.0) AS BIGINT) + 1
+           END                                        AS bucket,
+           CAST(count(*) AS BIGINT)                   AS n,
+           CAST(min(l_extendedprice) AS DOUBLE)       AS lo,
+           CAST(max(l_extendedprice) AS DOUBLE)       AS hi
+    FROM lineitem GROUP BY 1
+    """,
+    doc="SURVEY §2.7 binning — F.width_bucket equal-width histogram "
+    "(11 buckets over [0, 110000) + under/overflow buckets 0 and 12) "
+    "with per-bucket count/min/max; single hash aggregate.",
+)
+def f_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.width_bucket(
+        F.col("l_extendedprice"), F.lit(0.0), F.lit(110000.0), F.lit(11)
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").cast("double").alias("lo"),
+            F.max("l_extendedprice").cast("double").alias("hi"),
+        )
+    )

@@ -61,6 +61,26 @@ def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_edit_distance_pairs",
+    oracle="""
+    SELECT a.p_partkey AS doc1, b.p_partkey AS doc2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+      AND levenshtein(a.p_name, b.p_name) <= 1
+    """,
+    doc="SURVEY §2.10 X2 — string-similarity self-join (levenshtein ≤ 1) "
+    "via character-bigram inverted index + lossless length-band and "
+    "gram-count filters, exact verification on candidates only — never "
+    "the all-pairs cross join the oracle runs "
+    "(operators/dedup.edit_distance_pairs).",
+)
+def x2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return dedup.edit_distance_pairs(part, id_col="p_partkey", text_col="p_name", max_dist=1, q=2)
+
+
+@query(
     "x2_minhash_lsh_pairs",
     oracle=None,  # approximate recall — verified vs exact baseline in tests/
     doc="SURVEY §2.10 X2 — MinHash-LSH (32 perms, 8 bands) near-dup pairs; "
@@ -714,6 +734,36 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(
         docs, "lang", {"en": 0.3}, default_target=0.175
     )
+
+
+@query(
+    "pipeline_mixture_resample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang,
+             CAST(floor(least(1.0, (CASE lang WHEN 'en' THEN 0.3 ELSE 0.175 END)
+                                   / (n * 1.0 / sum(n) OVER ())) * 1000000) AS BIGINT) AS rb
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 1000000 < r.rb
+    """,
+    doc="[EXT] mixture weights APPLIED: per-language target/actual rate, "
+    "clamped to 1, broadcast back onto the corpus as a deterministic "
+    "hash-sample threshold — reshapes toward 30% en in one aggregate + "
+    "one broadcast join (operators/sampling.mixture_resample).",
+)
+def pipeline_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_resample(
+        docs, "doc_id", "lang", {"en": 0.3}, default_target=0.175
+    ).select("doc_id", "lang")
 
 
 # ----------------------------------------------------------------------

@@ -515,6 +515,46 @@ def u2_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# U3 — unpivot/melt: wide aggregate → long (measure, value) rows. The
+# relational reshaping twin of pivot_returnflag; stays a zero-shuffle
+# projection over the aggregate (Expand node), so it costs nothing
+# beyond the aggregate itself at any scale.
+@query(
+    "u3_unpivot",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_base_price,
+             CAST(AVG(l_discount) AS DOUBLE) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price', sum_base_price FROM a
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM a
+    """,
+    doc="SURVEY §2.6 U3 — unpivot (melt): wide per-flag aggregate to "
+    "(l_returnflag, measure, value) long form via DataFrame.unpivot "
+    "(Expand — no shuffle, no UDF).",
+)
+def u3_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
+        F.avg("l_discount").cast("double").alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "avg_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# ----------------------------------------------------------------------
 # §2.7 scalar families — one query each, all whole-stage-codegen'd.
 @query(
     "f_string_funcs",

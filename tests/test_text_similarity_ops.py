@@ -239,3 +239,69 @@ def test_contamination_report_broadcasts_benchmark(spark):
     corpus = spark.createDataFrame([(2, "a b c e")], "doc_id bigint, text string")
     txt = explain_str(contamination_report(corpus, bench, "doc_id", "text"), "simple")
     assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """Inverted-index candidate generation must be lossless: compare
+    against the all-pairs brute force on a mixed corpus that exercises
+    both the long path and the short-string path (incl. a cross pair
+    straddling the length boundary)."""
+    from itertools import combinations
+
+    from cbts_datalake_synnex_spark.operators.dedup import edit_distance_pairs
+
+    words = [
+        "small ring", "small ping", "small ring",          # sub + exact dup
+        "blue bolt", "blue bolts",                          # insertion
+        "red widget", "ted widget",                         # first-char sub
+        "ab", "ac", "b", "abc",                             # short-string path
+        "aaaaaa", "aaaaab",                                 # degenerate gram sets
+        "zzzz", "completely different phrase",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    for k in (1, 2):
+        got = {
+            (r["doc1"], r["doc2"], r["dist"])
+            for r in edit_distance_pairs(df, "id", "txt", max_dist=k).collect()
+        }
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            return dp[-1]
+
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in combinations(rows, 2)
+            if lev(a, b) <= k
+        }
+        assert got == want, f"k={k}: {got ^ want}"
+
+
+def test_mixture_resample_is_subset_at_target_rates(spark):
+    """Resample must equal stratified_hash_sample at the computed
+    clamped rates (same hash keying) and never emit oversample dups."""
+    from cbts_datalake_synnex_spark.operators.sampling import (
+        mixture_resample,
+        mixture_weights,
+        stratified_hash_sample,
+    )
+
+    rows = [(i, "en" if i % 10 < 6 else ("de" if i % 2 else "fr")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = mixture_resample(df, "id", "lang", {"en": 0.3}, default_target=0.35)
+    got = {(r["id"], r["lang"]) for r in out.collect()}
+    assert got <= set(rows) and len(got) == out.count()  # subset, no dups
+    w = {
+        r["lang"]: min(1.0, r["target_frac"] / r["actual_frac"])
+        for r in mixture_weights(df, "lang", {"en": 0.3}, default_target=0.35).collect()
+    }
+    ref = stratified_hash_sample(df, "id", "lang", w)
+    assert got == {(r["id"], r["lang"]) for r in ref.collect()}
+    # the dominant stratum was actually downsampled toward the target
+    n_en = sum(1 for _, l in got if l == "en")
+    assert 0 < n_en < 600
