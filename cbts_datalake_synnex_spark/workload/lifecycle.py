@@ -479,3 +479,72 @@ def lc_incremental_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         out = spark.table(eng.qualified("nation_lc"))
         return _materialize(spark, out.select(*_CURATED_COLS))
+
+
+# ----------------------------------------------------------------------
+# [EXT] CDC — change-log compaction and snapshot reconciliation
+# (operators/cdc.py), the read-side twins of merge_upsert. The change
+# log / second snapshot are deterministic projections of the driver's
+# orders table, so the oracle states the expected result in closed form.
+@query(
+    "cdc_latest_snapshot",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS version
+    FROM orders
+    """,
+    doc="[EXT] CDC log compaction — latest row per key from an "
+    "append-only change log (base snapshot + versioned updates), "
+    "row_number over (key, version desc): one window shuffle, the "
+    "materialization a Delta MERGE performs implicitly "
+    "(operators/cdc.latest_snapshot).",
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.cdc import latest_snapshot
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    v1 = o.withColumn("version", F.lit(1))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("version", F.lit(2))
+    )
+    log = v1.unionByName(v2)
+    return latest_snapshot(log, ["o_orderkey"], "version")
+
+
+@query(
+    "cdc_table_diff",
+    oracle="""
+    SELECT o_orderkey, 'deleted' AS change_type
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed'
+    FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'inserted'
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+    doc="[EXT] snapshot reconciliation — inserted/deleted/changed rows "
+    "between two snapshots via full-outer key join over (key, xxhash64 "
+    "row digest): the shuffled payload is 8 bytes/row no matter how "
+    "wide the table (operators/cdc.table_diff).",
+)
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.cdc import table_diff
+
+    left = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    key = F.col("o_orderkey")
+    survivors = left.filter(key % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(key % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+    )
+    inserted = left.filter(key % 11 == 0).withColumn("o_orderkey", key + 10_000_000)
+    right = survivors.unionByName(inserted)
+    return table_diff(left, right, keys=["o_orderkey"])

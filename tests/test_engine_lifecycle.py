@@ -549,3 +549,44 @@ def test_curate_quarantine_clean_input_writes_nothing(engine, spark):
     n = engine.curate("qclean", quarantine=True)
     assert n == 1
     assert not os.path.exists(engine.zones.quarantine("qclean"))
+
+
+def test_latest_snapshot_ties_resolved_by_tiebreak(spark):
+    from cbts_datalake_synnex_spark.operators.cdc import latest_snapshot
+
+    log = spark.createDataFrame(
+        [
+            ("k1", 1, "a", 10),
+            ("k1", 2, "b", 20),
+            ("k1", 2, "c", 5),   # version tie → tiebreak col decides
+            ("k2", 7, "x", 1),
+        ],
+        "k string, version int, payload string, seq int",
+    )
+    snap = {
+        r["k"]: (r["version"], r["payload"])
+        for r in latest_snapshot(log, ["k"], "version", tiebreak=["seq"]).collect()
+    }
+    assert snap == {"k1": (2, "b"), "k2": (7, "x")}
+
+
+def test_table_diff_classifies_and_drops_unchanged(spark):
+    from cbts_datalake_synnex_spark.operators.cdc import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0), (5, "e", 5.0)],
+        "id long, s string, v double",
+    )
+    got = {(r["id"], r["change_type"]) for r in table_diff(left, right, ["id"]).collect()}
+    # 1 unchanged (dropped), 2 changed (s), 3 changed (NULL → value), 4 deleted, 5 inserted
+    assert got == {(2, "changed"), (3, "changed"), (4, "deleted"), (5, "inserted")}
+    # compare_cols restriction: only v compared → row 2 becomes unchanged
+    got_v = {
+        (r["id"], r["change_type"])
+        for r in table_diff(left, right, ["id"], compare_cols=["v"]).collect()
+    }
+    assert got_v == {(3, "changed"), (4, "deleted"), (5, "inserted")}
