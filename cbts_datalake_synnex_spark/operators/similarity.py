@@ -232,12 +232,94 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (brute force; LSH-bucket the
-    inputs first at scale). Returns (id1, id2, cosine)."""
+    """All pairs with cosine ≥ threshold — BRUTE-FORCE baseline (O(N²)
+    theta join). Kept as the recall yardstick for
+    ``embedding_near_dup_pairs_lsh``, which is the operator the
+    registry exposes; never run this on a large corpus.
+    Returns (id1, id2, cosine)."""
     a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")).withColumn("n1", _norm(F.col("v1")))
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")).withColumn("n2", _norm(F.col("v2")))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs with cosine ≥ threshold — the SCALE path:
+    hyperplane-LSH candidate generation + exact cosine verification.
+
+    Candidate generation: every vector lands in ``n_tables`` sign-bit
+    buckets; the lower-id side additionally probes each bucket at
+    hamming distance 1 (multi-probe), so a pair becomes a candidate iff
+    some table's signatures agree on ≥ ``bits_per_table − 1`` bits.
+    The join is equi on (table, signature) — the all-pairs cross join
+    never materializes, and at 1000 executors it partitions by bucket.
+    Candidates (≈ the near-duplicate count, tiny vs N²) are verified
+    with exact cosine: NO false positives; recall per pair at angle θ is
+    1 − (1 − P(hamming ≤ 1))^tables with bit-agreement p = 1 − θ/π —
+    ≥ 0.997 at cosine 0.4 with the defaults, gated ≥ 0.95 vs the brute
+    force in tests/test_recall.py. Scale rule: grow ``bits_per_table``
+    ≈ log2(N / wanted bucket size); add tables to restore recall.
+    Returns (id1, id2, cosine).
+    """
+    planes = _hyperplanes(n_tables * bits_per_table, dim)
+
+    def table_sigs(vec: F.Column) -> F.Column:
+        structs = []
+        for t in range(n_tables):
+            sub = planes[t * bits_per_table : (t + 1) * bits_per_table]
+            structs.append(F.struct(F.lit(t).alias("t"), _bucket(vec, sub).alias("sig")))
+        return F.array(*structs)
+
+    sigs = (
+        df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+        .select("doc", F.explode(table_sigs(F.col("v"))).alias("ts"))
+        .select("doc", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    )
+    # multi-probe (one side only): the lower-id side also visits every
+    # bucket one bit-flip away, so hamming-1 tables still collide.
+    probes = sigs.select(
+        "doc",
+        "t",
+        F.explode(
+            F.array(
+                F.col("sig"),
+                *[
+                    F.col("sig").bitwiseXOR(F.lit(1 << b).cast("long"))
+                    for b in range(bits_per_table)
+                ],
+            )
+        ).alias("sig"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .distinct()
+    )
+    # Verification mirrors minhash_lsh_pairs: broadcast the (small)
+    # candidate set so the vector table is never shuffled for it.
+    v1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")).withColumn("n1", _norm(F.col("v1")))
+    v2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")).withColumn("n2", _norm(F.col("v2")))
+    return (
+        v1.join(F.broadcast(cand), "id1")
+        .join(v2, "id2")
         .withColumn("cosine", F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
