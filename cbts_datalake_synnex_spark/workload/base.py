@@ -85,10 +85,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     does with the same file. Stays a pure scan projection.
     """
     tune_for_oracle(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        import pyspark.sql.types as T
+    import pyspark.sql.types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) parquet read as int64 via nanosAsLong (set by
+        # tune_for_oracle): DIV 1000 truncation reproduces DuckDB's µs view.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # timestamp[us] with no tz ⇒ Spark 4.1 infers TIMESTAMP_NTZ, which
+    # unix_micros/window()/watermarks reject. Session tz is pinned UTC,
+    # so casting to session-tz TIMESTAMP is value-identical and
+    # DuckDB-compatible. Applied to EVERY table (the driver regenerated
+    # events.ts this way in round 3; orders/lineitem date columns carry
+    # the same type) — tests/test_testdata_schema.py pins this contract.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
