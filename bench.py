@@ -29,30 +29,47 @@ def main() -> None:
 
     names = [n for n, q in REGISTRY.items() if q.bench]
 
+    # Per-query fault isolation: one broken query must not cost the
+    # round's numbers — record its error string and keep timing the
+    # survivors (the total is over survivors only).
+    broken: dict[str, str] = {}
+
     # Steady-state measurement: one untimed pass warms the JVM (JIT,
     # generated code, parquet footers), then caches are DROPPED so the
     # timed pass re-executes every stage — codegen stays warm, data
     # results don't.
     for name in names:
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            broken[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
+        if name in broken:
+            continue
         q = REGISTRY[name]
         start = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            broken[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            continue
         timings[name] = round(time.perf_counter() - start, 3)
         spark.catalog.clearCache()  # no cross-query result reuse
 
     total = round(sum(timings.values()), 3)
+    queries_out: dict = dict(timings)
+    for name, err in broken.items():
+        queries_out[name] = {"err": err}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": queries_out,
                 "sf": float(sf),
             }
         )
