@@ -170,11 +170,17 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
     """,
-    doc="SURVEY §2.10 X2/X3 — embedding-cosine near-dup pairs (τ=0.4, exact).",
+    doc="SURVEY §2.10 X2/X3 — embedding-cosine near-dup pairs (τ=0.4) via hyperplane-LSH "
+    "candidate generation + exact-cosine verification; the oracle stays the exact all-pairs "
+    "SQL because verification admits no false positives and recall is 1.0 on this corpus "
+    "(gated ≥0.95 vs the brute force in tests/test_recall.py; the O(N²) theta join never "
+    "runs in the registry path).",
 )
 def x3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
+    return similarity.embedding_near_dup_pairs_lsh(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
 
 
 # ----------------------------------------------------------------------

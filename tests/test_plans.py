@@ -172,3 +172,16 @@ def test_banded_interval_join_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
     assert "Join" in txt  # it IS still a join, on the band key
+
+
+def test_embedding_near_dup_avoids_nested_loop(spark, sf_dir):
+    """x3_embedding_near_dup must plan as equi-joins on (table, sig)
+    buckets plus the verification hash joins — the moment a
+    BroadcastNestedLoopJoin/CartesianProduct appears, the brute-force
+    O(N²) theta join has leaked back into the registry path."""
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    txt = explain_str(REGISTRY["x3_embedding_near_dup"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert "Join" in txt

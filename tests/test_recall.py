@@ -71,6 +71,32 @@ def test_ivf_recall_at_k(spark, sf_dir):
     assert mean_recall >= 0.4, f"IVF mean recall@5 {mean_recall:.3f} below gate"
 
 
+def test_embedding_near_dup_lsh_recall_vs_brute_force(spark, sf_dir):
+    """The registry's x3_embedding_near_dup runs the hyperplane-LSH
+    path; this gates it against the O(N²) brute force it replaces:
+    verification makes false positives impossible, so the only failure
+    mode is a missed candidate — require recall ≥ 0.95 (observed 1.0
+    on the testdata, which is why the registry keeps the exact SQL
+    oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {
+        (r["id1"], r["id2"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+        ).collect()
+    }
+    found = {
+        (r["id1"], r["id2"])
+        for r in similarity.embedding_near_dup_pairs_lsh(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+        ).collect()
+    }
+    assert truth, "testdata must contain embedding near-duplicates"
+    assert found <= truth, "LSH emitted a pair the exact join rejects (precision must be 1)"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, f"embedding-LSH recall {recall:.3f} below gate"
+
+
 def test_simhash_flags_near_identical_docs(spark):
     base = "the quick brown fox jumps over the lazy dog near the river bank today"
     rows = [
