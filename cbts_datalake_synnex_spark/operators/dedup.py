@@ -81,24 +81,66 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 
 # ----------------------------------------------------------------------
+def _rare_shingle_candidates(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """(doc1, doc2) pairs sharing ≥1 shingle whose document frequency is
+    ≤ ``max_doc_freq`` — the skew guard for inverted-index self-joins.
+
+    A shingle appearing in d documents contributes d·(d−1)/2 join rows;
+    one stop-gram with d = 10⁶ alone produces 5·10¹¹ candidates and is
+    THE way these joins die at 100 TB. Dropping grams above the df
+    ceiling bounds every join key's fan-out at max_doc_freq²/2 rows.
+    The df aggregate is one extra hash agg on the same (sh) key the
+    join shuffles on anyway."""
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(dfreq.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float,
     shingle_size: int = 1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """X2 (exact baseline) — all pairs with token-set Jaccard ≥ threshold.
 
     explode(distinct shingles) → self-equi-join on shingle → per-pair
     intersection count → |A∪B| = |A|+|B|−|A∩B|. Exact, deterministic,
     oracle-checkable; cost grows with token document frequency, so at
-    scale use ``minhash_lsh_pairs`` and keep this for verification
-    subsets.
+    scale set ``max_doc_freq`` (or use ``minhash_lsh_pairs``).
+
+    ``max_doc_freq``: drop shingles shared by more than this many docs
+    BEFORE the self-join (see ``_rare_shingle_candidates``); surviving
+    candidate pairs are verified with exact full-set Jaccard via their
+    complete shingle arrays, so precision stays 1 and reported scores
+    are identical to the uncapped path. Recall loses only pairs whose
+    EVERY common shingle is ubiquitous — which at any sane cap means
+    the pair's similarity is carried entirely by stop-grams.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(F.array_distinct(_shingles(text_col, shingle_size))).alias("sh")
+    shs_arr = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(_shingles(text_col, shingle_size)).alias("shs"),
     )
+    sh = shs_arr.select("doc", F.explode("shs").alias("sh"))
+    if max_doc_freq is not None:
+        cand = _rare_shingle_candidates(sh, max_doc_freq)
+        s1 = shs_arr.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
+        s2 = shs_arr.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
+        inter = F.size(F.array_intersect("shs1", "shs2"))
+        union = F.size("shs1") + F.size("shs2") - inter
+        return (
+            s1.join(F.broadcast(cand), "doc1")
+            .join(s2, "doc2")
+            .select("doc1", "doc2", F.round(inter / union, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -328,6 +370,7 @@ def edit_distance_pairs(
     text_col: str,
     max_dist: int = 1,
     q: int = 2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """X2 — string-similarity self-join: all pairs within levenshtein
     ``max_dist``, without the all-pairs cross join.
@@ -345,9 +388,15 @@ def edit_distance_pairs(
     true pair could share zero grams and never meet in the index), so
     strings shorter than ``q + k·q + k`` chars take a separate
     length-band equi-join path — bounded lengths, tiny by construction
-    relative to a real corpus. Frequent-gram skew governs the candidate
-    count at scale: pair with a stop-gram cap or prefer the MinHash/
-    SimHash operators when the corpus has heavy gram reuse.
+    relative to a real corpus.
+
+    ``max_doc_freq`` is the frequent-gram skew guard for 100 TB: grams
+    appearing in more than this many docs are dropped from the inverted
+    index before the self-join, bounding per-key join fan-out (a gram
+    in d docs makes d²/2 candidate rows). The shared-gram count bound
+    is skipped under the cap (capped counts understate sharing);
+    levenshtein verification keeps precision exact. A true pair can be
+    missed only if ALL its shared grams exceed the cap.
 
     Returns (doc1, doc2, dist) with doc1 < doc2.
     """
@@ -372,24 +421,26 @@ def edit_distance_pairs(
     )
     long_docs = base.filter(F.col("len") >= short_len)
     inv = long_docs.select("doc", "len", "ng", F.explode("grams").alias("g"))
+    if max_doc_freq is not None:
+        gfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(gfreq.filter(F.col("df") <= max_doc_freq).select("g"), "g")
     a, b = inv.alias("a"), inv.alias("b")
-    cand_long = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc") < F.col("b.doc"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= k),
-        )
-        .groupBy(
-            F.col("a.doc").alias("doc1"),
-            F.col("b.doc").alias("doc2"),
-            F.col("a.ng").alias("ng1"),
-            F.col("b.ng").alias("ng2"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= F.greatest("ng1", "ng2") - F.lit(k * q))
-        .select("doc1", "doc2")
-    )
+    joined = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc") < F.col("b.doc"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= k),
+    ).groupBy(
+        F.col("a.doc").alias("doc1"),
+        F.col("b.doc").alias("doc2"),
+        F.col("a.ng").alias("ng1"),
+        F.col("b.ng").alias("ng2"),
+    ).agg(F.count(F.lit(1)).alias("shared"))
+    if max_doc_freq is None:
+        # lossless count bound — only sound when every shared gram was
+        # counted (i.e. no df cap filtered the index)
+        joined = joined.filter(F.col("shared") >= F.greatest("ng1", "ng2") - F.lit(k * q))
+    cand_long = joined.select("doc1", "doc2")
     # short-string path: bounded lengths → length-band equi-join. Only
     # pairs with at least one TRULY short side (len < short_len) belong
     # here — both-long pairs are the long path's, and emitting them in

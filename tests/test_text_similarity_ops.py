@@ -305,3 +305,82 @@ def test_mixture_resample_is_subset_at_target_rates(spark):
     # the dominant stratum was actually downsampled toward the target
     n_en = sum(1 for _, l in got if l == "en")
     assert 0 < n_en < 600
+
+
+def test_ngram_jaccard_df_cap_collapses_candidates(spark):
+    """The max_doc_freq skew guard (SURVEY §2.10 X2, the 100 TB
+    stop-gram hazard): on a corpus where every doc shares one stop
+    token, uncapped candidate generation is all-pairs quadratic; the
+    cap collapses it to the rare-gram pairs while the VERIFIED output
+    (exact full-set Jaccard on survivors) is unchanged."""
+    from cbts_datalake_synnex_spark.operators.dedup import (
+        _rare_shingle_candidates,
+        _shingles,
+        ngram_jaccard_pairs,
+    )
+
+    # 120 docs, all containing stop token "the"; two true near-dup
+    # pairs whose similarity is carried by rare tokens.
+    rows = [(i, f"the unique{i} filler{i}") for i in range(116)]
+    rows += [
+        (200, "the alpha beta gamma delta"),
+        (201, "the alpha beta gamma epsilon"),
+        (300, "the omega sigma tau"),
+        (301, "the omega sigma tau"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from pyspark.sql import functions as F
+
+    sh = df.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(_shingles("text", 1))).alias("sh"),
+    )
+    n_uncapped = _rare_shingle_candidates(sh, max_doc_freq=10**9).count()
+    n_capped = _rare_shingle_candidates(sh, max_doc_freq=5).count()
+    # stop token "the" links all 120 docs → 7140 uncapped pairs; the
+    # cap leaves only the pairs sharing a rare token.
+    assert n_uncapped == 120 * 119 // 2
+    assert n_capped == 2, f"expected 2 rare-gram candidates, got {n_capped}"
+
+    uncapped = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.6).collect()
+    }
+    capped = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.6, max_doc_freq=5
+        ).collect()
+    }
+    assert uncapped == capped == {(200, 201, 0.666667), (300, 301, 1.0)}
+
+
+def test_edit_distance_df_cap_preserves_pairs(spark):
+    """Same guard on the q-gram inverted index: a shared frequent
+    prefix gram must not re-create the quadratic join; true pairs whose
+    identity rests on rare grams survive the cap with identical
+    distances."""
+    from cbts_datalake_synnex_spark.operators.dedup import edit_distance_pairs
+
+    # 100 long strings sharing the prefix "common-" (its grams are
+    # frequent) but pairwise ≥2 edits apart (triple-repeated digits),
+    # plus one true dist-1 pair distinguished by rare suffix grams.
+    rows = [(i, f"common-{str(i) * 3}-filler") for i in range(100)]
+    rows += [
+        (200, "common-rare-alpha-suffix-x"),
+        (201, "common-rare-alpha-suffix-y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got_uncapped = {
+        (r["doc1"], r["doc2"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "txt", max_dist=1).collect()
+    }
+    got_capped = {
+        (r["doc1"], r["doc2"], r["dist"])
+        for r in edit_distance_pairs(
+            df, "id", "txt", max_dist=1, max_doc_freq=20
+        ).collect()
+    }
+    assert (200, 201, 1) in got_capped
+    assert got_capped == got_uncapped
