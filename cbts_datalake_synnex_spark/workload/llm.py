@@ -844,3 +844,91 @@ def x4_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# End-to-end embedding-space dedup: LSH near-dup pairs → connected
+# components → keep each cluster's canonical (lowest-id) vector plus
+# every never-paired vector. The "dedup the embedding corpus" pipeline
+# composed entirely from already-certified operators; the oracle
+# recomputes it exactly (all-pairs cosine + recursive transitive
+# closure) — sound because LSH verification admits no false positives
+# and recall is 1.0 on this corpus (gated in tests/test_recall.py).
+@query(
+    "pipeline_embedding_dedup",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS doc1, b.vec_id AS doc2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    ),
+    edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+              UNION SELECT doc2, doc1 FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ),
+    comp AS (SELECT a AS doc, least(a, min(b)) AS canonical FROM reach GROUP BY a)
+    SELECT v.vec_id, CAST(len(v.v) AS BIGINT) AS dim
+    FROM e v LEFT JOIN comp c ON c.doc = v.vec_id
+    WHERE c.doc IS NULL OR c.canonical = v.vec_id
+    """,
+    doc="[EXT] composed pipeline: hyperplane-LSH near-dup pairs (τ=0.4) -> pointer-doubling "
+    "connected components -> keep canonical vector per cluster + all unpaired vectors; "
+    "'dedup the embedding corpus' end to end.",
+)
+def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs_lsh(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+    labels = dedup.dedup_clusters(pairs, doc1_col="id1", doc2_col="id2")
+    return (
+        emb.join(F.broadcast(labels), emb.vec_id == labels.doc, "left")
+        .filter(F.col("doc").isNull() | (F.col("canonical") == F.col("vec_id")))
+        .select("vec_id", F.size("embedding").cast("bigint").alias("dim"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Text canonicalization — the normalize-before-dedup step every
+# training-data pipeline runs: casefold, strip non-alphanumerics,
+# collapse whitespace; emit the canonical form's digest + lengths so
+# downstream exact dedup keys on normalized content instead of raw
+# bytes. Pure codegen projection (lower/regexp_replace/sha2) — zero
+# shuffles, scan-bound at any scale.
+@query(
+    "x4_normalize_text",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           sha256(norm) AS norm_digest
+    FROM n
+    """,
+    doc="[EXT] X4 — text canonicalization (casefold, strip punctuation, collapse "
+    "whitespace) + sha256 digest of the canonical form: the normalize-before-dedup "
+    "projection; whole-stage codegen, no shuffle.",
+)
+def x4_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("norm_len"),
+        F.sha2(norm, 256).alias("norm_digest"),
+    )
