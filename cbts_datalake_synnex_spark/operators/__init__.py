@@ -17,6 +17,7 @@ from cbts_datalake_synnex_spark.operators.dedup import (
 from cbts_datalake_synnex_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     lsh_bucket_topk,
 )
 from cbts_datalake_synnex_spark.operators.text import (
@@ -30,6 +31,7 @@ __all__ = [
     "asof_join",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
     "exact_dedup",
     "fingerprint",
     "lang_id",

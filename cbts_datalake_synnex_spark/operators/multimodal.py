@@ -4,9 +4,10 @@ binary payloads + typed metadata, processed with Arrow-batched
 
 The Spark-side plumbing here is real and tested: BinaryType payload
 column, metadata struct, partition-friendly batch iteration, stable
-UDF output schema. ``decode_media`` carries two REAL dependency-free
-codecs — binary PPM (P6) images and PCM WAV audio, parsed byte-level
-in ``_decode_ppm``/``_decode_wav`` — exercised end-to-end by
+UDF output schema. ``decode_media`` carries three REAL dependency-free
+codecs — binary PPM (P6) images, uncompressed 24-bit BMP images, and
+PCM WAV audio, parsed byte-level in
+``_decode_ppm``/``_decode_bmp``/``_decode_wav`` — exercised end-to-end by
 ``decode_payloads``; compressed formats (JPEG/MP3/H.264) need codec
 libraries absent from this container and raise ``NotImplementedError``
 (a PIL/libav decoder slots in beside the built-ins). The
@@ -61,6 +62,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     """
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
         return _decode_ppm(payload)
+    if media_type in ("image/bmp", "image/x-ms-bmp"):
+        return _decode_bmp(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _decode_wav(payload)
     raise NotImplementedError(
@@ -109,6 +112,47 @@ def _decode_ppm(payload: bytes) -> dict:
     }
 
 
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): ``BM`` magic, pixel
+    array offset at byte 10; width/height/planes/bpp/compression from
+    the 40-byte info header. Rows are stored bottom-up (negative height
+    = top-down) and padded to 4-byte boundaries — padding is excluded
+    from the mean."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BITMAPINFOHEADER BMPs supported "
+            f"(hdr={hdr_size}, bpp={bpp}, compression={compression})"
+        )
+    h = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    data = payload[pix_off : pix_off + stride * h]
+    if width <= 0 or len(data) != stride * h:
+        raise ValueError("truncated BMP pixel data")
+    total = n = 0
+    for r in range(h):
+        row = data[r * stride : r * stride + width * 3]
+        total += sum(row)
+        n += len(row)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": h,
+        "n_channels": 3,
+        "sample_rate": None,
+        "bits_per_sample": 8,
+        "n_frames": width * h,
+        "mean_level": round(total / n, 6) if n else 0.0,
+    }
+
+
 def _decode_wav(payload: bytes) -> dict:
     """RIFF/WAVE with PCM (format 1) fmt + data chunks; 8/16-bit."""
     import struct
@@ -151,6 +195,19 @@ def encode_ppm(width: int, height: int, value: int) -> bytes:
     """Synthesize a constant-valued P6 image (test/golden helper —
     deterministic payloads without codec libs)."""
     return b"P6\n%d %d\n255\n" % (width, height) + bytes([value % 256]) * (width * height * 3)
+
+
+def encode_bmp(width: int, height: int, value: int) -> bytes:
+    """Synthesize a constant-valued uncompressed 24-bit BMP (test/golden
+    helper): 14-byte file header + 40-byte BITMAPINFOHEADER + padded
+    bottom-up pixel rows."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    pix = (bytes([value % 256]) * (width * 3) + b"\x00" * (stride - width * 3)) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return hdr + info + pix
 
 
 def encode_wav(n_frames: int, amplitude: int, sample_rate: int = 8000) -> bytes:

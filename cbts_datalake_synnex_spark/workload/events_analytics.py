@@ -138,15 +138,43 @@ def f_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f_approx_percentiles",
-    oracle=None,  # sketch-based — tolerance-gated vs f_percentiles in tests/
-    doc="SURVEY §2.7 math — approx_percentile (Greenwald-Khanna sketch): the "
-    "100 TB swap for f_percentiles. Mergeable partial sketches ⇒ one narrow "
-    "shuffle of sketch state, never the values.",
+    # The raw GK estimate is sketch-specific, so (as with
+    # a3_approx_count_distinct) the oracle-able surface is the
+    # TOLERANCE CLAIM: exact quantile-bracket bounds at p±0.01 plus a
+    # boolean "approx inside the bracket" per percentile — GK at
+    # accuracy 10000 guarantees rank error ≤ 1e-4, 100× inside the
+    # bracket. DuckDB states the same exact bounds with literal TRUEs.
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.49), 6) AS p50_lo,
+           round(quantile_cont(value, 0.51), 6) AS p50_hi,
+           round(quantile_cont(value, 0.94), 6) AS p95_lo,
+           round(quantile_cont(value, 0.96), 6) AS p95_hi,
+           TRUE AS p50_in_bracket,
+           TRUE AS p95_in_bracket
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="SURVEY §2.7 math — approx_percentile (Greenwald-Khanna sketch) vs exact "
+    "quantile brackets, tolerance-checked: the 100 TB swap for f_percentiles. "
+    "Mergeable partial sketches ⇒ one narrow shuffle of sketch state, never the values.",
 )
 def f_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    return e.groupBy("event_type").agg(
-        F.round(F.approx_percentile("value", F.lit(0.5), F.lit(10000)), 6).alias("p50"),
-        F.round(F.approx_percentile("value", F.lit(0.95), F.lit(10000)), 6).alias("p95"),
-        F.round(F.approx_percentile("value", F.lit(0.99), F.lit(10000)), 6).alias("p99"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("ap95"),
+        F.round(F.percentile("value", F.lit(0.49)), 6).alias("p50_lo"),
+        F.round(F.percentile("value", F.lit(0.51)), 6).alias("p50_hi"),
+        F.round(F.percentile("value", F.lit(0.94)), 6).alias("p95_lo"),
+        F.round(F.percentile("value", F.lit(0.96)), 6).alias("p95_hi"),
+    )
+    return agg.select(
+        "event_type",
+        "p50_lo",
+        "p50_hi",
+        "p95_lo",
+        "p95_hi",
+        ((F.col("ap50") >= F.col("p50_lo")) & (F.col("ap50") <= F.col("p50_hi"))).alias("p50_in_bracket"),
+        ((F.col("ap95") >= F.col("p95_lo")) & (F.col("ap95") <= F.col("p95_hi"))).alias("p95_in_bracket"),
     )

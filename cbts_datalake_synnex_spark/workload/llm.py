@@ -512,21 +512,23 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x5_decode_media",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-           CASE WHEN doc_id % 2 = 0 THEN 4 END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN 3 END AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS n_channels,
-           CASE WHEN doc_id % 2 = 1 THEN 8000 END AS sample_rate,
-           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits_per_sample,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 8 END AS BIGINT) AS n_frames,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 251
-                     ELSE doc_id % 500 END AS DOUBLE) AS mean_level
+           CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN 4 WHEN doc_id % 3 = 2 THEN 5 END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN 3 WHEN doc_id % 3 = 2 THEN 2 END AS height,
+           CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS n_channels,
+           CASE WHEN doc_id % 3 = 1 THEN 8000 END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN 16 ELSE 8 END AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 12 WHEN doc_id % 3 = 1 THEN 8
+                     ELSE 10 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 500
+                     ELSE doc_id % 251 END AS DOUBLE) AS mean_level
     FROM documents
     """,
-    doc="SURVEY §2.10 X5 — REAL codec decode (binary PPM image + PCM WAV audio, "
-    "dependency-free byte-level parsers in operators/multimodal.decode_media) "
-    "over synthesized payloads whose expected metadata is doc_id-derived, so "
-    "the oracle checks actual decoding. mapInPandas both ways; Arrow-batched.",
+    doc="SURVEY §2.10 X5 — REAL codec decode (binary PPM + uncompressed 24-bit BMP "
+    "images + PCM WAV audio, dependency-free byte-level parsers in "
+    "operators/multimodal.decode_media) over synthesized payloads whose expected "
+    "metadata is doc_id-derived, so the oracle checks actual decoding. "
+    "mapInPandas both ways; Arrow-batched.",
 )
 def x5_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -534,19 +536,17 @@ def x5_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(it):
+        enc = {
+            0: lambda d: (multimodal.encode_ppm(4, 3, d % 251), "image/x-portable-pixmap"),
+            1: lambda d: (multimodal.encode_wav(8, d % 500), "audio/wav"),
+            2: lambda d: (multimodal.encode_bmp(5, 2, d % 251), "image/bmp"),
+        }
         for pdf in it:
+            made = [enc[int(d) % 3](int(d)) for d in pdf["doc_id"]]
             out = pd.DataFrame()
             out["doc_id"] = pdf["doc_id"]
-            out["payload"] = [
-                multimodal.encode_ppm(4, 3, int(d) % 251)
-                if int(d) % 2 == 0
-                else multimodal.encode_wav(8, int(d) % 500)
-                for d in pdf["doc_id"]
-            ]
-            out["media_type"] = [
-                "image/x-portable-pixmap" if int(d) % 2 == 0 else "audio/wav"
-                for d in pdf["doc_id"]
-            ]
+            out["payload"] = [p for p, _ in made]
+            out["media_type"] = [m for _, m in made]
             yield out
 
     payloads = docs.mapInPandas(synth, schema="doc_id bigint, payload binary, media_type string")

@@ -114,6 +114,37 @@ def test_decode_wav_golden():
 def test_decode_roundtrip_encoders():
     meta = multimodal.decode_media(multimodal.encode_ppm(5, 7, 42), "image/ppm")
     assert (meta["width"], meta["height"], meta["mean_level"]) == (5, 7, 42.0)
+    meta = multimodal.decode_media(multimodal.encode_bmp(5, 7, 42), "image/bmp")
+    assert (meta["width"], meta["height"], meta["mean_level"]) == (5, 7, 42.0)
+    assert meta["n_frames"] == 35 and meta["n_channels"] == 3
+
+
+def test_decode_bmp_golden():
+    # 2x2 24-bit BMP, stride pads 6 pixel bytes to 8 per row; padding
+    # must not leak into the mean. Hand-patch two distinct pixel rows:
+    # bottom row BGR 10s, top row BGR 30s → mean 20.
+    payload = bytearray(multimodal.encode_bmp(2, 2, 0))
+    stride = 8
+    off = 14 + 40
+    payload[off : off + 6] = bytes([10] * 6)
+    payload[off + stride : off + stride + 6] = bytes([30] * 6)
+    meta = multimodal.decode_media(bytes(payload), "image/bmp")
+    assert meta["kind"] == "image"
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (2, 2, 3)
+    assert meta["mean_level"] == 20.0
+
+
+def test_decode_bmp_rejects_compressed_or_truncated():
+    import struct
+
+    good = multimodal.encode_bmp(4, 4, 9)
+    with pytest.raises(ValueError):
+        multimodal.decode_media(good[:-5], "image/bmp")
+    # flip biCompression (offset 14+16) to BI_RLE8=1 → rejected
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)
+    with pytest.raises(ValueError):
+        multimodal.decode_media(bytes(rle), "image/bmp")
 
 
 def test_decode_rejects_truncated_ppm():
