@@ -469,3 +469,57 @@ def edit_distance_pairs(
         .select("doc1", "doc2", dist.cast("bigint").alias("dist"))
         .filter(F.col("dist") <= k)
     )
+
+
+# ----------------------------------------------------------------------
+# Span-level (sub-document) dedup — remove repeated token spans across
+# the corpus, keeping only the first occurrence. The operator behind
+# "exact substring dedup" training-data hygiene (boilerplate, shared
+# headers/footers, license blocks) at span granularity.
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+) -> DataFrame:
+    """X2 — corpus-wide span dedup: split each document into consecutive
+    ``span_tokens``-token spans, drop every span whose exact text already
+    occurred earlier in the corpus (first occurrence by (doc, seg) is
+    kept), and reassemble the surviving text.
+
+    Plan: posexplode tokens → hash-agg to (doc, seg, span) — one shuffle
+    on (doc, seg) — then a window ``row_number`` partitioned by the span
+    text (second shuffle, on the span) marks first occurrences; a final
+    hash-agg on doc reassembles. Three shuffles total, all keyed, no
+    joins, no all-pairs anything. Per-row payload is bounded by
+    ``span_tokens``, so a pathologically popular span costs rows in one
+    partition, not memory: the window computes only row_number (no
+    buffering of the frame).
+
+    Returns (id_col, clean_text, spans_kept, spans_dropped).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+    )
+    spans = toks.groupBy(
+        "doc", (F.col("pos") / F.lit(span_tokens)).cast("int").alias("seg")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("span")
+    )
+    first = F.row_number().over(W.partitionBy("span").orderBy("doc", "seg"))
+    marked = spans.withColumn("keep", (first == 1).cast("int"))
+    ordered = F.array_sort(F.collect_list(F.struct("seg", "keep", "span")))
+    kept_spans = F.filter(ordered, lambda s: s["keep"] == 1)
+    return marked.groupBy("doc").agg(
+        F.array_join(F.transform(kept_spans, lambda s: s["span"]), " ").alias("clean_text"),
+        F.sum("keep").alias("spans_kept"),
+        (F.count(F.lit(1)) - F.sum("keep")).alias("spans_dropped"),
+    ).withColumnRenamed("doc", id_col)

@@ -932,3 +932,109 @@ def x4_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("bigint").alias("norm_len"),
         F.sha2(norm, 256).alias("norm_digest"),
     )
+
+
+# ----------------------------------------------------------------------
+# X2 — corpus-wide span (sub-document) dedup: the "exact substring
+# dedup" hygiene pass at span granularity — repeated boilerplate is
+# removed from every document but its first occurrence.
+@query(
+    "x2_span_dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS idx
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, (idx - 1) // 16 AS seg, string_agg(tok, ' ' ORDER BY idx) AS span
+      FROM tok GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT doc_id, seg, span,
+             CASE WHEN row_number() OVER (PARTITION BY span ORDER BY doc_id, seg) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM spans
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep = 1 THEN span END, ' ' ORDER BY seg), '') AS clean_text,
+           CAST(sum(keep) AS BIGINT) AS spans_kept,
+           CAST(count(*) - sum(keep) AS BIGINT) AS spans_dropped
+    FROM marked GROUP BY doc_id
+    """,
+    doc="SURVEY §2.10 X2 — span-level exact dedup: 16-token spans, corpus-wide "
+    "first-occurrence-wins, text reassembled from survivors. Three keyed "
+    "shuffles (doc-seg agg, span window, doc agg) — no joins, no all-pairs "
+    "(operators/dedup.span_dedup).",
+)
+def x2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, id_col="doc_id", text_col="text", span_tokens=16)
+
+
+# ----------------------------------------------------------------------
+# X3 — product-quantization ANN: the memory-compressed index (m bytes of
+# codes per vector through the scoring join instead of 4·dim of floats).
+@query(
+    "x3_pq_topk",
+    oracle=None,  # approximate — recall@k asserted vs x3_cosine_topk in tests/test_recall.py
+    doc="SURVEY §2.10 X3 — PQ top-5: per-subspace codebooks (driver-trained on a "
+    "bounded sample), JVM-only encode, broadcast ADC lookup join, exact re-rank "
+    "of the k*4 shortlist (operators/similarity.pq_topk).",
+)
+def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.pq_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
+# ----------------------------------------------------------------------
+# Quality-percentile gate — keep each language's top-half documents by
+# heuristic quality. The percentile is computed WITHIN language so a
+# low-resource language is not squeezed out by a high-scoring majority
+# language (the standard per-domain quality-threshold pattern).
+@query(
+    "pipeline_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(text, ' ') AS toks,
+             length(text) AS text_len,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(n_punct * 1.0 / greatest(text_len, 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0
+                   / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM t
+    ), s AS (
+      SELECT doc_id, lang,
+             round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1 - punct_ratio) + 0.3 * stopword_ratio, 6) AS quality
+      FROM r
+    ), p AS (
+      SELECT doc_id, lang, quality,
+             round(percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id), 6) AS q_pct
+      FROM s
+    )
+    SELECT doc_id, lang, quality, q_pct FROM p WHERE q_pct <= 0.5
+    """,
+    doc="[EXT] per-language quality-percentile gate: heuristic quality score -> "
+    "percent_rank within lang (desc) -> keep the top half. One window shuffle "
+    "on lang; the score itself is a pure projection.",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "text")
+    pr = F.round(
+        F.percent_rank().over(W.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))), 6
+    )
+    return (
+        scored.withColumn("q_pct", pr)
+        .filter(F.col("q_pct") <= 0.5)
+        .select("doc_id", "lang", "quality", "q_pct")
+    )

@@ -590,3 +590,22 @@ def test_table_diff_classifies_and_drops_unchanged(spark):
         for r in table_diff(left, right, ["id"], compare_cols=["v"]).collect()
     }
     assert got_v == {(3, "changed"), (4, "deleted"), (5, "inserted")}
+
+
+def test_orc_table_format_roundtrip(spark, tmp_path):
+    """The sink format is pluggable (S7/K1 parity beyond parquet):
+    `table_format="orc"` routes every curated write through Spark's
+    built-in ORC source — same catalog registration, partitioning,
+    evolution, and readback path as parquet."""
+    db = f"t_orc_{abs(hash(str(tmp_path))) % 10**9}"
+    eng = LakeEngine(spark, str(tmp_path / "lake"), database=db, clock=CLOCK, table_format="orc")
+    try:
+        eng.save_to_staging("po_status", RECORDS)
+        assert eng.curate("po_status") == 2
+        df = eng.sql("SELECT po_number, status_code FROM po_status ORDER BY po_number")
+        assert [tuple(r) for r in df.collect()] == [("PO1", "OK"), ("PO2", "HOLD")]
+        # the files on disk really are ORC
+        files = spark.table(f"{db}.po_status").inputFiles()
+        assert files and all(".orc" in f for f in files)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

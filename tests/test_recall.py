@@ -179,3 +179,23 @@ def test_exact_dedup_keeps_lowest_id(spark):
     )
     out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()}
     assert out == {2: 2, 9: 1}
+
+
+def test_pq_recall_at_k(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < 8)
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    approx = similarity.pq_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    truth: dict[int, set[int]] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got: dict[int, set[int]] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(got.get(qid, set()) & cands) / len(cands) for qid, cands in truth.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # ADC shortlist (k*4) + exact re-rank: the shortlist has to miss a
+    # true top-5 neighbor entirely for recall to drop; gate at 0.7.
+    assert mean_recall >= 0.7, f"PQ mean recall@5 {mean_recall:.3f} below gate"
