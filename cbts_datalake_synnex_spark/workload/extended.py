@@ -883,3 +883,61 @@ def w1_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("acct_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("acct_cume_dist"),
     )
+
+
+# ----------------------------------------------------------------------
+# Data-quality expectations — the generalized count gate (A1): every
+# rule evaluated in ONE aggregate pass, report exploded from the single
+# result row (operators/dq.expectations_report).
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v_qty,
+             sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_ship,
+             sum(CASE WHEN l_discount BETWEEN 0.00 AND 0.10 THEN 0 ELSE 1 END) AS v_disc,
+             sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v_key,
+             sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS v_flag,
+             sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) AS v_tax
+      FROM lineitem
+    )
+    SELECT * FROM (
+      SELECT 'quantity_in_1_50' AS rule, n_rows, CAST(v_qty AS BIGINT) AS n_violations,
+             round(v_qty * 1.0 / greatest(n_rows, 1), 6) AS violation_rate, v_qty = 0 AS passed FROM m
+      UNION ALL
+      SELECT 'price_positive', n_rows, CAST(v_ship AS BIGINT),
+             round(v_ship * 1.0 / greatest(n_rows, 1), 6), v_ship = 0 FROM m
+      UNION ALL
+      SELECT 'discount_in_0_10pct', n_rows, CAST(v_disc AS BIGINT),
+             round(v_disc * 1.0 / greatest(n_rows, 1), 6), v_disc = 0 FROM m
+      UNION ALL
+      SELECT 'orderkey_not_null', n_rows, CAST(v_key AS BIGINT),
+             round(v_key * 1.0 / greatest(n_rows, 1), 6), v_key = 0 FROM m
+      UNION ALL
+      SELECT 'returnflag_in_domain', n_rows, CAST(v_flag AS BIGINT),
+             round(v_flag * 1.0 / greatest(n_rows, 1), 6), v_flag = 0 FROM m
+      UNION ALL
+      SELECT 'tax_at_most_5pct', n_rows, CAST(v_tax AS BIGINT),
+             round(v_tax * 1.0 / greatest(n_rows, 1), 6), v_tax = 0 FROM m
+    )
+    """,
+    doc="[EXT] data-quality expectations suite over lineitem — range, ordering, "
+    "domain, and null rules in one aggregate scan; Deequ-style report "
+    "(generalizes the reference's empty-frame gate, utils.py:128).",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import expectations_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expectations_report(
+        li,
+        {
+            "quantity_in_1_50": F.col("l_quantity").between(1, 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_in_0_10pct": F.col("l_discount").between(0.00, 0.10),
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+            "returnflag_in_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "tax_at_most_5pct": F.col("l_tax") <= 0.05,
+        },
+    )

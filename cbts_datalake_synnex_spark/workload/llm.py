@@ -981,7 +981,7 @@ def x2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate — recall@k asserted vs x3_cosine_topk in tests/test_recall.py
     doc="SURVEY §2.10 X3 — PQ top-5: per-subspace codebooks (driver-trained on a "
     "bounded sample), JVM-only encode, broadcast ADC lookup join, exact re-rank "
-    "of the k*4 shortlist (operators/similarity.pq_topk).",
+    "of the k*8 shortlist (operators/similarity.pq_topk).",
 )
 def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1038,3 +1038,119 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_pct") <= 0.5)
         .select("doc_id", "lang", "quality", "q_pct")
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — winnowing fingerprint (MOSS): min-hash-per-window k-gram
+# selection; position-robust containment fingerprints, engine-portable
+# md5-derived gram hashes.
+@query(
+    "x4_winnow_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)) AS BIGINT)
+             ) AS h
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 generate_series(1, greatest(len(h) - 3, 1)),
+                 j -> list_min(h[j:j+3])
+               )
+             ) AS sel
+      FROM g
+    )
+    SELECT doc_id, unnest(sel) AS fp FROM s
+    """,
+    doc="SURVEY §2.10 X4 — winnowing fingerprint (k=3 grams, window=4): "
+    "pure higher-order-function projection + one explode, no shuffle "
+    "(operators/text.winnow_fingerprint).",
+)
+def x4_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprint(docs, id_col="doc_id", text_col="text", k=3, window=4)
+
+
+# ----------------------------------------------------------------------
+# [EXT] the full corpus→training-batches path in one declared plan:
+# quality gate → exact dedup (keep lowest id) → concat-then-chunk token
+# packing of the survivors. Every stage is an already-oracled operator;
+# the composition earns its own oracle because stage boundaries (which
+# docs survive INTO the pack) are exactly where composition bugs live.
+@query(
+    "pipeline_corpus_to_batches",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(len(list_filter(string_split(text, ' '), t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source, text FROM q WHERE n_tokens >= 20 AND stopword_ratio >= 0.05
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+    ),
+    d AS (
+      SELECT k.source, k.doc_id,
+             CAST(len(regexp_extract_all(k.text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS tokens
+      FROM kept k JOIN canon c ON c.doc_id = k.doc_id
+    ),
+    r AS (
+      SELECT source, doc_id, tokens,
+             CAST(coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      FROM d
+    )
+    SELECT source, CAST(start_tok // 512 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS bin_tokens
+    FROM r GROUP BY source, start_tok // 512
+    """,
+    doc="[EXT] composed corpus→batches pipeline: quality gate → exact dedup → "
+    "token packing; one broadcast-able canon join plus the pack's single "
+    "shard-key shuffle on the survivor set.",
+)
+def pipeline_corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.packing import pack_summary, token_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "text")
+    kept = scored.filter((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.05))
+    canon = dedup.exact_dedup(kept, content_cols=["text"], id_col="doc_id").select("doc_id")
+    survivors = kept.join(canon, "doc_id").select("source", "doc_id", "text")
+    packed = token_pack(survivors, "text", shard_col="source", order_col="doc_id", budget=512)
+    return pack_summary(packed, "source")
+
+
+# ----------------------------------------------------------------------
+# X4 — corpus-unigram log-probability (perplexity proxy): the corpus's
+# own term-frequency table is the "language model".
+@query(
+    "x4_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    cf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n FROM tok),
+    d AS (
+      SELECT t.doc_id, ln(cf.cnt * 1.0 / n.n) AS lp
+      FROM tok t JOIN cf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+    FROM d GROUP BY doc_id
+    """,
+    doc="SURVEY §2.10 X4 — avg unigram log-prob per doc under the corpus's own "
+    "empirical distribution (cheap perplexity proxy); tf-idf shuffle layout + "
+    "one-row broadcast total (operators/text.unigram_logprob).",
+)
+def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs, id_col="doc_id", text_col="text")

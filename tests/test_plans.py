@@ -185,3 +185,52 @@ def test_embedding_near_dup_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
     assert "Join" in txt
+
+
+def test_span_dedup_plan_is_three_keyed_shuffles_no_joins(spark, sf_dir):
+    """x2_span_dedup's contract: hash-agg (doc,seg) → span window → doc
+    hash-agg. Exactly three hashpartitioning exchanges, zero joins —
+    a join appearing here means the first-occurrence marking regressed
+    to a candidate self-join."""
+    import re
+
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    txt = explain_str(REGISTRY["x2_span_dedup"].fn(spark, sf_dir), "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", txt)) == 3, txt
+    assert "Join" not in txt
+
+
+def test_winnow_fingerprint_plan_is_pure_projection(spark, sf_dir):
+    """x4_winnow_fingerprint is scan → project (higher-order funcs) →
+    explode: any exchange means the fingerprint stopped being
+    scan-bound."""
+    import re
+
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    txt = explain_str(REGISTRY["x4_winnow_fingerprint"].fn(spark, sf_dir), "simple")
+    assert not re.findall(r"Exchange hashpartitioning", txt)
+    assert "Join" not in txt
+
+
+def test_dq_expectations_plan_is_single_aggregate_pass(spark, sf_dir):
+    """dq_expectations evaluates every rule in ONE scan: exactly one
+    partial/final aggregate pair (single-partition exchange), no
+    joins/unions — a per-rule pass would show up as extra scans."""
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    txt = explain_str(REGISTRY["dq_expectations"].fn(spark, sf_dir), "simple")
+    assert txt.count("Scan parquet") == 1, txt
+    assert "Join" not in txt and "Union" not in txt
+
+
+def test_pq_topk_avoids_nested_loop(spark, sf_dir):
+    """x3_pq_topk must stay equi-join-shaped (broadcast ADC lookup +
+    shortlist re-rank joins); BroadcastNestedLoopJoin/CartesianProduct
+    would mean the ADC table stopped joining on (sub, code)."""
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    txt = explain_str(REGISTRY["x3_pq_topk"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt

@@ -196,6 +196,6 @@ def test_pq_recall_at_k(spark, sf_dir):
         len(got.get(qid, set()) & cands) / len(cands) for qid, cands in truth.items()
     ]
     mean_recall = sum(recalls) / len(recalls)
-    # ADC shortlist (k*4) + exact re-rank: the shortlist has to miss a
+    # ADC shortlist (k*8) + exact re-rank: the shortlist has to miss a
     # true top-5 neighbor entirely for recall to drop; gate at 0.7.
     assert mean_recall >= 0.7, f"PQ mean recall@5 {mean_recall:.3f} below gate"

@@ -488,3 +488,60 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     rows = {(r["event_id"], r["click_id"]) for r in spark.sql("SELECT event_id, click_id FROM ssj_outer").collect()}
     assert ("i1", "c1") in rows          # matched inside the band
     assert ("i2", None) in rows          # unmatched → null-extended after watermark
+
+
+def test_first_seen_admission_transform_with_state(spark, tmp_path):
+    """v2 arbitrary-state API (transformWithStateInPandas): a key's row
+    is emitted only in the first micro-batch it appears; later batches
+    touch state but emit nothing.
+
+    The v2 runtime serializes state messages with protobuf; skip (with
+    the operator still import-checked) when google.protobuf is absent
+    from the image — same declared-dependency gate as the Delta
+    branches (SURVEY §8.1)."""
+    from cbts_datalake_synnex_spark.streaming import first_seen_admission
+
+    pytest.importorskip("google.protobuf", reason="transformWithState v2 runtime needs protobuf")
+
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_file(
+        src,
+        "b1.json",
+        [
+            {"event_id": "e1", "user_id": "u1", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "e2", "user_id": "u1", "ts": "2024-01-01T10:01:00.000Z", "value": 5.0},
+            {"event_id": "e3", "user_id": "u2", "ts": "2024-01-01T10:02:00.000Z", "value": 7.0},
+        ],
+        now - 20,
+    )
+    _write_file(
+        src,
+        "b2.json",
+        [
+            {"event_id": "e4", "user_id": "u1", "ts": "2024-01-01T11:00:00.000Z", "value": 2.0},
+            {"event_id": "e5", "user_id": "u3", "ts": "2024-01-01T11:01:00.000Z", "value": 9.0},
+        ],
+        now - 10,
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        first_seen_admission(stream, key="user_id")
+        .writeStream.format("memory")
+        .queryName("tws_first_seen")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM tws_first_seen").collect()}
+    # u1 admitted once (from batch 1), u2 from batch 1, u3 from batch 2;
+    # u1's batch-2 event e4 must NOT appear.
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u1"]["event_id"] == "e1" and rows["u1"]["n_prior"] == 0
+    assert rows["u3"]["event_id"] == "e5"
