@@ -256,6 +256,84 @@ class LakeEngine:
         # leave our relation cache pointing at the pre-append file set.
         self.spark.catalog.refreshTable(qtable)
         self._journal_schema(table)
+        self._journal_snapshot(table)
+
+    # ------------------------------------------------------------------
+    # Data time travel on plain parquet: every curated write journals
+    # the table's file manifest as a numbered snapshot (the poor man's
+    # Delta transaction log). `read_snapshot(table, v)` re-reads exactly
+    # the files version v consisted of. Valid as long as those files
+    # still exist — append-mode history (the reference's medallion
+    # pattern) keeps every version readable; overwrite/compaction
+    # physically removes files and invalidates older snapshots, which
+    # `read_snapshot` reports instead of silently returning partial
+    # data (Delta's VACUUM has the same horizon, enforced by retention).
+    def _snapshot_log_path(self, table: str) -> str:
+        return os.path.join(self.zones.root, "_snapshot_log", f"{table}.jsonl")
+
+    def _journal_snapshot(self, table: str) -> None:
+        files = sorted(self.spark.table(self.qualified(table)).inputFiles())
+        history = self.snapshot_history(table)
+        if history and history[-1]["files"] == files:
+            return  # no data change, no new version
+        now = self._now() or datetime.now()
+        entry = {
+            "version": len(history) + 1,
+            "at": now.strftime("%Y-%m-%d %H:%M:%S"),
+            "files": files,
+        }
+        path = self._snapshot_log_path(table)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def snapshot_history(self, table: str) -> list[dict[str, Any]]:
+        """All recorded data snapshots, oldest first."""
+        path = self._snapshot_log_path(table)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def read_snapshot(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the table as it was at snapshot ``version`` (1-based;
+        default latest). Raises if the version was never recorded or its
+        files have since been rewritten (overwrite/compaction)."""
+        history = self.snapshot_history(table)
+        if not history:
+            raise ValueError(f"no snapshots recorded for table '{table}'")
+        if version is None:
+            version = history[-1]["version"]
+        matches = [h for h in history if h["version"] == version]
+        if not matches:
+            raise ValueError(f"table '{table}' has no snapshot version {version}")
+        files = matches[0]["files"]
+        missing = [f for f in files if not os.path.exists(f.removeprefix("file:"))]
+        if missing:
+            raise ValueError(
+                f"snapshot {version} of '{table}' is no longer materialized "
+                f"({len(missing)}/{len(files)} files rewritten by overwrite/compaction)"
+            )
+        fmt = "parquet" if self.table_format == "delta" else self.table_format
+        return self.spark.read.format(fmt).load(files)
+
+    def restore_snapshot(self, table: str, version: int) -> int:
+        """RESTORE: make snapshot ``version`` the table's current
+        content again (Delta `RESTORE TABLE ... TO VERSION` parity).
+        Rewrites the table from the snapshot's files — the restore
+        itself is journaled as a NEW version (history is append-only;
+        a restore never falsifies what past versions contained).
+        Returns the new current version number."""
+        snap = self.read_snapshot(table, version)
+        parts = [c for c in DEFAULT_PARTITION_COLS if c in snap.columns]
+        # Stage first: the snapshot reads the very files the overwrite
+        # truncates (same self-read hazard as compact_table).
+        scratch = os.path.join(self.zones.root, "_compact", f"{table}_restore_{uuid.uuid4().hex[:8]}")
+        snap.write.parquet(scratch)
+        staged = self.spark.read.parquet(scratch)
+        self.write_curated(table, staged, mode="overwrite", partition_cols=parts)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return self.snapshot_history(table)[-1]["version"]
 
     # ------------------------------------------------------------------
     # Catalog versioning (utils.py:78,247 `catalog_versioning=True`):
@@ -829,6 +907,7 @@ class LakeEngine:
             self.write_curated(table, staged, mode="overwrite", partition_cols=[])
         shutil.rmtree(scratch, ignore_errors=True)
         self.spark.catalog.refreshTable(qtable)
+        self._journal_snapshot(table)
 
 
 @contextmanager

@@ -548,3 +548,42 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserted = left.filter(key % 11 == 0).withColumn("o_orderkey", key + 10_000_000)
     right = survivors.unionByName(inserted)
     return table_diff(left, right, keys=["o_orderkey"])
+
+
+# ----------------------------------------------------------------------
+# Parquet snapshot time travel (the Delta-time-travel stand-in of
+# SURVEY §8.1): every curated write journals a file manifest; reading
+# version N re-reads exactly version N's files.
+@query(
+    "lc_time_travel",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS version,
+           CAST((SELECT count(*) FROM region) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT CAST(2 AS INTEGER),
+           CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation) AS BIGINT)
+    """,
+    doc="K-side time travel — append-mode snapshot history on plain parquet: "
+    "write region (v1), append nation (v2); counts at each recorded version "
+    "(engine.read_snapshot / _journal_snapshot).",
+)
+def lc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        region = load_table(spark, sf_dir, "region").select(
+            F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+        )
+        nation = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+        )
+        eng.write_curated("tt", region, mode="append", partition_cols=[])
+        v1 = eng.snapshot_history("tt")[-1]["version"]
+        eng.write_curated("tt", nation, mode="append", partition_cols=[])
+        v2 = eng.snapshot_history("tt")[-1]["version"]
+        out = spark.createDataFrame(
+            [
+                (v1, eng.read_snapshot("tt", v1).count()),
+                (v2, eng.read_snapshot("tt", v2).count()),
+            ],
+            "version int, n_rows bigint",
+        )
+        return _materialize(spark, out)

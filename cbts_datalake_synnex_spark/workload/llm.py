@@ -1154,3 +1154,38 @@ def pipeline_corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.unigram_logprob(docs, id_col="doc_id", text_col="text")
+
+
+# ----------------------------------------------------------------------
+# X3 — per-label embedding centroids (class prototypes): the reduce step
+# of k-means / nearest-class-mean classification, expressed as a flat
+# (label, dimension) aggregate — the layout that scales (no wide-array
+# aggregation state, one keyed shuffle).
+@query(
+    "x3_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM e GROUP BY label, pos
+    """,
+    doc="SURVEY §2.10 X3 — class centroids: posexplode to (label, dim) rows, one "
+    "hash-agg; flat layout avoids wide array aggregation state at scale.",
+)
+def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select("label", "pos", "centroid_val", "n_vectors")
+    )

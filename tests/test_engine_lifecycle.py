@@ -609,3 +609,46 @@ def test_orc_table_format_roundtrip(spark, tmp_path):
         assert files and all(".orc" in f for f in files)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_snapshot_time_travel_append_history(engine):
+    """Every curated write journals a file-manifest snapshot; append-mode
+    history stays readable at every version (the parquet stand-in for
+    Delta time travel — SURVEY §8.1)."""
+    engine.save_to_staging("po_status", RECORDS)
+    engine.curate("po_status")
+    engine.write_curated(
+        "po_status",
+        engine.ingest_records(
+            "po_status_tmp",
+            [{"po_number": "PO3", "status": {"code": "NEW", "detail": {"msg": "y"}}, "qty": 9}],
+        ),
+    )
+    hist = engine.snapshot_history("po_status")
+    assert [h["version"] for h in hist][-2:] == [len(hist) - 1, len(hist)]
+    v_first, v_last = hist[0]["version"], hist[-1]["version"]
+    assert v_first != v_last
+    # version 1 = the 2-row curate; latest = 3 rows
+    assert engine.read_snapshot("po_status", v_first).count() == 2
+    assert engine.read_snapshot("po_status", v_last).count() == 3
+    assert engine.read_snapshot("po_status").count() == 3  # default latest
+    # unknown version is an explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot version 99"):
+        engine.read_snapshot("po_status", 99)
+
+
+def test_snapshot_invalidated_by_compaction_reports(engine):
+    """Overwrite/compaction rewrites files; older snapshots must raise a
+    clear not-materialized error, never silently return partial data."""
+    engine.save_to_staging("po_status", RECORDS)
+    engine.curate("po_status")
+    v1 = engine.snapshot_history("po_status")[-1]["version"]
+    engine.compact_table("po_status")
+    # new snapshot exists and reads fine
+    assert engine.read_snapshot("po_status").count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no longer materialized"):
+        engine.read_snapshot("po_status", v1)
