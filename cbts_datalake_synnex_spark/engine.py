@@ -260,27 +260,49 @@ class LakeEngine:
 
     # ------------------------------------------------------------------
     # Data time travel on plain parquet: every curated write journals
-    # the table's file manifest as a numbered snapshot (the poor man's
-    # Delta transaction log). `read_snapshot(table, v)` re-reads exactly
-    # the files version v consisted of. Valid as long as those files
-    # still exist — append-mode history (the reference's medallion
-    # pattern) keeps every version readable; overwrite/compaction
-    # physically removes files and invalidates older snapshots, which
-    # `read_snapshot` reports instead of silently returning partial
-    # data (Delta's VACUUM has the same horizon, enforced by retention).
+    # the table's file manifest as a numbered snapshot AND hard-links
+    # the data files into a per-version retention dir (the poor man's
+    # Delta transaction log — parquet files are immutable once written,
+    # so a link costs an inode, not a copy, and survives the
+    # delete-then-write of overwrite/compaction). `read_snapshot(v)`
+    # therefore works for EVERY journaled version until
+    # `vacuum_snapshots` reclaims it — the exact retention semantics
+    # Delta gives via the log + VACUUM. Object stores have no hard
+    # links; there this degrades to copy (shutil fallback) or, in a
+    # real deployment, manifest-only retention over immutable objects.
     def _snapshot_log_path(self, table: str) -> str:
         return os.path.join(self.zones.root, "_snapshot_log", f"{table}.jsonl")
 
+    def _snapshot_retain_root(self, table: str, version: int) -> str:
+        return os.path.join(self.zones.root, "_snapshot_log", table, f"v{version:05d}")
+
     def _journal_snapshot(self, table: str) -> None:
-        files = sorted(self.spark.table(self.qualified(table)).inputFiles())
+        qtable = self.qualified(table)
+        files = sorted(self.spark.table(qtable).inputFiles())
         history = self.snapshot_history(table)
         if history and history[-1]["files"] == files:
             return  # no data change, no new version
+        version = len(history) + 1
+        loc = self._table_location(qtable).removeprefix("file:")
+        retain_root = self._snapshot_retain_root(table, version)
+        for f in files:
+            src = f.removeprefix("file:")
+            rel = os.path.relpath(src, loc)
+            # mirror the partition-dir structure so the retained copy
+            # reads back WITH its Hive partition columns
+            dst = os.path.join(retain_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)  # immutable data file: inode share, no copy
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
         now = self._now() or datetime.now()
         entry = {
-            "version": len(history) + 1,
+            "version": version,
             "at": now.strftime("%Y-%m-%d %H:%M:%S"),
             "files": files,
+            "base": loc,
+            "retain_root": retain_root,
         }
         path = self._snapshot_log_path(table)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -297,8 +319,8 @@ class LakeEngine:
 
     def read_snapshot(self, table: str, version: int | None = None) -> DataFrame:
         """Read the table as it was at snapshot ``version`` (1-based;
-        default latest). Raises if the version was never recorded or its
-        files have since been rewritten (overwrite/compaction)."""
+        default latest). Every journaled version is readable until
+        `vacuum_snapshots` reclaims it; vacuumed versions raise."""
         history = self.snapshot_history(table)
         if not history:
             raise ValueError(f"no snapshots recorded for table '{table}'")
@@ -307,15 +329,61 @@ class LakeEngine:
         matches = [h for h in history if h["version"] == version]
         if not matches:
             raise ValueError(f"table '{table}' has no snapshot version {version}")
-        files = matches[0]["files"]
+        entry = matches[0]
+        fmt = "parquet" if self.table_format == "delta" else self.table_format
+        retain_root = entry.get("retain_root")
+        if retain_root and os.path.isdir(retain_root):
+            return self.spark.read.format(fmt).load(retain_root)
+        # retention gone (vacuumed) — fall back to the original manifest
+        # if those files still exist (append-only history keeps them)
+        files = entry["files"]
         missing = [f for f in files if not os.path.exists(f.removeprefix("file:"))]
         if missing:
             raise ValueError(
                 f"snapshot {version} of '{table}' is no longer materialized "
-                f"({len(missing)}/{len(files)} files rewritten by overwrite/compaction)"
+                f"({len(missing)}/{len(files)} files rewritten and retention vacuumed)"
             )
-        fmt = "parquet" if self.table_format == "delta" else self.table_format
-        return self.spark.read.format(fmt).load(files)
+        reader = self.spark.read.format(fmt)
+        if entry.get("base"):
+            reader = reader.option("basePath", entry["base"])
+        return reader.load(files)
+
+    def vacuum_snapshots(self, table: str, keep_last: int = 2) -> int:
+        """Reclaim retention storage for all but the newest
+        ``keep_last`` snapshots (Delta VACUUM semantics: history older
+        than the horizon stops being readable; the journal keeps the
+        metadata). Returns the number of versions reclaimed."""
+        history = self.snapshot_history(table)
+        reclaimed = 0
+        for entry in history[:-keep_last] if keep_last > 0 else history:
+            root = entry.get("retain_root")
+            if root and os.path.isdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+                reclaimed += 1
+        return reclaimed
+
+    def snapshot_changes(
+        self,
+        table: str,
+        from_version: int,
+        to_version: int,
+        keys: Sequence[str],
+        compare_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Change feed between two recorded snapshots (Delta
+        `readChangeFeed` analogue on plain parquet): the keyed
+        inserted/deleted/changed delta of version ``from_version`` →
+        ``to_version``, computed by `operators/cdc.table_diff` over the
+        two manifest reads. Output is the (small) delta, never the
+        snapshots; both versions must still be materialized."""
+        from cbts_datalake_synnex_spark.operators.cdc import table_diff
+
+        return table_diff(
+            self.read_snapshot(table, from_version),
+            self.read_snapshot(table, to_version),
+            keys=keys,
+            compare_cols=compare_cols,
+        )
 
     def restore_snapshot(self, table: str, version: int) -> int:
         """RESTORE: make snapshot ``version`` the table's current

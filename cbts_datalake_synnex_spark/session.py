@@ -49,6 +49,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # the oracle workload's plans are unaffected.
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # Runtime semi-join reduction: build a bloom filter from the
+    # filtered (selective) side of a shuffle join and push it into the
+    # probe side's scan. At 100 TB this skips most fact rows BEFORE the
+    # shuffle when one side carries a selective predicate — the runtime
+    # twin of static partition pruning. Size thresholds stay at Spark's
+    # defaults (creation side ≤ 10 MB post-filter, probe ≥ 10 GB), so
+    # it self-arms only where it pays; tests/test_plans.py pins the
+    # injection with scaled-down thresholds.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -1189,3 +1189,40 @@ def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "pos", "centroid_val", "n_vectors")
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — language-ID confusion matrix: classifier quality vs the labeled
+# lang column, with per-true-language accuracy. The eval harness any
+# production lang-ID deployment ships next to the classifier.
+@query(
+    "x4_langid_confusion",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM documents
+    ),
+    g AS (SELECT lang, {_LANG_GUESS_SQL} AS lang_guess FROM s)
+    SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 6) AS frac_of_lang
+    FROM g GROUP BY lang, lang_guess
+    """,
+    doc="SURVEY §2.10 X4 — lang-ID confusion matrix (true lang × guess, count + "
+    "per-language fraction): one hash-agg + one window over the agg output.",
+)
+def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        text.lang_id(docs, "text")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    frac = F.round(F.col("n") / F.sum("n").over(W.partitionBy("lang")), 6)
+    return cm.select("lang", "lang_guess", "n", frac.alias("frac_of_lang"))

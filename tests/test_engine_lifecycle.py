@@ -639,15 +639,22 @@ def test_snapshot_time_travel_append_history(engine):
         engine.read_snapshot("po_status", 99)
 
 
-def test_snapshot_invalidated_by_compaction_reports(engine):
-    """Overwrite/compaction rewrites files; older snapshots must raise a
-    clear not-materialized error, never silently return partial data."""
+def test_snapshot_survives_compaction_until_vacuum(engine):
+    """Hard-link retention: compaction rewrites the live files, but the
+    pre-compaction snapshot stays readable (links pin the immutable
+    parquet parts) until vacuum_snapshots reclaims it — then the error
+    is explicit, never silent partial data."""
     engine.save_to_staging("po_status", RECORDS)
     engine.curate("po_status")
     v1 = engine.snapshot_history("po_status")[-1]["version"]
     engine.compact_table("po_status")
-    # new snapshot exists and reads fine
+    # both the new version and the pre-compaction version read fine
     assert engine.read_snapshot("po_status").count() == 2
+    assert engine.read_snapshot("po_status", v1).count() == 2
+    # partition columns survive the retention read (Hive dirs mirrored)
+    assert "processed_year" in engine.read_snapshot("po_status", v1).columns
+    # VACUUM with keep_last=1 reclaims v1; reading it now raises
+    assert engine.vacuum_snapshots("po_status", keep_last=1) >= 1
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="no longer materialized"):

@@ -234,3 +234,41 @@ def test_pq_topk_avoids_nested_loop(spark, sf_dir):
     txt = explain_str(REGISTRY["x3_pq_topk"].fn(spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    """Session posture arms runtime bloom-filter semi-join reduction;
+    at 100 TB scale it fires on its own size thresholds. Pin the
+    mechanism here with thresholds scaled to testdata: a selective
+    filter on orders must inject bloom_filter_agg / BloomFilterMightContain
+    into the lineitem probe side of the shuffle join."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+        txt = explain_str(j, "simple")
+        assert "bloom_filter_agg" in txt, txt[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

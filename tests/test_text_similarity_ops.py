@@ -393,3 +393,37 @@ def test_edit_distance_df_cap_preserves_pairs(spark):
     }
     assert (200, 201, 1) in got_capped
     assert got_capped == got_uncapped
+
+
+def test_winnow_fingerprint_edge_cases_match_python_reference(spark):
+    """Winnowing contract against a pure-Python reference: selection =
+    distinct min-per-window of md5-derived gram hashes, with graceful
+    degradation for docs shorter than k tokens or with fewer grams than
+    the window."""
+    import hashlib
+
+    from cbts_datalake_synnex_spark.operators.text import winnow_fingerprint
+
+    k, w = 3, 4
+    docs = {
+        1: "a b c d e f g h",          # normal
+        2: "a b",                      # < k tokens → whole-text gram
+        3: "a b c",                    # exactly k → one gram
+        4: "x x x x x x",              # repetitive → collapses to one hash
+    }
+
+    def gram_hash(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    def ref(text: str) -> set[int]:
+        toks = text.split(" ")
+        n_grams = max(len(toks) - k + 1, 1)
+        hs = [gram_hash(" ".join(toks[i : i + k])) for i in range(n_grams)]
+        n_win = max(len(hs) - w + 1, 1)
+        return {min(hs[j : j + w]) for j in range(n_win)}
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprint(df, "doc_id", "text", k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got == {i: ref(t) for i, t in docs.items()}

@@ -45,3 +45,26 @@ def test_restore_unknown_version_raises(engine, spark):
     )
     with pytest.raises(ValueError, match="no snapshot version 42"):
         engine.restore_snapshot("t", 42)
+
+
+def test_snapshot_changes_between_versions(engine, spark):
+    """Change feed between snapshots (readChangeFeed analogue): insert
+    + update classified; unchanged rows absent from the delta."""
+    v1_df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    engine.write_curated("t", v1_df, mode="append", partition_cols=[])
+    v1 = engine.snapshot_history("t")[-1]["version"]
+    # v2 = v1 plus a new row; an "update" on parquet append-history means
+    # id 2 appears again with a new value (both rows present at v2), so
+    # classify against a merged table instead: use merge_upsert
+    engine.merge_upsert(
+        "t",
+        spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string"),
+        keys=["id"],
+    )
+    v2 = engine.snapshot_history("t")[-1]["version"]
+    assert v2 > v1
+    delta = {
+        r["id"]: r["change_type"]
+        for r in engine.snapshot_changes("t", v1, v2, keys=["id"]).collect()
+    }
+    assert delta == {2: "changed", 3: "inserted"}
