@@ -520,8 +520,42 @@ class LakeEngine:
         # cheap emptiness gate — limit(1) not full count (SURVEY §4.1)
         if df.limit(1).count() == 0:
             return 0
+        # Observed batch metrics (the reference's CloudWatch alarms on
+        # job executions, serverless.yml:133-139, re-expressed as
+        # engine-side telemetry): `observe` rides the write action —
+        # zero extra passes — and the per-batch rows journal to the
+        # lake so "did last night's batch shrink 90%" is answerable
+        # without a metrics backend.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_in"))
         self.write_curated(table, df, mode=mode, partition_cols=partition_cols)
+        self._journal_metrics(table, {"rows_in": obs.get["rows_in"], "mode": mode})
         return self.spark.table(self.qualified(table)).count()
+
+    # ------------------------------------------------------------------
+    # Batch-metrics journal (observability parity: the reference alarms
+    # on timed-out / failed / throttled executions and retains logs
+    # 365 days — serverless.yml:28,133-139,315).
+    def _metrics_log_path(self, table: str) -> str:
+        return os.path.join(self.zones.root, "_metrics_log", f"{table}.jsonl")
+
+    def _journal_metrics(self, table: str, metrics: dict[str, Any]) -> None:
+        now = self._now() or datetime.now()
+        entry = {"at": now.strftime("%Y-%m-%d %H:%M:%S"), **metrics}
+        path = self._metrics_log_path(table)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def metrics_history(self, table: str) -> list[dict[str, Any]]:
+        """Per-batch observed metrics, oldest first."""
+        path = self._metrics_log_path(table)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
 
     # ------------------------------------------------------------------
     # §3.2 end-to-end — API fetch → raw archive → ingest to curated
@@ -618,13 +652,17 @@ class LakeEngine:
         self._save_mview_defs(defs)
         self.refresh_materialized_view(name)
 
-    # Incremental MV maintenance — algebraic aggregates only. The merge
-    # rule per agg function: how the stored per-group state combines
-    # with a partial aggregate over newly-arrived rows. count merges by
-    # SUM (a count of counts is wrong); avg is decomposed into hidden
-    # sum/count state columns and re-derived after each merge. Anything
-    # non-algebraic (countDistinct, median, ...) is rejected — its state
-    # is not mergeable and needs a full recompute (or a sketch).
+    # Incremental MV maintenance — algebraic + sketch aggregates. The
+    # merge rule per agg function: how the stored per-group state
+    # combines with a partial aggregate over newly-arrived rows. count
+    # merges by SUM (a count of counts is wrong); avg is decomposed into
+    # hidden sum/count state columns and re-derived after each merge;
+    # approx_distinct keeps a DataSketches HLL sketch per group
+    # (`hll_sketch_agg` state, `hll_union_agg` merge,
+    # `hll_sketch_estimate` finalize) — THE pattern that makes
+    # count-distinct incrementally maintainable at 100 TB, where exact
+    # distinct state is as big as the data. Exact countDistinct /
+    # median stay rejected — their state is not mergeable.
     _ALGEBRAIC_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
     def create_incremental_view(
@@ -638,7 +676,10 @@ class LakeEngine:
         """Incrementally-maintained aggregate over one curated table.
 
         ``aggs`` is ``[(func, col, alias), ...]`` with func in
-        sum/count/min/max/avg (count accepts col="*"). Refresh tracks the
+        sum/count/min/max/avg/approx_distinct (count accepts col="*";
+        approx_distinct maintains a mergeable DataSketches HLL sketch
+        per group — the sketch answer to count-distinct, which has no
+        mergeable exact state). Refresh tracks the
         source table's data files (``DataFrame.inputFiles``): new files
         since the last refresh are partially aggregated and MERGED into
         the stored per-group state — the refresh cost scales with the
@@ -650,10 +691,11 @@ class LakeEngine:
         only, src/purchase_orders.py:22).
         """
         for func, _col, _alias in aggs:
-            if func not in (*self._ALGEBRAIC_MERGE, "avg"):
+            if func not in (*self._ALGEBRAIC_MERGE, "avg", "approx_distinct"):
                 raise ValueError(
                     f"non-algebraic aggregate {func!r}: incremental merge "
-                    "undefined (use create_materialized_view for full refresh)"
+                    "undefined (use create_materialized_view for full refresh, "
+                    "or approx_distinct for the mergeable HLL sketch)"
                 )
         defs = self._mview_defs()
         defs[name] = {
@@ -694,6 +736,13 @@ class LakeEngine:
                 else:
                     exprs += [F.sum(s).alias(s), F.sum(c).cast("long").alias(c)]
                 continue
+            if func == "approx_distinct":
+                h = f"__{alias}_hll"
+                if partial:
+                    exprs.append(F.hll_sketch_agg(col).alias(h))
+                else:
+                    exprs.append(F.hll_union_agg(h).alias(h))
+                continue
             merge = self._ALGEBRAIC_MERGE[func]
             if partial:
                 src = F.count(F.lit(1)) if (func == "count" and col == "*") else getattr(F, func)(col)
@@ -713,6 +762,10 @@ class LakeEngine:
                 state = state.withColumn(
                     alias, F.col(f"__{alias}_sum") / F.col(f"__{alias}_cnt")
                 )
+            elif func == "approx_distinct":
+                state = state.withColumn(
+                    alias, F.hll_sketch_estimate(F.col(f"__{alias}_hll"))
+                )
         return state
 
     def _iv_state_cols(self, spec: dict[str, Any]) -> list[str]:
@@ -720,6 +773,8 @@ class LakeEngine:
         for func, _col, alias in spec["aggs"]:
             if func == "avg":
                 cols += [f"__{alias}_sum", f"__{alias}_cnt"]
+            elif func == "approx_distinct":
+                cols.append(f"__{alias}_hll")
             else:
                 cols.append(alias)
         return cols

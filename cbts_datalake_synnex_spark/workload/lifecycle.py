@@ -587,3 +587,59 @@ def lc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version int, n_rows bigint",
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Incremental count-distinct via mergeable HLL sketch state — the only
+# way distinct stays incrementally maintainable at 100 TB (exact
+# distinct state is as big as the data; sketches merge).
+@query(
+    "lc_incremental_hll_mv",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(n_regionkey AS INTEGER) AS rk, n_name FROM nation
+      UNION ALL
+      SELECT CAST(n_regionkey AS INTEGER), n_name FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT CAST(n_regionkey AS INTEGER), n_name || '_x' FROM nation WHERE n_nationkey < 5
+    )
+    SELECT rk, CAST(count(DISTINCT n_name) AS BIGINT) AS n_names
+    FROM src GROUP BY rk
+    """,
+    doc="Incrementally-maintained approx-distinct: per-group DataSketches HLL "
+    "state, merged forward per delta file batch (hll_union_agg), finalized "
+    "with hll_sketch_estimate — exact at these cardinalities (sparse mode), "
+    "so the oracle states exact distinct counts. Raises unless the refresh "
+    "took the incremental path (engine.create_incremental_view).",
+)
+def lc_incremental_hll_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").cast("int").alias("rk"), F.col("n_name").alias("name")
+    )
+    batch2 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < 10)
+        .select(F.col("n_regionkey").cast("int").alias("rk"), F.col("n_name").alias("name"))
+    )
+    batch3 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < 5)
+        .select(
+            F.col("n_regionkey").cast("int").alias("rk"),
+            F.concat(F.col("n_name"), F.lit("_x")).alias("name"),
+        )
+    )
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("hsrc", nation, mode="overwrite", partition_cols=[])
+        eng.create_incremental_view(
+            "h_by_region", "hsrc", ["rk"], [("approx_distinct", "name", "n_names")]
+        )
+        eng.write_curated("hsrc", batch2, mode="append", partition_cols=[])
+        eng.write_curated("hsrc", batch3, mode="append", partition_cols=[])
+        how = eng.refresh_materialized_view("h_by_region")
+        if how != "incremental":
+            raise RuntimeError(f"expected incremental merge, got {how!r}")
+        out = spark.table(eng.qualified("h_by_region")).select(
+            "rk", F.col("n_names").cast("bigint").alias("n_names")
+        )
+        return _materialize(spark, out)

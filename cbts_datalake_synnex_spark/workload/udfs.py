@@ -177,3 +177,85 @@ def udtf_python_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 25)
     )
+
+
+# ----------------------------------------------------------------------
+# §2.9 — the NATIVE Python UDTF API (Spark 4 `@udtf` + SQL LATERAL):
+# the registered-table-function rung between codegen explode and the
+# mapInPandas escape hatch. Same semantics as udtf_bigrams, so it
+# carries the same oracle — crossing the UDTF boundary must not change
+# a row.
+@query(
+    "udtf_lateral_bigrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE lang = 'de'),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram HAVING count(*) >= 25
+    """,
+    doc="SURVEY §2.9 UDTF — the same expansion through the native Python UDTF "
+    "API (@udtf class, spark.udtf.register, SQL LATERAL join): Arrow-batched "
+    "per-row generator, planner-visible output schema.",
+)
+def udtf_lateral_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string")
+    class BigramsUdtf:
+        def eval(self, text: str):  # noqa: ANN001
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                yield (f"{a} {b}",)
+
+    spark.udtf.register("bigrams_udtf", BigramsUdtf)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    docs.createOrReplaceTempView("udtf_docs_de")
+    return spark.sql(
+        """
+        SELECT b.bigram, count(*) AS n
+        FROM udtf_docs_de d, LATERAL bigrams_udtf(d.text) b
+        GROUP BY b.bigram HAVING count(*) >= 25
+        """
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.9 — mapInArrow: the zero-copy rung below mapInPandas (RecordBatch
+# in, RecordBatch out; no pandas materialization). Payload-byte
+# accounting stays in Arrow compute end to end.
+@query(
+    "udf_arrow_batch_bytes",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS text_bytes,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    doc="SURVEY §2.9 — Arrow-native batch transform (mapInArrow, RecordBatch "
+    "in/out, no pandas hop): per-doc byte + token accounting via pyarrow "
+    "compute; the boundary of choice for binary-column pipelines.",
+)
+def udf_arrow_batch_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "text_bytes", "n_tokens"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(stats, "doc_id bigint, text_bytes bigint, n_tokens bigint")

@@ -659,3 +659,47 @@ def test_snapshot_survives_compaction_until_vacuum(engine):
 
     with _pytest.raises(ValueError, match="no longer materialized"):
         engine.read_snapshot("po_status", v1)
+
+
+def test_curate_journals_observed_batch_metrics(engine):
+    """Each curate batch journals its observed input-row count (rides
+    the write action via df.observe — no extra pass); history answers
+    'did last night's batch shrink' without a metrics backend."""
+    engine.save_to_staging("po_status", RECORDS)
+    engine.curate("po_status")
+    engine.prepare_staging("po_status")
+    engine.save_to_staging("po_status", RECORDS[:1])
+    engine.curate("po_status")
+    hist = engine.metrics_history("po_status")
+    assert [h["rows_in"] for h in hist] == [2, 1]
+    assert all(h["at"] == "2024-05-17 12:00:00" for h in hist)  # pinned clock
+    assert all(h["mode"] == "append" for h in hist)
+
+
+def test_incremental_view_approx_distinct_hll_merge(engine, spark):
+    """approx_distinct incremental maintenance: the per-group HLL sketch
+    state merges new files forward (hll_union_agg) and the estimate
+    matches a from-scratch recompute — count-distinct kept fresh at
+    delta cost, impossible with exact state."""
+    df1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 7)], "k string, u int"
+    )
+    engine.write_curated("iv_hsrc", df1, mode="overwrite", partition_cols=[])
+    engine.create_incremental_view(
+        "iv_hll", "iv_hsrc", ["k"], [("approx_distinct", "u", "n_users")]
+    )
+    got = {
+        r["k"]: r["n_users"]
+        for r in spark.table(engine.qualified("iv_hll")).collect()
+    }
+    assert got == {"a": 2, "b": 1}
+    # append: new values for 'a' (one duplicate, one new) + new group
+    df2 = spark.createDataFrame([("a", 2), ("a", 3), ("c", 9)], "k string, u int")
+    engine.write_curated("iv_hsrc", df2, mode="append", partition_cols=[])
+    assert engine.refresh_materialized_view("iv_hll") == "incremental"
+    got = {
+        r["k"]: r["n_users"]
+        for r in spark.table(engine.qualified("iv_hll")).collect()
+    }
+    # sketch estimates are exact at these cardinalities (sparse mode)
+    assert got == {"a": 3, "b": 1, "c": 1}
