@@ -248,3 +248,43 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/pretraining context
+    splitter): chunks start every ``stride`` tokens and span
+    ``chunk_tokens``, so consecutive chunks overlap by
+    ``chunk_tokens - stride`` tokens — boundary-crossing content
+    appears intact in at least one chunk, which plain disjoint
+    splitting (``packing.token_pack``) cannot guarantee.
+
+    Pure projection + one explode (no shuffle): start offsets via
+    ``sequence``, chunk text via ``slice`` inside ``transform``.
+    Returns (id_col, chunk_id, start_tok, chunk, n_chunk_tokens).
+    """
+    base = df.select(F.col(id_col), _toks(text_col).alias("toks"))
+    n = F.size(F.col("toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("bigint").alias("start_tok"),
+            F.array_join(F.slice(F.col("toks"), s + 1, chunk_tokens), " ").alias("chunk"),
+            F.least(F.lit(chunk_tokens), F.size(F.col("toks")) - s).cast("bigint").alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return base.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -941,3 +941,33 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tax_at_most_5pct": F.col("l_tax") <= 0.05,
         },
     )
+
+
+# ----------------------------------------------------------------------
+# §2.7 sketch — approx_top_k heavy hitters. At this column's cardinality
+# (5 priorities « maxItemsTracked=10000) the sketch tracks every item
+# exactly, so exploding it to (item, cnt) rows IS the exact group-by —
+# the oracle states it directly; the driver's order-insensitive row
+# compare absorbs the sketch's unspecified array order.
+@query(
+    "f_approx_top_k",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="SURVEY §2.7 — approx_top_k heavy-hitter sketch over o_orderpriority, "
+    "exploded to (item, cnt) rows; exact in the tracked regime, mergeable "
+    "partials at 100 TB.",
+)
+def f_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("atk_orders")
+    return spark.sql(
+        """
+        SELECT t.entry.item AS item, t.entry.count AS cnt
+        FROM (
+          SELECT explode(approx_top_k(o_orderpriority, 5)) AS entry
+          FROM atk_orders
+        ) t
+        """
+    )

@@ -1226,3 +1226,115 @@ def x4_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frac = F.round(F.col("n") / F.sum("n").over(W.partitionBy("lang")), 6)
     return cm.select("lang", "lang_guess", "n", frac.alias("frac_of_lang"))
+
+
+# ----------------------------------------------------------------------
+# X4/X6 — overlapping context chunking (RAG / pretraining splitter):
+# stride < chunk ⇒ boundary-crossing content survives in ≥1 chunk.
+@query(
+    "x4_chunk_text",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, range(0, len(toks), 48) AS starts FROM t),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(starts) AS start,
+             generate_subscripts(starts, 1) - 1 AS chunk_id
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(start AS BIGINT) AS start_tok,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk,
+           CAST(least(64, len(toks) - start) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+    doc="SURVEY §2.10 X4 — overlapping 64-token chunks every 48 tokens; pure "
+    "projection + one explode, no shuffle (operators/text.chunk_text).",
+)
+def x4_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_text(docs, id_col="doc_id", text_col="text", chunk_tokens=64, stride=48)
+
+
+# ----------------------------------------------------------------------
+# Quality-aware canonical dedup: inside each near-duplicate cluster keep
+# the HIGHEST-quality member (not the lowest id) — the policy real
+# training pipelines want, since near-dup groups usually contain one
+# clean original and several degraded copies.
+@query(
+    "pipeline_quality_canonical",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE lang = 'fr'),
+    tok AS (SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS sh FROM d),
+    sz AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS i
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2
+      FROM inter JOIN sz sa ON sa.doc = doc1 JOIN sz sb ON sb.doc = doc2
+      WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.7
+    ),
+    edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+              UNION SELECT doc2, doc1 FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS doc, least(a, min(b)) AS canonical FROM reach GROUP BY a),
+    t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS text_len,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(n_punct * 1.0 / greatest(text_len, 1), 6) AS punct_ratio,
+             round(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) * 1.0
+                   / greatest(len(toks), 1), 6) AS stopword_ratio
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1 - punct_ratio) + 0.3 * stopword_ratio, 6) AS quality
+      FROM r
+    ),
+    m AS (
+      SELECT q.doc_id, CAST(coalesce(l.canonical, q.doc_id) AS BIGINT) AS cluster_rep, q.quality
+      FROM q LEFT JOIN labels l ON l.doc = q.doc_id
+    )
+    SELECT doc_id, cluster_rep, quality,
+           row_number() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, doc_id) = 1 AS kept
+    FROM m
+    """,
+    doc="[EXT] quality-aware canonical dedup (fr subset): exact-Jaccard "
+    "clusters + heuristic quality -> keep the best-quality member per "
+    "cluster (tiebreak lowest id); singletons keep themselves. Cluster "
+    "labels from pointer-doubling components, certified against the "
+    "DuckDB recursive transitive closure.",
+)
+def pipeline_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=1
+    )
+    clusters = dedup.dedup_clusters(pairs)  # (doc, canonical)
+    scored = text.quality_score(docs, "text").select("doc_id", "quality")
+    m = scored.join(
+        clusters.withColumnRenamed("doc", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("canonical"), F.col("doc_id")).cast("bigint").alias("cluster_rep"),
+        "quality",
+    )
+    w = W.partitionBy("cluster_rep").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return m.select(
+        "doc_id", "cluster_rep", "quality", (F.row_number().over(w) == 1).alias("kept")
+    )
