@@ -178,3 +178,40 @@ def f_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ap50") >= F.col("p50_lo")) & (F.col("ap50") <= F.col("p50_hi"))).alias("p50_in_bracket"),
         ((F.col("ap95") >= F.col("p95_lo")) & (F.col("ap95") <= F.col("p95_hi"))).alias("p95_in_bracket"),
     )
+
+
+# ----------------------------------------------------------------------
+# Per-type z-score anomaly flags — the operational "which readings are
+# suspicious" query every telemetry lake runs: one hash-agg for the
+# per-type moments, broadcast back over the stream (no window over the
+# full table, so no single-partition sort at 100 TB).
+@query(
+    "t_value_anomalies",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - m.mu) / m.sigma, 6) AS zscore
+    FROM events e JOIN m USING (event_type)
+    WHERE e.value IS NOT NULL AND m.sigma > 0
+      AND abs((e.value - m.mu) / m.sigma) > 3
+    """,
+    doc="events analytics — per-type z-score outliers (|z| > 3): one "
+    "hash-agg for moments + broadcast join back; never a global window.",
+)
+def t_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    ).filter(F.col("sigma") > 0)
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )
