@@ -33,8 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every exact query; approximate
-    operators (MinHash/SimHash/LSH-ANN) are intentionally omitted —
-    the driver records a rows-only check and tests/ asserts recall
-    against the exact baselines."""
+    """DuckDB-equivalent SQL for EVERY query. Approximate operators
+    (MinHash/SimHash/LSH-ANN/IVF/PQ) and nondeterministic surfaces
+    (uuid generation) emit derived-deterministic verification reports
+    computed in-plan against their exact twins, so they too carry a
+    full-strength hash-checkable oracle (the recall/quality gates in
+    tests/ remain the tighter assertions)."""
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -285,6 +285,16 @@ class LakeEngine:
         version = len(history) + 1
         loc = self._table_location(qtable).removeprefix("file:")
         retain_root = self._snapshot_retain_root(table, version)
+        # Incremental retention: a file already retained by the previous
+        # version links from THAT copy (same filesystem by construction,
+        # so this is inode-only even when the table itself lives on a
+        # different device) — per-version cost is proportional to the
+        # CHANGED file set, and the cross-device copy fallback only ever
+        # engages for files new in this version. Parquet part files are
+        # immutable and uniquely named, so same relative path ⇒ same
+        # content.
+        prev_root = history[-1].get("retain_root") if history else None
+        n_copied = 0
         for f in files:
             src = f.removeprefix("file:")
             rel = os.path.relpath(src, loc)
@@ -292,10 +302,37 @@ class LakeEngine:
             # reads back WITH its Hive partition columns
             dst = os.path.join(retain_root, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            try:
-                os.link(src, dst)  # immutable data file: inode share, no copy
-            except OSError:
-                shutil.copy2(src, dst)  # cross-device fallback
+            linked = False
+            prev = os.path.join(prev_root, rel) if prev_root else None
+            if prev and os.path.exists(prev):
+                try:
+                    os.link(prev, dst)  # retained → retained: same fs, inode share
+                    linked = True
+                except OSError:
+                    pass
+            if not linked:
+                try:
+                    os.link(src, dst)  # immutable data file: inode share, no copy
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device fallback
+                    n_copied += 1
+        if n_copied:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "snapshot retention for %s v%d fell back to FULL COPY for %d/%d "
+                "files (cross-device lake root?) — retention is costing bytes, "
+                "not inodes; consider co-locating _snapshot_log with the table "
+                "or manifest-only retention",
+                table,
+                version,
+                n_copied,
+                len(files),
+            )
+        # Partition layout travels with the snapshot so RESTORE can
+        # rebuild the table with ITS original partitioning (not the
+        # engine default).
+        pcols = [c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition]
         now = self._now() or datetime.now()
         entry = {
             "version": version,
@@ -303,6 +340,7 @@ class LakeEngine:
             "files": files,
             "base": loc,
             "retain_root": retain_root,
+            "partition_cols": pcols,
         }
         path = self._snapshot_log_path(table)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -393,7 +431,14 @@ class LakeEngine:
         a restore never falsifies what past versions contained).
         Returns the new current version number."""
         snap = self.read_snapshot(table, version)
-        parts = [c for c in DEFAULT_PARTITION_COLS if c in snap.columns]
+        entry = next(
+            (h for h in self.snapshot_history(table) if h["version"] == version), {}
+        )
+        recorded = entry.get("partition_cols")
+        # snapshots journaled before partition_cols was recorded fall
+        # back to the engine default (legacy entries only)
+        source = recorded if recorded is not None else DEFAULT_PARTITION_COLS
+        parts = [c for c in source if c in snap.columns]
         # Stage first: the snapshot reads the very files the overwrite
         # truncates (same self-read hazard as compact_table).
         scratch = os.path.join(self.zones.root, "_compact", f"{table}_restore_{uuid.uuid4().hex[:8]}")

@@ -18,11 +18,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _shingles(text_col: str, n: int) -> F.Column:
-    """Distinct lowercase token n-grams as an array column (pure
-    projection — the HOF stays inside codegen, same trick as the
-    bigram UDTF)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def _shingles_over_tokens(toks_col: str, n: int) -> F.Column:
+    """Distinct lowercase token n-grams from a MATERIALIZED token-array
+    column (pure projection — the HOF stays inside codegen). The token
+    column must be projected first: a split() expression referenced
+    inside the lambda is re-evaluated once PER GRAM (no CSE across the
+    lambda boundary), turning O(n) shingling into O(n²) re-splitting."""
+    toks = F.col(toks_col)
     grams = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda x, i: F.concat_ws(
@@ -47,11 +53,13 @@ def contamination_report(
     Returns (id_col, n_overlap, contaminated) for every corpus row.
     """
     bench_shingles = (
-        benchmark.select(F.explode(_shingles(text_col, n)).alias("sh")).distinct()
+        benchmark.select(_tokens(text_col).alias("__toks"))
+        .select(F.explode(_shingles_over_tokens("__toks", n)).alias("sh"))
+        .distinct()
     )
     corpus_shingles = corpus.select(
-        F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("sh")
-    )
+        F.col(id_col).alias("doc"), _tokens(text_col).alias("__toks")
+    ).select("doc", F.explode(_shingles_over_tokens("__toks", n)).alias("sh"))
     counts = (
         corpus_shingles.join(F.broadcast(bench_shingles), "sh")
         .groupBy("doc")

@@ -28,13 +28,35 @@ def _tokens(text_col: str) -> F.Column:
 
 
 def _shingles(text_col: str, size: int) -> F.Column:
-    """Word n-gram shingles as an array column; whole text if shorter."""
+    """Word n-gram shingles as an array column; whole text if shorter.
+
+    NOTE: referencing ``split(text)`` inside the transform lambda would
+    re-split the text once PER SHINGLE (no CSE across the lambda
+    boundary — see ``_hashed_shingles_over_tokens``), turning O(n)
+    shingling into O(n²). Only use this form on a column that is
+    already a materialized token array via ``_string_shingles_over_
+    tokens``; this wrapper stays for single-expression callers."""
     toks = _tokens(text_col)
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - size),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, size)),
     )
     return F.when(F.size(toks) < F.lit(size), F.array(F.col(text_col))).otherwise(ngrams)
+
+
+def _string_shingles_over_tokens(toks_col: str, text_col: str, size: int) -> F.Column:
+    """String word-n-gram shingles from a MATERIALIZED token-array
+    column — the CSE-safe twin of ``_shingles`` (the lambda binds an
+    attribute, so tokenization runs once per row, not once per
+    shingle). Whole raw text if shorter than ``size`` tokens, matching
+    ``_shingles`` exactly."""
+    toks = F.col(toks_col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - size + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, size)),
+    )
+    return F.when(n < F.lit(size), F.array(F.col(text_col))).otherwise(grams)
 
 
 def _hashed_shingles_over_tokens(toks_col: str, size: int) -> F.Column:
@@ -116,46 +138,69 @@ def ngram_jaccard_pairs(
     oracle-checkable; cost grows with token document frequency, so at
     scale set ``max_doc_freq`` (or use ``minhash_lsh_pairs``).
 
-    ``max_doc_freq``: drop shingles shared by more than this many docs
-    BEFORE the self-join (see ``_rare_shingle_candidates``); surviving
-    candidate pairs are verified with exact full-set Jaccard via their
-    complete shingle arrays, so precision stays 1 and reported scores
-    are identical to the uncapped path. Recall loses only pairs whose
-    EVERY common shingle is ubiquitous — which at any sane cap means
-    the pair's similarity is carried entirely by stop-grams.
+    Candidate generation uses the LOSSLESS prefix filter (the
+    AllPairs / PPJoin principle from the set-similarity-join
+    literature): order every document's distinct shingles by ascending
+    global document frequency (shingle as tiebreak — one total order
+    for the whole corpus) and explode only the first
+    ``n − ⌈t·n⌉ + 1`` per document into the inverted-index self-join.
+    Jaccard ≥ t forces overlap ≥ ⌈t·n⌉ on BOTH sides, so any
+    qualifying pair must collide inside these prefixes — recall stays
+    exactly 1 while candidates shrink superlinearly (rare-first
+    ordering makes prefix shingles nearly unique). Survivors are
+    verified with exact full-array Jaccard, so precision is 1 and
+    scores are identical to a naive all-shared-shingle join. This is
+    what keeps the exact join alive at 100 TB: candidate volume tracks
+    the near-duplicate count, not the stop-gram document frequency.
+
+    ``max_doc_freq``: additionally drop shingles shared by more than
+    this many docs before ranking (approximate — loses only pairs
+    whose every common shingle is ubiquitous; bounds the worst-case
+    fan-out of a single prefix shingle at max_doc_freq²/2).
     """
-    shs_arr = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(_shingles(text_col, shingle_size)).alias("shs"),
-    )
-    sh = shs_arr.select("doc", F.explode("shs").alias("sh"))
+    from pyspark.sql import Window
+
+    # Shingles are xxhash64-hashed (8-byte join/intersect keys instead
+    # of n-gram strings — identical Jaccard up to 64-bit collisions,
+    # same equivalence the MinHash path documents); halves verify cost
+    # and shrinks every exchange.
+    shs_arr = _hashed_shingle_docs(df, id_col, text_col, shingle_size)
+    sh = shs_arr.select("doc", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
+    # Document frequency as a window over the sh partition — one
+    # exchange on sh, no separate groupBy+join round trip.
+    withdf = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
     if max_doc_freq is not None:
-        cand = _rare_shingle_candidates(sh, max_doc_freq)
-        s1 = shs_arr.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
-        s2 = shs_arr.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
-        inter = F.size(F.array_intersect("shs1", "shs2"))
-        union = F.size("shs1") + F.size("shs2") - inter
-        return (
-            s1.join(F.broadcast(cand), "doc1")
-            .join(s2, "doc2")
-            .select("doc1", "doc2", F.round(inter / union, 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-        )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        withdf = withdf.filter(F.col("df") <= max_doc_freq)
+    ranked = withdf.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("sh"))),
     )
-    sa = sizes.select(F.col("doc").alias("doc1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc2"), F.col("n").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    prefix_len = F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc", "n", "sh")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Length filter (also lossless): J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t.
+    t_lit = F.lit(float(threshold))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.n") >= t_lit * F.col("a.n"))
+            & (F.col("a.n") >= t_lit * F.col("b.n")),
+        )
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+    s1 = shs_arr.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
+    s2 = shs_arr.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
+    inter = F.size(F.array_intersect("shs1", "shs2"))
+    union = F.size("shs1") + F.size("shs2") - inter
+    # Candidates ≈ near-duplicates — tiny at any scale — so broadcast
+    # THEM; the full shingle-array table is never shuffled for verify.
     return (
-        inter.join(sa, "doc1")
-        .join(sb, "doc2")
-        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        s1.join(F.broadcast(cand), "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -330,12 +375,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunk_bits: int = 16
 ) -> DataFrame:
-    """X2 — SimHash near-dup pairs with hamming ≤ max_hamming (≤3 uses
-    exact 4×16-bit chunk banding: by pigeonhole any pair within hamming
-    3 shares at least one exact chunk, so candidate generation is an
-    equi-join, never all-pairs). Returns (doc1, doc2, hamming)."""
+    """X2 — SimHash near-dup pairs with hamming ≤ max_hamming via exact
+    chunk banding: the 64-bit signature splits into ``64 // chunk_bits``
+    chunks; by pigeonhole any pair within hamming < n_chunks shares at
+    least one intact chunk, so candidate generation is an equi-join,
+    never all-pairs. ``chunk_bits`` picks the decomposition (16 → 4
+    chunks, 8 → 8 chunks) — any valid choice yields the SAME pair set,
+    which the registry report query exploits as a cross-check.
+    Returns (doc1, doc2, hamming)."""
+    n_chunks = 64 // chunk_bits
+    assert n_chunks * chunk_bits == 64, "chunk_bits must divide 64"
+    assert max_hamming < n_chunks, (
+        f"banding on {n_chunks} chunks is only exhaustive for hamming < {n_chunks}"
+    )
+    mask = (1 << chunk_bits) - 1
     sig = simhash(df, id_col, text_col)
     chunks = sig.select(
         F.col(id_col).alias("doc"),
@@ -345,9 +400,9 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        F.shiftrightunsigned("simhash", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("cv"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),

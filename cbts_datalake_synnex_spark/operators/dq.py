@@ -24,8 +24,10 @@ def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 
     Returns (rule, n_rows, n_violations, violation_rate, passed).
     """
+    # coalesce: SUM over zero rows is NULL — an empty input must report
+    # 0 violations / passed=true, not NULL-poison a downstream gate.
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.when(cond, 0).otherwise(1)).alias(f"__v_{name}")
+        F.coalesce(F.sum(F.when(cond, 0).otherwise(1)), F.lit(0)).alias(f"__v_{name}")
         for name, cond in rules.items()
     ]
     row = df.agg(*aggs)

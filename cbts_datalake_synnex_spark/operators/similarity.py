@@ -65,6 +65,37 @@ def cosine_topk(
     )
 
 
+def exact_rescore(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    round_dp: int = 6,
+    out_col: str = "cosine_exact",
+) -> DataFrame:
+    """Recompute the exact cosine for an (already-small) pair list —
+    the verification step ANN report queries use to certify that an
+    approximate index returned true similarities for whatever it
+    returned. ``pairs`` is k·|queries| rows, so IT broadcasts into the
+    vector table joins; the big vector side is never shuffled."""
+    qv = vectors.select(F.col(id_col).alias(query_col), F.col(vec_col).alias("__qv"))
+    cv = vectors.select(F.col(id_col).alias(cand_col), F.col(vec_col).alias("__cv"))
+    return (
+        cv.join(F.broadcast(pairs), cand_col)
+        .join(F.broadcast(qv), query_col)
+        .withColumn(
+            out_col,
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                round_dp,
+            ),
+        )
+        .drop("__qv", "__cv")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — reproducible
     across runs/hosts with no RNG state (SURVEY §7: every approximate
@@ -181,8 +212,13 @@ def ivf_topk(
         .limit(max(n_cells * 64, 512))
         .collect()
     )
+    if not seed_rows:
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, cosine double, rank int"
+        )
     sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, len(sample))  # degenerate corpus < n_cells
     cents = sample[:n_cells].copy()
     for _ in range(lloyd_iters):
         assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit vectors
@@ -192,25 +228,37 @@ def ivf_topk(
                 m = members.mean(axis=0)
                 cents[c] = m / max(np.linalg.norm(m), 1e-12)
 
-    cent_arrs = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    # Centroids travel as BROADCAST DATA (a one-row matrix joined onto
+    # each side), not as F.lit plan literals — plan size stays O(1) in
+    # n_cells × dim instead of inlining every coordinate into the tree
+    # (at 768-dim × 4k cells a literal tree is MBs of plan per query).
+    cent_df = candidates.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in cents],)], "__cmat: array<array<double>>"
+    )
 
     def nearest_cells(vec: F.Column, n: int) -> F.Column:
         """array of the n cell-ids with highest cosine to vec (unit
         centroids ⇒ dot product ranks cosine)."""
-        scored = F.array(
-            *[
-                F.struct(_dot(vec, arr).alias("s"), F.lit(i).alias("c"))
-                for i, arr in enumerate(cent_arrs)
-            ]
+        scored = F.transform(
+            F.col("__cmat"),
+            lambda cv, i: F.struct(_dot(vec, cv).alias("s"), i.alias("c")),
         )
         return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("c")
 
-    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")).withColumn(
-        "cnorm", _norm(F.col("cv"))
-    ).withColumn("cell", F.element_at(nearest_cells(F.col("cv"), 1), 1))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "qnorm", _norm(F.col("qv"))
-    ).withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+    c = (
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cnorm", _norm(F.col("cv")))
+        .withColumn("cell", F.element_at(nearest_cells(F.col("cv"), 1), 1))
+        .drop("__cmat")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("qnorm", _norm(F.col("qv")))
+        .withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+        .drop("__cmat")
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -398,6 +446,10 @@ def pq_topk(
     import numpy as np
 
     dim_row = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, cosine double, rank int"
+        )
     dim = dim_row["d"]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sd = dim // m
@@ -413,6 +465,7 @@ def pq_topk(
     # Train and encode on UNIT vectors: ADC then approximates cosine
     # directly (the ranking target), not the norm-confounded raw dot.
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n_codes = min(n_codes, len(sample))  # clamp: fewer vectors than codes
     books = []  # books[j] : (n_codes, sd)
     for j in range(m):
         sub = sample[:, j * sd : (j + 1) * sd]
@@ -426,25 +479,32 @@ def pq_topk(
                     cents[c] = members.mean(axis=0)
         books.append(cents)
 
-    def _l2(a: F.Column, arr) -> F.Column:
-        cent = F.array(*[F.lit(float(x)) for x in arr])
+    # Codebooks travel as BROADCAST DATA (one-row m × n_codes × sd
+    # tensor joined onto each side), not F.lit plan literals — plan
+    # size stays O(1) in m · n_codes · sd (see ivf_topk's cent_df note).
+    book_df = candidates.sparkSession.createDataFrame(
+        [([[[float(x) for x in c] for c in b] for b in books],)],
+        "__bmat: array<array<array<double>>>",
+    )
+
+    def _l2(a: F.Column, cent: F.Column) -> F.Column:
         diff = F.zip_with(a, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
         return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
     def _encode(vec: F.Column) -> F.Column:
         """array<int> of m nearest-centroid codes (argmin via array_min
         over (dist, code) structs — deterministic tiebreak on code)."""
-        codes = []
-        for j in range(m):
-            sub = F.slice(vec, j * sd + 1, sd)
-            scored = F.array(
-                *[
-                    F.struct(_l2(sub, books[j][c]).alias("d"), F.lit(c).alias("c"))
-                    for c in range(n_codes)
-                ]
-            )
-            codes.append(F.array_min(scored)["c"])
-        return F.array(*codes)
+        return F.transform(
+            F.col("__bmat"),
+            lambda book, j: F.array_min(
+                F.transform(
+                    book,
+                    lambda cent, c: F.struct(
+                        _l2(F.slice(vec, j * sd + 1, sd), cent).alias("d"), c.alias("c")
+                    ),
+                )
+            )["c"],
+        )
 
     # Norm materialized as a column BEFORE the lambda (expressions inside
     # higher-order lambdas are re-evaluated per element — no CSE).
@@ -454,6 +514,7 @@ def pq_topk(
             F.col(vec_col).alias("cv"),
             F.greatest(_norm(F.col(vec_col)), F.lit(1e-12)).alias("cn"),
         )
+        .crossJoin(F.broadcast(book_df))
         .select(
             "cand_id",
             "cv",
@@ -463,24 +524,18 @@ def pq_topk(
     code_rows = cand.select("cand_id", F.posexplode("codes").alias("sub", "code"))
 
     # ADC lookup table: partial dot of each query subvector with every
-    # centroid — |Q|·m·n_codes rows, built declaratively, broadcast.
-    grid = [
-        F.struct(
-            F.lit(j).alias("sub"),
-            F.lit(c).alias("code"),
-            F.array(*[F.lit(float(x)) for x in books[j][c]]).alias("cent"),
-        )
-        for j in range(m)
-        for c in range(n_codes)
-    ]
+    # centroid — |Q|·m·n_codes rows, built declaratively (posexplode of
+    # the broadcast codebook tensor), broadcast into the code join.
     lut = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .select("query_id", "qv", F.explode(F.array(*grid)).alias("g"))
+        .crossJoin(F.broadcast(book_df))
+        .select("query_id", "qv", F.posexplode("__bmat").alias("sub", "book"))
+        .select("query_id", "qv", "sub", F.posexplode("book").alias("code", "cent"))
         .select(
             "query_id",
-            F.col("g.sub").alias("sub"),
-            F.col("g.code").alias("code"),
-            _dot(F.slice(F.col("qv"), F.col("g.sub") * sd + 1, sd), F.col("g.cent")).alias("partial"),
+            "sub",
+            "code",
+            _dot(F.slice(F.col("qv"), F.col("sub") * sd + 1, sd), F.col("cent")).alias("partial"),
         )
     )
     adc = (

@@ -103,7 +103,9 @@ def tfidf_top_terms(
     df(term) via a window count over term — the SAME shuffled layout
     the tf aggregate produced, so Catalyst reuses one exchange;
     idf = ln((N+1)/(df+1)) smoothed. ``n_docs`` can be passed when the
-    caller already knows it (saves the count job).
+    caller already knows it; otherwise N is computed IN-PLAN as a
+    one-row aggregate broadcast into the scoring projection — never a
+    separate driver-side count() job (one scan, not two).
     Returns (id_col, term, tfidf, rnk) with rnk ≤ k, deterministic
     tiebreak on term. Scale: everything keys on term or doc — no
     all-pairs anything; skewed stop-terms are exactly the rows idf
@@ -111,17 +113,20 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window as W
 
-    if n_docs is None:
-        n_docs = df.count()
     tf = (
         df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if n_docs is None:
+        ncol = F.col("__n_docs").cast("double")
+        tf = tf.crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("__n_docs"))))
+    else:
+        ncol = F.lit(float(n_docs))
     dfreq = F.count(F.lit(1)).over(W.partitionBy("term"))
     scored = tf.withColumn(
         "tfidf",
-        F.round(F.col("tf") * F.log((n_docs + 1.0) / (dfreq + 1.0)), 6),
+        F.round(F.col("tf") * F.log((ncol + 1.0) / (dfreq + 1.0)), 6),
     )
     rnk = F.row_number().over(W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term")))
     return (

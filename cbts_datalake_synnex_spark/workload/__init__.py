@@ -23,75 +23,77 @@ from cbts_datalake_synnex_spark.workload import functions_ext  # noqa: F401,E402
 # Certification rotation. The correctness driver samples the FIRST 50
 # registry entries each round, so declaration order decides which
 # queries accumulate driver-side DuckDB evidence. Rounds 1-3 certified
-# the same 50 relational/scalar entries; rotate the never-sampled
-# queries (X1-X8, pipelines, UDF/UDTF, lifecycle, CDC, events) to the
-# front so they get rows this round, and park the already-certified
-# set at the back for re-rotation later.
-_ROUND4_FRONT = [
-    # X1/X2 — dedup family
-    "x1_exact_dedup",
-    "x2_ngram_jaccard_pairs",
-    "x2_edit_distance_pairs",
+# the relational/scalar core; round 4 certified X1-X8 / pipelines /
+# UDF / lifecycle / CDC. Round 5 closes the ledger: the 43 entries
+# that have never received a driver row (the round-2/3/4 additions past
+# slot 100, the formerly-no-oracle approximates — which now emit
+# derived-deterministic verification reports — and 7 relational
+# stragglers), plus 7 already-certified regression canaries chosen for
+# risk (bench headliners, the lifecycle core the round-5 engine edits
+# touch, and the two shapes round 3's NTZ regression broke).
+_ROUND5_FRONT = [
+    # formerly no-oracle approximates — now derived-report oracles
     "x2_minhash_lsh_pairs",
     "x2_simhash_near_dup",
     "x2_dedup_clusters",
-    "x2_dedup_clusters_exact",
-    # X3 — similarity search
-    "x3_cosine_topk",
     "x3_lsh_ann_topk",
     "x3_ivf_topk",
-    "x3_embedding_near_dup",
-    "x3_normalize_quantize",
-    # X4 — text analysis
-    "x4_lang_id",
-    "x4_quality_score",
-    "x4_token_counts",
-    "x4_tfidf_top_terms",
-    "x4_fingerprint",
-    "x4_redact_pii",
-    "x4_repetition_stats",
-    # X5 — multimodal
-    "x5_multimodal_payload",
-    "x5_frame_sample",
-    "x5_decode_media",
-    # X6-X8 — training-data pipelines
-    "pipeline_training_set",
-    "pipeline_train_test_split",
-    "pipeline_stratified_sample",
-    "pipeline_token_pack",
-    "pipeline_decontaminate",
-    "pipeline_mixture_weights",
-    "pipeline_mixture_resample",
-    # §2.9 UDF/UDTF
-    "udf_scalar_sigmoid",
-    "udf_grouped_agg_weighted_avg",
-    "udf_grouped_map_minmax",
-    "udtf_bigrams",
-    "udtf_python_bigrams",
-    # medallion lifecycle (the reference's core ETL)
-    "lc_ingest_nested_json",
-    "lc_staging_allstring_read",
+    "x3_pq_topk",
+    "f_id_generation",
+    # oracle added round 4, never re-windowed
+    "a3_approx_count_distinct",
+    # relational stragglers (TPC-H shapes past slot 100 in r1-r3)
+    "j4_idle_rich_customers",
+    "a2_revenue_forecast",
+    "j_market_share",
+    "j_product_profit",
+    "j_top_supplier",
+    "j4_waiting_suppliers",
+    "w1_percent_rank_cume",
+    # round-2/3 scalar/window additions past slot 100
+    "f_percentiles",
+    "f_approx_percentiles",
+    "f_stats_funcs",
+    "f_bitwise_funcs",
+    "f_interval_funcs",
+    "f_array_agg_funcs",
+    "f_string_regex_funcs",
+    "f_histogram",
+    "t_sliding_window",
+    "t_session_window",
+    "t_value_anomalies",
+    # round-4 additions
+    "dq_expectations",
+    "f_approx_top_k",
+    "pipeline_embedding_dedup",
+    "x4_normalize_text",
+    "x2_span_dedup",
+    "pipeline_quality_filter",
+    "x4_winnow_fingerprint",
+    "pipeline_corpus_to_batches",
+    "x4_unigram_logprob",
+    "x3_label_centroids",
+    "x4_langid_confusion",
+    "x4_chunk_text",
+    "pipeline_quality_canonical",
+    "udtf_lateral_bigrams",
+    "udf_arrow_batch_bytes",
+    "lc_time_travel",
+    "lc_incremental_hll_mv",
+    # regression canaries (already certified; highest re-break risk)
+    "t_sessionize",
+    "j2_broadcast_dim_join",
+    "j1_regional_revenue",
+    "a2_pricing_summary",
+    "j6_asof_join",
+    "t_tumbling_window",
     "lc_curate_staging_to_table",
-    "lc_raw_archive_roundtrip",
-    "lc_schema_evolution_append",
-    "lc_schema_journal",
-    "lc_merge_upsert",
-    "lc_truncate_reload",
-    "lc_partition_discovery",
-    "lc_api_ingest",
-    "lc_incremental_mv",
-    "lc_incremental_stream_curate",
-    # CDC + events analytics
-    "cdc_latest_snapshot",
-    "cdc_table_diff",
-    "t_funnel_conversion",
-    "t_hourly_retention",
 ]
 
 
 def _rotate_registry() -> None:
-    front = [n for n in _ROUND4_FRONT if n in REGISTRY]
-    missing = [n for n in _ROUND4_FRONT if n not in REGISTRY]
+    front = [n for n in _ROUND5_FRONT if n in REGISTRY]
+    missing = [n for n in _ROUND5_FRONT if n not in REGISTRY]
     assert not missing, f"rotation references unknown queries: {missing}"
     rest = [n for n in REGISTRY if n not in set(front)]
     ordered = {n: REGISTRY[n] for n in front + rest}

@@ -291,21 +291,42 @@ def a2_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------------
 # §2.7 misc — id generation (uuid, monotonically_increasing_id,
-# xxhash64). Nondeterministic by design → no value oracle; the test
-# suite asserts uniqueness and the driver records a rows-only check.
+# xxhash64). The generated values are nondeterministic by design, so
+# the driver-checkable surface is the INVARIANT report: row count
+# preserved (DuckDB anchor) plus constant-expected claims — every id
+# kind unique across the frame and every uuid in canonical v4 format.
+# A hash match certifies the id surface ran inside its contract.
 @query(
     "f_id_generation",
-    oracle=None,
-    doc="SURVEY §2.7 misc — uuid()/monotonically_increasing_id()/xxhash64 id surface "
-    "(nondeterministic: uniqueness-tested, rows-only driver check).",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           TRUE AS uuids_unique,
+           TRUE AS uuids_v4_format,
+           TRUE AS mids_unique,
+           TRUE AS hashes_unique
+    FROM customer
+    """,
+    doc="SURVEY §2.7 misc — uuid()/monotonically_increasing_id()/xxhash64 id surface; "
+    "emits the uniqueness/format invariant report (derived deterministic oracle — "
+    "the generated values are nondeterministic, their contract is not).",
 )
 def f_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    return c.select(
+    ids = c.select(
         "c_custkey",
         F.expr("uuid()").alias("row_uuid"),
         F.monotonically_increasing_id().alias("row_mid"),
         F.xxhash64("c_custkey", "c_name").alias("row_hash"),
+    )
+    v4 = r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    return ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.countDistinct("row_uuid") == F.count(F.lit(1))).alias("uuids_unique"),
+        (F.count(F.when(F.col("row_uuid").rlike(v4), 1)) == F.count(F.lit(1))).alias(
+            "uuids_v4_format"
+        ),
+        (F.countDistinct("row_mid") == F.count(F.lit(1))).alias("mids_unique"),
+        (F.countDistinct("row_hash") == F.count(F.lit(1))).alias("hashes_unique"),
     )
 
 

@@ -1,11 +1,15 @@
 """[EXT] LLM-data-pipeline workload (SURVEY §2.10) over the
 ``documents`` / ``embeddings`` testdata tables.
 
-Exact operators carry a DuckDB oracle; the approximate ones
-(MinHash-LSH, SimHash, LSH-ANN) are declared without oracle — the
-driver records a rows-only check and ``tests/`` asserts recall against
-the exact baselines (SURVEY §7: "LSH quality gates ... recall@k
-assertions vs exact baseline, not hash equality").
+Exact operators carry a direct DuckDB oracle. The approximate ones
+(MinHash-LSH, SimHash, LSH-ANN, IVF, PQ) are deterministic under their
+fixed seeds, so each registry entry emits a DERIVED DETERMINISTIC
+verification report computed in-plan against its exact twin — exact
+anchors DuckDB reproduces plus constant-expected claims (zero false
+positives, recall above the gated floor, scores equal to the exact
+recomputation). The driver hash-checks the report like any other
+query; ``tests/`` keeps the tighter recall gates (SURVEY §7: "LSH
+quality gates ... recall@k assertions vs exact baseline").
 """
 
 from __future__ import annotations
@@ -80,28 +84,124 @@ def x2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.edit_distance_pairs(part, id_col="p_partkey", text_col="p_name", max_dist=1, q=2)
 
 
+# Exact word-3-gram Jaccard ≥ 0.7 pair set over the FULL documents
+# table, as a DuckDB CTE fragment — the deterministic ground truth the
+# MinHash-LSH report queries anchor on. Mirrors operators/dedup._shingles
+# exactly: split on single space, 3-token shingles, whole text when
+# shorter, distinct shingle sets.
+_EXACT_3GRAM_PAIRS_CTE = """
+    t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) < 3 THEN [text]
+                    ELSE list_transform(generate_series(1, len(toks) - 2),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+               END) AS shs
+      FROM t
+    ),
+    tok AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM s),
+    sz AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS i
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter JOIN sz sa ON sa.doc = doc1 JOIN sz sb ON sb.doc = doc2
+      WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.7
+    )
+"""
+
+
+# The LSH operator itself is approximate, but with fixed hash seeds it
+# is DETERMINISTIC — so the registry entry emits a one-row verification
+# report derived in-plan against the exact twin, which DuckDB CAN
+# reproduce: the exact pair count plus claims whose expected values are
+# constants (zero false positives — candidates are verified with exact
+# Jaccard; recall ≥ 0.8 — the same floor tests/test_recall.py gates;
+# reported scores identical to the exact operator's). A hash match
+# certifies the whole LSH pipeline ran inside its contract.
 @query(
     "x2_minhash_lsh_pairs",
-    oracle=None,  # approximate recall — verified vs exact baseline in tests/
+    oracle=f"""
+    WITH {_EXACT_3GRAM_PAIRS_CTE}
+    SELECT count(*) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_false_positives,
+           TRUE AS recall_ge_080,
+           TRUE AS scores_match_exact
+    FROM pairs
+    """,
     doc="SURVEY §2.10 X2 — MinHash-LSH (32 perms, 8 bands) near-dup pairs; "
-    "candidates via band-bucket equi-join, verified with exact Jaccard (no false positives).",
+    "candidates via band-bucket equi-join, verified with exact Jaccard (no false "
+    "positives). Emits the in-plan verification report vs the exact 3-gram "
+    "Jaccard twin (derived deterministic oracle).",
     bench=True,
 )
 def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
+    lsh = dedup.minhash_lsh_pairs(
         docs, id_col="doc_id", text_col="text", threshold=0.7, num_perm=32, bands=8, shingle_size=3
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=3
+    )
+    j = exact.select("doc1", "doc2", F.col("jaccard").alias("j_exact")).join(
+        lsh.select("doc1", "doc2", F.col("jaccard").alias("j_lsh")),
+        ["doc1", "doc2"],
+        "full_outer",
+    )
+    n_hit = F.count(F.when(F.col("j_exact").isNotNull() & F.col("j_lsh").isNotNull(), 1))
+    return j.agg(
+        F.count("j_exact").alias("n_exact_pairs"),
+        F.count(F.when(F.col("j_exact").isNull(), 1)).alias("n_false_positives"),
+        (n_hit * 100 >= F.count("j_exact") * 80).alias("recall_ge_080"),
+        (F.coalesce(F.max(F.abs(F.col("j_exact") - F.col("j_lsh"))), F.lit(0.0)) == 0.0).alias(
+            "scores_match_exact"
+        ),
     )
 
 
+# SimHash values are hash-design-specific (no DuckDB equivalent), so
+# the driver-checkable surface is the EXHAUSTIVENESS claim: two
+# independent pigeonhole bandings (4×16-bit and 8×8-bit chunks — either
+# alone guarantees recall 1.0 for hamming ≤ 3) must produce identical
+# pair sets with identical hamming distances, and every pair must sit
+# inside the threshold. The brute-force equivalence itself is asserted
+# once in tests/ (bounded golden); the registry path stays equi-join
+# only — no all-pairs plan is reachable from here.
 @query(
     "x2_simhash_near_dup",
-    oracle=None,  # hash-design-specific; golden-tested in tests/
-    doc="SURVEY §2.10 X2 — 64-bit SimHash, hamming ≤ 3 pairs via exact 4×16-bit chunk banding.",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           TRUE AS bandings_agree,
+           TRUE AS all_within_hamming
+    FROM documents WHERE lang = 'fr'
+    """,
+    doc="SURVEY §2.10 X2 — 64-bit SimHash, hamming ≤ 3 pairs via exact chunk "
+    "banding; emits the cross-banding verification report (4×16-bit vs 8×8-bit "
+    "pigeonhole decompositions must agree exactly — derived deterministic oracle).",
 )
 def x2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
-    return dedup.simhash_near_dup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
+    b16 = dedup.simhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, chunk_bits=16
+    )
+    b8 = dedup.simhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, chunk_bits=8
+    )
+    j = b16.select("doc1", "doc2", F.col("hamming").alias("h16")).join(
+        b8.select("doc1", "doc2", F.col("hamming").alias("h8")), ["doc1", "doc2"], "full_outer"
+    )
+    flags = j.agg(
+        (
+            (F.count(F.when(F.col("h16").isNull() | F.col("h8").isNull(), 1)) == 0)
+            & (F.coalesce(F.max(F.abs(F.col("h16") - F.col("h8"))), F.lit(0)) == 0)
+        ).alias("bandings_agree"),
+        (F.coalesce(F.max("h16"), F.lit(0)) <= 3).alias("all_within_hamming"),
+    )
+    return docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(flags)
 
 
 # ----------------------------------------------------------------------
@@ -135,28 +235,91 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
 
 
-@query(
-    "x3_lsh_ann_topk",
-    oracle=None,  # approximate — recall@k asserted vs x3_cosine_topk in tests/
-    doc="SURVEY §2.10 X3 — random-hyperplane LSH ANN top-5 with hamming≤1 multi-probe; "
-    "bucket equi-join replaces the cross join at scale.",
-)
-def x3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+# ANN indexes are approximate but deterministic (hash-derived
+# hyperplanes / fixed-seed Lloyd / fixed-seed codebooks), so each
+# registry entry emits a one-row verification report derived in-plan
+# against the exact brute-force twin. DuckDB reproduces the anchors
+# (query count, k) and the constant-expected claims: recall@k above the
+# floor tests/test_recall.py gates, every returned score equal to the
+# independently recomputed exact cosine, and exactly k rows per query.
+_ANN_ORACLE_TMPL = """
+    SELECT count(*) AS n_queries,
+           CAST({k} AS BIGINT) AS k,
+           TRUE AS {recall_flag},
+           TRUE AS scores_match_exact,
+           TRUE AS k_rows_per_query
+    FROM embeddings WHERE vec_id < 8
+"""
+
+
+def _ann_verification_report(
+    spark: SparkSession, sf_dir: str, ann_fn, recall_floor_pct: int, k: int = 5
+) -> DataFrame:
+    """One-row report certifying an ANN operator against the exact
+    cosine_topk twin: recall@k floor, exact-rescore equality, and the
+    k-rows-per-query shape. All comparisons run in-plan (no collect)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_bucket_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    ann = ann_fn(emb, queries, id_col="vec_id", vec_col="embedding", k=k)
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=k)
+    rescored = similarity.exact_rescore(ann, emb, id_col="vec_id", vec_col="embedding")
+    marked = rescored.join(
+        exact.select("query_id", "cand_id", F.lit(1).alias("in_exact")),
+        ["query_id", "cand_id"],
+        "left",
+    )
+    m = marked.agg(
+        F.count("in_exact").alias("n_hits"),
+        F.coalesce(F.max(F.abs(F.col("cosine") - F.col("cosine_exact"))), F.lit(0.0)).alias(
+            "max_err"
+        ),
+    )
+    per_q = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("nk"))
+    shape = per_q.agg(
+        (
+            (F.coalesce(F.min("nk"), F.lit(k)) == k) & (F.coalesce(F.max("nk"), F.lit(k)) == k)
+        ).alias("each_query_has_k"),
+        F.count(F.lit(1)).alias("n_q_ann"),
+    )
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    recall_flag = f"recall_ge_{recall_floor_pct:03d}"
+    return (
+        nq.crossJoin(m)
+        .crossJoin(e)
+        .crossJoin(shape)
+        .select(
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            (F.col("n_hits") * 100 >= F.col("n_exact") * recall_floor_pct).alias(recall_flag),
+            (F.col("max_err") == 0.0).alias("scores_match_exact"),
+            (F.col("each_query_has_k") & (F.col("n_q_ann") == F.col("n_queries"))).alias(
+                "k_rows_per_query"
+            ),
+        )
+    )
+
+
+@query(
+    "x3_lsh_ann_topk",
+    oracle=_ANN_ORACLE_TMPL.format(k=5, recall_flag="recall_ge_060"),
+    doc="SURVEY §2.10 X3 — random-hyperplane LSH ANN top-5 with hamming≤1 multi-probe; "
+    "bucket equi-join replaces the cross join at scale. Emits the in-plan "
+    "verification report vs exact cosine_topk (derived deterministic oracle).",
+)
+def x3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_verification_report(spark, sf_dir, similarity.lsh_bucket_topk, recall_floor_pct=60)
 
 
 @query(
     "x3_ivf_topk",
-    oracle=None,  # approximate — recall@k asserted vs x3_cosine_topk in tests/
+    oracle=_ANN_ORACLE_TMPL.format(k=5, recall_flag="recall_ge_080"),
     doc="SURVEY §2.10 X3 — IVF top-5: deterministic Lloyd-trained cells, n_probe=4/16; "
-    "equi-join on cell id replaces the cross join at scale.",
+    "equi-join on cell id replaces the cross join at scale. Emits the in-plan "
+    "verification report vs exact cosine_topk (derived deterministic oracle).",
 )
 def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    return _ann_verification_report(spark, sf_dir, similarity.ivf_topk, recall_floor_pct=80)
 
 
 @query(
@@ -318,18 +481,70 @@ def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X2 composition — near-dup clustering: MinHash-LSH pairs → connected
 # components → canonical doc per cluster. The full "dedup a corpus"
 # pipeline a training-data run executes.
+# The LSH-fed clusters are approximate but deterministic (fixed hash
+# seeds), and every LSH edge is a VERIFIED exact-Jaccard pair — so the
+# LSH clustering must be a refinement of the exact transitive closure.
+# The registry entry emits that verification report: DuckDB reproduces
+# the exact component count/size (recursive CTE over the exact pair
+# set) plus constant-expected claims (refinement holds; every canonical
+# is its cluster's minimum — the fixpoint's own invariant).
 @query(
     "x2_dedup_clusters",
-    oracle=None,  # iterative fixpoint — golden-tested in tests/
-    doc="SURVEY §2.10 X2 — connected components over near-dup pairs "
-    "(iterative min-label propagation); returns (doc, canonical).",
+    oracle=f"""
+    WITH RECURSIVE {_EXACT_3GRAM_PAIRS_CTE},
+    edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+              UNION SELECT doc2, doc1 FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc, least(a, min(b)) AS canonical FROM reach GROUP BY a)
+    SELECT count(DISTINCT canonical) AS n_exact_components,
+           count(*) AS n_exact_docs,
+           TRUE AS clusters_refine_exact,
+           TRUE AS canonical_is_min
+    FROM comp
+    """,
+    doc="SURVEY §2.10 X2 — connected components over LSH near-dup pairs "
+    "(iterative min-label propagation with pointer doubling); emits the "
+    "in-plan verification report vs the exact transitive closure "
+    "(derived deterministic oracle).",
 )
 def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
+    lsh_pairs = dedup.minhash_lsh_pairs(
         docs, id_col="doc_id", text_col="text", threshold=0.7, num_perm=32, bands=8, shingle_size=3
     )
-    return dedup.dedup_clusters(pairs)
+    lsh_cl = dedup.dedup_clusters(lsh_pairs)
+    exact_pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=3
+    )
+    exact_cl = dedup.dedup_clusters(exact_pairs)
+    per_cluster = (
+        lsh_cl.select("doc", F.col("canonical").alias("lsh_can"))
+        .join(exact_cl.select("doc", F.col("canonical").alias("ex_can")), "doc", "left")
+        .groupBy("lsh_can")
+        .agg(
+            F.countDistinct("ex_can").alias("n_ex"),
+            F.count(F.when(F.col("ex_can").isNull(), 1)).alias("n_unmatched"),
+            F.min("doc").alias("min_doc"),
+        )
+    )
+    flags = per_cluster.agg(
+        (
+            (F.coalesce(F.max("n_ex"), F.lit(0)) <= 1)
+            & (F.coalesce(F.sum("n_unmatched"), F.lit(0)) == 0)
+        ).alias("clusters_refine_exact"),
+        (
+            F.count(F.when(F.col("lsh_can") != F.col("min_doc"), 1)) == 0
+        ).alias("canonical_is_min"),
+    )
+    anchors = exact_cl.agg(
+        F.countDistinct("canonical").alias("n_exact_components"),
+        F.count(F.lit(1)).alias("n_exact_docs"),
+    )
+    return anchors.crossJoin(flags)
 
 
 # Same connected-components operator, fed the EXACT Jaccard pair set
@@ -978,15 +1193,15 @@ def x2_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codes per vector through the scoring join instead of 4·dim of floats).
 @query(
     "x3_pq_topk",
-    oracle=None,  # approximate — recall@k asserted vs x3_cosine_topk in tests/test_recall.py
+    oracle=_ANN_ORACLE_TMPL.format(k=5, recall_flag="recall_ge_080"),
     doc="SURVEY §2.10 X3 — PQ top-5: per-subspace codebooks (driver-trained on a "
     "bounded sample), JVM-only encode, broadcast ADC lookup join, exact re-rank "
-    "of the k*8 shortlist (operators/similarity.pq_topk).",
+    "of the k*8 shortlist (operators/similarity.pq_topk). Emits the in-plan "
+    "verification report vs exact cosine_topk (derived deterministic oracle — "
+    "scores_match_exact certifies the exact re-rank).",
 )
 def x3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.pq_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    return _ann_verification_report(spark, sf_dir, similarity.pq_topk, recall_floor_pct=80)
 
 
 # ----------------------------------------------------------------------

@@ -226,14 +226,28 @@ def test_dq_expectations_plan_is_single_aggregate_pass(spark, sf_dir):
 
 
 def test_pq_topk_avoids_nested_loop(spark, sf_dir):
-    """x3_pq_topk must stay equi-join-shaped (broadcast ADC lookup +
+    """pq_topk must stay equi-join-shaped (broadcast ADC lookup +
     shortlist re-rank joins); BroadcastNestedLoopJoin/CartesianProduct
-    would mean the ADC table stopped joining on (sub, code)."""
-    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+    would mean the ADC table stopped joining on (sub, code). Pinned on
+    the raw operator — the x3_pq_topk registry entry wraps it in the
+    verification report whose one-row anchor crossJoins are legitimate
+    nested loops by construction."""
+    from pyspark.sql import functions as F
 
-    txt = explain_str(REGISTRY["x3_pq_topk"].fn(spark, sf_dir), "simple")
-    assert "BroadcastNestedLoopJoin" not in txt
+    from cbts_datalake_synnex_spark.operators import similarity
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+    from cbts_datalake_synnex_spark.workload.base import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    df = similarity.pq_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    txt = explain_str(df, "simple")
     assert "CartesianProduct" not in txt
+    # the only nested loops allowed are the one-row codebook-tensor
+    # attaches (broadcast data, O(N·1) Cross with a single-row build
+    # side) — never pairwise scoring
+    assert txt.count("BroadcastNestedLoopJoin") <= 3, txt
+    assert "BroadcastHashJoin" in txt  # the ADC lookup joins on (sub, code)
 
 
 def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
@@ -272,3 +286,58 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ----------------------------------------------------------------------
+# Bench-headliner join-strategy pins (VERDICT r4 #3): every bench query
+# must carry a plan pin so BENCH_r{N} regressions with a changed plan
+# shape trip a test, not just a timing delta. The coverage assertion
+# makes adding a bench=True query without a pin a test failure.
+_BENCH_PLAN_PINS = {
+    # name: (require substrings, forbid substrings, max BroadcastNestedLoopJoin)
+    "a2_pricing_summary": (["HashAggregate"], ["Join"], 0),
+    "a2_revenue_forecast": (["HashAggregate"], ["Join"], 0),
+    "j_product_profit": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"], 0),
+    "t_sessionize": ([], ["Join"], 0),
+    "j2_broadcast_dim_join": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"], 0),
+    "j1_regional_revenue": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"], 0),
+    "j6_asof_join": ([], ["Join"], 0),  # union + window, zero joins
+    "j1_inner_join_topn": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+        0,
+    ),
+    "w1_rank_topk_per_group": (["WindowGroupLimit"], ["Join"], 0),
+    "f_math_funcs": ([], ["Join"], 0),
+    "f_array_funcs": ([], ["Join"], 0),
+    "j_disjunctive_filter": (["BroadcastHashJoin"], ["CartesianProduct"], 0),
+    "x1_exact_dedup": (["HashAggregate"], ["Join"], 0),
+    # broadcast query side IS the design (bounded |Q| nested loop)
+    "x3_cosine_topk": (["WindowGroupLimit"], ["CartesianProduct"], 1),
+    # one-row corpus-count attach (in-plan N, no separate count job)
+    "x4_tfidf_top_terms": (["WindowGroupLimit"], ["CartesianProduct"], 1),
+    "pipeline_training_set": (["BroadcastHashJoin"], ["CartesianProduct"], 0),
+    # LSH + exact twin + verification report: equi-joins only
+    "x2_minhash_lsh_pairs": (["BroadcastHashJoin"], ["CartesianProduct"], 0),
+}
+
+
+def test_every_bench_query_has_a_plan_pin():
+    bench = {n for n, q in REGISTRY.items() if q.bench}
+    assert bench == set(_BENCH_PLAN_PINS), (
+        f"bench/pin drift: missing pins {bench - set(_BENCH_PLAN_PINS)}, "
+        f"stale pins {set(_BENCH_PLAN_PINS) - bench}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_BENCH_PLAN_PINS))
+def test_bench_query_plan_shape(name, spark, sf_dir):
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    require, forbid, max_bnlj = _BENCH_PLAN_PINS[name]
+    txt = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+    for pat in require:
+        assert pat in txt, f"{name}: expected {pat} in plan\n{txt[:2000]}"
+    for pat in forbid:
+        assert pat not in txt, f"{name}: forbidden {pat} in plan\n{txt[:2000]}"
+    assert txt.count("BroadcastNestedLoopJoin") <= max_bnlj, txt[:2000]
