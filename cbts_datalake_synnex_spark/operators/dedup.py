@@ -87,6 +87,17 @@ def _hashed_shingle_docs(df: DataFrame, id_col: str, text_col: str, size: int) -
     ).select("doc", F.array_distinct(_hashed_shingles_over_tokens("toks", size)).alias("shs"))
 
 
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, size: int = 3) -> DataFrame:
+    """Public form of the (doc, shs) hashed-shingle projection — build
+    it ONCE (optionally ``.cache()``) and pass to both
+    ``minhash_lsh_pairs`` and ``ngram_jaccard_pairs`` via their
+    ``shingles=`` parameter when running the operator and its exact
+    twin over the same corpus (the verification-report pattern): the
+    text is tokenized and shingled a single time instead of once per
+    operator."""
+    return _hashed_shingle_docs(df, id_col, text_col, size)
+
+
 # ----------------------------------------------------------------------
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """X1 — exact content dedup: keep the lowest id per content digest.
@@ -130,6 +141,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     shingle_size: int = 1,
     max_doc_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """X2 (exact baseline) — all pairs with token-set Jaccard ≥ threshold.
 
@@ -163,8 +175,11 @@ def ngram_jaccard_pairs(
     # Shingles are xxhash64-hashed (8-byte join/intersect keys instead
     # of n-gram strings — identical Jaccard up to 64-bit collisions,
     # same equivalence the MinHash path documents); halves verify cost
-    # and shrinks every exchange.
-    shs_arr = _hashed_shingle_docs(df, id_col, text_col, shingle_size)
+    # and shrinks every exchange. ``shingles`` lets a caller running
+    # this op alongside its LSH twin share one (cached) projection.
+    shs_arr = (
+        shingles if shingles is not None else _hashed_shingle_docs(df, id_col, text_col, shingle_size)
+    )
     sh = shs_arr.select("doc", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
     # Document frequency as a window over the sh partition — one
     # exchange on sh, no separate groupBy+join round trip.
@@ -235,6 +250,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     shingle_size: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """X2 — MinHash-LSH near-duplicate pairs, candidates verified with
     exact shingle-set Jaccard.
@@ -252,8 +268,14 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     # One shared shingle projection feeds both the signatures (for
     # candidate generation) and the verification arrays — cached so the
-    # text is shingled once, not three times.
-    shing = _hashed_shingle_docs(df, id_col, text_col, shingle_size).cache()
+    # text is shingled once, not three times. A caller-provided
+    # ``shingles`` frame (see ``hashed_shingles``) extends the sharing
+    # across operators; the caller then owns caching.
+    shing = (
+        shingles
+        if shingles is not None
+        else _hashed_shingle_docs(df, id_col, text_col, shingle_size).cache()
+    )
     sig = shing.select("doc", *_minhash_cols("shs", num_perm))
     band_structs = [
         F.struct(

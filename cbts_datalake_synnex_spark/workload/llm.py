@@ -141,6 +141,11 @@ _EXACT_3GRAM_PAIRS_CTE = """
 )
 def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE: measured — sharing one cached shingle frame between the LSH
+    # op and the exact twin is SLOWER here than letting each build its
+    # own codegen'd projection (InMemoryRelation materialization beats
+    # the saved recompute at this scan cost); the `shingles=` knob
+    # exists for deployments where the scan dominates.
     lsh = dedup.minhash_lsh_pairs(
         docs, id_col="doc_id", text_col="text", threshold=0.7, num_perm=32, bands=8, shingle_size=3
     )
