@@ -600,3 +600,94 @@ def span_dedup(
         F.sum("keep").alias("spans_kept"),
         (F.count(F.lit(1)) - F.sum("keep")).alias("spans_dropped"),
     ).withColumnRenamed("doc", id_col)
+
+
+# ----------------------------------------------------------------------
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """X4 — boilerplate removal by span document frequency (the CCNet /
+    RefinedWeb hygiene pass): split documents into consecutive
+    ``span_tokens``-token spans and drop EVERY occurrence of any span
+    appearing in more than ``max_doc_freq`` distinct documents
+    (headers, footers, license blocks, navigation chrome). Unlike
+    ``span_dedup`` (first occurrence wins), boilerplate is removed from
+    ALL documents — repeated content is evidence the span is template,
+    not prose.
+
+    Plan: posexplode tokens → hash-agg to (doc, seg, span) → distinct-
+    doc frequency per span (hash-agg on span) joined back on the same
+    span key (one exchange layout, reused) → per-doc reassembly.
+    Everything keys on (doc, seg) or span; no all-pairs anything, and a
+    pathologically popular span costs rows in one partition only.
+
+    Returns (id_col, clean_text, spans_kept, spans_dropped).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+    )
+    spans = toks.groupBy(
+        "doc", (F.col("pos") / F.lit(span_tokens)).cast("int").alias("seg")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("span")
+    )
+    dfreq = spans.groupBy("span").agg(F.countDistinct("doc").alias("df"))
+    marked = spans.join(dfreq, "span").withColumn(
+        "keep", (F.col("df") <= max_doc_freq).cast("int")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("seg", "keep", "span")))
+    kept_spans = F.filter(ordered, lambda s: s["keep"] == 1)
+    return (
+        marked.groupBy("doc")
+        .agg(
+            F.array_join(F.transform(kept_spans, lambda s: s["span"]), " ").alias("clean_text"),
+            F.sum("keep").alias("spans_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).alias("spans_dropped"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+
+
+# ----------------------------------------------------------------------
+def canonical_by_priority(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    priority_col,
+) -> DataFrame:
+    """X1 variant — exact-content dedup keeping the HIGHEST-PRIORITY
+    member of each duplicate group instead of the lowest id: among
+    documents with identical content, keep the one from the most
+    trusted source (ascending ``priority_col``; id is the tiebreak).
+    The multi-source corpus-merge pattern — crawl + curated + licensed
+    copies of the same text collapse to the provenance you trust most.
+
+    One shuffle on the content digest; the winner is selected with a
+    single ``min(struct(priority, id))`` aggregate — no window, no
+    second pass. Returns (id_col, content_hash, n_copies, priority).
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    pri = priority_col if isinstance(priority_col, F.Column) else F.col(priority_col)
+    return (
+        df.groupBy(digest.alias("content_hash"))
+        .agg(
+            F.min(F.struct(pri.alias("p"), F.col(id_col).alias("i"))).alias("w"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col("w.i").alias(id_col),
+            "content_hash",
+            "n_copies",
+            F.col("w.p").alias("priority"),
+        )
+    )

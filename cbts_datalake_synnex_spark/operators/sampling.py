@@ -121,3 +121,31 @@ def mixture_resample(
         .filter(_hash_bucket(id_col, salt) < F.col("__rate_bucket"))
         .drop("__rate_bucket")
     )
+
+
+def fixed_n_per_stratum(
+    df: DataFrame,
+    stratum_cols: list[str],
+    id_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum (or all rows for strata smaller
+    than ``n``), chosen by deterministic hash order — the "balanced
+    eval set" / "N examples per domain" primitive. Where the rate-based
+    ``stratified_hash_sample`` yields binomial-varying counts, this
+    yields exact counts; both are partitioning-independent and
+    idempotent (the order key is ``md5(salt:id)``, not ``rand()``).
+
+    One shuffle on the stratum key; Spark's WindowGroupLimit pushes the
+    rank filter below the full sort at scale. Adds ``sample_rank``
+    (1-based within stratum).
+    """
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = W.partitionBy(*stratum_cols).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )

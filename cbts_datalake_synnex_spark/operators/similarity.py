@@ -569,3 +569,55 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+# ----------------------------------------------------------------------
+def label_outliers(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str = "label",
+    sigma: float = 2.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """X3 — per-class embedding outliers: distance of each vector from
+    its label's centroid, flagged when beyond ``mean + sigma·stddev``
+    of the label's own distance distribution. The data-pruning /
+    label-noise-detection primitive (mislabeled or off-distribution
+    examples sit far from their class prototype).
+
+    Plan: posexplode to (label, pos) rows → centroid hash-agg (the
+    ``label_centroids`` layout — no wide array aggregation state) →
+    join back on (label, pos) — same key layout, one exchange reused —
+    → per-vector distance hash-agg → per-label moment agg broadcast
+    back. Everything keys on label/pos/vector id; no pairwise anything,
+    so the shape survives arbitrary corpus size.
+
+    Returns (id_col, label_col, dist, is_outlier) with ``dist`` rounded
+    for cross-engine determinism; the threshold compare uses rounded
+    values on both sides so borderline floats can't flip the flag
+    between engines.
+    """
+    ex = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = ex.groupBy("lbl", "pos").agg(F.avg("x").alias("c"))
+    dist = (
+        ex.join(cent, ["lbl", "pos"])
+        .groupBy("vid", "lbl")
+        .agg(F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), round_dp).alias("dist"))
+    )
+    stats = dist.groupBy("lbl").agg(
+        F.round(F.avg("dist") + sigma * F.stddev("dist"), round_dp).alias("cutoff")
+    )
+    return (
+        dist.join(F.broadcast(stats), "lbl")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("lbl").alias(label_col),
+            "dist",
+            (F.col("dist") > F.col("cutoff")).alias("is_outlier"),
+        )
+    )

@@ -1558,3 +1558,137 @@ def pipeline_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id", "cluster_rep", "quality", (F.row_number().over(w) == 1).alias("kept")
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — boilerplate removal by span document frequency (round 5): spans
+# repeated across documents are template chrome, removed from EVERY
+# document (vs x2_span_dedup's first-occurrence-wins).
+@query(
+    "x4_remove_boilerplate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS idx
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, (idx - 1) // 16 AS seg, string_agg(tok, ' ' ORDER BY idx) AS span
+      FROM tok GROUP BY 1, 2
+    ),
+    freq AS (SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span),
+    marked AS (
+      SELECT s.doc_id, s.seg, s.span,
+             CASE WHEN f.df <= 1 THEN 1 ELSE 0 END AS keep
+      FROM spans s JOIN freq f USING (span)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep = 1 THEN span END, ' ' ORDER BY seg), '') AS clean_text,
+           CAST(sum(keep) AS BIGINT) AS spans_kept,
+           CAST(count(*) - sum(keep) AS BIGINT) AS spans_dropped
+    FROM marked GROUP BY doc_id
+    """,
+    doc="[EXT] X4 — boilerplate-span removal (CCNet/RefinedWeb hygiene): 16-token "
+    "spans appearing in >1 distinct document are removed from ALL documents; "
+    "hash-aggs keyed on (doc,seg) and span, one reused span exchange, no joins "
+    "beyond the df attach (operators/dedup.remove_boilerplate_spans).",
+)
+def x4_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_boilerplate_spans(
+        docs, id_col="doc_id", text_col="text", span_tokens=16, max_doc_freq=1
+    )
+
+
+# ----------------------------------------------------------------------
+# X1 variant — multi-source corpus merge (round 5): among exact-content
+# duplicates keep the most-trusted provenance, not the lowest id.
+@query(
+    "pipeline_source_priority_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) AS priority,
+             sha256(text) AS content_hash
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY content_hash ORDER BY priority, doc_id) AS rn,
+             count(*) OVER (PARTITION BY content_hash) AS n_copies
+      FROM p
+    )
+    SELECT doc_id, content_hash, CAST(n_copies AS BIGINT) AS n_copies, priority
+    FROM r WHERE rn = 1
+    """,
+    doc="[EXT] X1 variant — source-priority canonical dedup: identical content "
+    "from multiple sources collapses to the most trusted one (ascending numeric "
+    "source priority, id tiebreak); one digest shuffle, min(struct) winner — "
+    "no window pass (operators/dedup.canonical_by_priority).",
+)
+def pipeline_source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    return dedup.canonical_by_priority(docs, ["text"], "doc_id", pri)
+
+
+# ----------------------------------------------------------------------
+# X8 — exact-count stratified sampling (round 5): exactly N per stratum
+# by deterministic hash order (vs rate-based binomial sampling).
+@query(
+    "pipeline_fixed_n_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('r5', ':', CAST(doc_id AS VARCHAR))), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM r WHERE sample_rank <= 10
+    """,
+    doc="[EXT] X8 — fixed-N-per-stratum sample: exactly 10 docs per language by "
+    "md5 hash order (deterministic, partitioning-independent, idempotent); one "
+    "stratum shuffle, WindowGroupLimit prunes below the rank filter "
+    "(operators/sampling.fixed_n_per_stratum).",
+)
+def pipeline_fixed_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.fixed_n_per_stratum(
+        docs, stratum_cols=["lang"], id_col="doc_id", n=10, salt="r5"
+    ).select("doc_id", "lang", "sample_rank")
+
+
+# ----------------------------------------------------------------------
+# X3 — per-class embedding outliers (round 5): data pruning / label-
+# noise detection by distance from the class prototype.
+@query(
+    "x3_embedding_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    c AS (SELECT label, pos, avg(x) AS c FROM e GROUP BY 1, 2),
+    d AS (
+      SELECT e.vec_id, e.label, round(sqrt(sum((e.x - c.c) * (e.x - c.c))), 6) AS dist
+      FROM e JOIN c USING (label, pos) GROUP BY 1, 2
+    ),
+    s AS (SELECT label, round(avg(dist) + 2.0 * stddev(dist), 6) AS cutoff FROM d GROUP BY 1)
+    SELECT d.vec_id, d.label, d.dist, d.dist > s.cutoff AS is_outlier
+    FROM d JOIN s USING (label)
+    """,
+    doc="[EXT] X3 — per-label embedding outliers: L2 distance from the label "
+    "centroid (label_centroids layout — flat (label,pos) aggregation, one "
+    "reused exchange), flagged beyond mean + 2σ of the label's own distance "
+    "distribution; both sides rounded so the flag is engine-stable "
+    "(operators/similarity.label_outliers).",
+)
+def x3_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_outliers(emb, id_col="vec_id", vec_col="embedding", label_col="label")

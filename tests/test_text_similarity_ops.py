@@ -427,3 +427,84 @@ def test_winnow_fingerprint_edge_cases_match_python_reference(spark):
     for r in winnow_fingerprint(df, "doc_id", "text", k=k, window=w).collect():
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     assert got == {i: ref(t) for i, t in docs.items()}
+
+
+def test_remove_boilerplate_spans_golden(spark):
+    """A span shared by two docs is removed from BOTH (vs span_dedup's
+    first-occurrence-wins); unique spans survive; a fully-boilerplate
+    doc comes back empty with all spans counted as dropped."""
+    from cbts_datalake_synnex_spark.operators.dedup import remove_boilerplate_spans
+
+    boiler = "b0 b1 b2 b3"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " u0 u1 u2 u3"),
+            (2, boiler + " v0 v1 v2 v3"),
+            (3, boiler),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_boilerplate_spans(
+            df, "doc_id", "text", span_tokens=4, max_doc_freq=1
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "u0 u1 u2 u3"
+    assert out[2]["clean_text"] == "v0 v1 v2 v3"
+    assert out[3]["clean_text"] == ""
+    assert out[3]["spans_kept"] == 0 and out[3]["spans_dropped"] == 1
+    assert out[1]["spans_dropped"] == 1 and out[1]["spans_kept"] == 1
+
+
+def test_canonical_by_priority_golden(spark):
+    """Identical content from several sources keeps the best-priority
+    member (id tiebreak on equal priority); unique content survives."""
+    from cbts_datalake_synnex_spark.operators.dedup import canonical_by_priority
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 5),
+            (2, "same text", 1),  # winner: best priority
+            (3, "same text", 1),  # loses tiebreak to lower id
+            (4, "unique", 9),
+        ],
+        "doc_id bigint, text string, prio int",
+    )
+    out = canonical_by_priority(df, ["text"], "doc_id", F.col("prio")).collect()
+    by_id = {r["doc_id"]: r.asDict() for r in out}
+    assert set(by_id) == {2, 4}
+    assert by_id[2]["n_copies"] == 3 and by_id[2]["priority"] == 1
+    assert by_id[4]["n_copies"] == 1
+
+
+def test_fixed_n_per_stratum_exact_counts_and_invariance(spark):
+    """Exactly n per stratum (all rows for small strata), identical
+    selection regardless of input partitioning (hash order, not
+    rand())."""
+    from cbts_datalake_synnex_spark.operators.sampling import fixed_n_per_stratum
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(43)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    out = fixed_n_per_stratum(df, ["grp"], "id", n=5, salt="t").collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["id"])
+    assert len(by_grp["big"]) == 5
+    assert sorted(by_grp["small"]) == [40, 41, 42]  # stratum < n: all kept
+    # partitioning invariance
+    out2 = fixed_n_per_stratum(df.repartition(7), ["grp"], "id", n=5, salt="t").collect()
+    assert {(r["grp"], r["id"]) for r in out} == {(r["grp"], r["id"]) for r in out2}
+
+
+def test_label_outliers_flags_far_vector(spark):
+    """A vector far from its label centroid is flagged; the tight
+    cluster members are not."""
+    from cbts_datalake_synnex_spark.operators.similarity import label_outliers
+
+    tight = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(8)]
+    far = [(100, [50.0, 50.0], 0)]
+    df = spark.createDataFrame(tight + far, "vec_id bigint, embedding array<float>, label int")
+    out = {r["vec_id"]: r.asDict() for r in label_outliers(df, "vec_id", "embedding").collect()}
+    assert out[100]["is_outlier"] is True
+    assert all(not out[i]["is_outlier"] for i in range(8))
