@@ -691,3 +691,63 @@ def canonical_by_priority(
             F.col("w.p").alias("priority"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+def admission_against_corpus(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """X2 — incremental near-dup admission: which documents of an
+    incoming ``batch`` may enter a ``corpus`` that must stay
+    near-duplicate-free? A batch doc is REJECTED when some existing
+    corpus doc has shingle-Jaccard ≥ ``threshold`` with it. The
+    continuous-ingestion shape: the nightly crawl lands, the corpus
+    only grows by admitted documents.
+
+    Built on the prefix-filtered exact join over the tagged union of
+    both sides (ids must be disjoint) — candidate volume tracks
+    near-duplicates, and only batch↔corpus pairs are consulted
+    (batch-internal duplicates are a separate policy: run exact_dedup
+    or minhash on the admitted set). Returns one row per batch doc:
+    (id_col, admitted, blocked_by, jaccard) with ``blocked_by`` the
+    lowest-id blocking corpus doc (deterministic) and NULL when
+    admitted.
+    """
+    u = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+        batch.select(F.col(id_col), F.col(text_col))
+    )
+    pairs = ngram_jaccard_pairs(
+        u, id_col=id_col, text_col=text_col, threshold=threshold, shingle_size=shingle_size
+    )
+    # orient every pair as (batch doc, partner) and keep corpus partners
+    both = pairs.select(
+        F.col("doc1").alias("b"), F.col("doc2").alias("partner"), "jaccard"
+    ).unionByName(
+        pairs.select(F.col("doc2").alias("b"), F.col("doc1").alias("partner"), "jaccard")
+    )
+    bids = batch.select(F.col(id_col).alias("b"))
+    cids = corpus.select(F.col(id_col).alias("partner"))
+    blocking = (
+        both.join(bids, "b")
+        .join(cids, "partner")
+        .groupBy("b")
+        .agg(
+            F.min(F.struct(F.col("partner").alias("p"), F.col("jaccard").alias("j"))).alias("w")
+        )
+        .select("b", F.col("w.p").alias("blocked_by"), F.col("w.j").alias("jaccard"))
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(blocking.withColumnRenamed("b", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("blocked_by").isNull().alias("admitted"),
+            "blocked_by",
+            "jaccard",
+        )
+    )

@@ -215,3 +215,48 @@ def t_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
     )
+
+
+# ----------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences (round 5): the
+# "what do users do next" behavioral primitive — lag window per user
+# (one shuffle on user_id), then a global hash-agg on the transition
+# pair with per-source fractions via a window over the agg output
+# (tiny: |event_type|² rows).
+@query(
+    "t_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p_next
+    FROM t
+    """,
+    doc="[EXT] events — Markov transition matrix: per-user lag window (ts,"
+    "event_id total order) -> global (from,to) hash-agg -> per-source "
+    "probability over the tiny aggregate output; one user shuffle + one "
+    "transition-key shuffle, nothing scales with history length per row.",
+)
+def t_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(tot), 6).alias("p_next"),
+    )

@@ -1692,3 +1692,42 @@ def pipeline_fixed_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.label_outliers(emb, id_col="vec_id", vec_col="embedding", label_col="label")
+
+
+# ----------------------------------------------------------------------
+# X2 — incremental near-dup admission (round 5): the continuous-
+# ingestion gate — an incoming batch enters the corpus only where no
+# existing document is a near-duplicate.
+@query(
+    "pipeline_incremental_admission",
+    oracle=f"""
+    WITH {_EXACT_3GRAM_PAIRS_CTE},
+    oriented AS (
+      SELECT doc1 AS b, doc2 AS partner, jaccard FROM pairs
+      UNION ALL
+      SELECT doc2 AS b, doc1 AS partner, jaccard FROM pairs
+    ),
+    sel AS (
+      SELECT b, partner, jaccard,
+             row_number() OVER (PARTITION BY b ORDER BY partner) AS rn
+      FROM oriented WHERE b % 10 = 0 AND partner % 10 <> 0
+    )
+    SELECT d.doc_id,
+           s.partner IS NULL AS admitted,
+           s.partner AS blocked_by,
+           s.jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN (SELECT b, partner, jaccard FROM sel WHERE rn = 1) s ON s.b = d.doc_id
+    """,
+    doc="[EXT] X2 — incremental near-dup admission: batch docs (doc_id % 10 = 0) "
+    "are admitted iff no corpus doc (the rest) has 3-gram Jaccard >= 0.7; "
+    "prefix-filtered exact join over the tagged union, blocking partner is the "
+    "lowest corpus id (operators/dedup.admission_against_corpus).",
+)
+def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.admission_against_corpus(
+        corpus, batch, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=3
+    )
