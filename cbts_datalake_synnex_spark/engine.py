@@ -448,6 +448,79 @@ class LakeEngine:
         shutil.rmtree(scratch, ignore_errors=True)
         return self.snapshot_history(table)[-1]["version"]
 
+    def clone_table(
+        self, src_table: str, dst_table: str, version: int | None = None
+    ) -> str:
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``
+        parity on plain parquet): register ``dst_table`` over hard
+        links to the source snapshot's data files — zero bytes copied,
+        one inode per file. The dev/test-branch primitive: experiment
+        on a full-size table for the cost of its metadata.
+
+        Divergence is free and safe in both directions because parquet
+        parts are immutable: appends to the clone land new files in its
+        own location; an overwrite of the clone unlinks only the
+        clone's directory entries (the source keeps its own links), and
+        vice versa. The clone starts its own snapshot/schema journal at
+        v1. Returns the clone's location.
+        """
+        history = self.snapshot_history(src_table)
+        if not history:
+            raise ValueError(f"no snapshots recorded for table '{src_table}'")
+        if version is None:
+            version = history[-1]["version"]
+        matches = [h for h in history if h["version"] == version]
+        if not matches:
+            raise ValueError(f"table '{src_table}' has no snapshot version {version}")
+        entry = matches[0]
+        snap = self.read_snapshot(src_table, version)  # validates materialization
+        dst_loc = self.zones.curated(dst_table)
+        if os.path.exists(dst_loc) and os.listdir(dst_loc):
+            raise ValueError(f"clone destination not empty: {dst_loc}")
+        retain_root = entry.get("retain_root")
+        if retain_root and os.path.isdir(retain_root):
+            pairs = []
+            for dirpath, _, files in os.walk(retain_root):
+                for fn in files:
+                    sp = os.path.join(dirpath, fn)
+                    pairs.append((sp, os.path.relpath(sp, retain_root)))
+        else:
+            base = entry["base"]
+            pairs = [
+                (f.removeprefix("file:"), os.path.relpath(f.removeprefix("file:"), base))
+                for f in entry["files"]
+            ]
+        for sp, rel in pairs:
+            dst = os.path.join(dst_loc, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(sp, dst)
+            except OSError:
+                shutil.copy2(sp, dst)  # cross-device fallback
+        pcols = entry.get("partition_cols") or []
+        data_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in snap.schema.fields
+            if f.name not in pcols
+        )
+        qdst = self.qualified(dst_table)
+        if pcols:
+            part_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in snap.schema.fields
+                if f.name in pcols
+            )
+            self.spark.sql(
+                f"CREATE TABLE {qdst} ({data_ddl}) USING parquet "
+                f"PARTITIONED BY ({part_ddl}) LOCATION '{dst_loc}'"
+            )
+            self.recover_partitions(dst_table)
+        else:
+            self.spark.sql(f"CREATE TABLE {qdst} ({data_ddl}) USING parquet LOCATION '{dst_loc}'")
+        self._journal_schema(dst_table)
+        self._journal_snapshot(dst_table)
+        return dst_loc
+
     # ------------------------------------------------------------------
     # Catalog versioning (utils.py:78,247 `catalog_versioning=True`):
     # the Glue catalog keeps a version per table-schema change; Delta's

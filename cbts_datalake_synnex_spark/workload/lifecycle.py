@@ -643,3 +643,42 @@ def lc_incremental_hll_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk", F.col("n_names").cast("bigint").alias("n_names")
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# SHALLOW CLONE (round 5) — zero-copy table branching on plain parquet:
+# clone at v1, diverge the ORIGINAL, read the clone — it must still
+# show v1's content (its hard links are untouched by the source's
+# append).
+@query(
+    "lc_shallow_clone",
+    oracle="""
+    SELECT 'clone' AS side, CAST((SELECT count(*) FROM region) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'source',
+           CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation) AS BIGINT)
+    """,
+    doc="K-side SHALLOW CLONE — engine.clone_table registers a zero-copy "
+    "hard-link branch of a snapshot; the source then appends and the clone "
+    "must keep the branch-point content (Delta CREATE TABLE ... SHALLOW "
+    "CLONE parity).",
+)
+def lc_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        region = load_table(spark, sf_dir, "region").select(
+            F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+        )
+        nation = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+        )
+        eng.write_curated("cl_src", region, mode="append", partition_cols=[])
+        eng.clone_table("cl_src", "cl_branch")
+        eng.write_curated("cl_src", nation, mode="append", partition_cols=[])
+        out = spark.createDataFrame(
+            [
+                ("clone", spark.table(eng.qualified("cl_branch")).count()),
+                ("source", spark.table(eng.qualified("cl_src")).count()),
+            ],
+            "side string, n_rows bigint",
+        )
+        return _materialize(spark, out)

@@ -68,3 +68,80 @@ def test_snapshot_changes_between_versions(engine, spark):
         for r in engine.snapshot_changes("t", v1, v2, keys=["id"]).collect()
     }
     assert delta == {2: "changed", 3: "inserted"}
+
+
+def test_clone_table_zero_copy_and_divergence(engine, spark):
+    """SHALLOW CLONE: same rows, shared inodes (no bytes copied),
+    custom partition layout preserved, and divergence in either
+    direction leaves the other table intact."""
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "a"), (3, "z", "b")], "id int, v string, p string"
+    )
+    engine.write_curated("src", df, mode="append", partition_cols=["p"])
+    loc = engine.clone_table("src", "dst")
+
+    qsrc, qdst = engine.qualified("src"), engine.qualified("dst")
+    src_rows = {(r["id"], r["v"], r["p"]) for r in spark.table(qsrc).collect()}
+    dst_rows = {(r["id"], r["v"], r["p"]) for r in spark.table(qdst).collect()}
+    assert dst_rows == src_rows
+    # partition layout preserved → pruning works on the clone
+    assert "p=a" in " ".join(
+        os.path.join(dp, f) for dp, _, fs in os.walk(loc) for f in fs
+    )
+    # zero-copy: every clone file shares an inode with a source-side file
+    src_loc = engine._table_location(qsrc).removeprefix("file:")
+    src_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _, fs in os.walk(src_loc)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    clone_files = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(loc) for f in fs if f.endswith(".parquet")
+    ]
+    assert clone_files and all(os.stat(f).st_ino in src_inodes for f in clone_files)
+
+    # diverge the clone: append + overwrite; src must not move
+    engine.write_curated(
+        "dst",
+        spark.createDataFrame([(4, "w", "b")], "id int, v string, p string"),
+        mode="append",
+        partition_cols=["p"],
+    )
+    assert spark.table(qdst).count() == 4
+    assert {(r["id"]) for r in spark.table(qsrc).collect()} == {1, 2, 3}
+
+    engine.write_curated(
+        "dst",
+        spark.createDataFrame([(9, "q", "c")], "id int, v string, p string"),
+        mode="overwrite",
+        partition_cols=["p"],
+    )
+    assert spark.table(qdst).count() == 1
+    # source survives the clone's overwrite (its own links still exist)
+    assert {(r["id"], r["v"], r["p"]) for r in spark.table(qsrc).collect()} == src_rows
+
+
+def test_clone_table_at_older_version(engine, spark):
+    """Cloning a historical snapshot branches from THAT version."""
+    engine.write_curated(
+        "s2", spark.createDataFrame([(1, "a")], "id int, v string"), mode="append", partition_cols=[]
+    )
+    v1 = engine.snapshot_history("s2")[-1]["version"]
+    engine.write_curated(
+        "s2", spark.createDataFrame([(2, "b")], "id int, v string"), mode="append", partition_cols=[]
+    )
+    engine.clone_table("s2", "s2_branch", version=v1)
+    got = {r["id"] for r in spark.table(engine.qualified("s2_branch")).collect()}
+    assert got == {1}
+
+
+def test_clone_into_nonempty_destination_raises(engine, spark):
+    engine.write_curated(
+        "s3", spark.createDataFrame([(1, "a")], "id int, v string"), mode="append", partition_cols=[]
+    )
+    engine.clone_table("s3", "s3c")
+    with pytest.raises(ValueError, match="not empty"):
+        engine.clone_table("s3", "s3c")
