@@ -508,3 +508,49 @@ def test_label_outliers_flags_far_vector(spark):
     out = {r["vec_id"]: r.asDict() for r in label_outliers(df, "vec_id", "embedding").collect()}
     assert out[100]["is_outlier"] is True
     assert all(not out[i]["is_outlier"] for i in range(8))
+
+
+def test_admission_two_batch_loop(spark):
+    """The continuous-ingestion loop: corpus grows ONLY by admitted
+    docs, and the next batch is checked against the GROWN corpus — a
+    doc near-duplicating an admitted batch-1 doc is rejected in
+    batch 2."""
+    from cbts_datalake_synnex_spark.operators.dedup import admission_against_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    corpus = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+    batch1 = spark.createDataFrame(
+        [
+            (10, base + " extra"),  # near-dup of corpus doc 1 → rejected
+            (11, other),  # novel → admitted
+        ],
+        "doc_id bigint, text string",
+    )
+    r1 = {
+        r["doc_id"]: r.asDict()
+        for r in admission_against_corpus(
+            corpus, batch1, "doc_id", "text", threshold=0.7, shingle_size=1
+        ).collect()
+    }
+    assert r1[10]["admitted"] is False and r1[10]["blocked_by"] == 1
+    assert r1[11]["admitted"] is True and r1[11]["blocked_by"] is None
+
+    admitted1 = batch1.filter(F.col("doc_id").isin([k for k, v in r1.items() if v["admitted"]]))
+    corpus2 = corpus.unionByName(admitted1)
+
+    batch2 = spark.createDataFrame(
+        [
+            (20, other + " more"),  # near-dup of ADMITTED doc 11 → rejected
+            (21, "nine ten eleven twelve thirteen fourteen"),  # novel
+        ],
+        "doc_id bigint, text string",
+    )
+    r2 = {
+        r["doc_id"]: r.asDict()
+        for r in admission_against_corpus(
+            corpus2, batch2, "doc_id", "text", threshold=0.7, shingle_size=1
+        ).collect()
+    }
+    assert r2[20]["admitted"] is False and r2[20]["blocked_by"] == 11
+    assert r2[21]["admitted"] is True
