@@ -24,13 +24,14 @@ from cbts_datalake_synnex_spark.workload import functions_ext  # noqa: F401,E402
 # registry entries each round, so declaration order decides which
 # queries accumulate driver-side DuckDB evidence. Rounds 1-3 certified
 # the relational/scalar core; round 4 certified X1-X8 / pipelines /
-# UDF / lifecycle / CDC. Round 5 closes the ledger: the 43 entries
-# that have never received a driver row (the round-2/3/4 additions past
-# slot 100, the formerly-no-oracle approximates — which now emit
-# derived-deterministic verification reports — and 7 relational
-# stragglers), plus 7 already-certified regression canaries chosen for
-# risk (bench headliners, the lifecycle core the round-5 engine edits
-# touch, and the two shapes round 3's NTZ regression broke).
+# UDF / lifecycle / CDC. Round 5 closes the ledger: the 50 entries
+# that have never received a driver row — the round-2/3/4 additions
+# past slot 100, the formerly-no-oracle approximates (which now emit
+# derived-deterministic verification reports), 7 relational
+# stragglers, and the 7 round-5 additions. Exactly 50, so the whole
+# window is first-time coverage; regression protection for
+# previously-certified queries comes from tests/test_oracle_parity.py,
+# which runs every registry oracle locally each session.
 _ROUND5_FRONT = [
     # formerly no-oracle approximates — now derived-report oracles
     "x2_minhash_lsh_pairs",
@@ -80,14 +81,17 @@ _ROUND5_FRONT = [
     "udf_arrow_batch_bytes",
     "lc_time_travel",
     "lc_incremental_hll_mv",
-    # regression canaries (already certified; highest re-break risk)
-    "t_sessionize",
-    "j2_broadcast_dim_join",
-    "j1_regional_revenue",
-    "a2_pricing_summary",
-    "j6_asof_join",
-    "t_tumbling_window",
-    "lc_curate_staging_to_table",
+    # round-5 additions (the only remaining never-driver-certified
+    # entries; local oracle parity covers the previously-certified
+    # queries, so every window slot goes to first-time coverage —
+    # after this round, lifetime driver coverage is 144/144)
+    "x4_remove_boilerplate",
+    "pipeline_source_priority_dedup",
+    "pipeline_fixed_n_sample",
+    "x3_embedding_outliers",
+    "pipeline_incremental_admission",
+    "t_event_transitions",
+    "lc_shallow_clone",
 ]
 
 

@@ -58,14 +58,29 @@ class Query:
     oracle: Optional[str]
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    # What bench.py times when it differs from ``fn``. Used when a
+    # registry entry wraps the operator in certification scaffolding
+    # (e.g. the LSH verification report runs LSH + the exact twin +
+    # the compare in one plan): the driver hashes ``fn``, the bench
+    # times the raw operator — keeping per-query wall times comparable
+    # across rounds to the pre-wrapper baseline.
+    bench_fn: Optional[Callable[[SparkSession, str], DataFrame]] = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: Optional[str] = None, doc: str = "", bench: bool = False):
+def query(
+    name: str,
+    oracle: Optional[str] = None,
+    doc: str = "",
+    bench: bool = False,
+    bench_fn: Optional[Callable[[SparkSession, str], DataFrame]] = None,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc, bench=bench)
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc, bench=bench, bench_fn=bench_fn
+        )
         return fn
 
     return deco

@@ -123,6 +123,19 @@ _EXACT_3GRAM_PAIRS_CTE = """
 # Jaccard; recall ≥ 0.8 — the same floor tests/test_recall.py gates;
 # reported scores identical to the exact operator's). A hash match
 # certifies the whole LSH pipeline ran inside its contract.
+#
+# The BENCH times the raw LSH operator (bench_fn below), not the
+# report: the report deliberately runs LSH + the exact ground-truth
+# join + the compare in one plan (~3× the work), which would make the
+# per-query wall time incomparable to the rounds-1-4 baseline that
+# measured LSH alone.
+def _bench_minhash_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, num_perm=32, bands=8, shingle_size=3
+    )
+
+
 @query(
     "x2_minhash_lsh_pairs",
     oracle=f"""
@@ -138,6 +151,7 @@ _EXACT_3GRAM_PAIRS_CTE = """
     "positives). Emits the in-plan verification report vs the exact 3-gram "
     "Jaccard twin (derived deterministic oracle).",
     bench=True,
+    bench_fn=_bench_minhash_lsh_raw,
 )
 def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
