@@ -1150,6 +1150,163 @@ class LakeEngine:
         self.spark.catalog.refreshTable(qtable)
         self._journal_snapshot(table)
 
+    # ------------------------------------------------------------------
+    # Row-level DML on plain parquet (Delta DELETE/UPDATE parity; the
+    # GDPR-erasure / correction primitives a lakehouse needs). Cost
+    # model at 100 TB: one predicate scan of the table (predicate
+    # pushdown + partition pruning + parquet min/max skipping decide
+    # what is actually READ — `compact_table(cluster_by=...)` makes
+    # selective predicates skip whole files), then a rewrite of ONLY
+    # the files that contain >=1 matching row. Untouched files are
+    # neither read twice nor rewritten — verified byte-identical in
+    # tests. Delta does the same dance via the transaction log; here
+    # the file manifest + snapshot journal stand in (every pre-DML
+    # file is already hard-link-retained by its writing snapshot, so
+    # time travel across a DELETE keeps working).
+    def _file_pruned_rewrite(
+        self, table: str, condition, rewrite, count_matches: bool = True
+    ) -> int:
+        """Rewrite only the data files containing rows matching
+        ``condition``. ``rewrite(subset, cond)`` maps the affected
+        files' rows to their replacement rows. Returns the number of
+        matching rows (0 ⇒ no file touched)."""
+        from urllib.parse import urlparse
+
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cond = F.coalesce(cond.cast("boolean"), F.lit(False))  # NULL ⇒ no match
+        target = self.spark.table(qtable)
+        # Which files hold matching rows. The scan is predicate-pushed;
+        # the distinct file list is bounded by affected files (driver-
+        # safe the same way merge_upsert's partition list is).
+        matched_files = [
+            r[0]
+            for r in target.filter(cond)
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()
+        ]
+        if not matched_files:
+            return 0
+        loc = self._table_location(qtable)
+        loc_path = urlparse(loc).path or loc
+        # Re-read ONLY the affected files; basePath keeps the Hive
+        # partition columns parsed from the directory structure.
+        # Partition TYPE inference must be off for this read: the
+        # catalog knows `processed_month` is the string "01", but
+        # inference would read it back as int 1 and the rewrite would
+        # emit a new `processed_month=1` directory (silent row loss —
+        # the catalog never registers that partition value). Files
+        # written before a K8 ADD COLUMNS lack the newer columns —
+        # align to the table schema (null + cast) before rewriting.
+        with _conf_override(
+            self.spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        ):
+            subset = self.spark.read.option("basePath", loc).parquet(*matched_files)
+        subset = subset.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in subset.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in target.schema.fields
+            ]
+        )
+        n_matched = subset.filter(cond).count() if count_matches else -1
+        replacement = rewrite(subset, cond).select(*target.columns)
+        actual_parts = [
+            c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition
+        ]
+        # Stage the replacement rows (reading while deleting the files
+        # underneath would race), mirroring the partition layout.
+        scratch = os.path.join(self.zones.root, "_dml", f"{table}_{uuid.uuid4().hex[:8]}")
+        writer = replacement.write.option("compression", "snappy")
+        if actual_parts:
+            writer = writer.partitionBy(*actual_parts)
+        writer.parquet(scratch)
+        # File surgery: drop the affected files, splice in the staged
+        # ones under the same partition dirs. Retained snapshot copies
+        # (hard links) keep the removed inodes alive for time travel.
+        for f in matched_files:
+            p = urlparse(f).path or f
+            if os.path.exists(p):
+                os.remove(p)
+        new_partition_dirs = False
+        for dirpath, _dirs, files in os.walk(scratch):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(dirpath, scratch)
+                dst_dir = loc_path if rel == "." else os.path.join(loc_path, rel)
+                if not os.path.isdir(dst_dir):
+                    # an UPDATE moved rows to a partition value the
+                    # catalog has never seen — repair below (K9)
+                    new_partition_dirs = True
+                    os.makedirs(dst_dir, exist_ok=True)
+                os.replace(
+                    os.path.join(dirpath, fname),
+                    os.path.join(dst_dir, f"dml-{uuid.uuid4().hex[:8]}-{fname}"),
+                )
+        shutil.rmtree(scratch, ignore_errors=True)
+        if new_partition_dirs and actual_parts:
+            self.recover_partitions(table)
+        self.spark.catalog.refreshTable(qtable)
+        self._journal_snapshot(table)
+        return n_matched
+
+    def delete_rows(self, table: str, condition) -> int:
+        """``DELETE FROM table WHERE condition`` (SQL semantics: only
+        rows where the predicate is TRUE are deleted; NULL keeps the
+        row). Returns the deleted row count. Delta path: transactional
+        file-pruned DELETE; parquet path: `_file_pruned_rewrite`."""
+        if self.table_format == "delta":
+            from delta.tables import DeltaTable  # type: ignore[import-not-found]
+
+            qtable = self.qualified(table)
+            cond = condition if isinstance(condition, str) else condition
+            DeltaTable.forName(self.spark, qtable).delete(cond)
+            self.spark.catalog.refreshTable(qtable)
+            return -1  # Delta does not report the count pre-4.0
+
+        def _drop_matches(subset: DataFrame, cond) -> DataFrame:
+            return subset.filter(~cond)
+
+        return self._file_pruned_rewrite(table, condition, _drop_matches)
+
+    def update_rows(self, table: str, condition, set_exprs: dict[str, Any]) -> int:
+        """``UPDATE table SET col = expr, ... WHERE condition``.
+        ``set_exprs`` maps column name → Column or SQL expression
+        string (evaluated against the pre-update row, as SQL UPDATE
+        does). Returns the updated row count."""
+        sets = {
+            k: (F.expr(v) if isinstance(v, str) else v) for k, v in set_exprs.items()
+        }
+        if self.table_format == "delta":
+            from delta.tables import DeltaTable  # type: ignore[import-not-found]
+
+            qtable = self.qualified(table)
+            DeltaTable.forName(self.spark, qtable).update(condition, sets)
+            self.spark.catalog.refreshTable(qtable)
+            return -1
+
+        def _apply_sets(subset: DataFrame, cond) -> DataFrame:
+            unknown = [c for c in sets if c not in subset.columns]
+            if unknown:
+                raise ValueError(f"UPDATE of unknown columns: {unknown}")
+            return subset.select(
+                *[
+                    F.when(cond, sets[c]).otherwise(F.col(c)).alias(c)
+                    if c in sets
+                    else F.col(c)
+                    for c in subset.columns
+                ]
+            )
+
+        return self._file_pruned_rewrite(table, condition, _apply_sets)
+
 
 @contextmanager
 def _conf_override(spark: SparkSession, key: str, value: str):

@@ -682,3 +682,47 @@ def lc_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "side string, n_rows bigint",
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Row-level DML — predicate DELETE + UPDATE on a curated parquet table
+# ([EXT] Delta DELETE/UPDATE parity; the GDPR-erasure / correction
+# primitives, engine.delete_rows / update_rows). The engine rewrites
+# ONLY files containing matching rows (file-pruned; untouched files
+# keep their inodes — tests/test_dml.py), so a plain SELECT with the
+# predicates folded in states the expected final content exactly.
+@query(
+    "lc_predicate_dml",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN upper(n_name) ELSE n_name END AS n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    WHERE n_regionkey NOT IN (1, 3)
+    """,
+    doc="[EXT] row-level DML: DELETE WHERE n_regionkey IN (1,3), then UPDATE "
+    "WHERE n_nationkey % 5 = 0 SET n_name = upper(n_name) — file-pruned "
+    "rewrite on plain parquet (engine.delete_rows/update_rows, Delta parity); "
+    "reported match counts asserted in-plan against the seed.",
+)
+def lc_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+        )
+        seed = nat.withColumn("processed_year", F.lit("2024")).withColumn(
+            "processed_month", F.format_string("%02d", (F.col("n_regionkey") % 2) + 1)
+        )
+        eng.write_curated("dml_nat", seed, mode="overwrite")
+        n_del = eng.delete_rows("dml_nat", "n_regionkey IN (1, 3)")
+        n_upd = eng.update_rows(
+            "dml_nat", "n_nationkey % 5 = 0", {"n_name": "upper(n_name)"}
+        )
+        # count cross-check (driver-side; the oracle certifies content)
+        expect_del = nat.filter("n_regionkey IN (1, 3)").count()
+        expect_upd = nat.filter("n_regionkey NOT IN (1, 3) AND n_nationkey % 5 = 0").count()
+        assert (n_del, n_upd) == (expect_del, expect_upd), (n_del, n_upd)
+        out = spark.table(eng.qualified("dml_nat")).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        return _materialize(spark, out)
