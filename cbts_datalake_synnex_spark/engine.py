@@ -1190,22 +1190,29 @@ class LakeEngine:
         ]
         if not matched_files:
             return 0
+        subset = self._read_files_as_table_schema(qtable, matched_files)
+        n_matched = subset.filter(cond).count() if count_matches else -1
+        replacement = rewrite(subset, cond).select(*target.columns)
+        self._splice_replacement(table, qtable, matched_files, replacement)
+        return n_matched
+
+    def _read_files_as_table_schema(self, qtable: str, files: list[str]) -> DataFrame:
+        """Re-read ONLY the given data files of ``qtable``, aligned to
+        the table schema. basePath keeps the Hive partition columns
+        parsed from the directory structure. Partition TYPE inference
+        must be off for this read: the catalog knows `processed_month`
+        is the string "01", but inference would read it back as int 1
+        and a rewrite would emit a new `processed_month=1` directory
+        (silent row loss — the catalog never registers that partition
+        value). Files written before a K8 ADD COLUMNS lack the newer
+        columns — align to the table schema (null + cast)."""
         loc = self._table_location(qtable)
-        loc_path = urlparse(loc).path or loc
-        # Re-read ONLY the affected files; basePath keeps the Hive
-        # partition columns parsed from the directory structure.
-        # Partition TYPE inference must be off for this read: the
-        # catalog knows `processed_month` is the string "01", but
-        # inference would read it back as int 1 and the rewrite would
-        # emit a new `processed_month=1` directory (silent row loss —
-        # the catalog never registers that partition value). Files
-        # written before a K8 ADD COLUMNS lack the newer columns —
-        # align to the table schema (null + cast) before rewriting.
+        target = self.spark.table(qtable)
         with _conf_override(
             self.spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         ):
-            subset = self.spark.read.option("basePath", loc).parquet(*matched_files)
-        subset = subset.select(
+            subset = self.spark.read.option("basePath", loc).parquet(*files)
+        return subset.select(
             *[
                 (
                     F.col(f.name).cast(f.dataType)
@@ -1215,22 +1222,30 @@ class LakeEngine:
                 for f in target.schema.fields
             ]
         )
-        n_matched = subset.filter(cond).count() if count_matches else -1
-        replacement = rewrite(subset, cond).select(*target.columns)
+
+    def _splice_replacement(
+        self, table: str, qtable: str, removed_files: list[str], replacement: DataFrame
+    ) -> None:
+        """Atomically-enough swap ``removed_files`` for the rows of
+        ``replacement``: stage the replacement (reading while deleting
+        the files underneath would race), drop the removed files,
+        splice the staged parts in under the same partition dirs."""
+        from urllib.parse import urlparse
+
+        loc = self._table_location(qtable)
+        loc_path = urlparse(loc).path or loc
         actual_parts = [
             c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition
         ]
-        # Stage the replacement rows (reading while deleting the files
-        # underneath would race), mirroring the partition layout.
         scratch = os.path.join(self.zones.root, "_dml", f"{table}_{uuid.uuid4().hex[:8]}")
         writer = replacement.write.option("compression", "snappy")
         if actual_parts:
             writer = writer.partitionBy(*actual_parts)
         writer.parquet(scratch)
-        # File surgery: drop the affected files, splice in the staged
+        # File surgery: drop the removed files, splice in the staged
         # ones under the same partition dirs. Retained snapshot copies
         # (hard links) keep the removed inodes alive for time travel.
-        for f in matched_files:
+        for f in removed_files:
             p = urlparse(f).path or f
             if os.path.exists(p):
                 os.remove(p)
@@ -1242,7 +1257,7 @@ class LakeEngine:
                 rel = os.path.relpath(dirpath, scratch)
                 dst_dir = loc_path if rel == "." else os.path.join(loc_path, rel)
                 if not os.path.isdir(dst_dir):
-                    # an UPDATE moved rows to a partition value the
+                    # a rewrite moved rows to a partition value the
                     # catalog has never seen — repair below (K9)
                     new_partition_dirs = True
                     os.makedirs(dst_dir, exist_ok=True)
@@ -1255,7 +1270,6 @@ class LakeEngine:
             self.recover_partitions(table)
         self.spark.catalog.refreshTable(qtable)
         self._journal_snapshot(table)
-        return n_matched
 
     def delete_rows(self, table: str, condition) -> int:
         """``DELETE FROM table WHERE condition`` (SQL semantics: only
@@ -1306,6 +1320,237 @@ class LakeEngine:
             )
 
         return self._file_pruned_rewrite(table, condition, _apply_sets)
+
+    def merge_rows(
+        self,
+        table: str,
+        source: DataFrame,
+        keys: Sequence[str],
+        when_matched_update: dict[str, Any] | str | None = "all",
+        when_matched_delete: str | bool | None = None,
+        when_not_matched_insert: str | bool = True,
+        sequence_col: str | None = None,
+        exclude_cols: Sequence[str] = (),
+        broadcast_source: bool = True,
+    ) -> dict[str, int]:
+        """Row-level ``MERGE INTO table t USING source s ON t.k = s.k``
+        (Delta MERGE parity on plain parquet). Clause semantics, in
+        Delta's evaluation order:
+
+        - ``when_matched_delete``: ``True`` or a SQL condition over
+          ``t.``/``s.``-qualified columns (e.g. ``"s.op = 'D'"``) —
+          matched target rows satisfying it are removed.
+        - ``when_matched_update``: ``"all"`` (every non-key source data
+          column overwrites its same-named target column — UPDATE SET *),
+          a ``{target_col: expr}`` dict (exprs may reference ``t.``/
+          ``s.``), or ``None`` (matched rows left untouched).
+        - ``when_not_matched_insert``: ``True`` or a SQL condition over
+          bare SOURCE columns; unmatched source rows satisfying it are
+          inserted (columns absent from the source become NULL).
+
+        ``sequence_col``: CDC ordering — keep only the latest change per
+        key (max sequence) before merging. Without it, duplicate source
+        keys raise (Delta's "multiple source rows matched" contract).
+        ``exclude_cols``: source columns used only in clause conditions
+        (op codes, sequence numbers) — never written to the table and
+        excluded from K8 schema evolution.
+
+        Scale: the source's distinct key set (broadcast by default —
+        CDC batches are small; pass ``broadcast_source=False`` to let
+        AQE choose) semi-joins the target to find the files holding
+        matched keys; ONLY those files rewrite, inserts land as new
+        files in their partitions, untouched files keep their inodes.
+        """
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        keys = list(keys)
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge keys missing from source: {missing}")
+
+        # CDC ordering: latest change per key wins; else keys must be
+        # unique (SQL MERGE forbids multiple source matches per row).
+        if sequence_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
+            source = (
+                source.withColumn("__seq_rn", F.row_number().over(w))
+                .filter(F.col("__seq_rn") == 1)
+                .drop("__seq_rn")
+            )
+        elif source.groupBy(*keys).count().filter("count > 1").limit(1).count():
+            raise ValueError(
+                "duplicate merge keys in source (pass sequence_col for "
+                "latest-change-wins CDC semantics)"
+            )
+
+        if self.table_format == "delta":
+            return self._merge_rows_delta(
+                qtable,
+                source,
+                keys,
+                when_matched_update,
+                when_matched_delete,
+                when_not_matched_insert,
+            )
+
+        exclude = [c for c in exclude_cols if c in source.columns]
+        data_cols = [c for c in source.columns if c not in exclude]
+        # K8: genuinely-new source data columns widen the table first
+        # (condition-only columns never do).
+        self._evolve_schema(qtable, source.select(*data_cols))
+        target = self.spark.table(qtable)
+        tcols_lower = {c.lower() for c in target.columns}
+
+        src_m = source.withColumn("__merge_m", F.lit(True))
+        src_keys = source.select(*keys).distinct()
+        if broadcast_source:
+            src_m, src_keys = F.broadcast(src_m), F.broadcast(src_keys)
+        # _metadata is resolvable only on the file-source relation —
+        # materialize file_path as a real column BEFORE the semi-join.
+        matched_files = [
+            r[0]
+            for r in target.select(F.col("_metadata.file_path").alias("f"), *keys)
+            .join(src_keys, on=keys, how="left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        ]
+
+        matched = F.col("s.`__merge_m`").isNotNull()
+        if isinstance(when_matched_delete, str):
+            del_f = F.coalesce(F.expr(when_matched_delete).cast("boolean"), F.lit(False))
+        else:
+            del_f = F.lit(bool(when_matched_delete))
+        upd_enabled = when_matched_update is not None
+        upd_sets: dict[str, Any] = {}
+        if when_matched_update == "all":
+            upd_sets = {
+                c: F.col(f"s.`{c}`")
+                for c in data_cols
+                if c not in keys and c.lower() in tcols_lower
+            }
+        elif isinstance(when_matched_update, dict):
+            upd_sets = {
+                k: (F.expr(v) if isinstance(v, str) else v)
+                for k, v in when_matched_update.items()
+            }
+        elif upd_enabled:
+            raise ValueError(f"when_matched_update: {when_matched_update!r}")
+
+        n_deleted = n_updated = 0
+        rewritten = None
+        if matched_files:
+            sub = self._read_files_as_table_schema(qtable, matched_files)
+            on = [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in keys]
+            joined = sub.alias("t").join(src_m.alias("s"), on=_and_all(on), how="left")
+            stats = joined.agg(
+                F.sum(F.when(matched & del_f, 1).otherwise(0)).alias("d"),
+                F.sum(F.when(matched & ~del_f, 1).otherwise(0)).alias("u"),
+            ).collect()[0]
+            n_deleted = int(stats["d"] or 0)
+            n_updated = int(stats["u"] or 0) if upd_enabled else 0
+            out_cols = []
+            for f in target.schema.fields:
+                t_c = F.col(f"t.`{f.name}`")
+                val = upd_sets.get(f.name, t_c) if upd_enabled else t_c
+                out_cols.append(
+                    F.when(matched, val.cast(f.dataType)).otherwise(t_c).alias(f.name)
+                )
+            rewritten = joined.filter(~(matched & del_f)).select(*out_cols)
+
+        inserts = None
+        n_inserted = 0
+        if when_not_matched_insert:
+            ins = source.join(target.select(*keys), on=keys, how="left_anti")
+            if isinstance(when_not_matched_insert, str):
+                ins = ins.filter(
+                    F.coalesce(
+                        F.expr(when_not_matched_insert).cast("boolean"), F.lit(False)
+                    )
+                )
+            src_lower = {c.lower(): c for c in data_cols}
+            inserts = ins.select(
+                *[
+                    (
+                        F.col(f"`{src_lower[f.name.lower()]}`").cast(f.dataType)
+                        if f.name.lower() in src_lower
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target.schema.fields
+                ]
+            )
+            n_inserted = inserts.count()
+            if n_inserted == 0:
+                inserts = None
+
+        if rewritten is None and inserts is None:
+            return {"updated": 0, "deleted": 0, "inserted": 0}
+        if rewritten is None:
+            replacement = inserts
+        elif inserts is None:
+            replacement = rewritten
+        else:
+            replacement = rewritten.unionByName(inserts)
+        self._splice_replacement(table, qtable, matched_files, replacement)
+        return {"updated": n_updated, "deleted": n_deleted, "inserted": n_inserted}
+
+    def _merge_rows_delta(
+        self, qtable, source, keys, upd, dele, ins
+    ) -> dict[str, int]:
+        from delta.tables import DeltaTable  # type: ignore[import-not-found]
+
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        m = DeltaTable.forName(self.spark, qtable).alias("t").merge(source.alias("s"), cond)
+        if dele:
+            m = m.whenMatchedDelete(condition=dele if isinstance(dele, str) else None)
+        if upd == "all":
+            m = m.whenMatchedUpdateAll()
+        elif isinstance(upd, dict):
+            m = m.whenMatchedUpdate(set={k: v for k, v in upd.items()})
+        if ins:
+            m = m.whenNotMatchedInsertAll(
+                condition=ins if isinstance(ins, str) else None
+            )
+        m.execute()
+        self.spark.catalog.refreshTable(qtable)
+        return {"updated": -1, "deleted": -1, "inserted": -1}
+
+    def apply_changes(
+        self,
+        table: str,
+        changes: DataFrame,
+        keys: Sequence[str],
+        op_col: str = "op",
+        sequence_col: str | None = None,
+        delete_op: str = "D",
+    ) -> dict[str, int]:
+        """Apply a CDC change batch (DLT ``APPLY CHANGES INTO`` parity;
+        the write-side twin of the `cdc_*` read queries): rows whose
+        ``op_col`` equals ``delete_op`` delete the matched target row,
+        every other row upserts. ``sequence_col`` orders changes so the
+        latest change per key wins within the batch. The op/sequence
+        columns never land in the table."""
+        exclude = [op_col] + ([sequence_col] if sequence_col else [])
+        return self.merge_rows(
+            table,
+            changes,
+            keys,
+            when_matched_update="all",
+            when_matched_delete=f"s.`{op_col}` = '{delete_op}'",
+            when_not_matched_insert=f"`{op_col}` <> '{delete_op}'",
+            sequence_col=sequence_col,
+            exclude_cols=exclude,
+        )
+
+
+def _and_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
 
 
 @contextmanager

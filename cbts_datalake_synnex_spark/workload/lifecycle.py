@@ -726,3 +726,85 @@ def lc_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name", "n_regionkey"
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# CDC apply — MERGE a change batch (ops D/U/I, sequence-ordered) into a
+# curated parquet table ([EXT] Delta MERGE / DLT APPLY CHANGES INTO
+# parity, engine.apply_changes → merge_rows; the write-side twin of the
+# cdc_* read queries). The batch is derived deterministically from the
+# seed itself, so the post-merge table is a plain SELECT: nationkey%7==0
+# deleted, %7==1 renamed to lower(name) — via TWO sequenced changes per
+# key, certifying latest-change-wins dedup — and %7==2 mirrored in as
+# synthetic inserts under key+1000.
+@query(
+    "lc_cdc_apply",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+           CASE WHEN n_nationkey % 7 = 1 THEN lower(n_name) ELSE n_name END AS n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    WHERE n_nationkey % 7 <> 0
+    UNION ALL
+    SELECT CAST(n_nationkey + 1000 AS INTEGER) AS n_nationkey,
+           'synthetic_' || CAST(n_nationkey AS VARCHAR) AS n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    WHERE n_nationkey % 7 = 2
+    """,
+    doc="[EXT] CDC apply: MERGE a D/U/I change batch into a curated table — "
+    "file-pruned rewrite of matched files only, sequence_col latest-change-"
+    "wins dedup, op/seq columns never land in the table "
+    "(engine.apply_changes/merge_rows, Delta MERGE parity); reported clause "
+    "counts asserted in-plan against the seed.",
+)
+def lc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+        )
+        part = F.format_string("%02d", (F.col("n_regionkey") % 2) + 1)
+        seed = nat.withColumn("processed_year", F.lit("2024")).withColumn(
+            "processed_month", part
+        )
+        eng.write_curated("cdc_nat", seed, mode="overwrite")
+        deletes = nat.filter("n_nationkey % 7 = 0").select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        )
+        # two sequenced changes per updated key: seq 1 carries a wrong
+        # name the merge must NOT apply (latest-change-wins)
+        upd_base = nat.filter("n_nationkey % 7 = 1")
+        updates = upd_base.select(
+            "n_nationkey", F.lit("WRONG").alias("n_name"), "n_regionkey",
+            F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        ).unionByName(
+            upd_base.select(
+                "n_nationkey", F.lower("n_name").alias("n_name"), "n_regionkey",
+                F.lit("U").alias("op"), F.lit(2).alias("seq"),
+            )
+        )
+        inserts = nat.filter("n_nationkey % 7 = 2").select(
+            (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+            F.concat(F.lit("synthetic_"), F.col("n_nationkey").cast("string")).alias("n_name"),
+            "n_regionkey",
+            F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        )
+        batch = (
+            deletes.unionByName(updates).unionByName(inserts)
+            .withColumn("processed_year", F.lit("2024"))
+            .withColumn("processed_month", part)
+        )
+        res = eng.apply_changes(
+            "cdc_nat", batch, keys=["n_nationkey"], op_col="op", sequence_col="seq"
+        )
+        expect = {
+            "deleted": nat.filter("n_nationkey % 7 = 0").count(),
+            "updated": nat.filter("n_nationkey % 7 = 1").count(),
+            "inserted": nat.filter("n_nationkey % 7 = 2").count(),
+        }
+        assert res == expect, (res, expect)
+        out = spark.table(eng.qualified("cdc_nat")).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        return _materialize(spark, out)
