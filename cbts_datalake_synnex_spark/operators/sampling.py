@@ -149,3 +149,43 @@ def fixed_n_per_stratum(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    epoch: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign each row a
+    ``shard`` and a ``pos`` (0-based position within the shard) that
+    realize a pseudorandom permutation of the corpus, keyed on
+    ``md5(salt|epoch|id)``. Each training worker reads its shard in
+    ``pos`` order; a new ``epoch`` derives an independent permutation
+    from the same ids.
+
+    Scale shape: ONE shuffle on the shard key + a per-shard sort (a
+    partitioned window — never a global ORDER BY, which would funnel
+    100 TB through one task). Shard sizes are binomial around
+    ``rows/n_shards`` (hash-uniform). Like every operator in this
+    module the result is independent of physical partitioning and
+    idempotent across re-runs — resuming epoch 7 lands the exact same
+    order.
+
+    Adds ``shuffle_key`` (the md5 hex), ``shard``, ``pos``.
+    """
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat_ws("|", F.lit(salt), F.lit(str(epoch)), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    w = W.partitionBy("shard").orderBy(F.col("shuffle_key").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+    )

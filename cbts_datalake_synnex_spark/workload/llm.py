@@ -1745,3 +1745,34 @@ def pipeline_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFram
     return dedup.admission_against_corpus(
         corpus, batch, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=3
     )
+
+
+# ----------------------------------------------------------------------
+# X8 — deterministic epoch shuffle (round 5): the global training
+# shuffle as shard+position assignment, permutation keyed on
+# md5(salt|epoch|id) — one shard shuffle + per-shard sort, never a
+# global ORDER BY.
+@query(
+    "pipeline_epoch_shuffle",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             md5('|1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             CAST(CAST(('0x' || substr(md5('|1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1 AS INTEGER) AS pos
+    FROM s
+    """,
+    doc="[EXT] X8 — epoch-deterministic training shuffle: 8 shards, epoch 1; "
+    "shard = md5-bucket of (epoch, id), pos = rank of md5 key within shard. "
+    "One keyed shuffle + partitioned sort (no global ORDER BY); a new epoch "
+    "derives an independent permutation, re-runs land the identical order "
+    "(operators/sampling.epoch_shuffle).",
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, id_col="doc_id", n_shards=8, epoch=1).select(
+        "doc_id", "shard", "pos"
+    )

@@ -554,3 +554,31 @@ def test_admission_two_batch_loop(spark):
     }
     assert r2[20]["admitted"] is False and r2[20]["blocked_by"] == 11
     assert r2[21]["admitted"] is True
+
+
+def test_epoch_shuffle_invariants(spark):
+    """Deterministic permutation: positions are a contiguous 0..n-1
+    range per shard, identical across physical partitionings; a new
+    epoch yields a different order of the same rows."""
+    from cbts_datalake_synnex_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id bigint")
+    out = epoch_shuffle(df, "id", n_shards=4, epoch=0).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # partitioning invariance: same (id, shard, pos) on any layout
+    out2 = epoch_shuffle(df.repartition(13), "id", n_shards=4, epoch=0).collect()
+    assert {(r["id"], r["shard"], r["pos"]) for r in out} == {
+        (r["id"], r["shard"], r["pos"]) for r in out2
+    }
+    # a new epoch is an independent permutation of the SAME rows
+    out_e1 = epoch_shuffle(df, "id", n_shards=4, epoch=1).collect()
+    assert {r["id"] for r in out_e1} == {r["id"] for r in out}
+    assert {(r["id"], r["shard"], r["pos"]) for r in out_e1} != {
+        (r["id"], r["shard"], r["pos"]) for r in out
+    }
