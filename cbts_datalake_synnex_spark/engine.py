@@ -981,6 +981,8 @@ class LakeEngine:
         table: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         cluster_by: Sequence[str] | None = None,
+        zorder: bool = False,
+        zorder_bits: int = 8,
     ) -> int:
         """Bin-pack a curated table's files to ~target size. Returns the
         resulting file count. Rewrites atomically via a temp suffix +
@@ -993,6 +995,19 @@ class LakeEngine:
         so later filtered scans skip whole files/row-groups on parquet
         statistics instead of reading everything. The highest-leverage
         layout knob for a 100 TB table queried by a selective key.
+
+        ``zorder=True`` (with >=2 ``cluster_by`` columns) interleaves
+        the columns on a Z-curve instead of lexicographic order: each
+        column is bucketed into ``2**zorder_bits`` quantile ranks
+        (boundaries from ``approxQuantile`` — sample-based, driver-
+        bounded; non-numeric columns rank by ``xxhash64`` bucket, which
+        clusters equality predicates, not ranges), the per-column ranks
+        are bit-interleaved into one Z-value, and the rewrite range-
+        partitions + sorts on it. Linear ``cluster_by (a, b)`` leaves
+        ``b``'s min/max near-full-width in every file — only ``a``
+        filters skip; the Z-curve keeps EVERY clustered column's
+        per-file band narrow, so selective filters on any of them skip
+        files (Delta ``OPTIMIZE ... ZORDER BY`` parity).
         """
         qtable = self.qualified(table)
         df = self.spark.table(qtable)
@@ -1010,7 +1025,15 @@ class LakeEngine:
         scratch = os.path.join(self.zones.root, "_compact", f"{table}_{uuid.uuid4().hex[:8]}")
         df.repartition(n_files).write.parquet(scratch)
         staged = self.spark.read.parquet(scratch)
-        if cluster_by:
+        if cluster_by and zorder and len(cluster_by) >= 2:
+            zcol = self._zvalue(staged, list(cluster_by), zorder_bits)
+            staged = (
+                staged.withColumn("__zval", zcol)
+                .repartitionByRange(n_files, F.col("__zval"))
+                .sortWithinPartitions("__zval")
+                .drop("__zval")
+            )
+        elif cluster_by:
             # cluster on the FINAL write (the scratch hop exists only to
             # break the self-read; re-reading it bin-packs files and
             # would destroy any earlier ordering).
@@ -1019,6 +1042,59 @@ class LakeEngine:
         self.write_curated(table, staged, mode="overwrite", partition_cols=schema_parts)
         shutil.rmtree(scratch, ignore_errors=True)
         return len(self.spark.table(qtable).inputFiles())
+
+    def _zvalue(self, df: DataFrame, cols: list[str], bits: int) -> F.Column:
+        """Z-curve key: per-column quantile rank (``2**bits`` buckets),
+        bit-interleaved. All JVM-side: the only driver work is one
+        ``approxQuantile`` per numeric column (sample-based, returns
+        ``2**bits - 1`` cut points — bounded, the same sample-train
+        budget as IVF centroids). The rank assignment is a single
+        higher-order ``aggregate`` over a literal boundary array (one
+        array per column — plan size O(cols * 2**bits) constants, no
+        per-row Python."""
+        n_buckets = 1 << bits
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString()
+            in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+            or f.dataType.simpleString().startswith("decimal")
+        }
+        ranks = []
+        for c in cols:
+            if c in numeric:
+                probs = [i / n_buckets for i in range(1, n_buckets)]
+                cuts = df.stat.approxQuantile(c, probs, 0.01)
+                # dedupe (skewed columns repeat cut values); rank =
+                # count of boundaries <= value, via one higher-order
+                # aggregate over the literal boundary array
+                uniq = sorted(set(float(x) for x in cuts if x is not None))
+                if not uniq:
+                    ranks.append(F.lit(0))
+                    continue
+                arr = F.array(*[F.lit(float(b)) for b in uniq])
+                rank = F.aggregate(
+                    arr,
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+                )
+                # re-spread deduped ranks onto the full bucket range so
+                # interleaving keeps per-column resolution comparable
+                scale = max(1, n_buckets // (len(uniq) + 1))
+                rank = (rank * scale) % n_buckets
+            else:
+                # non-numeric: uniform hash rank — clusters equality
+                # predicates (string ranges rarely queried)
+                rank = F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))
+            ranks.append(F.coalesce(rank.cast("bigint"), F.lit(0)))
+        ncols = len(ranks)
+        z = F.lit(0).cast("bigint")
+        for bit in range(bits):
+            for j, rank in enumerate(ranks):
+                b = F.shiftright(rank, bit).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(b, bit * ncols + j)
+        return z
 
     # ------------------------------------------------------------------
     # Scratch hygiene: compact/merge stage through _compact/_merge and

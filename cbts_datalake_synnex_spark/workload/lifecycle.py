@@ -808,3 +808,42 @@ def lc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name", "n_regionkey"
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Z-ORDER compaction ([EXT] Delta `OPTIMIZE ... ZORDER BY` parity,
+# engine.compact_table(zorder=True)): multi-column Z-curve layout so
+# selective filters on ANY clustered column skip files on parquet
+# min/max stats (linear cluster_by only serves the leading column).
+# The oracle certifies the rewrite is content-preserving; the layout
+# benefit itself is golden-tested (test_engine_lifecycle).
+@query(
+    "lc_zorder_compact",
+    oracle="""
+    SELECT CAST(c_custkey AS INTEGER) AS c_custkey,
+           CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    """,
+    doc="[EXT] Z-order compaction: rewrite a curated table on a Z-curve over "
+    "(c_nationkey, c_acctbal) — quantile-rank bit interleaving, all JVM-side "
+    "(engine.compact_table zorder=True); content must round-trip exactly.",
+)
+def lc_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("int"),
+            F.col("c_nationkey").cast("int"),
+            F.col("c_acctbal").cast("double"),
+        )
+        eng.write_curated("zc", cust, mode="overwrite", partition_cols=[])
+        eng.compact_table(
+            "zc",
+            target_file_bytes=16 * 1024,
+            cluster_by=["c_nationkey", "c_acctbal"],
+            zorder=True,
+        )
+        out = spark.table(eng.qualified("zc")).select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+        return _materialize(spark, out)

@@ -703,3 +703,43 @@ def test_incremental_view_approx_distinct_hll_merge(engine, spark):
     }
     # sketch estimates are exact at these cardinalities (sparse mode)
     assert got == {"a": 3, "b": 1, "c": 1}
+
+
+def test_compact_zorder_narrows_all_clustered_columns(engine, spark):
+    """Z-order compaction (Delta OPTIMIZE ZORDER parity): with linear
+    cluster_by (x, y), y's min/max is near-full-width in every file so
+    only x-filters skip; the Z-curve must keep BOTH columns' per-file
+    bands narrow — and preserve content exactly."""
+    from pyspark.sql import functions as F
+
+    n = 60_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.abs(F.xxhash64("id", F.lit(1)) % 1000).alias("x"),
+            F.abs(F.xxhash64("id", F.lit(2)) % 1000).alias("y"),
+        )
+    )
+    engine.write_curated("zord", df, mode="overwrite", partition_cols=[])
+    qt = engine.qualified("zord")
+
+    def avg_rel_width(col):
+        t = spark.table(qt).select(F.col("_metadata.file_path").alias("f"), col)
+        agg = t.groupBy("f").agg((F.max(col) - F.min(col)).alias("w")).collect()
+        return sum(r["w"] for r in agg) / len(agg) / 999.0
+
+    n_lin = engine.compact_table("zord", target_file_bytes=48 * 1024, cluster_by=["x", "y"])
+    lin_y = avg_rel_width("y")
+    n_z = engine.compact_table(
+        "zord", target_file_bytes=48 * 1024, cluster_by=["x", "y"], zorder=True
+    )
+    assert n_z >= 4 and n_lin >= 4
+    z_x, z_y = avg_rel_width("x"), avg_rel_width("y")
+    assert lin_y > 0.9          # linear: y unskippable
+    assert z_y < lin_y * 0.5    # z-order: y band collapses
+    assert z_x < 0.7            # x stays banded too
+    # content preserved exactly
+    assert spark.table(qt).count() == n
+    assert spark.table(qt).agg(F.sum("x"), F.sum("y"), F.sum("id")).collect() == \
+        df.agg(F.sum("x"), F.sum("y"), F.sum("id")).collect()
