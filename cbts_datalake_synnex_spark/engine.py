@@ -1602,14 +1602,39 @@ class LakeEngine:
         op_col: str = "op",
         sequence_col: str | None = None,
         delete_op: str = "D",
+        partition_cols: Sequence[str] | None = None,
     ) -> dict[str, int]:
         """Apply a CDC change batch (DLT ``APPLY CHANGES INTO`` parity;
         the write-side twin of the `cdc_*` read queries): rows whose
         ``op_col`` equals ``delete_op`` delete the matched target row,
         every other row upserts. ``sequence_col`` orders changes so the
         latest change per key wins within the batch. The op/sequence
-        columns never land in the table."""
+        columns never land in the table.
+
+        A missing target table bootstraps from the batch itself (the
+        non-delete survivors after sequence dedup), so a CDC stream's
+        first micro-batch needs no separate seeding step —
+        ``partition_cols`` applies only to that bootstrap write."""
         exclude = [op_col] + ([sequence_col] if sequence_col else [])
+        if not self.spark.catalog.tableExists(self.qualified(table)):
+            base = changes
+            if sequence_col is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
+                base = (
+                    base.withColumn("__seq_rn", F.row_number().over(w))
+                    .filter(F.col("__seq_rn") == 1)
+                    .drop("__seq_rn")
+                )
+            dropped = base.filter(F.col(op_col) != delete_op).drop(*exclude)
+            n_ins = dropped.count()
+            self.write_curated(
+                table, dropped, mode="overwrite", partition_cols=partition_cols
+            )
+            # deletes of never-seen keys match nothing: deleted = 0,
+            # exactly what merge_rows would have reported
+            return {"updated": 0, "deleted": 0, "inserted": n_ins}
         return self.merge_rows(
             table,
             changes,

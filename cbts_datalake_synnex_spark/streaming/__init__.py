@@ -10,7 +10,10 @@ checkpoint directory playing exactly the bookmark role. T4/T5
 extensions that make the ``events`` table first-class.
 """
 
-from cbts_datalake_synnex_spark.streaming.incremental import incremental_curate
+from cbts_datalake_synnex_spark.streaming.incremental import (
+    incremental_apply_changes,
+    incremental_curate,
+)
 from cbts_datalake_synnex_spark.streaming.joins import stream_stream_join
 from cbts_datalake_synnex_spark.streaming.stateful import first_seen_admission, running_stats
 from cbts_datalake_synnex_spark.streaming.windows import (
@@ -22,6 +25,7 @@ from cbts_datalake_synnex_spark.streaming.windows import (
 
 __all__ = [
     "incremental_curate",
+    "incremental_apply_changes",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",

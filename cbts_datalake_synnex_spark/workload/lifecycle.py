@@ -847,3 +847,87 @@ def lc_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_nationkey", "c_acctbal"
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# CDC stream → MERGE sink ([EXT] round 5): two checkpointed micro-
+# batches of change records (bootstrap inserts, then D/U/I with
+# sequence dedup) land in the same final state as the one-shot
+# lc_cdc_apply — the streaming twin shares its oracle. The change
+# files are materialized driver-side from the 25-row nation dim
+# (bounded by construction, same discipline as the other lc_ seeds).
+@query(
+    "lc_cdc_stream_apply",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+           CASE WHEN n_nationkey % 7 = 1 THEN lower(n_name) ELSE n_name END AS n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    WHERE n_nationkey % 7 <> 0
+    UNION ALL
+    SELECT CAST(n_nationkey + 1000 AS INTEGER) AS n_nationkey,
+           'synthetic_' || CAST(n_nationkey AS VARCHAR) AS n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    WHERE n_nationkey % 7 = 2
+    """,
+    doc="[EXT] streaming CDC apply: two micro-batches of D/U/I change records "
+    "through foreachBatch + MERGE (streaming.incremental_apply_changes), "
+    "checkpointed exactly-once, first batch bootstraps the table; final state "
+    "matches the one-shot lc_cdc_apply oracle.",
+)
+def lc_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from cbts_datalake_synnex_spark.streaming import incremental_apply_changes
+
+    with _scratch_engine(spark) as eng:
+        nat = (
+            load_table(spark, sf_dir, "nation")
+            .select(
+                F.col("n_nationkey").cast("int").alias("k"),
+                F.col("n_name").alias("name"),
+                F.col("n_regionkey").cast("int").alias("g"),
+            )
+            .collect()
+        )
+        src = os.path.join(eng.zones.root, "_cdc_feed")
+        os.makedirs(src, exist_ok=True)
+        b1 = [
+            {"n_nationkey": r["k"], "n_name": r["name"], "n_regionkey": r["g"],
+             "op": "I", "seq": 1}
+            for r in nat
+        ]
+        b2 = (
+            [{"n_nationkey": r["k"], "n_name": None, "n_regionkey": r["g"],
+              "op": "D", "seq": 2} for r in nat if r["k"] % 7 == 0]
+            + [{"n_nationkey": r["k"], "n_name": "WRONG", "n_regionkey": r["g"],
+                "op": "U", "seq": 2} for r in nat if r["k"] % 7 == 1]
+            + [{"n_nationkey": r["k"], "n_name": r["name"].lower(), "n_regionkey": r["g"],
+                "op": "U", "seq": 3} for r in nat if r["k"] % 7 == 1]
+            + [{"n_nationkey": r["k"] + 1000, "n_name": f"synthetic_{r['k']}",
+                "n_regionkey": r["g"], "op": "I", "seq": 2} for r in nat if r["k"] % 7 == 2]
+        )
+        for i, (name, rows) in enumerate([("b1.json", b1), ("b2.json", b2)]):
+            p = os.path.join(src, name)
+            with open(p, "w") as f:
+                for row in rows:
+                    f.write(json.dumps(row) + "\n")
+            # distinct mtimes pin b1-before-b2 consumption order (the
+            # file source orders by timestamp, then path)
+            os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+        ckpt = os.path.join(eng.zones.root, "_cdc_ckpt")
+        # one file per trigger ⇒ genuinely two micro-batches through
+        # the same checkpoint (b2's seq-2 WRONG rename is overridden
+        # by seq-3 within its batch — latest-change-wins)
+        q = incremental_apply_changes(
+            eng, "cdc_stream_nat", src, ckpt, keys=["n_nationkey"],
+            sequence_col="seq", max_files_per_trigger=1, partition_cols=[],
+        )
+        q.awaitTermination(120)
+        out = spark.table(eng.qualified("cdc_stream_nat")).select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        )
+        return _materialize(spark, out)

@@ -545,3 +545,76 @@ def test_first_seen_admission_transform_with_state(spark, tmp_path):
     assert set(rows) == {"u1", "u2", "u3"}
     assert rows["u1"]["event_id"] == "e1" and rows["u1"]["n_prior"] == 0
     assert rows["u3"]["event_id"] == "e5"
+
+
+# ----------------------------------------------------------------------
+# CDC stream → MERGE sink ([EXT] round 5): foreachBatch + apply_changes,
+# the streaming form of Delta's upsert pattern.
+def test_incremental_apply_changes_two_batches(spark, tmp_path):
+    from cbts_datalake_synnex_spark.streaming import incremental_apply_changes
+
+    db = f"t_{abs(hash(str(tmp_path))) % 10**9}"
+    engine = LakeEngine(spark, str(tmp_path / "lake"), database=db, clock=CLOCK)
+    src = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        # batch 1 bootstraps the table: I rows (one D for a never-seen
+        # key is discarded), latest-seq-wins within the batch
+        _write_file(src, "b1.json", [
+            {"k": 1, "v": "a", "op": "I", "seq": 1},
+            {"k": 2, "v": "OLD", "op": "I", "seq": 1},
+            {"k": 2, "v": "b", "op": "U", "seq": 2},
+            {"k": 9, "v": None, "op": "D", "seq": 1},
+        ], time.time() - 10)
+        q = incremental_apply_changes(
+            engine, "cdc_t", src, ckpt, keys=["k"],
+            sequence_col="seq", partition_cols=[],
+        )
+        q.awaitTermination(120)
+        qt = engine.qualified("cdc_t")
+        got = {r["k"]: r["v"] for r in spark.table(qt).collect()}
+        assert got == {1: "a", 2: "b"}, got
+        assert "op" not in spark.table(qt).columns
+
+        # batch 2 via the same checkpoint: only the new file consumed;
+        # delete k=1, update k=2, insert k=3
+        _write_file(src, "b2.json", [
+            {"k": 1, "v": None, "op": "D", "seq": 3},
+            {"k": 2, "v": "b2", "op": "U", "seq": 3},
+            {"k": 3, "v": "c", "op": "I", "seq": 3},
+        ], time.time())
+        q = incremental_apply_changes(
+            engine, "cdc_t", src, ckpt, keys=["k"],
+            sequence_col="seq", partition_cols=[],
+        )
+        q.awaitTermination(120)
+        got = {r["k"]: r["v"] for r in spark.table(qt).collect()}
+        assert got == {2: "b2", 3: "c"}, got
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_incremental_apply_changes_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract: re-applying an already-applied batch (a
+    fresh checkpoint over the same files) must not change the table."""
+    from cbts_datalake_synnex_spark.streaming import incremental_apply_changes
+
+    db = f"t_{abs(hash(str(tmp_path))) % 10**9}"
+    engine = LakeEngine(spark, str(tmp_path / "lake"), database=db, clock=CLOCK)
+    src = str(tmp_path / "cdc")
+    try:
+        _write_file(src, "b1.json", [
+            {"k": 1, "v": "a", "op": "I", "seq": 1},
+            {"k": 2, "v": "b", "op": "I", "seq": 1},
+            {"k": 2, "v": None, "op": "D", "seq": 2},
+        ], time.time())
+        for attempt in ("ckpt1", "ckpt2"):  # second run = replay
+            q = incremental_apply_changes(
+                engine, "cdc_r", src, str(tmp_path / attempt), keys=["k"],
+                sequence_col="seq", partition_cols=[],
+            )
+            q.awaitTermination(120)
+            got = {r["k"]: r["v"] for r in spark.table(engine.qualified("cdc_r")).collect()}
+            assert got == {1: "a"}, (attempt, got)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
