@@ -1043,6 +1043,70 @@ class LakeEngine:
         shutil.rmtree(scratch, ignore_errors=True)
         return len(self.spark.table(qtable).inputFiles())
 
+    def repartition_table(self, table: str, partition_cols: Sequence[str]) -> int:
+        """Partition-scheme evolution: rewrite the table under a new
+        Hive partition layout (e.g. ingest-date partitions → query-key
+        partitions once access patterns are known). Returns the
+        resulting file count.
+
+        The old layout's manifest and partition columns are already in
+        the snapshot journal, so time travel reads and
+        ``restore_snapshot`` across the evolution reproduce the OLD
+        layout exactly. Cost at 100 TB: one full rewrite — the same
+        bill any engine pays to re-partition; do it once, off-peak,
+        and the new partition pruning pays it back on every query.
+        """
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        df = self.spark.table(qtable)
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in table: {missing}")
+        # stage to scratch first — overwrite would truncate the files
+        # we are still reading (same discipline as compact_table)
+        scratch = os.path.join(
+            self.zones.root, "_compact", f"{table}_repart_{uuid.uuid4().hex[:8]}"
+        )
+        df.write.parquet(scratch)
+        staged = self.spark.read.parquet(scratch)
+        self.write_curated(
+            table, staged, mode="overwrite", partition_cols=list(partition_cols)
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        return len(self.spark.table(qtable).inputFiles())
+
+    def table_layout_report(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+        """One-row layout-health summary computed FROM THE SCAN ITSELF
+        (`_metadata.file_path`/`file_size` — distributed, no driver
+        directory listing, so it works identically over 100 TB of
+        object-store files): file count, byte totals, size spread, and
+        the small-file ratio against ``target_file_bytes``. The number
+        to watch is ``small_file_ratio`` — the small-file problem is
+        the top operational tax on big tables, and this is the gauge
+        that says when ``compact_table`` pays for itself."""
+        qtable = self.qualified(table)
+        per_file = (
+            self.spark.table(qtable)
+            .select(
+                F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.file_size").alias("sz"),
+            )
+            .groupBy("f")
+            .agg(F.first("sz").alias("bytes"), F.count("*").alias("rows"))
+        )
+        return per_file.agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("rows").alias("total_rows"),
+            F.avg("bytes").cast("bigint").alias("avg_file_bytes"),
+            F.min("bytes").alias("min_file_bytes"),
+            F.max("bytes").alias("max_file_bytes"),
+            F.round(
+                F.avg((F.col("bytes") < target_file_bytes / 4).cast("double")), 4
+            ).alias("small_file_ratio"),
+        )
+
     def _zvalue(self, df: DataFrame, cols: list[str], bits: int) -> F.Column:
         """Z-curve key: per-column quantile rank (``2**bits`` buckets),
         bit-interleaved. All JVM-side: the only driver work is one

@@ -931,3 +931,37 @@ def lc_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").cast("int").alias("n_regionkey"),
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Partition-scheme evolution ([EXT] round 5, engine.repartition_table):
+# ingest-date partitions → query-key partitions once access patterns
+# are known; snapshot journal preserves the old layout for time travel.
+@query(
+    "lc_repartition_evolution",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    """,
+    doc="[EXT] partition evolution: rewrite a month-partitioned curated table "
+    "to be partitioned by n_regionkey (engine.repartition_table); catalog "
+    "partition columns switch, content round-trips exactly, the in-plan "
+    "assert pins the new partition scheme.",
+)
+def lc_repartition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+        )
+        seed = nat.withColumn(
+            "processed_month", F.format_string("%02d", (F.col("n_nationkey") % 2) + 1)
+        )
+        eng.write_curated("pevo_nat", seed, mode="overwrite", partition_cols=["processed_month"])
+        eng.repartition_table("pevo_nat", ["n_regionkey"])
+        qt = eng.qualified("pevo_nat")
+        parts = [c.name for c in spark.catalog.listColumns(qt) if c.isPartition]
+        assert parts == ["n_regionkey"], parts
+        out = spark.table(qt).select("n_nationkey", "n_name", "n_regionkey")
+        return _materialize(spark, out)

@@ -743,3 +743,58 @@ def test_compact_zorder_narrows_all_clustered_columns(engine, spark):
     assert spark.table(qt).count() == n
     assert spark.table(qt).agg(F.sum("x"), F.sum("y"), F.sum("id")).collect() == \
         df.agg(F.sum("x"), F.sum("y"), F.sum("id")).collect()
+
+
+def test_repartition_table_evolves_layout_and_preserves_time_travel(engine, spark):
+    """Partition-scheme evolution: month-partitioned → key-partitioned;
+    content identical, new Hive dirs + catalog partition columns, and
+    a pre-evolution snapshot still restores the OLD layout."""
+    import glob as _glob
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame(
+            [(i, f"n{i}", i % 3) for i in range(30)], "k int, name string, g int"
+        )
+        .withColumn("processed_month", F.format_string("%02d", (F.col("k") % 2) + 1))
+    )
+    engine.write_curated("pevo", df, mode="overwrite", partition_cols=["processed_month"])
+    qt = engine.qualified("pevo")
+    v0 = engine.snapshot_history("pevo")[-1]["version"]
+
+    engine.repartition_table("pevo", ["g"])
+    # catalog now partitions by g, directories follow
+    parts = [c.name for c in spark.catalog.listColumns(qt) if c.isPartition]
+    assert parts == ["g"]
+    loc = urlparse(engine._table_location(qt)).path
+    dirs = {os.path.basename(d) for d in _glob.glob(loc + "/g=*")}
+    assert dirs == {"g=0", "g=1", "g=2"}
+    # content round-trips
+    got = {(r["k"], r["name"], r["g"], r["processed_month"])
+           for r in spark.table(qt).collect()}
+    want = {(r["k"], r["name"], r["g"], r["processed_month"]) for r in df.collect()}
+    assert got == want
+    # pre-evolution snapshot restores the month layout
+    engine.restore_snapshot("pevo", v0)
+    parts = [c.name for c in spark.catalog.listColumns(qt) if c.isPartition]
+    assert parts == ["processed_month"]
+    assert spark.table(qt).count() == 30
+
+
+def test_table_layout_report_flags_small_files(engine, spark):
+    """Layout health: fragmented appends show a high small_file_ratio;
+    compaction drives it down. Computed from _metadata (no driver
+    directory listing)."""
+    engine.ingest_records("health", [{"k": 0, "v": "x0"}], mode="overwrite", partition_cols=[])
+    for i in range(1, 6):
+        engine.ingest_records("health", [{"k": i, "v": f"x{i}"}], mode="append", partition_cols=[])
+    before = engine.table_layout_report("health", target_file_bytes=1024 * 1024).collect()[0]
+    assert before["n_files"] >= 6
+    assert before["total_rows"] == 6
+    assert before["small_file_ratio"] == 1.0  # every file tiny
+    engine.compact_table("health", target_file_bytes=1024 * 1024)
+    after = engine.table_layout_report("health", target_file_bytes=4 * 1024).collect()[0]
+    assert after["n_files"] < before["n_files"]
+    assert after["total_rows"] == 6
