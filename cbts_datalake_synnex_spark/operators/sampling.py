@@ -189,3 +189,34 @@ def epoch_shuffle(
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w) - F.lit(1))
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    stratum_col: str,
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum TOKEN budget (the unit training mixtures are specced
+    in, vs ``fixed_n_per_stratum``'s row counts): walk each stratum's
+    docs in deterministic ``md5(salt:id)`` order and keep a doc iff the
+    exclusive running token total before it is still under the budget —
+    the budget is always covered when the stratum has the mass, and
+    overshoot is bounded by one document.
+
+    One stratum-keyed shuffle (the window partition); deterministic,
+    partitioning-independent, idempotent, like everything in this
+    module. Adds ``cum_tokens_before``.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        W.partitionBy(stratum_col)
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+    return df.withColumn("cum_tokens_before", before).filter(
+        F.col("cum_tokens_before") < budget_tokens
+    )

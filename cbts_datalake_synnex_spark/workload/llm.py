@@ -1776,3 +1776,41 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.epoch_shuffle(docs, id_col="doc_id", n_shards=8, epoch=1).select(
         "doc_id", "shard", "pos"
     )
+
+
+# ----------------------------------------------------------------------
+# X8 — per-language TOKEN budget sampling (round 5): mixtures are
+# specced in tokens, not rows; deterministic md5-order walk per
+# stratum until the budget is covered (overshoot <= one doc).
+@query(
+    "pipeline_token_budget_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS tokens,
+             md5('tb' || ':' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, tokens,
+             COALESCE(SUM(tokens) OVER (
+               PARTITION BY lang ORDER BY key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens_before
+      FROM t
+    )
+    SELECT doc_id, lang, tokens, cum_tokens_before
+    FROM c WHERE cum_tokens_before < 2000
+    """,
+    doc="[EXT] X8 — token-budget mixture sampling: keep each language's docs in "
+    "deterministic md5 order until 2000 BPE-ish tokens are covered; one "
+    "stratum shuffle, exclusive running-sum window "
+    "(operators/sampling.token_budget_sample).",
+)
+def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.token_counts(docs, "text").select(
+        "doc_id", "lang", F.col("bpe_tokens").alias("tokens")
+    )
+    return sampling.token_budget_sample(
+        toks, id_col="doc_id", tokens_col="tokens",
+        stratum_col="lang", budget_tokens=2000, salt="tb",
+    ).select("doc_id", "lang", "tokens", "cum_tokens_before")
