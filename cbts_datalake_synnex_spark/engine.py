@@ -52,6 +52,11 @@ from cbts_datalake_synnex_spark.functions.ingest_policy import (
 DEFAULT_PARTITION_COLS = ["processed_year", "processed_month"]  # utils.py:223
 
 
+class ConstraintViolation(ValueError):
+    """A write batch (or existing table, at ADD CONSTRAINT time)
+    violates a CHECK constraint — the write was aborted untouched."""
+
+
 def _delta_available(spark: SparkSession) -> bool:
     """True when the Delta Lake jars are on the session classpath.
 
@@ -238,6 +243,10 @@ class LakeEngine:
         df = sanitize_types_for_catalog(df)
         qtable = self.qualified(table)
         exists = self.spark.catalog.tableExists(qtable)
+        # CHECK constraints: validate the incoming batch before any
+        # write; saveAsTable overwrite recreates the table (dropping
+        # its properties), so re-apply the map afterwards.
+        constraints = self._enforce_constraints(table, df) if exists else {}
         writer = df.write.mode(mode).format(self.table_format)
         if self.table_format == "delta":
             if exists and mode == "append" and schema_evolution:
@@ -250,6 +259,8 @@ class LakeEngine:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.saveAsTable(qtable)
+        if constraints and mode == "overwrite":
+            self._reapply_constraints(table, constraints)
         # Invalidate this session's cached file listing: a write issued
         # from another session sharing the catalog (e.g. the cloned
         # micro-batch session inside foreachBatch, T1) would otherwise
@@ -1042,6 +1053,80 @@ class LakeEngine:
         self.write_curated(table, staged, mode="overwrite", partition_cols=schema_parts)
         shutil.rmtree(scratch, ignore_errors=True)
         return len(self.spark.table(qtable).inputFiles())
+
+    # ------------------------------------------------------------------
+    # Write-side CHECK constraints (Delta `ALTER TABLE ... ADD
+    # CONSTRAINT name CHECK (expr)` parity). Stored as table properties
+    # (`constraint.check.<name>`), enforced on every write_curated
+    # batch BEFORE the write: one aggregate pass over the batch (all
+    # constraints folded into a single agg — map-side, no shuffle), a
+    # violation aborts with per-constraint counts and the table is
+    # untouched. NULL passes, as SQL CHECK semantics require. At 100 TB
+    # the cost is one extra scan of each INCOMING batch, never of the
+    # table — the same bill Delta pays.
+    def add_check_constraint(self, table: str, name: str, expr: str) -> None:
+        """Register ``CHECK (expr)`` on the table. The existing rows
+        must already satisfy it (verified with one scan, as Delta
+        does); subsequent `write_curated` batches are rejected if any
+        row violates it."""
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        n_bad = self.spark.table(qtable).filter(~ok).count()
+        if n_bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r}: {n_bad} existing rows violate ({expr})"
+            )
+        esc = expr.replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {qtable} SET TBLPROPERTIES ('constraint.check.{name}' = '{esc}')"
+        )
+
+    def drop_check_constraint(self, table: str, name: str) -> None:
+        qtable = self.qualified(table)
+        self.spark.sql(
+            f"ALTER TABLE {qtable} UNSET TBLPROPERTIES IF EXISTS ('constraint.check.{name}')"
+        )
+
+    def table_constraints(self, table: str) -> dict[str, str]:
+        qtable = self.qualified(table)
+        prefix = "constraint.check."
+        return {
+            r["key"][len(prefix):]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {qtable}").collect()
+            if r["key"].startswith(prefix)
+        }
+
+    def _enforce_constraints(self, table: str, df: DataFrame) -> dict[str, str]:
+        """One-agg batch validation; raises ConstraintViolation with
+        per-constraint counts. Returns the constraint map so overwrite
+        writes can re-apply it (saveAsTable overwrite recreates the
+        table and drops its properties)."""
+        cons = self.table_constraints(table)
+        if cons:
+            aggs = [
+                F.sum(
+                    (~F.coalesce(F.expr(e).cast("boolean"), F.lit(True))).cast("int")
+                ).alias(n)
+                for n, e in cons.items()
+            ]
+            row = df.agg(*aggs).collect()[0]
+            bad = {n: row[n] for n in cons if row[n]}
+            if bad:
+                raise ConstraintViolation(
+                    f"write to {table!r} rejected, CHECK violations: "
+                    + ", ".join(f"{n} ({cons[n]}): {c} rows" for n, c in bad.items())
+                )
+        return cons
+
+    def _reapply_constraints(self, table: str, cons: dict[str, str]) -> None:
+        qtable = self.qualified(table)
+        for n, e in cons.items():
+            esc = e.replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {qtable} SET TBLPROPERTIES ('constraint.check.{n}' = '{esc}')"
+            )
 
     def repartition_table(self, table: str, partition_cols: Sequence[str]) -> int:
         """Partition-scheme evolution: rewrite the table under a new

@@ -965,3 +965,59 @@ def lc_repartition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert parts == ["n_regionkey"], parts
         out = spark.table(qt).select("n_nationkey", "n_name", "n_regionkey")
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Write-side CHECK constraints ([EXT] round 5, Delta `ALTER TABLE ...
+# ADD CONSTRAINT CHECK` parity, engine.add_check_constraint): the
+# violating batch must be rejected atomically (table untouched), the
+# clean batch lands — so the final content is the seed plus only the
+# clean rows.
+@query(
+    "lc_check_constraints",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS INTEGER) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 500 AS INTEGER),
+           'ok_' || CAST(n_nationkey AS VARCHAR),
+           CAST(n_regionkey AS INTEGER)
+    FROM nation WHERE n_regionkey = 2
+    """,
+    doc="[EXT] CHECK constraints: n_regionkey BETWEEN 0 AND 4 registered on the "
+    "curated table; a violating append (regionkey 99) aborts with the table "
+    "untouched, a clean append lands (engine.add_check_constraint / "
+    "_enforce_constraints — one agg pass per batch, never a table scan).",
+)
+def lc_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.engine import ConstraintViolation
+
+    with _scratch_engine(spark) as eng:
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+        )
+        eng.write_curated("cons_nat", nat, mode="overwrite", partition_cols=[])
+        eng.add_check_constraint("cons_nat", "valid_region", "n_regionkey BETWEEN 0 AND 4")
+        bad = nat.limit(1).select(
+            (F.col("n_nationkey") + 900).alias("n_nationkey"),
+            F.lit("bad").alias("n_name"),
+            F.lit(99).alias("n_regionkey"),
+        )
+        rejected = False
+        try:
+            eng.write_curated("cons_nat", bad, mode="append", partition_cols=[])
+        except ConstraintViolation:
+            rejected = True
+        assert rejected, "violating batch must be rejected"
+        good = nat.filter("n_regionkey = 2").select(
+            (F.col("n_nationkey") + 500).alias("n_nationkey"),
+            F.concat(F.lit("ok_"), F.col("n_nationkey").cast("string")).alias("n_name"),
+            "n_regionkey",
+        )
+        eng.write_curated("cons_nat", good, mode="append", partition_cols=[])
+        out = spark.table(eng.qualified("cons_nat")).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        return _materialize(spark, out)

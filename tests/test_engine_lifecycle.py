@@ -798,3 +798,42 @@ def test_table_layout_report_flags_small_files(engine, spark):
     after = engine.table_layout_report("health", target_file_bytes=4 * 1024).collect()[0]
     assert after["n_files"] < before["n_files"]
     assert after["total_rows"] == 6
+
+
+def test_check_constraints_enforced_on_write(engine, spark):
+    """Delta CHECK-constraint parity: a violating batch aborts before
+    any write; NULL passes (SQL CHECK); overwrite (compaction) keeps
+    the constraint; drop re-allows."""
+    import pytest as _pytest
+
+    from cbts_datalake_synnex_spark.engine import ConstraintViolation
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "k int, qty int")
+
+    engine.write_curated("cons", _batch([(1, 5), (2, None)]), mode="overwrite", partition_cols=[])
+    engine.add_check_constraint("cons", "qty_positive", "qty IS NULL OR qty >= 0")
+    qt = engine.qualified("cons")
+
+    # violating append: rejected, table untouched
+    with _pytest.raises(ConstraintViolation, match="qty_positive"):
+        engine.write_curated("cons", _batch([(3, -1)]), mode="append", partition_cols=[])
+    assert spark.table(qt).count() == 2
+
+    # clean append (incl. NULL) passes
+    engine.write_curated("cons", _batch([(4, 7)]), mode="append", partition_cols=[])
+    assert spark.table(qt).count() == 3
+
+    # compaction overwrites the table — constraint must survive
+    engine.compact_table("cons")
+    assert engine.table_constraints("cons") == {"qty_positive": "qty IS NULL OR qty >= 0"}
+    with _pytest.raises(ConstraintViolation):
+        engine.write_curated("cons", _batch([(5, -9)]), mode="append", partition_cols=[])
+
+    # cannot add a constraint existing rows violate
+    with _pytest.raises(ConstraintViolation, match="existing rows"):
+        engine.add_check_constraint("cons", "k_small", "k < 2")
+
+    engine.drop_check_constraint("cons", "qty_positive")
+    engine.write_curated("cons", _batch([(6, -1)]), mode="append", partition_cols=[])
+    assert spark.table(qt).count() == 4
