@@ -397,6 +397,31 @@ class LakeEngine:
             reader = reader.option("basePath", entry["base"])
         return reader.load(files)
 
+    def version_at(self, table: str, timestamp) -> int:
+        """Resolve Delta ``TIMESTAMP AS OF`` semantics: the newest
+        snapshot committed at or before ``timestamp`` (a datetime or
+        a ``'YYYY-MM-DD HH:MM:SS'`` string — the journal's format, so
+        plain string comparison is chronological)."""
+        ts = (
+            timestamp.strftime("%Y-%m-%d %H:%M:%S")
+            if isinstance(timestamp, datetime)
+            else str(timestamp)
+        )
+        history = self.snapshot_history(table)
+        eligible = [h for h in history if h["at"] <= ts]
+        if not eligible:
+            first = history[0]["at"] if history else "<none>"
+            raise ValueError(
+                f"no snapshot of '{table}' at or before {ts} (first is {first})"
+            )
+        return eligible[-1]["version"]
+
+    def read_snapshot_at(self, table: str, timestamp) -> DataFrame:
+        """``SELECT ... TIMESTAMP AS OF`` — read the table as of a wall
+        clock time (resolved against the snapshot journal's commit
+        times, then served by `read_snapshot`)."""
+        return self.read_snapshot(table, self.version_at(table, timestamp))
+
     def vacuum_snapshots(self, table: str, keep_last: int = 2) -> int:
         """Reclaim retention storage for all but the newest
         ``keep_last`` snapshots (Delta VACUUM semantics: history older

@@ -145,3 +145,34 @@ def test_clone_into_nonempty_destination_raises(engine, spark):
     engine.clone_table("s3", "s3c")
     with pytest.raises(ValueError, match="not empty"):
         engine.clone_table("s3", "s3c")
+
+
+def test_timestamp_as_of_resolves_to_newest_eligible_version(spark, tmp_path):
+    """Delta TIMESTAMP AS OF parity: a ticking clock journals distinct
+    commit times; reads resolve to the newest snapshot at-or-before
+    the asked time, and a pre-history time raises."""
+    times = [datetime(2024, 5, 17, 12, 0, 0, tzinfo=timezone.utc)]
+    db = f"tt_{abs(hash(str(tmp_path))) % 10**9}_ts"
+    eng = LakeEngine(spark, str(tmp_path / "lake_ts"), database=db, clock=lambda: times[0])
+    try:
+        eng.write_curated(
+            "tt", spark.createDataFrame([(1, "a")], "id int, v string"),
+            mode="append", partition_cols=[],
+        )
+        times[0] = datetime(2024, 5, 17, 13, 0, 0, tzinfo=timezone.utc)
+        eng.write_curated(
+            "tt", spark.createDataFrame([(2, "b")], "id int, v string"),
+            mode="append", partition_cols=[],
+        )
+        # exact commit time, and a time between commits → version 1
+        for ts in ("2024-05-17 12:00:00", "2024-05-17 12:30:00"):
+            assert eng.version_at("tt", ts) == 1, ts
+            assert {r["id"] for r in eng.read_snapshot_at("tt", ts).collect()} == {1}
+        # after the second commit (datetime accepted too) → version 2
+        at2 = datetime(2024, 5, 17, 14, 0, 0)
+        assert eng.version_at("tt", at2) == 2
+        assert {r["id"] for r in eng.read_snapshot_at("tt", at2).collect()} == {1, 2}
+        with pytest.raises(ValueError, match="at or before"):
+            eng.version_at("tt", "2024-05-17 11:59:59")
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
