@@ -621,3 +621,69 @@ def label_outliers(
             (F.col("dist") > F.col("cutoff")).alias("is_outlier"),
         )
     )
+
+
+def cosine_topk_arrow(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Arrow-vectorized twin of `cosine_topk` — same exact semantics,
+    different execution: the (small, broadcast-contract) query matrix
+    is collected once into a numpy ``(Q, d)`` block; each candidate
+    Arrow batch is scored against ALL queries with ONE BLAS GEMM
+    (``(B, d) @ (d, Q)``) inside `mapInPandas`, emitting only the
+    batch-local top-k per query; a final windowed top-k reduces the
+    bounded union (batches x Q x k rows) globally.
+
+    This is the §2.9 escape hatch used right: the JVM higher-order
+    fold in `cosine_topk` is O(d) expression-tree work PER PAIR, while
+    the GEMM amortizes across the batch at memory bandwidth — at large
+    d the Arrow boundary pays for itself. Python state per batch is
+    O(Q·k + B·d); nothing is ever collected to the driver except the
+    query block (same bound as the broadcast in the exact twin).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in qrows]
+    qm = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, cand_id {id_type}, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cm = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (B, Q)
+            kk = min(k + 1, sims.shape[0])  # +1 absorbs a self-match
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                for i in top[:, j]:
+                    if ids[i] != qid:
+                        out_q.append(qid)
+                        out_c.append(ids[i])
+                        out_s.append(sims[i, j])
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c, "cosine": out_s})
+
+    scored = (
+        candidates.select(id_col, vec_col)
+        .mapInPandas(score, schema=out_schema)
+        .withColumn("cosine", F.round(F.col("cosine"), round_dp))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -254,6 +254,39 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
 
 
+# The Arrow-vectorized twin must land the IDENTICAL rows — same oracle
+# as the JVM-fold baseline, different physical path (one BLAS GEMM per
+# Arrow batch inside mapInPandas, batch-local top-k, global window).
+@query(
+    "x3_cosine_topk_arrow",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM e),
+    scored AS (
+      SELECT query_id, cand_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM q JOIN c ON cand_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="SURVEY §2.10 X3 / §2.9 — Arrow-vectorized exact cosine top-5: query "
+    "matrix closed over as numpy, one (B,d)x(d,Q) GEMM per mapInPandas batch, "
+    "batch-local top-k union reduced by a global window — identical rows to "
+    "x3_cosine_topk (operators/similarity.cosine_topk_arrow).",
+)
+def x3_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_arrow(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+
+
 # ANN indexes are approximate but deterministic (hash-derived
 # hyperplanes / fixed-seed Lloyd / fixed-seed codebooks), so each
 # registry entry emits a one-row verification report derived in-plan

@@ -582,3 +582,26 @@ def test_epoch_shuffle_invariants(spark):
     assert {(r["id"], r["shard"], r["pos"]) for r in out_e1} != {
         (r["id"], r["shard"], r["pos"]) for r in out
     }
+
+
+def test_cosine_topk_arrow_matches_jvm_fold(spark):
+    """The Arrow GEMM path must land the identical (query, cand,
+    cosine, rank) rows as the JVM higher-order-fold baseline."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    base = spark.range(300).select(
+        F.col("id").alias("vid"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (F.xxhash64(F.col("id"), i) % 1000).cast("float") / 1000.0,
+        ).alias("vec"),
+    )
+    qs = base.filter("vid < 5")
+    a = {tuple(r) for r in cosine_topk(base, qs, "vid", "vec", k=4).collect()}
+    b = {tuple(r) for r in cosine_topk_arrow(base, qs, "vid", "vec", k=4).collect()}
+    assert a == b and len(a) == 5 * 4
