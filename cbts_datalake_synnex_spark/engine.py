@@ -744,9 +744,41 @@ class LakeEngine:
     # S3/S4 — SQL + views (the Athena role)
     def sql(self, query: str) -> DataFrame:
         """spark.sql with the engine database as default — the whole of
-        Athena (src/purchase_orders.py:23-24) collapses to this."""
+        Athena (src/purchase_orders.py:23-24) collapses to this.
+
+        DELETE/UPDATE statements are additionally dispatched to the
+        engine's row-level DML (`delete_rows`/`update_rows`) on the
+        parquet path, where Spark SQL itself would refuse them (v2
+        table DML needs Delta/Iceberg) — so the Delta SQL surface
+        (``DELETE FROM t WHERE ...``, ``UPDATE t SET ... WHERE ...``)
+        keeps working verbatim. DML returns a one-row metrics
+        DataFrame (``affected_rows``), like Delta's command output."""
+        dml = self._dispatch_sql_dml(query)
+        if dml is not None:
+            return dml
         self.spark.catalog.setCurrentDatabase(self.database)
         return self.spark.sql(query)
+
+    def _dispatch_sql_dml(self, query: str) -> DataFrame | None:
+        import re
+
+        q = query.strip().rstrip(";")
+        m = re.match(r"(?is)^DELETE\s+FROM\s+([A-Za-z0-9_.]+)(?:\s+WHERE\s+(.+))?$", q)
+        if m:
+            table = m.group(1).split(".")[-1]
+            cond = m.group(2) or "true"
+            n = self.delete_rows(table, cond)
+            return self.spark.createDataFrame([(n,)], "affected_rows bigint")
+        m = re.match(
+            r"(?is)^UPDATE\s+([A-Za-z0-9_.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$", q
+        )
+        if m:
+            table = m.group(1).split(".")[-1]
+            sets = _split_assignments(m.group(2))
+            cond = m.group(3) or "true"
+            n = self.update_rows(table, cond, sets)
+            return self.spark.createDataFrame([(n,)], "affected_rows bigint")
+        return None
 
     def create_view(self, name: str, query: str) -> None:
         # S4 — e.g. v_synnex_po_numbers (src/purchase_orders.py:22)
@@ -1825,6 +1857,50 @@ def _and_all(conds):
     out = conds[0]
     for c in conds[1:]:
         out = out & c
+    return out
+
+
+def _split_assignments(sets_sql: str) -> dict[str, str]:
+    """Split an UPDATE's ``SET col = expr, col2 = expr2`` clause into a
+    column→expression map. Comma splitting is parenthesis- and
+    string-literal-aware so ``SET v = concat(a, ',', b), n = n + 1``
+    parses correctly; each piece splits on its FIRST top-level ``=``."""
+    parts, depth, in_str, buf = [], 0, False, []
+    i = 0
+    while i < len(sets_sql):
+        ch = sets_sql[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(sets_sql) and sets_sql[i + 1] == "'":
+                    buf.append("'")
+                    i += 1  # escaped quote
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if "".join(buf).strip():
+        parts.append("".join(buf))
+    out: dict[str, str] = {}
+    for p in parts:
+        col, _, expr = p.partition("=")
+        col, expr = col.strip().strip("`"), expr.strip()
+        if not col or not expr:
+            raise ValueError(f"malformed SET assignment: {p!r}")
+        out[col] = expr
     return out
 
 

@@ -136,3 +136,29 @@ def test_partition_value_preserved_exactly(spark, eng):
     loc = urlparse(eng._table_location(qt)).path
     dirs = {os.path.basename(d) for d in glob.glob(loc + "/processed_year=2024/*")}
     assert dirs == {"processed_month=01", "processed_month=02"}
+
+
+def test_sql_delete_and_update_dispatch(spark, eng):
+    """engine.sql keeps the Delta SQL DML surface working on plain
+    parquet: DELETE/UPDATE statements dispatch to the file-pruned
+    rewrite and return a one-row affected_rows metrics frame; other
+    statements pass through to Spark SQL untouched."""
+    qt = _seed(spark, eng)
+    out = eng.sql("DELETE FROM nat WHERE n_regionkey = 2")
+    assert out.collect()[0]["affected_rows"] == 5
+    assert spark.table(qt).count() == 20
+
+    out = eng.sql(
+        "UPDATE nat SET n_name = concat(n_name, ',', 'x'), n_regionkey = n_regionkey + 1 "
+        "WHERE n_nationkey IN (1, 6);"
+    )
+    assert out.collect()[0]["affected_rows"] == 2
+    rows = {r["n_nationkey"]: r for r in spark.table(qt).filter("n_nationkey IN (1, 6)").collect()}
+    assert rows[1]["n_name"] == "n1,x" and rows[1]["n_regionkey"] == 2
+
+    # no WHERE → whole table
+    assert eng.sql("DELETE FROM nat").collect()[0]["affected_rows"] == 20
+    assert spark.table(qt).count() == 0
+
+    # SELECT still passes through
+    assert eng.sql("SELECT 1 AS one").collect()[0]["one"] == 1
