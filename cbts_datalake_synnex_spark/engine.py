@@ -778,7 +778,122 @@ class LakeEngine:
             cond = m.group(3) or "true"
             n = self.update_rows(table, cond, sets)
             return self.spark.createDataFrame([(n,)], "affected_rows bigint")
+        # Delta utility statements (Spark SQL has no parquet equivalents)
+        m = re.match(
+            r"(?is)^OPTIMIZE\s+([A-Za-z0-9_.]+)"
+            r"(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z0-9_,\s`]+?)\s*\))?$",
+            q,
+        )
+        if m:
+            table = m.group(1).split(".")[-1]
+            cols = (
+                [c.strip().strip("`") for c in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
+            n = self.compact_table(
+                table, cluster_by=cols, zorder=bool(cols and len(cols) >= 2)
+            )
+            return self.spark.createDataFrame([(n,)], "n_files bigint")
+        m = re.match(
+            r"(?is)^VACUUM\s+([A-Za-z0-9_.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", q
+        )
+        if m:
+            table = m.group(1).split(".")[-1]
+            keep = int(m.group(2)) if m.group(2) else 2
+            n = self.vacuum_snapshots(table, keep_last=keep)
+            return self.spark.createDataFrame([(n,)], "versions_reclaimed bigint")
+        m = re.match(r"(?is)^DESCRIBE\s+HISTORY\s+([A-Za-z0-9_.]+)$", q)
+        if m:
+            table = m.group(1).split(".")[-1]
+            hist = [
+                (h["version"], h["at"], len(h["files"]), ",".join(h.get("partition_cols") or []))
+                for h in self.snapshot_history(table)
+            ]
+            return self.spark.createDataFrame(
+                hist or [], "version int, at string, n_files int, partition_cols string"
+            )
+        if re.match(r"(?is)^MERGE\s+INTO\b", q):
+            return self._dispatch_sql_merge(q)
         return None
+
+    def _dispatch_sql_merge(self, q: str) -> DataFrame:
+        """Delta-form ``MERGE INTO t [AS t] USING src|(subquery) [AS s]
+        ON t.k = s.k [AND ...] WHEN ... THEN ...`` → `merge_rows`.
+        Supported clauses: WHEN MATCHED [AND cond] THEN DELETE / THEN
+        UPDATE SET * | SET assignments, WHEN NOT MATCHED [AND cond]
+        THEN INSERT *. The ON condition must be an equi-key
+        conjunction (what `merge_rows` supports — the common and
+        file-prunable MERGE shape)."""
+        import re
+
+        head = re.match(
+            r"(?is)^MERGE\s+INTO\s+([A-Za-z0-9_.]+)(?:\s+AS\s+t|\s+t)?\s+USING\s+"
+            r"(\((?:[^()]|\([^()]*\))*\)|[A-Za-z0-9_.]+)(?:\s+AS\s+s|\s+s)?\s+ON\s+(.+?)\s+(WHEN\s+.+)$",
+            q,
+        )
+        if not head:
+            raise ValueError(f"unsupported MERGE syntax: {q[:120]}...")
+        table = head.group(1).split(".")[-1]
+        src_sql, on_sql, clauses_sql = head.group(2), head.group(3), head.group(4)
+        if src_sql.startswith("("):
+            self.spark.catalog.setCurrentDatabase(self.database)
+            source = self.spark.sql(src_sql[1:-1])
+        else:
+            source = self.spark.table(self.qualified(src_sql.split(".")[-1]))
+        keys = []
+        for part in re.split(r"(?i)\s+AND\s+", on_sql.strip()):
+            km = re.match(
+                r"(?is)^\s*t\.`?(\w+)`?\s*=\s*s\.`?(\w+)`?\s*$", part
+            ) or re.match(r"(?is)^\s*s\.`?(\w+)`?\s*=\s*t\.`?(\w+)`?\s*$", part)
+            if not km or km.group(1) != km.group(2):
+                raise ValueError(
+                    f"MERGE ON must be an equi-key conjunction (t.k = s.k): {part!r}"
+                )
+            keys.append(km.group(1))
+        upd: Any = None
+        dele: Any = None
+        ins: Any = False
+        for cm in re.finditer(
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+            r"(DELETE|UPDATE\s+SET\s+\*|UPDATE\s+SET\s+.+?|INSERT\s+\*)"
+            r"(?=\s+WHEN\s|$)",
+            clauses_sql,
+        ):
+            not_matched, cond, action = cm.group(1), cm.group(2), cm.group(3).strip()
+            if not_matched:
+                if not re.match(r"(?is)^INSERT\s+\*$", action):
+                    raise ValueError("WHEN NOT MATCHED supports only INSERT *")
+                # merge_rows' insert condition sees bare SOURCE columns
+                ins = re.sub(r"(?i)\bs\.", "", cond) if cond else True
+            elif re.match(r"(?is)^DELETE$", action):
+                dele = cond if cond else True
+            elif re.match(r"(?is)^UPDATE\s+SET\s+\*$", action):
+                if cond:
+                    raise ValueError("UPDATE SET * with a condition is not supported")
+                upd = "all"
+            else:
+                if cond:
+                    raise ValueError("conditional UPDATE SET is not supported")
+                upd = _split_assignments(re.sub(r"(?is)^UPDATE\s+SET\s+", "", action))
+        # Delta MERGE default: NO schema auto-merge — source columns
+        # absent from the target (op codes, condition helpers) are
+        # condition-only and never widen the table.
+        tcols = {c.lower() for c in self.spark.table(self.qualified(table)).columns}
+        exclude = [c for c in source.columns if c.lower() not in tcols]
+        res = self.merge_rows(
+            table,
+            source,
+            keys,
+            when_matched_update=upd,
+            when_matched_delete=dele,
+            when_not_matched_insert=ins,
+            exclude_cols=exclude,
+        )
+        return self.spark.createDataFrame(
+            [(res["updated"], res["deleted"], res["inserted"])],
+            "updated bigint, deleted bigint, inserted bigint",
+        )
 
     def create_view(self, name: str, query: str) -> None:
         # S4 — e.g. v_synnex_po_numbers (src/purchase_orders.py:22)

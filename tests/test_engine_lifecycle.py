@@ -837,3 +837,28 @@ def test_check_constraints_enforced_on_write(engine, spark):
     engine.drop_check_constraint("cons", "qty_positive")
     engine.write_curated("cons", _batch([(6, -1)]), mode="append", partition_cols=[])
     assert spark.table(qt).count() == 4
+
+
+def test_sql_utility_statement_dispatch(engine, spark):
+    """Delta utility SQL on plain parquet: OPTIMIZE [ZORDER BY],
+    VACUUM ... RETAIN n VERSIONS, DESCRIBE HISTORY all dispatch to
+    the engine equivalents and return metrics frames."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.abs(F.xxhash64("id") % 100).alias("x"),
+        F.abs(F.xxhash64("id", F.lit(1)) % 100).alias("y"),
+    )
+    engine.write_curated("util", df, mode="overwrite", partition_cols=[])
+    engine.write_curated("util", df.limit(1), mode="append", partition_cols=[])
+
+    hist = engine.sql("DESCRIBE HISTORY util").collect()
+    assert [r["version"] for r in hist] == [1, 2]
+
+    out = engine.sql("OPTIMIZE util ZORDER BY (x, y)").collect()[0]
+    assert out["n_files"] >= 1
+    assert spark.table(engine.qualified("util")).count() == 201
+
+    out = engine.sql("VACUUM util RETAIN 1 VERSIONS").collect()[0]
+    assert out["versions_reclaimed"] >= 1

@@ -185,3 +185,41 @@ def test_time_travel_across_merge(spark, eng):
     eng.merge_rows("t", _batch(spark, [(4, "UPD", 9)]), keys=["k"])
     old = eng.read_snapshot("t", v0)
     assert old.filter("k = 4").collect()[0]["name"] == "n4"
+
+
+def test_sql_merge_into_dispatch(spark, eng):
+    """engine.sql('MERGE INTO ...') — the Delta MERGE SQL form routed
+    to merge_rows: subquery source, matched-delete with condition,
+    UPDATE SET *, NOT MATCHED INSERT * with condition."""
+    qt = _seed(spark, eng)
+    src = _batch(
+        spark,
+        [(3, None, None, "D"), (4, "UPD", 9, "U"), (100, "NEW", 1, "I")],
+        "k int, name string, g int, op string",
+    )
+    src.createOrReplaceTempView("changes_v")
+    out = eng.sql(
+        "MERGE INTO t USING (SELECT * FROM changes_v) s ON t.k = s.k "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *"
+    ).collect()[0]
+    assert (out["updated"], out["deleted"], out["inserted"]) == (1, 1, 1)
+    t = spark.table(qt)
+    assert t.count() == 25
+    assert t.filter("k = 3").count() == 0
+    assert t.filter("k = 4").collect()[0]["name"] == "UPD"
+    assert t.filter("k = 100").count() == 1
+    assert "op" not in t.columns  # UPDATE SET * must not widen the table
+
+
+def test_sql_merge_update_assignments(spark, eng):
+    qt = _seed(spark, eng)
+    spark.createDataFrame([(5, 10)], "k int, bump int").createOrReplaceTempView("bumps_v")
+    out = eng.sql(
+        "MERGE INTO t USING (SELECT * FROM bumps_v) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET g = t.g + s.bump"
+    ).collect()[0]
+    assert (out["updated"], out["deleted"], out["inserted"]) == (1, 0, 0)
+    assert spark.table(qt).filter("k = 5").collect()[0]["g"] == 10
+    assert "bump" not in spark.table(qt).columns
