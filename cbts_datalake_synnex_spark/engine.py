@@ -237,16 +237,22 @@ class LakeEngine:
         subsumes K7-K9 and catalog versioning; Parquet is the in-repo
         fallback (no Delta in this image).
         """
+        qtable = self.qualified(table)
+        exists = self.spark.catalog.tableExists(qtable)
+        # Generated columns materialize BEFORE partition resolution so
+        # a generated partition key (the standard use) lands in parts.
+        if exists:
+            df = self._apply_generated_columns(table, df)
         parts = list(partition_cols) if partition_cols is not None else [
             c for c in DEFAULT_PARTITION_COLS if c in df.columns
         ]
         df = sanitize_types_for_catalog(df)
-        qtable = self.qualified(table)
-        exists = self.spark.catalog.tableExists(qtable)
         # CHECK constraints: validate the incoming batch before any
         # write; saveAsTable overwrite recreates the table (dropping
-        # its properties), so re-apply the map afterwards.
-        constraints = self._enforce_constraints(table, df) if exists else {}
+        # its properties), so re-apply preserved properties afterwards.
+        if exists:
+            self._enforce_constraints(table, df)
+        preserved = self._preserved_properties(table) if exists else {}
         writer = df.write.mode(mode).format(self.table_format)
         if self.table_format == "delta":
             if exists and mode == "append" and schema_evolution:
@@ -259,8 +265,8 @@ class LakeEngine:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.saveAsTable(qtable)
-        if constraints and mode == "overwrite":
-            self._reapply_constraints(table, constraints)
+        if preserved and mode == "overwrite":
+            self._reapply_properties(table, preserved)
         # Invalidate this session's cached file listing: a write issued
         # from another session sharing the catalog (e.g. the cloned
         # micro-batch session inside foreachBatch, T1) would otherwise
@@ -815,7 +821,41 @@ class LakeEngine:
             )
         if re.match(r"(?is)^MERGE\s+INTO\b", q):
             return self._dispatch_sql_merge(q)
+        if re.search(r"(?i)\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", q):
+            return self._dispatch_sql_time_travel(q)
         return None
+
+    def _dispatch_sql_time_travel(self, q: str) -> DataFrame:
+        """``SELECT ... FROM t VERSION AS OF 3`` / ``FROM t TIMESTAMP
+        AS OF '2024-05-17 12:00:00'`` (Delta time-travel SQL): each
+        travel clause is materialized as a temp view over the snapshot
+        journal read, the query then runs with the view substituted —
+        so joins between different versions of the same table work."""
+        import re
+
+        views = {}
+
+        def _sub(m) -> str:
+            table = m.group(1).split(".")[-1]
+            kind, spec = m.group(2).upper(), m.group(3).strip().strip("'\"")
+            if kind == "VERSION":
+                snap = self.read_snapshot(table, int(spec))
+                tag = f"__tt_{table}_v{spec}"
+            else:
+                snap = self.read_snapshot_at(table, spec)
+                tag = f"__tt_{table}_t{abs(hash(spec)) % 10**8}"
+            views[tag] = snap
+            return tag
+
+        rewritten = re.sub(
+            r"(?is)([A-Za-z0-9_.]+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\S+)",
+            _sub,
+            q,
+        )
+        for tag, snap in views.items():
+            snap.createOrReplaceTempView(tag)
+        self.spark.catalog.setCurrentDatabase(self.database)
+        return self.spark.sql(rewritten)
 
     def _dispatch_sql_merge(self, q: str) -> DataFrame:
         """Delta-form ``MERGE INTO t [AS t] USING src|(subquery) [AS s]
@@ -1261,20 +1301,99 @@ class LakeEngine:
             f"ALTER TABLE {qtable} UNSET TBLPROPERTIES IF EXISTS ('constraint.check.{name}')"
         )
 
-    def table_constraints(self, table: str) -> dict[str, str]:
+    _PRESERVED_PROP_PREFIXES = ("constraint.check.", "generated.col.")
+
+    def _props_with_prefix(self, table: str, prefix: str) -> dict[str, str]:
         qtable = self.qualified(table)
-        prefix = "constraint.check."
         return {
             r["key"][len(prefix):]: r["value"]
             for r in self.spark.sql(f"SHOW TBLPROPERTIES {qtable}").collect()
             if r["key"].startswith(prefix)
         }
 
-    def _enforce_constraints(self, table: str, df: DataFrame) -> dict[str, str]:
+    def table_constraints(self, table: str) -> dict[str, str]:
+        return self._props_with_prefix(table, "constraint.check.")
+
+    def generated_columns(self, table: str) -> dict[str, str]:
+        return self._props_with_prefix(table, "generated.col.")
+
+    def _preserved_properties(self, table: str) -> dict[str, str]:
+        """Full-key map of every engine property that must survive an
+        overwrite (constraints + generated columns)."""
+        qtable = self.qualified(table)
+        return {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {qtable}").collect()
+            if r["key"].startswith(self._PRESERVED_PROP_PREFIXES)
+        }
+
+    def _reapply_properties(self, table: str, props: dict[str, str]) -> None:
+        qtable = self.qualified(table)
+        for k, v in props.items():
+            esc = v.replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {qtable} SET TBLPROPERTIES ('{k}' = '{esc}')"
+            )
+
+    # ------------------------------------------------------------------
+    # Generated columns (Delta `GENERATED ALWAYS AS (expr)` parity):
+    # the expression lives in table properties; a write batch that
+    # omits the column gets it computed (the standard use: derive the
+    # partition key from an event timestamp so writers can't mis-
+    # partition); a batch that supplies it is verified to match the
+    # expression (one agg on the batch — same budget as constraints).
+    def add_generated_column(
+        self, table: str, name: str, expr: str, dtype: str | None = None
+    ) -> None:
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        existing = {c.lower() for c in self.spark.table(qtable).columns}
+        if name.lower() not in existing:
+            if not dtype:
+                raise ValueError(
+                    f"column {name!r} does not exist — pass dtype to add it"
+                )
+            self.spark.sql(f"ALTER TABLE {qtable} ADD COLUMNS (`{name}` {dtype})")
+            # Backfill existing rows so every row satisfies the
+            # generation expression from day one (Delta sidesteps this
+            # by only allowing generated columns at CREATE time; here
+            # the one-off file-pruned UPDATE pays the rewrite instead).
+            self.update_rows(table, f"`{name}` IS NULL", {name: expr})
+        esc = expr.replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {qtable} SET TBLPROPERTIES ('generated.col.{name}' = '{esc}')"
+        )
+
+    def _apply_generated_columns(self, table: str, df: DataFrame) -> DataFrame:
+        gens = self.generated_columns(table)
+        if not gens:
+            return df
+        provided = [n for n in gens if n in df.columns]
+        if provided:
+            aggs = [
+                F.sum(
+                    F.expr(f"CAST(NOT (`{n}` <=> ({gens[n]})) AS INT)")
+                ).alias(n)
+                for n in provided
+            ]
+            row = df.agg(*aggs).collect()[0]
+            bad = {n: row[n] for n in provided if row[n]}
+            if bad:
+                raise ConstraintViolation(
+                    f"write to {table!r} rejected, generated-column mismatches: "
+                    + ", ".join(
+                        f"{n} != ({gens[n]}): {c} rows" for n, c in bad.items()
+                    )
+                )
+        for n, e in gens.items():
+            if n not in df.columns:
+                df = df.withColumn(n, F.expr(e))
+        return df
+
+    def _enforce_constraints(self, table: str, df: DataFrame) -> None:
         """One-agg batch validation; raises ConstraintViolation with
-        per-constraint counts. Returns the constraint map so overwrite
-        writes can re-apply it (saveAsTable overwrite recreates the
-        table and drops its properties)."""
+        per-constraint counts."""
         cons = self.table_constraints(table)
         if cons:
             aggs = [
@@ -1290,15 +1409,6 @@ class LakeEngine:
                     f"write to {table!r} rejected, CHECK violations: "
                     + ", ".join(f"{n} ({cons[n]}): {c} rows" for n, c in bad.items())
                 )
-        return cons
-
-    def _reapply_constraints(self, table: str, cons: dict[str, str]) -> None:
-        qtable = self.qualified(table)
-        for n, e in cons.items():
-            esc = e.replace("'", "''")
-            self.spark.sql(
-                f"ALTER TABLE {qtable} SET TBLPROPERTIES ('constraint.check.{n}' = '{esc}')"
-            )
 
     def repartition_table(self, table: str, partition_cols: Sequence[str]) -> int:
         """Partition-scheme evolution: rewrite the table under a new

@@ -176,3 +176,34 @@ def test_timestamp_as_of_resolves_to_newest_eligible_version(spark, tmp_path):
             eng.version_at("tt", "2024-05-17 11:59:59")
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_sql_version_and_timestamp_as_of(spark, tmp_path):
+    """Delta time-travel SQL: VERSION AS OF and TIMESTAMP AS OF inside
+    SELECTs (including a self-join of two versions) dispatch through
+    the snapshot journal."""
+    times = [datetime(2024, 5, 17, 12, 0, 0, tzinfo=timezone.utc)]
+    db = f"tt_{abs(hash(str(tmp_path))) % 10**9}_sql"
+    eng = LakeEngine(spark, str(tmp_path / "lake_sql"), database=db, clock=lambda: times[0])
+    try:
+        eng.write_curated(
+            "tv", spark.createDataFrame([(1, "a")], "id int, v string"),
+            mode="append", partition_cols=[],
+        )
+        times[0] = datetime(2024, 5, 17, 13, 0, 0, tzinfo=timezone.utc)
+        eng.write_curated(
+            "tv", spark.createDataFrame([(2, "b")], "id int, v string"),
+            mode="append", partition_cols=[],
+        )
+        got = eng.sql("SELECT id FROM tv VERSION AS OF 1").collect()
+        assert {r["id"] for r in got} == {1}
+        got = eng.sql("SELECT id FROM tv TIMESTAMP AS OF '2024-05-17 12:30:00'").collect()
+        assert {r["id"] for r in got} == {1}
+        # two versions of the same table in one query
+        got = eng.sql(
+            "SELECT count(*) AS n FROM tv VERSION AS OF 2 a "
+            "LEFT ANTI JOIN tv VERSION AS OF 1 b ON a.id = b.id"
+        ).collect()[0]
+        assert got["n"] == 1  # only the row added in v2
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
