@@ -862,3 +862,50 @@ def test_sql_utility_statement_dispatch(engine, spark):
 
     out = engine.sql("VACUUM util RETAIN 1 VERSIONS").collect()[0]
     assert out["versions_reclaimed"] >= 1
+
+
+def test_generated_columns_materialize_and_verify(engine, spark):
+    """Delta generated-columns parity: a batch omitting the column
+    gets it computed (generated partition key — writers can't
+    mis-partition); a batch supplying a WRONG value is rejected; the
+    property survives compaction."""
+    import pytest as _pytest
+
+    from cbts_datalake_synnex_spark.engine import ConstraintViolation
+
+    seed = spark.createDataFrame(
+        [(1, "2024-03-15"), (2, "2024-07-01")], "k int, event_date string"
+    )
+    engine.write_curated("gen", seed, mode="overwrite", partition_cols=[])
+    engine.add_generated_column(
+        "gen", "event_month", "substring(event_date, 1, 7)", dtype="string"
+    )
+    # batch WITHOUT the column → computed
+    engine.write_curated(
+        "gen", spark.createDataFrame([(3, "2025-01-09")], "k int, event_date string"),
+        mode="append", partition_cols=[],
+    )
+    got = {r["k"]: r["event_month"] for r in spark.table(engine.qualified("gen")).collect()}
+    assert got[3] == "2025-01"
+    assert got[1] == "2024-03"  # pre-existing rows backfilled at ADD time
+    # batch WITH a wrong value → rejected
+    with _pytest.raises(ConstraintViolation, match="generated-column"):
+        engine.write_curated(
+            "gen",
+            spark.createDataFrame(
+                [(4, "2025-02-01", "1999-12")], "k int, event_date string, event_month string"
+            ),
+            mode="append", partition_cols=[],
+        )
+    # batch with the CORRECT value → accepted
+    engine.write_curated(
+        "gen",
+        spark.createDataFrame(
+            [(5, "2025-03-02", "2025-03")], "k int, event_date string, event_month string"
+        ),
+        mode="append", partition_cols=[],
+    )
+    # property survives overwrite (compaction)
+    engine.compact_table("gen")
+    assert engine.generated_columns("gen") == {"event_month": "substring(event_date, 1, 7)"}
+    assert spark.table(engine.qualified("gen")).count() == 4
