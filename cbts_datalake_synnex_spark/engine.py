@@ -821,6 +821,25 @@ class LakeEngine:
             )
         if re.match(r"(?is)^MERGE\s+INTO\b", q):
             return self._dispatch_sql_merge(q)
+        m = re.match(
+            r"(?is)^RESTORE\s+TABLE\s+([A-Za-z0-9_.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            q,
+        )
+        if m:
+            table = m.group(1).split(".")[-1]
+            n = self.restore_snapshot(table, int(m.group(2)))
+            return self.spark.createDataFrame([(n,)], "new_version bigint")
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+([A-Za-z0-9_.]+)\s+SHALLOW\s+CLONE\s+"
+            r"([A-Za-z0-9_.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
+            q,
+        )
+        if m:
+            dst, src = m.group(1).split(".")[-1], m.group(2).split(".")[-1]
+            version = int(m.group(3)) if m.group(3) else None
+            self.clone_table(src, dst, version=version)
+            n = self.spark.table(self.qualified(dst)).count()
+            return self.spark.createDataFrame([(n,)], "cloned_rows bigint")
         if re.search(r"(?i)\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", q):
             return self._dispatch_sql_time_travel(q)
         return None

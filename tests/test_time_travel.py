@@ -207,3 +207,28 @@ def test_sql_version_and_timestamp_as_of(spark, tmp_path):
         assert got["n"] == 1  # only the row added in v2
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_sql_restore_and_shallow_clone(spark, tmp_path):
+    """RESTORE TABLE ... TO VERSION AS OF and CREATE TABLE ... SHALLOW
+    CLONE [VERSION AS OF] dispatch through the snapshot journal."""
+    db = f"tt_{abs(hash(str(tmp_path))) % 10**9}_rs"
+    eng = LakeEngine(spark, str(tmp_path / "lake_rs"), database=db, clock=CLOCK)
+    try:
+        eng.write_curated(
+            "rt", spark.createDataFrame([(1, "a")], "id int, v string"),
+            mode="append", partition_cols=[],
+        )
+        eng.write_curated(
+            "rt", spark.createDataFrame([(2, "b")], "id int, v string"),
+            mode="append", partition_cols=[],
+        )
+        out = eng.sql("CREATE TABLE rt_branch SHALLOW CLONE rt VERSION AS OF 1").collect()[0]
+        assert out["cloned_rows"] == 1
+        assert {r["id"] for r in spark.table(eng.qualified("rt_branch")).collect()} == {1}
+
+        out = eng.sql("RESTORE TABLE rt TO VERSION AS OF 1").collect()[0]
+        assert out["new_version"] == 3  # restore journals forward
+        assert {r["id"] for r in spark.table(eng.qualified("rt")).collect()} == {1}
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
