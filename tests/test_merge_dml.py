@@ -223,3 +223,30 @@ def test_sql_merge_update_assignments(spark, eng):
     assert (out["updated"], out["deleted"], out["inserted"]) == (1, 0, 0)
     assert spark.table(qt).filter("k = 5").collect()[0]["g"] == 10
     assert "bump" not in spark.table(qt).columns
+
+
+def test_merge_across_evolved_schema_files(spark, eng):
+    """Files written before ADD COLUMNS lack the new column; a merge
+    touching them must align to the table schema, not the file schema."""
+    qt = _seed(spark, eng)
+    newrow = _batch(spark, [(200, "x", 9)]).withColumn("note", F.lit("fresh"))
+    eng.write_curated("t", newrow, mode="append")  # K8 widens table
+    assert "note" in spark.table(qt).columns
+    # update a key that lives in a PRE-evolution file
+    res = eng.merge_rows(
+        "t", spark.createDataFrame([(4, "evolved")], "k int, name string"), keys=["k"]
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 0}
+    row = spark.table(qt).filter("k = 4").collect()[0]
+    assert row["name"] == "evolved" and row["note"] is None
+    assert spark.table(qt).count() == 26
+
+
+def test_merge_null_source_key_inserts_like_sql(spark, eng):
+    """SQL MERGE: a NULL source key matches nothing → INSERT path."""
+    qt = _seed(spark, eng)
+    src = _batch(spark, [(None, "ghost", 1)])
+    res = eng.merge_rows("t", src, keys=["k"])
+    assert res == {"updated": 0, "deleted": 0, "inserted": 1}
+    assert spark.table(qt).filter("k IS NULL").count() == 1
+    assert spark.table(qt).count() == 26
