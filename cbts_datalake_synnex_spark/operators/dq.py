@@ -49,3 +49,30 @@ def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         ),
         (F.col("e.n_violations") == 0).alias("passed"),
     )
+
+
+def schema_drift_report(batch: DataFrame, target: DataFrame) -> DataFrame:
+    """What would change if ``batch`` were appended to ``target``:
+    one row per column with status ``added`` (batch-only — what K8
+    evolution would ALTER in), ``removed`` (target-only — null-filled
+    on append), ``type_changed``, or ``unchanged``. Pure schema
+    metadata — no scan, no job, identical cost at 100 TB; the gate a
+    pipeline consults BEFORE letting write_curated evolve a table."""
+    b = {f.name.lower(): (f.name, f.dataType.simpleString()) for f in batch.schema.fields}
+    t = {f.name.lower(): (f.name, f.dataType.simpleString()) for f in target.schema.fields}
+    rows = []
+    for key in sorted(set(b) | set(t)):
+        bname, btype = b.get(key, (None, None))
+        tname, ttype = t.get(key, (None, None))
+        if key not in t:
+            status = "added"
+        elif key not in b:
+            status = "removed"
+        elif btype != ttype:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((bname or tname, btype, ttype, status))
+    return batch.sparkSession.createDataFrame(
+        rows, "column string, batch_type string, table_type string, status string"
+    )

@@ -992,3 +992,35 @@ def f_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# ----------------------------------------------------------------------
+# DQ — schema drift report ([EXT] round 5, operators/dq.
+# schema_drift_report): the pre-append gate that says what K8
+# evolution WOULD do. Pure schema metadata — no scan, scale-free —
+# so the expected rows are literals.
+@query(
+    "dq_schema_drift",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('n_comment',   'string', NULL,     'added'),
+      ('n_name',      'string', 'string', 'unchanged'),
+      ('n_nationkey', 'string', 'int',    'type_changed'),
+      ('n_regionkey', NULL,     'int',    'removed')
+    ) AS t(column_name, batch_type, table_type, status)
+    """,
+    doc="[EXT] DQ — schema drift between an incoming batch (stringified key, "
+    "new comment column, dropped regionkey) and the nation table: "
+    "added/removed/type_changed/unchanged per column, computed from schema "
+    "metadata only (no scan) — the gate consulted before K8 evolution.",
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import schema_drift_report
+
+    nation = load_table(spark, sf_dir, "nation")
+    batch = nation.select(
+        F.col("n_nationkey").cast("string"),
+        "n_name",
+        F.lit("x").alias("n_comment"),
+    )
+    return schema_drift_report(batch, nation).withColumnRenamed("column", "column_name")
