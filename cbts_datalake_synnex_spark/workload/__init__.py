@@ -94,11 +94,32 @@ _ROUND5_FRONT = [
     "lc_shallow_clone",
 ]
 
+# Round 6: the only 10 registry entries without a lifetime driver row —
+# all were added after the round-5 window froze (table-tier DML/CDC,
+# the two md5-keyed samplers, the Arrow cosine lane, schema drift).
+# Green CORRECTNESS_r06 on these closes lifetime driver coverage at
+# 154/154; the remaining 40 window slots re-certify the round-5 front
+# (still fresh evidence, already green in r5).
+_ROUND6_FRONT = [
+    "lc_predicate_dml",
+    "lc_cdc_apply",
+    "lc_cdc_stream_apply",
+    "lc_zorder_compact",
+    "lc_repartition_evolution",
+    "lc_check_constraints",
+    "pipeline_epoch_shuffle",
+    "pipeline_token_budget_sample",
+    "x3_cosine_topk_arrow",
+    "dq_schema_drift",
+]
+
 
 def _rotate_registry() -> None:
-    front = [n for n in _ROUND5_FRONT if n in REGISTRY]
-    missing = [n for n in _ROUND5_FRONT if n not in REGISTRY]
+    order = _ROUND6_FRONT + _ROUND5_FRONT
+    front = [n for n in order if n in REGISTRY]
+    missing = [n for n in order if n not in REGISTRY]
     assert not missing, f"rotation references unknown queries: {missing}"
+    assert len(front) == len(set(front)), "rotation lists overlap"
     rest = [n for n in REGISTRY if n not in set(front)]
     ordered = {n: REGISTRY[n] for n in front + rest}
     REGISTRY.clear()
