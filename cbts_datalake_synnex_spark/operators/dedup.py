@@ -251,6 +251,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_size: int = 3,
     shingles: DataFrame | None = None,
+    max_bucket_width: int = 64,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """X2 — MinHash-LSH near-duplicate pairs, candidates verified with
     exact shingle-set Jaccard.
@@ -263,6 +265,20 @@ def minhash_lsh_pairs(
     has NO false positives; recall is the LSH curve (tested vs. the
     exact operator in tests/).
     Returns (doc1, doc2, jaccard).
+
+    Adversarial-skew guards (a boilerplate-heavy web corpus puts a
+    1M-copy template into ONE band bucket — all-pairs there is ~5·10¹¹
+    rows): buckets wider than ``max_bucket_width`` emit a sorted CHAIN
+    of consecutive-doc pairs (w−1 rows) instead of the w(w−1)/2
+    clique. Connectivity — what `dedup_clusters` consumes — is
+    preserved exactly (a chain spans the same component), candidate
+    volume becomes linear in bucket width, and buckets at or under the
+    cap are untouched, so normal-corpus output is bit-identical.
+    ``broadcast_candidates=None`` decides the verification join shape
+    from a bounded early-exit count of the (cached) candidate set:
+    small sets broadcast into the shingle joins (the huge shingle
+    table never shuffles), big sets fall back to a plain shuffle join
+    instead of OOMing the executors.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -287,26 +303,61 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-        .distinct()
-    )
+    cand = _lsh_candidates(buckets, max_bucket_width).persist()
+    if broadcast_candidates is None:
+        cap = 500_000
+        broadcast_candidates = cand.limit(cap + 1).count() <= cap
     s1 = shing.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
     s2 = shing.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
     inter = F.size(F.array_intersect("shs1", "shs2"))
     union = F.size("shs1") + F.size("shs2") - inter
-    # Candidate pairs are ~|near-duplicates| — tiny relative to the doc
-    # table at any scale — so broadcast THEM into the shingle joins:
-    # the (huge) shingle table is never shuffled for verification.
+    # Candidate pairs are ~|near-duplicates| — normally tiny relative
+    # to the doc table — so broadcast THEM into the shingle joins: the
+    # (huge) shingle table is never shuffled for verification. Above
+    # the auto-threshold the pair set shuffle-joins instead.
+    cand_side = F.broadcast(cand) if broadcast_candidates else cand
     return (
-        s1.join(F.broadcast(cand), "doc1")
+        s1.join(cand_side, "doc1")
         .join(s2, "doc2")
         .select("doc1", "doc2", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _lsh_candidates(buckets: DataFrame, max_bucket_width: int) -> DataFrame:
+    """Distinct candidate (doc1 < doc2) pairs from LSH band buckets.
+    Buckets at or under ``max_bucket_width`` docs contribute their full
+    clique (all-pairs equi-self-join on (band, bh)); wider buckets
+    contribute a doc-sorted consecutive chain — linear in width,
+    component-preserving (`max_doc_freq` discipline from
+    ``ngram_jaccard_pairs``, adapted so mega-clusters stay CONNECTED
+    instead of being dropped)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh")
+    sized = buckets.withColumn("wdt", F.count("*").over(w)).withColumn(
+        "rn", F.row_number().over(w.orderBy("doc"))
+    )
+    narrow = sized.filter(F.col("wdt") <= max_bucket_width).drop("wdt", "rn")
+    a, b = narrow.alias("a"), narrow.alias("b")
+    clique = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+    wide = sized.filter(F.col("wdt") > max_bucket_width).drop("wdt")
+    wa, wb = wide.alias("a"), wide.alias("b")
+    chain = wa.join(
+        wb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.rn") + 1 == F.col("b.rn")),
+    ).select(
+        F.least("a.doc", "b.doc").alias("doc1"),
+        F.greatest("a.doc", "b.doc").alias("doc2"),
+    )
+    return clique.unionByName(chain).distinct()
 
 
 # ----------------------------------------------------------------------

@@ -605,3 +605,61 @@ def test_cosine_topk_arrow_matches_jvm_fold(spark):
     a = {tuple(r) for r in cosine_topk(base, qs, "vid", "vec", k=4).collect()}
     b = {tuple(r) for r in cosine_topk_arrow(base, qs, "vid", "vec", k=4).collect()}
     assert a == b and len(a) == 5 * 4
+
+
+def test_minhash_bucket_cap_identical_on_normal_corpus(spark):
+    """Buckets at/under max_bucket_width are untouched: capped output
+    is bit-identical to uncapped on a normal (non-template) corpus."""
+    from cbts_datalake_synnex_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 7} jumps over the lazy dog {i % 7} again")
+         for i in range(40)],
+        "id bigint, text string",
+    )
+    kw = dict(threshold=0.5, num_perm=16, bands=4)
+    capped = dedup.minhash_lsh_pairs(docs, "id", "text", **kw).orderBy(
+        "doc1", "doc2").collect()
+    uncapped = dedup.minhash_lsh_pairs(
+        docs, "id", "text", max_bucket_width=10 ** 9, **kw
+    ).orderBy("doc1", "doc2").collect()
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_minhash_bucket_cap_bounds_adversarial_template_corpus(spark):
+    """A 1k-copy boilerplate template lands in ONE band bucket; the
+    clique is ~500k pairs PER BAND. The width cap must keep the
+    candidate set linear while the template cluster stays CONNECTED
+    (what dedup_clusters consumes)."""
+    from cbts_datalake_synnex_spark.operators import dedup
+
+    template = "identical boilerplate navigation footer text " * 4
+    rows = [(i, template) for i in range(1000)]
+    rows += [(2000 + i, f"unique real document number {i} with its own words {i}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    shing = dedup._hashed_shingle_docs(docs, "id", "text", 3).cache()
+    # candidate volume: linear (chains), not quadratic (cliques)
+    from pyspark.sql import functions as F
+    sig = shing.select("doc", *dedup._minhash_cols("shs", 16))
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias("bh"))
+        for b in range(4)
+    ]
+    buckets = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    n_cand = dedup._lsh_candidates(buckets, 16).count()
+    assert n_cand < 10_000, f"candidate set not bounded: {n_cand}"
+
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "id", "text", threshold=0.9, num_perm=16, bands=4,
+        shingles=shing, max_bucket_width=16,
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    # every template copy resolves to ONE canonical representative
+    canon = clusters.filter(F.col("doc") < 2000).select("canonical").distinct()
+    assert canon.count() == 1
+    assert clusters.filter(F.col("doc") < 2000).count() == 1000
+    shing.unpersist()
