@@ -180,6 +180,54 @@ def lsh_bucket_topk(
     )
 
 
+def _train_centroids(sample, k: int, lloyd_iters: int, restarts: int = 3):
+    """Deterministic spherical k-means on a unit-normalized sample:
+    seeded k-means++ (D² sampling under fixed RandomStates — no
+    wall-clock randomness, so oracles stay stable), Lloyd refinement
+    with empty-cell reseeding at the farthest point, best of
+    ``restarts`` by quantization error. Robust to sample ORDER — the
+    md5-shuffled unbiased sample must not hand Lloyd a clumped init
+    (a first-k init on ordered ids only looked good because synthetic
+    ids correlate with cluster structure — the exact bias the
+    shuffled sample removes)."""
+    import numpy as np
+
+    k = min(k, len(sample))
+
+    def _pp_init(rng):
+        cents = [sample[rng.randint(len(sample))]]
+        for _ in range(1, k):
+            d = np.maximum(np.min(1.0 - sample @ np.array(cents).T, axis=1), 0.0)
+            total = d.sum()
+            if total <= 0:
+                cents.append(sample[rng.randint(len(sample))])
+            else:
+                cents.append(sample[rng.choice(len(sample), p=d / total)])
+        return np.array(cents)
+
+    def _lloyd(cents):
+        cents = cents.copy()
+        for _ in range(lloyd_iters):
+            assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit rows
+            for c in range(k):
+                members = sample[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cents[c] = m / max(np.linalg.norm(m), 1e-12)
+                else:
+                    far = np.min(1.0 - sample @ cents.T, axis=1)
+                    cents[c] = sample[int(np.argmax(far))]
+        return cents
+
+    best, best_err = None, None
+    for seed in range(restarts):
+        cents = _lloyd(_pp_init(np.random.RandomState(seed)))
+        err = float(np.mean(1.0 - np.max(sample @ cents.T, axis=1)))
+        if best is None or err < best_err:
+            best, best_err = cents, err
+    return best
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -187,28 +235,31 @@ def ivf_topk(
     vec_col: str,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
-    lloyd_iters: int = 2,
+    n_probe: int = 6,
+    lloyd_iters: int = 8,
+    n_assign: int = 2,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: partition the
     corpus into ``n_cells`` Voronoi cells around trained centroids;
     queries score only the ``n_probe`` nearest cells.
 
-    Training is deterministic: seed centroids are the ``n_cells``
-    lowest-id vectors, refined with ``lloyd_iters`` Lloyd iterations
-    (assignment via broadcast centroids — one scan per iteration, no
-    shuffle beyond the mean-aggregate). At 100 TB the train step runs
-    on a sample; assignment stays a broadcast-projection, and the probe
-    join is equi on cell id so it partitions cleanly. Recall grows with
-    ``n_probe/n_cells`` (tests gate it vs the exact operator).
+    Training is deterministic (`_train_centroids`: seeded k-means++ on
+    an md5-shuffled unbiased sample, best-of-3 restarts) and driver-
+    side on a bounded sample — the same budget class as any k-means
+    trainer. Assignment stays a broadcast-projection, and the probe
+    join is equi on cell id so it partitions cleanly. Recall grows
+    with ``n_probe/n_cells`` (tests gate it vs the exact operator).
     Returns (query_id, cand_id, cosine, rank).
     """
     import numpy as np
 
     # --- train (driver-side on a bounded sample; deterministic) -------
+    # md5(id) order: still deterministic (oracle-stable) but UNBIASED —
+    # raw-id order correlates with content when ids follow crawl order,
+    # skewing centroids/codebooks toward the earliest documents.
     seed_rows = (
         candidates.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
         .limit(max(n_cells * 64, 512))
         .collect()
     )
@@ -219,14 +270,7 @@ def ivf_topk(
     sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     n_cells = min(n_cells, len(sample))  # degenerate corpus < n_cells
-    cents = sample[:n_cells].copy()
-    for _ in range(lloyd_iters):
-        assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit vectors
-        for c in range(n_cells):
-            members = sample[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    cents = _train_centroids(sample, n_cells, lloyd_iters)
 
     # Centroids travel as BROADCAST DATA (a one-row matrix joined onto
     # each side), not as F.lit plan literals — plan size stays O(1) in
@@ -249,7 +293,11 @@ def ivf_topk(
         candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
         .crossJoin(F.broadcast(cent_df))
         .withColumn("cnorm", _norm(F.col("cv")))
-        .withColumn("cell", F.element_at(nearest_cells(F.col("cv"), 1), 1))
+        # multiple assignment: index each vector under its n_assign
+        # nearest cells (2× index rows for a large recall gain — the
+        # standard IVF lever for neighbors straddling cell borders);
+        # dropDuplicates below collapses the double-probed hits.
+        .withColumn("cell", F.explode(nearest_cells(F.col("cv"), n_assign)))
         .drop("__cmat")
     )
     q = (
@@ -455,9 +503,12 @@ def pq_topk(
     sd = dim // m
 
     # --- train (driver-side on a bounded sample; deterministic) -------
+    # md5(id) order: still deterministic (oracle-stable) but UNBIASED —
+    # raw-id order correlates with content when ids follow crawl order,
+    # skewing centroids/codebooks toward the earliest documents.
     seed_rows = (
         candidates.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
         .limit(max(n_codes * 32, 512))
         .collect()
     )
