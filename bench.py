@@ -64,6 +64,96 @@ def _run_pass(spark, sf_dir: str, names: list[str], warm: bool = True) -> tuple[
     return timings, broken
 
 
+def _run_table_ops_pass(spark, sf_dir: str) -> dict:
+    """Time the table-format tier (row-level DML / MERGE / Z-order
+    compaction) on an ORDERS-sized table — the registry's lc_* twins
+    certify semantics on the 25-row nation seed, which has no wall-time
+    signal. Reported as a SEPARATE block so the headline total stays
+    comparable to the rounds-1-5 baseline (same query set).
+
+    Each op runs in a throwaway lake; timings include the engine's
+    full bill (file-pruned rewrite, snapshot journaling, hard-link
+    retention) — the number a user would see.
+    """
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+    from cbts_datalake_synnex_spark.workload.base import load_table
+
+    out: dict = {}
+    root = tempfile.mkdtemp(prefix="bench_lake_")
+    db = f"bench_{uuid.uuid4().hex[:8]}"
+    eng = LakeEngine(
+        spark, root, database=db, clock=lambda: datetime(2024, 3, 15, 12, 0, 0)
+    )
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+
+        def _seed(table):
+            eng.write_curated(
+                table,
+                orders.withColumn("processed_year", F.lit("2024")).withColumn(
+                    "processed_month",
+                    F.format_string("%02d", (F.col("o_orderkey") % 4 + 1).cast("int")),
+                ),
+                mode="overwrite",
+            )
+
+        _seed("b_dml")
+        start = time.perf_counter()
+        eng.delete_rows("b_dml", "o_orderkey % 10 = 3")
+        eng.update_rows(
+            "b_dml", "o_orderstatus = 'F' AND o_orderkey % 7 = 0",
+            {"o_totalprice": "o_totalprice * 1.05"},
+        )
+        out["dml_delete_update"] = round(time.perf_counter() - start, 3)
+
+        _seed("b_merge")
+        changes = (
+            orders.filter("o_orderkey % 20 = 1")
+            .select(
+                "o_orderkey",
+                F.lit("P").alias("o_orderstatus"),
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                F.lit("U").alias("op"), F.lit(1).alias("seq"),
+            )
+            .unionByName(
+                orders.filter("o_orderkey % 20 = 2").select(
+                    (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                    F.lit("N").alias("o_orderstatus"),
+                    F.col("o_totalprice"),
+                    F.lit("I").alias("op"), F.lit(1).alias("seq"),
+                )
+            )
+        )
+        start = time.perf_counter()
+        eng.apply_changes("b_merge", changes, keys=["o_orderkey"], sequence_col="seq")
+        out["merge_cdc_apply"] = round(time.perf_counter() - start, 3)
+
+        _seed("b_zorder")
+        start = time.perf_counter()
+        eng.compact_table(
+            "b_zorder", cluster_by=["o_custkey", "o_totalprice"], zorder=True
+        )
+        out["zorder_compact"] = round(time.perf_counter() - start, 3)
+    except Exception as e:  # noqa: BLE001
+        out["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    finally:
+        try:
+            spark.catalog.setCurrentDatabase("default")
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -83,6 +173,12 @@ def main() -> None:
         "queries": queries_out,
         "sf": float(sf),
     }
+
+    # Table-format tier (VERDICT r5 #5): DML/MERGE/Z-order wall times
+    # at orders scale, in their own block — the headline total keeps
+    # the rounds-1-5 query set so the baseline ratio stays meaningful.
+    if os.environ.get("SPARK_GRAFT_SKIP_TABLE_OPS") != "1":
+        result["table_ops"] = _run_table_ops_pass(spark, sf_dir)
 
     # Second scale point: a single SF cannot separate fixed overhead
     # from scaling slope. If the 10×-scaled dataset exists (built once
@@ -109,6 +205,17 @@ def main() -> None:
                     n: round(t1[n] / timings[n], 2) for n in shared
                 },
             }
+            if os.environ.get("SPARK_GRAFT_SKIP_TABLE_OPS") != "1":
+                t_ops = _run_table_ops_pass(spark, sf1_dir)
+                base_ops = result.get("table_ops", {})
+                t_ops["slope_vs_sf0.1"] = {
+                    n: round(t_ops[n] / base_ops[n], 2)
+                    for n in t_ops
+                    if isinstance(t_ops.get(n), float)
+                    and isinstance(base_ops.get(n), float)
+                    and base_ops[n] > 0
+                }
+                result["sf1"]["table_ops"] = t_ops
         except Exception as e:  # noqa: BLE001
             result["sf1"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
