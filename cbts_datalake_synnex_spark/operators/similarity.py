@@ -33,6 +33,12 @@ def _norm(v: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+ARROW_LANE_MIN_DIM = 128  # measured crossover (SCALING.md): BLAS GEMM
+# amortization beats the JVM fold's O(d)-per-pair expression tree from
+# ~128 dims; below it the Arrow serialization boundary costs more than
+# it saves.
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -40,13 +46,29 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
     round_dp: int = 6,
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, cand_id, cosine, rank). Ranking uses the rounded
     similarity plus the candidate id as tiebreak so results are
     deterministic across engines/precisions.
+
+    ``engine``: ``"jvm"`` forces the whole-stage-codegen higher-order
+    fold, ``"arrow"`` forces the BLAS-GEMM `cosine_topk_arrow` lane,
+    ``"auto"`` (default) probes the embedding width from one query row
+    and routes wide embeddings (≥ `ARROW_LANE_MIN_DIM`) to the Arrow
+    lane — both lanes return identical rows (equivalence golden), so
+    the routing is purely a throughput decision.
     """
+    if engine not in ("auto", "jvm", "arrow"):
+        raise ValueError(f"engine: {engine!r}")
+    if engine == "arrow":
+        return cosine_topk_arrow(candidates, queries, id_col, vec_col, k, round_dp)
+    if engine == "auto":
+        probe = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is not None and (probe["d"] or 0) >= ARROW_LANE_MIN_DIM:
+            return cosine_topk_arrow(candidates, queries, id_col, vec_col, k, round_dp)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")).withColumn(
         "cnorm", _norm(F.col("cv"))

@@ -663,3 +663,34 @@ def test_minhash_bucket_cap_bounds_adversarial_template_corpus(spark):
     assert canon.count() == 1
     assert clusters.filter(F.col("doc") < 2000).count() == 1000
     shing.unpersist()
+
+
+def test_cosine_topk_auto_routes_by_dimension(spark):
+    """engine='auto' sends wide embeddings (>= ARROW_LANE_MIN_DIM) down
+    the Arrow GEMM lane and keeps narrow ones on the JVM fold; both
+    lanes return identical rows (equivalence pinned below)."""
+    from cbts_datalake_synnex_spark.operators import similarity
+
+    def _emb(n, d):
+        rows = [(i, [float(((i * 31 + j * 17) % 97) - 48) / 48 for j in range(d)])
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    narrow = _emb(50, 64)
+    wide = _emb(50, 128)
+    jvm_plan = similarity.cosine_topk(
+        narrow, narrow.filter("vec_id < 4"), "vec_id", "embedding", k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    arrow_plan = similarity.cosine_topk(
+        wide, wide.filter("vec_id < 4"), "vec_id", "embedding", k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in jvm_plan
+    assert "MapInPandas" in arrow_plan
+    # routing is a throughput decision only: identical rows either way
+    a = similarity.cosine_topk(
+        wide, wide.filter("vec_id < 4"), "vec_id", "embedding", k=3, engine="jvm"
+    ).orderBy("query_id", "rank").collect()
+    b = similarity.cosine_topk(
+        wide, wide.filter("vec_id < 4"), "vec_id", "embedding", k=3, engine="arrow"
+    ).orderBy("query_id", "rank").collect()
+    assert a == b
