@@ -15,7 +15,11 @@ from cbts_datalake_synnex_spark.streaming.incremental import (
     incremental_curate,
 )
 from cbts_datalake_synnex_spark.streaming.joins import stream_stream_join
-from cbts_datalake_synnex_spark.streaming.stateful import first_seen_admission, running_stats
+from cbts_datalake_synnex_spark.streaming.stateful import (
+    first_seen_admission,
+    first_seen_admission_v1,
+    running_stats,
+)
 from cbts_datalake_synnex_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -31,6 +35,7 @@ __all__ = [
     "session_window_agg",
     "streaming_dedup",
     "first_seen_admission",
+    "first_seen_admission_v1",
     "running_stats",
     "stream_stream_join",
 ]

@@ -115,6 +115,66 @@ def running_stats(
     )
 
 
+def first_seen_admission_v1(
+    df: DataFrame,
+    key: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """The first-seen admission CONTRACT on the v1 API
+    (``applyInPandasWithState``) — same semantics as the v2
+    `first_seen_admission` below: emit a key's first-ever row (with
+    ``n_prior`` = occurrences seen before this batch, i.e. 0) only in
+    the first micro-batch the key appears in; later batches update the
+    occurrence counter in state and emit nothing.
+
+    This twin exists because the v2 runtime needs protobuf, absent
+    from this image — the v1 path RUNS here, so the semantics contract
+    is pinned by an executable golden today
+    (tests/test_streaming.py::test_first_seen_admission_contract_v1)
+    and the v2 golden re-asserts the identical scenario wherever
+    protobuf exists. State per key = one BIGINT; shuffle on ``key``
+    only; ``ttl_ms`` evicts idle keys via processing-time timeout
+    (no tombstone — admission state just forgets, so a key returning
+    after the TTL is re-admitted, the documented tradeoff)."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("n_prior", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prior = state.get[0] if state.exists else 0
+        first = None
+        n = 0
+        for pdf in batches:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]].copy()
+            n += int(len(pdf))
+        state.update((prior + n,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if prior == 0 and first is not None:
+            first = first[cols]
+            first["n_prior"] = 0
+            yield first
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 # ----------------------------------------------------------------------
 # The same stateful rung on the arbitrary-state v2 API
 # (``transformWithStateInPandas``, Spark 4.x): typed per-key state

@@ -490,6 +490,59 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     assert ("i2", None) in rows          # unmatched → null-extended after watermark
 
 
+def test_first_seen_admission_contract_v1(spark, tmp_path):
+    """The first-seen admission CONTRACT, pinned under the v1 API
+    (applyInPandasWithState) which RUNS on this image: identical
+    scenario to the protobuf-gated v2 golden below, so wherever both
+    run, both must produce these exact rows."""
+    from cbts_datalake_synnex_spark.streaming import first_seen_admission_v1
+
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_file(
+        src,
+        "b1.json",
+        [
+            {"event_id": "e1", "user_id": "u1", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "e2", "user_id": "u1", "ts": "2024-01-01T10:01:00.000Z", "value": 5.0},
+            {"event_id": "e3", "user_id": "u2", "ts": "2024-01-01T10:02:00.000Z", "value": 7.0},
+        ],
+        now - 20,
+    )
+    _write_file(
+        src,
+        "b2.json",
+        [
+            {"event_id": "e4", "user_id": "u1", "ts": "2024-01-01T11:00:00.000Z", "value": 2.0},
+            {"event_id": "e5", "user_id": "u3", "ts": "2024-01-01T11:01:00.000Z", "value": 9.0},
+        ],
+        now - 10,
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        first_seen_admission_v1(stream, key="user_id")
+        .writeStream.format("memory")
+        .queryName("v1_first_seen")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM v1_first_seen").collect()}
+    # THE CONTRACT (shared with the v2 golden): u1 admitted once from
+    # batch 1, u2 from batch 1, u3 from batch 2; u1's batch-2 event e4
+    # must NOT appear; admitted rows carry n_prior = 0.
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u1"]["event_id"] == "e1" and rows["u1"]["n_prior"] == 0
+    assert rows["u2"]["event_id"] == "e3" and rows["u2"]["n_prior"] == 0
+    assert rows["u3"]["event_id"] == "e5" and rows["u3"]["n_prior"] == 0
+
+
 def test_first_seen_admission_transform_with_state(spark, tmp_path):
     """v2 arbitrary-state API (transformWithStateInPandas): a key's row
     is emitted only in the first micro-batch it appears; later batches
