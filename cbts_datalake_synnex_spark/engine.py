@@ -126,6 +126,16 @@ class LakeEngine:
         self.table_format = table_format or ("delta" if _delta_available(spark) else "parquet")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
 
+    @property
+    def _delta(self):
+        """Every DeltaTable interaction, behind one contract-tested
+        adapter (SURVEY §8.1 — no Delta jars in this image; the
+        adapter's call chains are pinned against a fake in
+        tests/test_delta_adapter.py)."""
+        from cbts_datalake_synnex_spark.delta_adapter import DeltaAdapter
+
+        return DeltaAdapter(self.spark)
+
     # ------------------------------------------------------------------
     # clock
     def _now(self) -> datetime | None:
@@ -1670,18 +1680,7 @@ class LakeEngine:
             self.write_curated(table, df, mode="overwrite", partition_cols=partition_cols)
             return
         if self.table_format == "delta":
-            from delta.tables import DeltaTable  # type: ignore[import-not-found]
-
-            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-            (
-                DeltaTable.forName(self.spark, qtable)
-                .alias("t")
-                .merge(df.alias("s"), cond)
-                .whenMatchedUpdateAll()
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
-            self.spark.catalog.refreshTable(qtable)
+            self._delta.upsert_all(qtable, df, keys)
             return
         # Parquet fallback. Align the source to the table schema (adds
         # genuinely new columns via K8 ALTER, nulls missing ones) ...
@@ -1914,12 +1913,7 @@ class LakeEngine:
         row). Returns the deleted row count. Delta path: transactional
         file-pruned DELETE; parquet path: `_file_pruned_rewrite`."""
         if self.table_format == "delta":
-            from delta.tables import DeltaTable  # type: ignore[import-not-found]
-
-            qtable = self.qualified(table)
-            cond = condition if isinstance(condition, str) else condition
-            DeltaTable.forName(self.spark, qtable).delete(cond)
-            self.spark.catalog.refreshTable(qtable)
+            self._delta.delete(self.qualified(table), condition)
             return -1  # Delta does not report the count pre-4.0
 
         def _drop_matches(subset: DataFrame, cond) -> DataFrame:
@@ -1938,11 +1932,7 @@ class LakeEngine:
             k: (F.expr(v) if isinstance(v, str) else v) for k, v in set_exprs.items()
         }
         if self.table_format == "delta":
-            from delta.tables import DeltaTable  # type: ignore[import-not-found]
-
-            qtable = self.qualified(table)
-            DeltaTable.forName(self.spark, qtable).update(condition, sets)
-            self.spark.catalog.refreshTable(qtable)
+            self._delta.update(self.qualified(table), condition, sets)
             return -1
 
         def _apply_sets(subset: DataFrame, cond) -> DataFrame:
@@ -2049,7 +2039,7 @@ class LakeEngine:
             )
 
         if self.table_format == "delta":
-            return self._merge_rows_delta(
+            self._delta.merge(
                 qtable,
                 source,
                 keys,
@@ -2057,6 +2047,7 @@ class LakeEngine:
                 when_matched_delete,
                 when_not_matched_insert,
             )
+            return {"updated": -1, "deleted": -1, "inserted": -1}
 
         exclude = [c for c in exclude_cols if c in source.columns]
         data_cols = [c for c in source.columns if c not in exclude]
@@ -2174,27 +2165,6 @@ class LakeEngine:
         self._enforce_constraints(table, replacement)
         self._splice_replacement(table, qtable, matched_files, replacement)
         return {"updated": n_updated, "deleted": n_deleted, "inserted": n_inserted}
-
-    def _merge_rows_delta(
-        self, qtable, source, keys, upd, dele, ins
-    ) -> dict[str, int]:
-        from delta.tables import DeltaTable  # type: ignore[import-not-found]
-
-        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-        m = DeltaTable.forName(self.spark, qtable).alias("t").merge(source.alias("s"), cond)
-        if dele:
-            m = m.whenMatchedDelete(condition=dele if isinstance(dele, str) else None)
-        if upd == "all":
-            m = m.whenMatchedUpdateAll()
-        elif isinstance(upd, dict):
-            m = m.whenMatchedUpdate(set={k: v for k, v in upd.items()})
-        if ins:
-            m = m.whenNotMatchedInsertAll(
-                condition=ins if isinstance(ins, str) else None
-            )
-        m.execute()
-        self.spark.catalog.refreshTable(qtable)
-        return {"updated": -1, "deleted": -1, "inserted": -1}
 
     def apply_changes(
         self,
