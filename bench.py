@@ -154,6 +154,56 @@ def _run_table_ops_pass(spark, sf_dir: str) -> dict:
     return out
 
 
+def _run_dedup_skew_pass(spark, sf_dir: str, n_template: int = 2000) -> dict:
+    """Adversarial-skew dedup bench (VERDICT r5 #10): the same
+    documents corpus PLUS ``n_template`` copies of one boilerplate
+    template — the shape that used to put a w-copy clique (w(w-1)/2
+    candidate pairs) into a single LSH band bucket. With the round-6
+    bucket-width cap the candidate set stays linear, so skewed wall
+    time should track corpus growth, not explode quadratically; the
+    recorded ratio IS the evidence. Times the raw LSH pair operator
+    and the incremental admission gate on normal vs skewed corpora.
+    """
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators import dedup
+    from cbts_datalake_synnex_spark.workload.base import load_table
+
+    out: dict = {}
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        template = spark.range(n_template).select(
+            (F.col("id") + 1_000_000_000).alias("doc_id"),
+            F.lit("identical boilerplate navigation footer text " * 8).alias("text"),
+        )
+        skewed = docs.unionByName(template)
+
+        def _time(df):
+            start = time.perf_counter()
+            dedup.minhash_lsh_pairs(
+                df, id_col="doc_id", text_col="text",
+                threshold=0.7, num_perm=32, bands=8, shingle_size=3,
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - start, 3)
+
+        out["minhash_normal"] = _time(docs)
+        out["minhash_template_skew"] = _time(skewed)
+        out["minhash_skew_ratio"] = round(
+            out["minhash_template_skew"] / max(out["minhash_normal"], 1e-9), 2
+        )
+
+        start = time.perf_counter()
+        dedup.admission_against_corpus(
+            skewed, docs.select((F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text"),
+            id_col="doc_id", text_col="text", threshold=0.7,
+        ).write.format("noop").mode("overwrite").save()
+        out["admission_vs_skewed_corpus"] = round(time.perf_counter() - start, 3)
+        spark.catalog.clearCache()
+    except Exception as e:  # noqa: BLE001
+        out["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -179,6 +229,7 @@ def main() -> None:
     # the rounds-1-5 query set so the baseline ratio stays meaningful.
     if os.environ.get("SPARK_GRAFT_SKIP_TABLE_OPS") != "1":
         result["table_ops"] = _run_table_ops_pass(spark, sf_dir)
+        result["dedup_skew"] = _run_dedup_skew_pass(spark, sf_dir)
 
     # Second scale point: a single SF cannot separate fixed overhead
     # from scaling slope. If the 10×-scaled dataset exists (built once
