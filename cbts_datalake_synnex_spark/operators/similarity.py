@@ -347,6 +347,120 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    lloyd_iters: int = 8,
+    round_dp: int = 6,
+    n_assign: int = 2,
+) -> DataFrame:
+    """X3+ — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): cluster the embedding space with the
+    same deterministic spherical k-means as `ivf_topk`
+    (`_train_centroids` on the md5-shuffled bounded sample), compute
+    cosine pairs ONLY within each cell, and drop every vector that has
+    a lower-id near-duplicate at cosine ≥ ``threshold`` in its cell.
+
+    Scale shape: the paper's trick verbatim — clustering turns the
+    O(N²) all-pairs cost into Σ|cell|², and the within-cell join is an
+    EQUI-join on cell id, so it partitions cleanly; ``n_cells`` is the
+    lever (grow it with the corpus so cells stay bounded — the paper
+    uses 11k clusters for LAION-440M). Centroids travel as a one-row
+    broadcast matrix like IVF's. Recall caveat, also the paper's:
+    pairs straddling a cell boundary are missed — ``n_assign`` indexes
+    each vector under its n nearest cells (IVF's multiple-assignment
+    lever) to recover most boundary pairs, and the registry query
+    certifies a recall floor against the exact all-pairs twin.
+
+    Returns one row per input vector:
+    (id, cell, keep, dup_of, dup_cosine) — ``cell`` the primary
+    (nearest) cell, ``dup_of`` the LOWEST-id qualifying partner
+    (deterministic tiebreak), NULL when kept.
+    """
+    import numpy as np
+
+    seed_rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(max(n_cells * 64, 512))
+        .collect()
+    )
+    if not seed_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], "id long, cell int, keep boolean, dup_of long, dup_cosine double"
+        )
+    sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, len(sample))
+    cents = _train_centroids(sample, n_cells, lloyd_iters)
+    cent_df = vectors.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in cents],)], "__cmat: array<array<double>>"
+    )
+
+    # top-n_assign cells per vector, scored against the broadcast
+    # centroid matrix (same indexed-transform shape as ivf_topk)
+    cell_scores = (
+        "transform(__cmat, c -> aggregate(zip_with(v, c,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, b) -> a + b))"
+    )
+    ranked_cells = (
+        f"slice(reverse(array_sort(zip_with({cell_scores},"
+        f" sequence(1, size(__cmat)), (s, i) -> struct(s AS s, i AS c)))),"
+        f" 1, {int(n_assign)})"
+    )
+    assigned = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("vnorm", _norm(F.col("v")))
+        .withColumn("cells", F.expr(ranked_cells + ".c"))
+        .drop("__cmat")
+    )
+    exploded = assigned.select(
+        "id", "v", "vnorm", F.explode("cells").alias("cell")
+    )
+    a = exploded.select(
+        F.col("id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("vnorm").alias("a_n"), "cell",
+    )
+    b = exploded.select(
+        F.col("id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("vnorm").alias("b_n"), "cell",
+    )
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), round_dp),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("b_id", "a_id", "cosine")
+    )
+    # lowest-id partner wins the dup_of slot (min over struct orders by
+    # a_id first, carrying ITS cosine along — one agg, no window)
+    dups = dup_pairs.groupBy("b_id").agg(
+        F.min(F.struct(F.col("a_id"), F.col("cosine"))).alias("m")
+    ).select(
+        F.col("b_id").alias("id"),
+        F.col("m.a_id").alias("dup_of"),
+        F.col("m.cosine").alias("dup_cosine"),
+    )
+    return (
+        assigned.select("id", F.element_at("cells", 1).alias("cell"))
+        .join(dups, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "dup_cosine",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

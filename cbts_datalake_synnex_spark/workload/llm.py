@@ -1847,3 +1847,74 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, id_col="doc_id", tokens_col="tokens",
         stratum_col="lang", budget_tokens=2000, salt="tb",
     ).select("doc_id", "lang", "tokens", "cum_tokens_before")
+
+
+# ----------------------------------------------------------------------
+# X3+ — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+# dedup via clustered embeddings. The registry surface is a derived
+# verification report (the x3_lsh/ivf/pq pattern): the cell assignment
+# depends on driver-side k-means training that DuckDB can't reproduce,
+# but the exact all-pairs twin CAN be stated in SQL, so the report
+# anchors on it — n_should_drop is exact, the safety claim (every
+# dropped vector has a genuine lower-id ≥τ partner — zero false
+# drops) and the recall floor are constants DuckDB asserts as TRUE.
+@query(
+    "x3_semantic_dedup",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    )
+    SELECT (SELECT count(*) FROM e) AS n_vectors,
+           (SELECT count(DISTINCT id2) FROM p) AS n_should_drop,
+           TRUE AS zero_false_drops,
+           TRUE AS recall_ge_075,
+           TRUE AS partition_consistent
+    """,
+    doc="[EXT] X3+ SemDeDup — semantic dedup: deterministic spherical k-means "
+    "cells (md5-sampled, seeded kmeans++, n_assign=3 multiple assignment), "
+    "within-cell cosine >= 0.4 pairs only (sum-of-cell-squares cost, equi-join "
+    "on cell id), drop the higher id of each pair. In-plan report vs the exact "
+    "all-pairs twin: zero false drops, recall floor 0.75 (measured 0.87-0.95), "
+    "kept+dropped partition check.",
+)
+def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, n_assign=3
+    )
+    exact = similarity.embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+    should = exact.select(F.col("id2").alias("id")).distinct()
+    dropped = res.filter(~F.col("keep"))
+    n_total = res.agg(F.count(F.lit(1)).alias("n_vectors"))
+    n_keep_drop = res.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    n_should = should.agg(F.count(F.lit(1)).alias("n_should_drop"))
+    n_hit = dropped.join(should, "id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_false = dropped.join(
+        exact.select(F.col("id1").alias("dup_of"), F.col("id2").alias("id")),
+        ["dup_of", "id"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_false"))
+    return (
+        n_total.crossJoin(n_should).crossJoin(n_hit).crossJoin(n_false)
+        .crossJoin(n_keep_drop)
+        .select(
+            "n_vectors",
+            "n_should_drop",
+            (F.col("n_false") == 0).alias("zero_false_drops"),
+            (F.col("n_hit") * 100 >= F.col("n_should_drop") * 75).alias("recall_ge_075"),
+            ((F.col("n_kept") + F.col("n_dropped")) == F.col("n_vectors")).alias(
+                "partition_consistent"
+            ),
+        )
+    )

@@ -694,3 +694,59 @@ def test_cosine_topk_auto_routes_by_dimension(spark):
         wide, wide.filter("vec_id < 4"), "vec_id", "embedding", k=3, engine="arrow"
     ).orderBy("query_id", "rank").collect()
     assert a == b
+
+
+def test_semantic_dedup_crafted_groups(spark):
+    """SemDeDup golden: three near-identical groups + singletons. Every
+    higher-id group member is dropped with dup_of = the group's lowest
+    id; singletons and group minima are kept."""
+    from cbts_datalake_synnex_spark.operators import similarity
+
+    def v(base, eps):
+        return [float(b) + eps for b in base]
+
+    b1, b2, b3 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        (1, v(b1, 0.0)), (2, v(b1, 0.001)), (3, v(b1, 0.002)),   # group A
+        (10, v(b2, 0.0)), (11, v(b2, 0.001)),                     # group B
+        (20, v(b3, 0.0)), (21, v(b3, 0.001)),                     # group C
+        (30, [0.5, -0.5, 0.5, -0.5]),                             # singleton
+        (31, [-0.5, 0.5, -0.5, 0.5]),                             # anti-parallel
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    res = {
+        r["id"]: r
+        for r in similarity.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.95, n_cells=4, n_assign=3
+        ).collect()
+    }
+    assert len(res) == 9
+    kept = {i for i, r in res.items() if r["keep"]}
+    assert kept == {1, 10, 20, 30, 31}
+    assert res[2]["dup_of"] == 1 and res[3]["dup_of"] == 1
+    assert res[11]["dup_of"] == 10
+    assert res[21]["dup_of"] == 20
+    assert res[2]["dup_cosine"] >= 0.95
+
+
+def test_semantic_dedup_empty_and_order_invariance(spark):
+    """Empty input returns the declared schema; result is independent
+    of input partitioning (md5-sampled training + deterministic
+    tiebreaks)."""
+    from cbts_datalake_synnex_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = similarity.semantic_dedup(empty, "vec_id", "embedding")
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "cell", "keep", "dup_of", "dup_cosine"}
+
+    rows = [(i, [float((i * 13 + j * 7) % 23) / 23 for j in range(8)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact copies
+    emb1 = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    emb2 = emb1.repartition(7)
+    r1 = similarity.semantic_dedup(emb1, "vec_id", "embedding", threshold=0.99).orderBy("id").collect()
+    r2 = similarity.semantic_dedup(emb2, "vec_id", "embedding", threshold=0.99).orderBy("id").collect()
+    assert r1 == r2
+    dropped = {r["id"]: r["dup_of"] for r in r1 if not r["keep"]}
+    for i in range(5):
+        assert dropped.get(100 + i) == i, f"copy {100+i} must dedup to {i}"
