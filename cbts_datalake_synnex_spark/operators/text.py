@@ -293,3 +293,39 @@ def chunk_text(
         F.col("c.chunk").alias("chunk"),
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame, text_col: str, k: int = 20
+) -> DataFrame:
+    """X4 — corpus-wide adjacent-token pair frequencies: the inner
+    loop of BPE tokenizer training (Sennrich et al. 2016 — each merge
+    round promotes the corpus's most frequent adjacent pair), run as
+    one distributed pass so a tokenizer-training pipeline can source
+    merge candidates straight from the lake.
+
+    Tokens come from the same BPE-ish regex as `token_counts`
+    (letter-runs / digit-runs / single symbols); adjacent pairs are a
+    `zip_with` of the token array against its own tail — one explode
+    feeding one hash aggregate (map-side partial combine; the shuffle
+    carries (pair, partial-count), never the text), then the global
+    top-k lands as TakeOrderedAndProject with a total order
+    (count desc, then lexicographic), so ties at the boundary are
+    deterministic. Returns (t1, t2, n).
+    """
+    toks = F.expr(
+        f"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^\\\\sA-Za-z0-9]', 0)"
+    )
+    pairs = F.expr(
+        "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        " slice(__toks, 2, greatest(size(__toks) - 1, 0)),"
+        " (a, b) -> struct(a AS t1, b AS t2))"
+    )
+    return (
+        df.select(toks.alias("__toks"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"))
+        .limit(k)
+    )

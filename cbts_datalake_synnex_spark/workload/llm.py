@@ -1918,3 +1918,31 @@ def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — BPE merge-candidate statistics (Sennrich et al. 2016, public):
+# the corpus pass a tokenizer-training pipeline runs per merge round.
+@query(
+    "x4_bpe_pair_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT t.toks[u.i] AS t1, t.toks[u.i + 1] AS t2
+      FROM t CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i) u
+    )
+    SELECT t1, t2, count(*) AS n
+    FROM p GROUP BY t1, t2
+    ORDER BY n DESC, t1, t2 LIMIT 20
+    """,
+    doc="[EXT] X4 — top-20 adjacent-token pair frequencies over the corpus "
+    "(the BPE training inner loop): zip_with pairing, one explode + hash agg "
+    "(map-side combine), TakeOrderedAndProject top-k with a total order "
+    "(operators/text.bpe_pair_stats).",
+)
+def x4_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_stats(docs, "text", k=20)
