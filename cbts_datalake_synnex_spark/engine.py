@@ -878,13 +878,21 @@ class LakeEngine:
         if re.match(r"(?is)^MERGE\s+INTO\b", q):
             return self._dispatch_sql_merge(q)
         m = re.match(
-            r"(?is)^RESTORE\s+TABLE\s+([A-Za-z0-9_.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            r"(?is)^RESTORE\s+TABLE\s+([A-Za-z0-9_.]+)\s+TO\s+"
+            r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)$",
             q,
         )
         if m:
             table = self._dml_table(m.group(1))
-            n = self.restore_snapshot(table, int(m.group(2)))
+            kind, spec = m.group(2).upper(), m.group(3).strip("'")
+            version = (
+                int(spec) if kind == "VERSION" else self.version_at(table, spec)
+            )
+            n = self.restore_snapshot(table, version)
             return self.spark.createDataFrame([(n,)], "new_version bigint")
+        m = re.match(r"(?is)^DESCRIBE\s+DETAIL\s+([A-Za-z0-9_.]+)$", q)
+        if m:
+            return self.describe_detail(self._dml_table(m.group(1)))
         m = re.match(
             r"(?is)^CREATE\s+TABLE\s+([A-Za-z0-9_.]+)\s+SHALLOW\s+CLONE\s+"
             r"([A-Za-z0-9_.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
@@ -1546,6 +1554,51 @@ class LakeEngine:
         )
         shutil.rmtree(scratch, ignore_errors=True)
         return len(self.spark.table(qtable).inputFiles())
+
+    def describe_detail(self, table: str) -> DataFrame:
+        """One-row table metadata summary (Delta ``DESCRIBE DETAIL``
+        parity; SQL form dispatches here): format, qualified name,
+        location, partition columns, file count + total bytes
+        (computed from `_metadata` in the scan — distributed, no
+        driver directory listing), snapshot-journal version count and
+        latest commit time. The one-row collect is metadata-class,
+        like DESCRIBE HISTORY."""
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        parts = [
+            c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition
+        ]
+        hist = self.snapshot_history(table)
+        stat = (
+            self.spark.table(qtable)
+            .select(
+                F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.file_size").alias("s"),
+            )
+            .dropDuplicates(["f"])
+            .agg(
+                F.count(F.lit(1)).alias("nf"),
+                F.coalesce(F.sum("s"), F.lit(0)).alias("sb"),
+            )
+            .collect()[0]
+        )
+        return self.spark.createDataFrame(
+            [
+                (
+                    qtable,
+                    self.table_format,
+                    self._table_location(qtable),
+                    ",".join(parts),
+                    int(stat["nf"]),
+                    int(stat["sb"]),
+                    len(hist),
+                    hist[-1]["at"] if hist else None,
+                )
+            ],
+            "name string, format string, location string, partition_columns string, "
+            "num_files bigint, size_bytes bigint, num_versions int, last_modified string",
+        )
 
     def table_layout_report(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> DataFrame:
         """One-row layout-health summary computed FROM THE SCAN ITSELF

@@ -232,3 +232,58 @@ def test_sql_restore_and_shallow_clone(spark, tmp_path):
         assert {r["id"] for r in spark.table(eng.qualified("rt")).collect()} == {1}
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_restore_timestamp_as_of_sql(spark, tmp_path):
+    """RESTORE TABLE ... TO TIMESTAMP AS OF 'ts' resolves through
+    version_at (newest commit at-or-before) then restores — the Delta
+    RESTORE timestamp form."""
+    times = [datetime(2024, 5, 17, 12, 0, 0, tzinfo=timezone.utc)]
+    db = f"tt_{abs(hash(str(tmp_path))) % 10**9}_rts"
+    eng = LakeEngine(spark, str(tmp_path / "lake_rts"), database=db, clock=lambda: times[0])
+    try:
+        eng.write_curated(
+            "rt", spark.createDataFrame([(1, "a")], "id int, v string"),
+            mode="append", partition_cols=[],
+        )
+        times[0] = datetime(2024, 5, 17, 13, 0, 0, tzinfo=timezone.utc)
+        eng.write_curated(
+            "rt", spark.createDataFrame([(2, "b")], "id int, v string"),
+            mode="append", partition_cols=[],
+        )
+        assert spark.table(eng.qualified("rt")).count() == 2
+        out = eng.sql(
+            "RESTORE TABLE rt TO TIMESTAMP AS OF '2024-05-17 12:30:00'"
+        ).collect()[0]
+        assert out["new_version"] > 2
+        assert {r["id"] for r in spark.table(eng.qualified("rt")).collect()} == {1}
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_describe_detail(engine, spark):
+    """DESCRIBE DETAIL parity: one-row metadata summary with file
+    stats from _metadata, partition columns, and journal versions."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", str(2020 + i % 2)) for i in range(8)], "id int, v string, y string"
+    )
+    engine.write_curated("dd", df, mode="overwrite", partition_cols=["y"])
+    engine.write_curated(
+        "dd",
+        spark.createDataFrame([(100, "x", "2021")], "id int, v string, y string"),
+        mode="append", partition_cols=["y"],
+    )
+    row = engine.sql("DESCRIBE DETAIL dd").collect()[0]
+    assert row["name"].endswith(".dd")
+    assert row["format"] == "parquet"
+    assert row["partition_columns"] == "y"
+    assert row["num_versions"] == 2
+    n_files = len(spark.table(engine.qualified("dd")).inputFiles())
+    assert row["num_files"] == n_files
+    assert row["size_bytes"] > 0
+    assert row["last_modified"] is not None
+    # refuses other databases like every dispatched statement
+    with pytest.raises(ValueError, match="otherdb"):
+        engine.sql("DESCRIBE DETAIL otherdb.dd")
