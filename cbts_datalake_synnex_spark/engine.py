@@ -893,6 +893,23 @@ class LakeEngine:
         m = re.match(r"(?is)^DESCRIBE\s+DETAIL\s+([A-Za-z0-9_.]+)$", q)
         if m:
             return self.describe_detail(self._dml_table(m.group(1)))
+        # DROP/RENAME COLUMN (Spark SQL refuses both on v1 parquet
+        # tables; other ALTER forms — ADD COLUMNS, SET TBLPROPERTIES —
+        # fall through to spark.sql, which handles them natively)
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+DROP\s+COLUMN\s+`?(\w+)`?$", q
+        )
+        if m:
+            n = self.drop_column(self._dml_table(m.group(1)), m.group(2))
+            return self.spark.createDataFrame([(n,)], "n_files bigint")
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+([A-Za-z0-9_.]+)\s+RENAME\s+COLUMN\s+"
+            r"`?(\w+)`?\s+TO\s+`?(\w+)`?$",
+            q,
+        )
+        if m:
+            n = self.rename_column(self._dml_table(m.group(1)), m.group(2), m.group(3))
+            return self.spark.createDataFrame([(n,)], "n_files bigint")
         m = re.match(
             r"(?is)^CREATE\s+TABLE\s+([A-Za-z0-9_.]+)\s+SHALLOW\s+CLONE\s+"
             r"([A-Za-z0-9_.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
@@ -1599,6 +1616,116 @@ class LakeEngine:
             "name string, format string, location string, partition_columns string, "
             "num_files bigint, size_bytes bigint, num_versions int, last_modified string",
         )
+
+    # ------------------------------------------------------------------
+    # Column-level schema evolution beyond K8's ADD: DROP and RENAME.
+    # Delta does both metadata-only via column mapping; plain parquet
+    # pays one full rewrite (the repartition_table bill — do it once,
+    # off-peak). The snapshot journal records the pre-change files, so
+    # time travel still reads the old schema, and the rewrite lands as
+    # a NEW version. Both refuse columns the table's CHECK constraints
+    # or generated-column expressions reference (Delta refuses too —
+    # a dangling expression would poison every later write).
+    def _resolve_column(self, qtable: str, column: str) -> str:
+        cols = self.spark.table(qtable).columns
+        for c in cols:
+            if c.lower() == column.lower():
+                return c
+        raise ValueError(f"no such column {column!r} in {qtable} (has {cols})")
+
+    def _refuse_referenced(self, table: str, column: str, *, skip_generated_self: bool) -> None:
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(column)}\b", _re.IGNORECASE)
+        for name, expr in self.table_constraints(table).items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"column {column!r} is referenced by CHECK constraint "
+                    f"{name!r} ({expr}); drop the constraint first"
+                )
+        for name, expr in self.generated_columns(table).items():
+            if skip_generated_self and name.lower() == column.lower():
+                continue  # dropping/renaming the generated column itself
+            if pat.search(expr):
+                raise ValueError(
+                    f"column {column!r} is referenced by generated column "
+                    f"{name!r} ({expr}); drop that column first"
+                )
+
+    def drop_column(self, table: str, column: str) -> int:
+        """``ALTER TABLE t DROP COLUMN c`` on plain parquet (Spark SQL
+        refuses it on v1 tables). Returns the resulting file count."""
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        column = self._resolve_column(qtable, column)
+        parts = [
+            c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition
+        ]
+        if column in parts:
+            raise ValueError(
+                f"cannot drop partition column {column!r}; evolve the layout "
+                "first (repartition_table)"
+            )
+        df = self.spark.table(qtable)
+        if len(df.columns) <= 1:
+            raise ValueError("cannot drop a table's only column")
+        self._refuse_referenced(table, column, skip_generated_self=True)
+        # a dropped generated column takes its property with it — else
+        # write_curated would silently recompute it back into the table
+        if column.lower() in {g.lower() for g in self.generated_columns(table)}:
+            self.spark.sql(
+                f"ALTER TABLE {qtable} UNSET TBLPROPERTIES ('generated.col.{column}')"
+            )
+        scratch = os.path.join(
+            self.zones.root, "_compact", f"{table}_dropcol_{uuid.uuid4().hex[:8]}"
+        )
+        df.drop(column).write.parquet(scratch)
+        staged = self.spark.read.parquet(scratch)
+        self.write_curated(table, staged, mode="overwrite", partition_cols=parts)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return len(self.spark.table(qtable).inputFiles())
+
+    def rename_column(self, table: str, old: str, new: str) -> int:
+        """``ALTER TABLE t RENAME COLUMN a TO b`` on plain parquet.
+        A generated column may be renamed (its expression property
+        moves with it); columns referenced BY an expression may not.
+        Returns the resulting file count."""
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        old = self._resolve_column(qtable, old)
+        existing = {c.lower() for c in self.spark.table(qtable).columns}
+        if new.lower() in existing:
+            raise ValueError(f"column {new!r} already exists in {qtable}")
+        parts = [
+            c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition
+        ]
+        if old in parts:
+            raise ValueError(
+                f"cannot rename partition column {old!r}; evolve the layout "
+                "first (repartition_table)"
+            )
+        self._refuse_referenced(table, old, skip_generated_self=True)
+        gens = self.generated_columns(table)
+        gen_expr = next((e for g, e in gens.items() if g.lower() == old.lower()), None)
+        if gen_expr is not None:
+            self.spark.sql(
+                f"ALTER TABLE {qtable} UNSET TBLPROPERTIES ('generated.col.{old}')"
+            )
+        scratch = os.path.join(
+            self.zones.root, "_compact", f"{table}_rencol_{uuid.uuid4().hex[:8]}"
+        )
+        self.spark.table(qtable).withColumnRenamed(old, new).write.parquet(scratch)
+        staged = self.spark.read.parquet(scratch)
+        if gen_expr is not None:
+            esc = gen_expr.replace("'", "''")
+            self.spark.sql(
+                f"ALTER TABLE {qtable} SET TBLPROPERTIES ('generated.col.{new}' = '{esc}')"
+            )
+        self.write_curated(table, staged, mode="overwrite", partition_cols=parts)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return len(self.spark.table(qtable).inputFiles())
 
     def table_layout_report(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> DataFrame:
         """One-row layout-health summary computed FROM THE SCAN ITSELF

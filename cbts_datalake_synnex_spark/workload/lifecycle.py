@@ -1021,3 +1021,33 @@ def lc_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name", "n_regionkey"
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Column-level schema evolution beyond ADD ([EXT] round 6): DROP and
+# RENAME COLUMN on plain parquet (engine.drop_column/rename_column —
+# one journaled rewrite; Delta does it metadata-only via column
+# mapping). The oracle states the post-evolution content as a plain
+# projection with the renamed column.
+@query(
+    "lc_column_evolution",
+    oracle="""
+    SELECT CAST(n_nationkey AS INTEGER) AS nation_key,
+           n_name
+    FROM nation
+    """,
+    doc="[EXT] ALTER TABLE DROP COLUMN + RENAME COLUMN on plain parquet: "
+    "journaled full rewrite, generated-column rules move with renames, "
+    "referenced columns refuse (engine.drop_column/rename_column; "
+    "Delta column-mapping parity by rewrite).",
+)
+def lc_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+        )
+        eng.write_curated("col_nat", nat, mode="overwrite", partition_cols=[])
+        eng.sql("ALTER TABLE col_nat DROP COLUMN n_regionkey")
+        eng.sql("ALTER TABLE col_nat RENAME COLUMN n_nationkey TO nation_key")
+        out = spark.table(eng.qualified("col_nat")).select("nation_key", "n_name")
+        return _materialize(spark, out)

@@ -187,3 +187,54 @@ def test_merge_without_broadcast_matches_broadcast(spark, eng):
     ta = spark.table(eng.qualified("a")).orderBy("k").collect()
     tb = spark.table(eng.qualified("b")).orderBy("k").collect()
     assert ta == tb
+
+
+# ------------------------------------------------- DROP/RENAME COLUMN
+def test_drop_column_rewrites_and_journals(spark, eng):
+    qt = _seed(spark, eng)
+    out = eng.sql("ALTER TABLE t DROP COLUMN qty").collect()[0]
+    assert out["n_files"] >= 1
+    assert set(spark.table(qt).columns) == {"k", "name"}
+    assert spark.table(qt).count() == 20
+    # the pre-drop rows (with the column) are still time-travelable
+    v_before = eng.snapshot_history("t")[-2]["version"]
+    old = eng.read_snapshot("t", v_before)
+    assert "qty" in old.columns and old.count() == 20
+
+
+def test_drop_column_refusals(spark, eng):
+    _seed(spark, eng)
+    eng.add_check_constraint("t", "qty_pos", "qty >= 0")
+    with pytest.raises(ValueError, match="qty_pos"):
+        eng.drop_column("t", "qty")
+    eng.drop_check_constraint("t", "qty_pos")
+    eng.add_generated_column("t", "qty2", "qty * 2", dtype="int")
+    with pytest.raises(ValueError, match="qty2"):
+        eng.drop_column("t", "qty")  # base of a generated column
+    # dropping the generated column itself is fine and removes its rule
+    eng.drop_column("t", "qty2")
+    assert eng.generated_columns("t") == {}
+    with pytest.raises(ValueError, match="no such column"):
+        eng.drop_column("t", "nope")
+
+
+def test_rename_column_moves_generated_rule(spark, eng):
+    qt = _seed(spark, eng)
+    eng.add_generated_column("t", "qty2", "qty * 2", dtype="int")
+    out = eng.sql("ALTER TABLE t RENAME COLUMN qty2 TO qty_doubled").collect()[0]
+    assert out["n_files"] >= 1
+    assert "qty_doubled" in spark.table(qt).columns
+    assert "qty2" not in spark.table(qt).columns
+    assert eng.generated_columns("t") == {"qty_doubled": "qty * 2"}
+    # the moved rule still enforces on later writes
+    with pytest.raises(Exception, match="generated-column"):
+        eng.update_rows("t", "k = 1", {"qty_doubled": "7"})
+
+
+def test_rename_column_refusals(spark, eng):
+    _seed(spark, eng)
+    with pytest.raises(ValueError, match="already exists"):
+        eng.rename_column("t", "qty", "name")
+    eng.add_generated_column("t", "qty2", "qty * 2", dtype="int")
+    with pytest.raises(ValueError, match="referenced by generated"):
+        eng.rename_column("t", "qty", "quantity")
