@@ -1617,6 +1617,26 @@ class LakeEngine:
             "num_files bigint, size_bytes bigint, num_versions int, last_modified string",
         )
 
+    def compact_if_fragmented(
+        self,
+        table: str,
+        small_file_ratio: float = 0.5,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        **compact_kwargs,
+    ) -> int:
+        """Auto-compaction policy — the nightly maintenance loop in one
+        call: consult `table_layout_report`'s small-file ratio (one
+        `_metadata` scan, no directory listing) and rewrite ONLY when
+        fragmentation exceeds the threshold (Delta's auto-compaction
+        idea, explicit). Returns the resulting file count, or -1 when
+        the layout is healthy and nothing was touched."""
+        row = self.table_layout_report(table, target_file_bytes).collect()[0]
+        if (row["small_file_ratio"] or 0.0) <= small_file_ratio:
+            return -1
+        return self.compact_table(
+            table, target_file_bytes=target_file_bytes, **compact_kwargs
+        )
+
     # ------------------------------------------------------------------
     # Column-level schema evolution beyond K8's ADD: DROP and RENAME.
     # Delta does both metadata-only via column mapping; plain parquet

@@ -238,3 +238,37 @@ def test_rename_column_refusals(spark, eng):
     eng.add_generated_column("t", "qty2", "qty * 2", dtype="int")
     with pytest.raises(ValueError, match="referenced by generated"):
         eng.rename_column("t", "qty", "quantity")
+
+
+def test_restore_across_column_drop_recovers_schema(spark, eng):
+    """RESTORE to a pre-DROP-COLUMN version brings back both the rows
+    and the dropped column (the snapshot journal carries the old
+    schema's files; write_curated overwrite recreates the catalog
+    schema from them)."""
+    qt = _seed(spark, eng)
+    v_before = eng.snapshot_history("t")[-1]["version"]
+    eng.drop_column("t", "qty")
+    assert "qty" not in spark.table(qt).columns
+    eng.restore_snapshot("t", v_before)
+    restored = spark.table(qt)
+    assert "qty" in restored.columns
+    assert restored.count() == 20
+    assert restored.filter("qty IS NULL").count() == 0
+
+
+def test_compact_if_fragmented_policy(spark, eng):
+    qt = _seed(spark, eng)
+    # fragment: 20 rows across many tiny files
+    df = spark.createDataFrame(
+        [(i, f"n{i}", (i % 5) + 1) for i in range(20)], "k int, name string, qty int"
+    )
+    eng.write_curated("t", df.repartition(16), mode="overwrite", partition_cols=[])
+    n_before = len(spark.table(qt).inputFiles())
+    assert n_before >= 8
+    # healthy threshold high enough → no-op
+    assert eng.compact_if_fragmented("t", small_file_ratio=1.1) == -1
+    assert len(spark.table(qt).inputFiles()) == n_before
+    # tiny files are all below target → compacts
+    n_after = eng.compact_if_fragmented("t", small_file_ratio=0.5)
+    assert 0 < n_after < n_before
+    assert spark.table(qt).count() == 20
