@@ -1617,6 +1617,55 @@ class LakeEngine:
             "num_files bigint, size_bytes bigint, num_versions int, last_modified string",
         )
 
+    def vacuum_orphans(self, table: str, dry_run: bool = False) -> int:
+        """Remove physical files in the table's location that the LAST
+        JOURNALED manifest does not reference — the leftovers of a
+        crashed rewrite (Delta VACUUM's orphan-removal half;
+        `vacuum_snapshots` is the retention half). A Hive parquet scan
+        reads whatever sits in the directory, so a crash artifact
+        isn't invisible — it silently ADDS rows; this restores the
+        directory to the last committed state. Also sweeps stale DML/
+        compaction scratch dirs (``_dml``/``_compact`` under the lake
+        root) left by crashed jobs. Single-writer assumption: don't
+        run concurrently with a live rewrite (whose scratch this would
+        reap). Returns the number of files removed (counted only, when
+        ``dry_run``)."""
+        from urllib.parse import urlparse
+
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        history = self.snapshot_history(table)
+        if not history:
+            raise ValueError(f"{qtable} has no journaled snapshot to repair to")
+        manifest = {urlparse(f).path or f for f in history[-1]["files"]}
+        loc = urlparse(self._table_location(qtable)).path or self._table_location(qtable)
+        removed = 0
+        for dirpath, _dirs, files in os.walk(loc):
+            for fname in files:
+                p = os.path.join(dirpath, fname)
+                if fname.endswith(".parquet") and p not in manifest:
+                    removed += 1
+                    if not dry_run:
+                        os.remove(p)
+        for scratch in ("_dml", "_compact"):
+            root = os.path.join(self.zones.root, scratch)
+            if os.path.isdir(root):
+                for d in os.listdir(root):
+                    if d.startswith(f"{table}_"):
+                        removed += len(
+                            [
+                                f
+                                for _, _, fs in os.walk(os.path.join(root, d))
+                                for f in fs
+                            ]
+                        )
+                        if not dry_run:
+                            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if removed and not dry_run:
+            self.spark.catalog.refreshTable(qtable)
+        return removed
+
     def compact_if_fragmented(
         self,
         table: str,

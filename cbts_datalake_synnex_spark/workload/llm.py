@@ -1883,12 +1883,15 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # both frames feed 5 report aggregates — cache them so the
+    # k-means assignment and the exact pair join run once, not five
+    # times (bounded: one row per vector / per near-dup pair)
     res = similarity.semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4, n_assign=3
-    )
+    ).cache()
     exact = similarity.embedding_near_dup_pairs(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4
-    )
+    ).cache()
     should = exact.select(F.col("id2").alias("id")).distinct()
     dropped = res.filter(~F.col("keep"))
     n_total = res.agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -272,3 +272,39 @@ def test_compact_if_fragmented_policy(spark, eng):
     n_after = eng.compact_if_fragmented("t", small_file_ratio=0.5)
     assert 0 < n_after < n_before
     assert spark.table(qt).count() == 20
+
+
+def test_vacuum_orphans_repairs_crash_artifacts(spark, eng):
+    """A file left in the table directory by a crashed rewrite is
+    silently READ by the Hive parquet scan (extra rows); vacuum_orphans
+    restores the directory to the last journaled manifest and sweeps
+    stale scratch dirs."""
+    import os
+    from urllib.parse import urlparse
+
+    qt = _seed(spark, eng)
+    loc = urlparse(eng._table_location(qt)).path
+    # simulate a crashed splice: an unjournaled extra parquet file
+    alien = spark.createDataFrame(
+        [(999, "alien", 1)], "k int, name string, qty int"
+    )
+    alien.coalesce(1).write.parquet(os.path.join(eng.zones.root, "_alien"))
+    src = next(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(os.path.join(eng.zones.root, "_alien"))
+        for f in fs if f.endswith(".parquet")
+    )
+    os.replace(src, os.path.join(loc, "crash-leftover.parquet"))
+    spark.catalog.refreshTable(qt)
+    assert spark.table(qt).count() == 21  # the corruption mode
+    # plus a stale scratch dir from a crashed DML
+    os.makedirs(os.path.join(eng.zones.root, "_dml", "t_deadbeef"), exist_ok=True)
+    open(os.path.join(eng.zones.root, "_dml", "t_deadbeef", "part-0.parquet"), "w").write("x")
+
+    assert eng.vacuum_orphans("t", dry_run=True) == 2
+    assert spark.table(qt).count() == 21  # dry run touches nothing
+    assert eng.vacuum_orphans("t") == 2
+    assert spark.table(qt).count() == 20
+    assert not os.path.exists(os.path.join(eng.zones.root, "_dml", "t_deadbeef"))
+    # time travel unaffected (retention links live elsewhere)
+    assert eng.read_snapshot("t", 1).count() == 20

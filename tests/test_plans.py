@@ -341,3 +341,20 @@ def test_bench_query_plan_shape(name, spark, sf_dir):
     for pat in forbid:
         assert pat not in txt, f"{name}: forbidden {pat} in plan\n{txt[:2000]}"
     assert txt.count("BroadcastNestedLoopJoin") <= max_bnlj, txt[:2000]
+
+
+def test_round6_operator_plan_shapes(spark, sf_dir):
+    """Round-6 additions: SemDeDup is equi-joins + one-row centroid
+    broadcasts only (no cartesian anywhere — the within-cell join keys
+    on cell id); BPE pair stats is a pure explode→hash-agg→top-k plan
+    with no join at all."""
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    sem = explain_str(REGISTRY["x3_semantic_dedup"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in sem
+    assert "InMemoryTableScan" in sem  # shared frames computed once
+
+    bpe = explain_str(REGISTRY["x4_bpe_pair_stats"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in bpe
+    assert "Join" not in bpe
+    assert "CartesianProduct" not in bpe
