@@ -268,10 +268,10 @@ def minhash_lsh_pairs(
 
     Adversarial-skew guards (a boilerplate-heavy web corpus puts a
     1M-copy template into ONE band bucket — all-pairs there is ~5·10¹¹
-    rows): buckets wider than ``max_bucket_width`` emit a sorted CHAIN
-    of consecutive-doc pairs (w−1 rows) instead of the w(w−1)/2
+    rows): buckets wider than ``max_bucket_width`` emit a STAR on the
+    bucket's minimum doc (w−1 rows) instead of the w(w−1)/2
     clique. Connectivity — what `dedup_clusters` consumes — is
-    preserved exactly (a chain spans the same component), candidate
+    preserved exactly (a star spans the same component), candidate
     volume becomes linear in bucket width, and buckets at or under the
     cap are untouched, so normal-corpus output is bit-identical.
     ``broadcast_candidates=None`` decides the verification join shape
@@ -328,17 +328,18 @@ def _lsh_candidates(buckets: DataFrame, max_bucket_width: int) -> DataFrame:
     """Distinct candidate (doc1 < doc2) pairs from LSH band buckets.
     Buckets at or under ``max_bucket_width`` docs contribute their full
     clique (all-pairs equi-self-join on (band, bh)); wider buckets
-    contribute a doc-sorted consecutive chain — linear in width,
-    component-preserving (`max_doc_freq` discipline from
+    contribute a STAR centered on the bucket's minimum doc — w−1 pairs
+    instead of w(w−1)/2, component-preserving (everything connects
+    through the hub, which is what `dedup_clusters` consumes), and
+    computed with one hash aggregate + one keyed join — no window
+    sort anywhere (`max_doc_freq` discipline from
     ``ngram_jaccard_pairs``, adapted so mega-clusters stay CONNECTED
     instead of being dropped)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "bh")
-    sized = buckets.withColumn("wdt", F.count("*").over(w)).withColumn(
-        "rn", F.row_number().over(w.orderBy("doc"))
+    stats = buckets.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("wdt"), F.min("doc").alias("hub")
     )
-    narrow = sized.filter(F.col("wdt") <= max_bucket_width).drop("wdt", "rn")
+    tagged = buckets.join(stats, ["band", "bh"])
+    narrow = tagged.filter(F.col("wdt") <= max_bucket_width).drop("wdt", "hub")
     a, b = narrow.alias("a"), narrow.alias("b")
     clique = a.join(
         b,
@@ -346,18 +347,12 @@ def _lsh_candidates(buckets: DataFrame, max_bucket_width: int) -> DataFrame:
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col("a.doc") < F.col("b.doc")),
     ).select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-    wide = sized.filter(F.col("wdt") > max_bucket_width).drop("wdt")
-    wa, wb = wide.alias("a"), wide.alias("b")
-    chain = wa.join(
-        wb,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bh") == F.col("b.bh"))
-        & (F.col("a.rn") + 1 == F.col("b.rn")),
-    ).select(
-        F.least("a.doc", "b.doc").alias("doc1"),
-        F.greatest("a.doc", "b.doc").alias("doc2"),
+    star = (
+        tagged.filter(F.col("wdt") > max_bucket_width)
+        .filter(F.col("doc") != F.col("hub"))
+        .select(F.col("hub").alias("doc1"), F.col("doc").alias("doc2"))
     )
-    return clique.unionByName(chain).distinct()
+    return clique.unionByName(star).distinct()
 
 
 # ----------------------------------------------------------------------

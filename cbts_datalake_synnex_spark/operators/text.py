@@ -329,3 +329,68 @@ def bpe_pair_stats(
         .orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"))
         .limit(k)
     )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """X4 — apply a learned BPE merge list to the corpus (the apply
+    half of tokenizer training; `bpe_pair_stats` sources the merge
+    candidates). Standard greedy BPE: repeatedly rewrite the
+    highest-priority (earliest-listed) adjacent pair present in the
+    token stream until none applies — earlier merges outrank later
+    ones, exactly Sennrich et al.'s inference rule.
+
+    This is the honest §2.9 escape hatch: the rewrite is inherently
+    sequential per token stream (each merge changes later
+    adjacencies), so no built-in expression covers it — it runs as an
+    Arrow-batched `mapInPandas` with the merge table shipped in the
+    closure (merge tables are small: ~10k-50k pairs; per-batch Python
+    state is O(batch tokens)). Every other stage of the tokenizer
+    pipeline (pair counting, corpus stats) stays JVM-side.
+
+    Returns the input rows plus ``out_col`` (array<string>).
+    """
+    import re as _re
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    tok_re = _re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+    def _encode(toks: list) -> list:
+        while True:
+            best_rank = None
+            best_pair = None
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (toks[i], toks[i + 1])
+            if best_pair is None:
+                return toks
+            merged = best_pair[0] + best_pair[1]
+            out = []
+            i = 0
+            while i < len(toks):
+                if i < len(toks) - 1 and (toks[i], toks[i + 1]) == best_pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, `{out_col}` array<string>"
+
+    def _apply(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                _encode(tok_re.findall(t)) if isinstance(t, str) else []
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_apply, schema=out_schema)

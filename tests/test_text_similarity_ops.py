@@ -750,3 +750,55 @@ def test_semantic_dedup_empty_and_order_invariance(spark):
     dropped = {r["id"]: r["dup_of"] for r in r1 if not r["keep"]}
     for i in range(5):
         assert dropped.get(100 + i) == i, f"copy {100+i} must dedup to {i}"
+
+
+def test_apply_bpe_merges_golden(spark):
+    """Hand-computed BPE inference: priority order wins, merged tokens
+    cascade into later merges, non-matching text passes through."""
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b"),
+            (2, "ab c"),          # 'ab' is ONE regex token already
+            (3, "x y z"),
+            (4, None),
+        ],
+        "id bigint, text string",
+    )
+    merges = [("a", "b"), ("ab", "c")]
+    got = {r["id"]: r["tokens"] for r in T.apply_bpe_merges(df, "text", merges).collect()}
+    # doc1: a b c a b -> ab c ab -> abc ab (priority: (a,b) first, then (ab,c))
+    assert got[1] == ["abc", "ab"]
+    assert got[2] == ["abc"]
+    assert got[3] == ["x", "y", "z"]
+    assert got[4] == []
+
+
+def test_bpe_train_then_apply_removes_top_pair(spark):
+    """Pipeline property: after applying the corpus's top merge, that
+    pair no longer occurs adjacently anywhere in the tokenized output."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} the quick dog") for i in range(20)],
+        "id bigint, text string",
+    )
+    top = T.bpe_pair_stats(docs, "text", k=1).collect()[0]
+    tokenized = T.apply_bpe_merges(docs, "text", [(top["t1"], top["t2"])])
+    pairs_after = (
+        tokenized.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tokens, 1, greatest(size(tokens) - 1, 0)),"
+                    " slice(tokens, 2, greatest(size(tokens) - 1, 0)),"
+                    " (a, b) -> struct(a AS t1, b AS t2))"
+                )
+            ).alias("p")
+        )
+        .filter((F.col("p.t1") == top["t1"]) & (F.col("p.t2") == top["t2"]))
+        .count()
+    )
+    assert pairs_after == 0
