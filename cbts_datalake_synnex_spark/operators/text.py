@@ -394,3 +394,93 @@ def apply_bpe_merges(
             yield pdf
 
     return df.mapInPandas(_apply, schema=out_schema)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+) -> DataFrame:
+    """X4 — the published Gopher document-quality rules (Rae et al.
+    2021, arXiv:2112.11446 §A.1.1, public): the pretraining filter set
+    `quality_score` approximates with one scalar, here as the paper's
+    individual pass/fail gates so a pipeline can report WHY a document
+    was dropped. All built-ins — words from a whitespace split, lines
+    from a newline split, per-flag ratios via array higher-order
+    functions; one projection, no shuffle, codegen end-to-end.
+
+    Adds: n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+    bullet_line_frac, ellipsis_line_frac (each rounded to 6dp) and
+    boolean flags (ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+    ok_alpha_words, ok_bullet_lines, ok_ellipsis_lines,
+    gopher_pass = all of them).
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    word_len_sum = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.round(word_len_sum / safe_n, 6)
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")) + F.regexp_count(
+        F.col(text_col), F.lit("…")
+    )
+    sym_ratio = F.round(n_symbols / safe_n, 6)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha / safe_n, 6)
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(r"^(\-|\*|•)"),
+        )
+    )
+    bullet_frac = F.round(n_bullet / n_lines, 6)
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    ellipsis_frac = F.round(n_ellipsis / n_lines, 6)
+    out = (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_word_ratio", sym_ratio)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_frac)
+        .withColumn(
+            "ok_word_count",
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        )
+        .withColumn(
+            "ok_mean_word_len",
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len),
+        )
+        .withColumn("ok_symbol_ratio", F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        .withColumn("ok_alpha_words", F.col("alpha_word_frac") >= min_alpha_word_frac)
+        .withColumn("ok_bullet_lines", F.col("bullet_line_frac") <= max_bullet_line_frac)
+        .withColumn(
+            "ok_ellipsis_lines", F.col("ellipsis_line_frac") <= max_ellipsis_line_frac
+        )
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines"),
+    )

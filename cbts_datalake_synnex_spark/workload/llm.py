@@ -1955,3 +1955,57 @@ def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_pair_stats(docs, "text", k=20)
+
+
+# ----------------------------------------------------------------------
+# X4 — Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A.1.1,
+# public): the per-rule pass/fail gates a pretraining pipeline reports.
+@query(
+    "x4_gopher_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words,
+             list_filter(string_split_regex(text, '\n'), l -> len(trim(l)) > 0) AS lines,
+             len(regexp_extract_all(text, '#|\.\.\.')) + len(regexp_extract_all(text, '…')) AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             greatest(len(words), 1) AS safe_n,
+             round(list_sum(list_transform(words, w -> len(w))) / greatest(len(words), 1), 6) AS mean_word_len,
+             round(n_symbols / greatest(len(words), 1), 6) AS symbol_word_ratio,
+             round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / greatest(len(words), 1), 6) AS alpha_word_frac,
+             round(len(list_filter(lines, l -> regexp_matches(trim(l), '^(\-|\*|•)'))) / greatest(len(lines), 1), 6) AS bullet_line_frac,
+             round(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+      FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, symbol_word_ratio, alpha_word_frac,
+           bullet_line_frac, ellipsis_line_frac,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+           (symbol_word_ratio <= 0.1) AS ok_symbol_ratio,
+           (alpha_word_frac >= 0.8) AS ok_alpha_words,
+           (bullet_line_frac <= 0.9) AS ok_bullet_lines,
+           (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
+           ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+            AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS gopher_pass
+    FROM m
+    """,
+    doc="[EXT] X4 — the published Gopher document-quality gates (word count, "
+    "mean word length, symbol ratio, alphabetic-word fraction, bullet/ellipsis "
+    "line fractions) as per-rule flags + overall pass; one codegen projection, "
+    "no shuffle (operators/text.gopher_quality_flags).",
+)
+def x4_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs, "text").select(
+        F.col("doc_id").cast("bigint"),
+        "n_words", "mean_word_len", "symbol_word_ratio", "alpha_word_frac",
+        "bullet_line_frac", "ellipsis_line_frac",
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_alpha_words", "ok_bullet_lines", "ok_ellipsis_lines", "gopher_pass",
+    )

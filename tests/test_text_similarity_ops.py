@@ -802,3 +802,30 @@ def test_bpe_train_then_apply_removes_top_pair(spark):
         .count()
     )
     assert pairs_after == 0
+
+
+def test_gopher_quality_flags_crafted(spark):
+    """Pin the Gopher gates on crafted shapes: a clean doc passes, a
+    bullet list fails the bullet gate, symbol spam fails the symbol
+    gate, a short doc fails word count, numeric soup fails the
+    alphabetic gate."""
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    clean = " ".join(["sentence with ordinary readable words here"] * 10)
+    bullets = "\n".join([f"- item {i} ok" for i in range(10)])
+    symbols = " ".join(["woah ###"] * 60)
+    short = "too short"
+    numbers = " ".join(["12345 67890"] * 50)
+    df = spark.createDataFrame(
+        [(1, clean), (2, bullets), (3, symbols), (4, short), (5, numbers)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in T.gopher_quality_flags(df, "text").collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["ok_bullet_lines"] is False and got[2]["gopher_pass"] is False
+    assert got[3]["ok_symbol_ratio"] is False
+    assert got[4]["ok_word_count"] is False
+    assert got[5]["ok_alpha_words"] is False
+    # ratio sanity
+    assert got[2]["bullet_line_frac"] == 1.0
+    assert got[5]["alpha_word_frac"] == 0.0
