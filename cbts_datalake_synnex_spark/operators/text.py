@@ -484,3 +484,48 @@ def gopher_quality_flags(
         & F.col("ok_bullet_lines")
         & F.col("ok_ellipsis_lines"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """X4 — the C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2, public), the other canonical pretraining recipe beside
+    `gopher_quality_flags`: keep only lines that end in terminal
+    punctuation, have ≥ ``min_words_per_line`` words, and don't
+    mention javascript; then drop the whole page when fewer than
+    ``min_kept_lines`` lines survive, or it contains "lorem ipsum" or
+    a curly brace (code). One codegen projection — line filtering via
+    array higher-order functions, no shuffle, no Python.
+
+    Adds: c4_text (the cleaned, re-joined text), n_lines,
+    n_kept_lines, has_lorem_ipsum, has_curly_brace, c4_keep.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: F.length(w) > 0)) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    lower = F.lower(F.col(text_col))
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("bigint"))
+        .withColumn("__kept", kept)
+        .withColumn("n_kept_lines", F.size(F.col("__kept")).cast("bigint"))
+        .withColumn("c4_text", F.array_join(F.col("__kept"), "\n"))
+        .withColumn("has_lorem_ipsum", lower.contains("lorem ipsum"))
+        .withColumn("has_curly_brace", F.col(text_col).contains("{"))
+        .withColumn(
+            "c4_keep",
+            (F.col("n_kept_lines") >= min_kept_lines)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_curly_brace"),
+        )
+        .drop("__kept")
+    )

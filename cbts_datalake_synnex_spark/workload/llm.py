@@ -2009,3 +2009,44 @@ def x4_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
         "ok_alpha_words", "ok_bullet_lines", "ok_ellipsis_lines", "gopher_pass",
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — C4 cleaning rules (Raffel et al. 2020 §2.2, public): the other
+# canonical pretraining recipe beside the Gopher gates.
+@query(
+    "x4_c4_clean",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\n'), l -> len(trim(l)) > 0) AS lines
+      FROM documents
+    ), k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'), w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(text, '{') AS has_curly_brace,
+           (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS c4_keep
+    FROM k
+    """,
+    doc="[EXT] X4 — C4 page cleaning: terminal-punctuation + min-words + "
+    "no-javascript line filter, then page-level lorem-ipsum/curly-brace/"
+    "min-surviving-lines gates; one codegen projection, no shuffle "
+    "(operators/text.c4_clean).",
+)
+def x4_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.c4_clean(docs, "text").select(
+        F.col("doc_id").cast("bigint"),
+        "n_lines", "n_kept_lines",
+        "has_lorem_ipsum", "has_curly_brace", "c4_keep",
+    )

@@ -829,3 +829,34 @@ def test_gopher_quality_flags_crafted(spark):
     # ratio sanity
     assert got[2]["bullet_line_frac"] == 1.0
     assert got[5]["alpha_word_frac"] == 0.0
+
+
+def test_c4_clean_crafted(spark):
+    """C4 rules on crafted pages: good prose survives; short lines,
+    no-terminal-punctuation lines, and javascript lines are removed;
+    lorem-ipsum and curly-brace pages drop entirely."""
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    good = "\n".join(
+        ["This is a perfectly ordinary readable sentence."] * 4
+    )
+    mixed = "\n".join([
+        "This line has terminal punctuation and enough words.",
+        "too short.",                           # < 5 words
+        "No terminal punctuation here at all",  # no [.!?"] ending
+        "Please enable javascript to continue reading this.",
+        "Another perfectly fine sentence with enough words here.",
+    ])
+    lorem = good + "\nLorem Ipsum dolor sit amet."
+    code = good + "\nfunction f() { return 1; }"
+    df = spark.createDataFrame(
+        [(1, good), (2, mixed), (3, lorem), (4, code)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in T.c4_clean(df, "text").collect()}
+    assert got[1]["c4_keep"] is True and got[1]["n_kept_lines"] == 4
+    assert got[2]["n_kept_lines"] == 2
+    assert got[2]["c4_keep"] is False  # only 2 lines survive, min is 3
+    assert "javascript" not in got[2]["c4_text"]
+    assert got[3]["has_lorem_ipsum"] is True and got[3]["c4_keep"] is False
+    assert got[4]["has_curly_brace"] is True and got[4]["c4_keep"] is False
