@@ -529,3 +529,36 @@ def c4_clean(
         )
         .drop("__kept")
     )
+
+
+# Default PII shapes for the exposure report / redaction pairing.
+# Deliberately simple, engine-portable regexes (no lookarounds — the
+# same pattern text runs under Spark's Java regex and DuckDB's RE2,
+# which is what keeps the report oracle-checkable).
+DEFAULT_PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "phone": r"\b\+?\d{3}[- .]\d{3}[- .]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_report(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """X4 — corpus-level PII exposure report: for each PII shape, the
+    total match count and the number of documents containing at least
+    one match — the compliance gauge a lake runs BEFORE deciding what
+    `redact` must scrub (and after, to prove it scrubbed). One folded
+    hash aggregate over a codegen projection; the shuffle carries one
+    row. Returns a single row: n_docs plus <name>_matches /
+    <name>_docs per pattern."""
+    pats = patterns if patterns is not None else DEFAULT_PII_PATTERNS
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, pat in pats.items():
+        cnt = F.regexp_count(F.col(text_col), F.lit(pat))
+        aggs.append(F.sum(cnt).cast("bigint").alias(f"{name}_matches"))
+        aggs.append(F.sum((cnt > 0).cast("int")).cast("bigint").alias(f"{name}_docs"))
+    return df.agg(*aggs)

@@ -2050,3 +2050,29 @@ def x4_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines", "n_kept_lines",
         "has_lorem_ipsum", "has_curly_brace", "c4_keep",
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — PII exposure report: the compliance gauge paired with `redact`.
+@query(
+    "x4_pii_report",
+    oracle=r"""
+    SELECT count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS email_matches,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS email_docs,
+           CAST(sum(len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))) AS BIGINT) AS card_matches,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS card_docs,
+           CAST(sum(len(regexp_extract_all(text, '\b\+?\d{3}[- .]\d{3}[- .]\d{4}\b'))) AS BIGINT) AS phone_matches,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '\b\+?\d{3}[- .]\d{3}[- .]\d{4}\b')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS phone_docs,
+           CAST(sum(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS ipv4_matches,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ipv4_docs
+    FROM documents
+    """,
+    doc="[EXT] X4 — corpus PII exposure report (match + containing-doc counts "
+    "per shape: email/card/phone/ipv4): the compliance gauge run before and "
+    "after redact; one folded hash agg, one-row shuffle "
+    "(operators/text.pii_report).",
+)
+def x4_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pii_report(docs, "text")

@@ -860,3 +860,32 @@ def test_c4_clean_crafted(spark):
     assert "javascript" not in got[2]["c4_text"]
     assert got[3]["has_lorem_ipsum"] is True and got[3]["c4_keep"] is False
     assert got[4]["has_curly_brace"] is True and got[4]["c4_keep"] is False
+
+
+def test_pii_report_counts_and_redact_roundtrip(spark):
+    """The report counts matches and containing docs per shape, and
+    after redacting with the SAME patterns the report reads zero —
+    the before/after compliance loop."""
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and alice@test.org plus card 4111-1111-2222-3333"),
+            (2, "server at 10.0.0.1 and phone 555-123-4567"),
+            (3, "nothing sensitive at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    row = T.pii_report(df, "text").collect()[0]
+    assert row["n_docs"] == 3
+    assert row["email_matches"] == 2 and row["email_docs"] == 1
+    assert row["card_matches"] == 1 and row["card_docs"] == 1
+    assert row["ipv4_matches"] == 1 and row["ipv4_docs"] == 1
+    assert row["phone_matches"] == 1 and row["phone_docs"] == 1
+
+    scrubbed = T.redact(
+        df, "text", {p: f"<{n}>" for n, p in T.DEFAULT_PII_PATTERNS.items()}
+    ).select(F.col("redacted").alias("text"))
+    after = T.pii_report(scrubbed, "text").collect()[0]
+    for n in T.DEFAULT_PII_PATTERNS:
+        assert after[f"{n}_matches"] == 0, n
