@@ -113,13 +113,31 @@ _ROUND6_FRONT = [
     "dq_schema_drift",
 ]
 
+# Round 7: the 6 registry entries added after the round-6 window froze
+# (SemDeDup, BPE pair stats, Gopher/C4/PII text gates, DROP/RENAME
+# COLUMN evolution) plus the re-certification of
+# pipeline_token_budget_sample — its round-6 red row was an
+# oracle-side type bug (uncast DuckDB HUGEINT windowed SUM), fixed in
+# workload/llm.py this round. Green CORRECTNESS_r07 on these 7 closes
+# lifetime driver coverage at 160/160; remaining window slots
+# re-certify the round-6 then round-5 fronts (first occurrence wins on
+# overlap).
+_ROUND7_FRONT = [
+    "x3_semantic_dedup",
+    "x4_bpe_pair_stats",
+    "x4_gopher_quality",
+    "x4_c4_clean",
+    "x4_pii_report",
+    "lc_column_evolution",
+    "pipeline_token_budget_sample",
+]
+
 
 def _rotate_registry() -> None:
-    order = _ROUND6_FRONT + _ROUND5_FRONT
+    order = list(dict.fromkeys(_ROUND7_FRONT + _ROUND6_FRONT + _ROUND5_FRONT))
     front = [n for n in order if n in REGISTRY]
     missing = [n for n in order if n not in REGISTRY]
     assert not missing, f"rotation references unknown queries: {missing}"
-    assert len(front) == len(set(front)), "rotation lists overlap"
     rest = [n for n in REGISTRY if n not in set(front)]
     ordered = {n: REGISTRY[n] for n in front + rest}
     REGISTRY.clear()

@@ -1831,9 +1831,9 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT doc_id, lang, tokens,
-             COALESCE(SUM(tokens) OVER (
+             CAST(COALESCE(SUM(tokens) OVER (
                PARTITION BY lang ORDER BY key, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens_before
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens_before
       FROM t
     )
     SELECT doc_id, lang, tokens, cum_tokens_before

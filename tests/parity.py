@@ -1,13 +1,48 @@
 """Spark ↔ DuckDB differential comparison, modeled on the driver's
 CORRECTNESS check: row count + column names + order-insensitive values
 (columns compared by sorted name). Floats must agree to 1e-9 — the
-workload pre-rounds anything whose evaluation order can differ."""
+workload pre-rounds anything whose evaluation order can differ.
+
+Beyond tolerant value equality, the harness is dtype-class strict:
+the driver hashes the *string form* of every canonicalized cell, so
+an integer column on one side and a float column on the other
+("1234" vs "1234.0") hash-mismatch even when numerically identical.
+That exact failure escaped round 6 (DuckDB returns windowed
+SUM(BIGINT) as HUGEINT -> pandas float64, Spark emits bigint), so
+each column's dtype class (bool / int / float / other) must now match
+between the Spark and oracle frames before values are compared."""
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
+
+
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class a driver-style string hash distinguishes."""
+    if pd.api.types.is_bool_dtype(s.dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(s.dtype):
+        return "float"
+    if s.dtype == object:
+        # object columns (strings, decimals, arrays, or numerics that
+        # pandas refused to vectorize): classify by the first non-null
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, (bool, np.bool_)):
+                return "bool"
+            if isinstance(v, (int, np.integer)):
+                return "int"
+            if isinstance(v, (float, np.floating)):
+                return "float"
+            return "other"
+        return "empty"
+    return "other"
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -28,6 +63,13 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     )
     s = canonicalize(spark_pdf)
     d = canonicalize(duck_pdf)
+    for c in s.columns:
+        sc, dc = dtype_class(s[c]), dtype_class(d[c])
+        assert sc == dc or "empty" in (sc, dc), (
+            f"{name}: column {c!r} dtype-class drift: spark={sc} ({s[c].dtype}) "
+            f"vs oracle={dc} ({d[c].dtype}) — the driver hashes string forms, "
+            "so int-vs-float diverges even when values are numerically equal"
+        )
     for c in s.columns:
         sv, dv = s[c], d[c]
         mismatches = []

@@ -889,3 +889,37 @@ def test_pii_report_counts_and_redact_roundtrip(spark):
     after = T.pii_report(scrubbed, "text").collect()[0]
     for n in T.DEFAULT_PII_PATTERNS:
         assert after[f"{n}_matches"] == 0, n
+
+
+def test_minhash_star_cap_mixed_bucket_bounded_recall_loss(spark):
+    """The star-cap recall contract, pinned on a HETEROGENEOUS over-cap
+    bucket (hash pileup: two distinct template families colliding into
+    one band bucket, so most members are NOT near-dups of the hub).
+    Within the piled-up band the cap keeps only hub spokes — the second
+    family's internal pairs are deliberately absent there (the bounded,
+    per-band cost of the cap) — but the family still produces its full
+    clique through its OWN bucket in another band, which is how the LSH
+    band structure recovers the pairs in practice."""
+    from cbts_datalake_synnex_spark.operators import dedup
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, 7))          # family A in the shared bucket
+        rows.append((100 + i, 0, 7))    # family B piled into the SAME bucket
+        rows.append((i, 1, 11))         # band 1: family A alone
+        rows.append((100 + i, 1, 13))   # band 1: family B alone
+    buckets = spark.createDataFrame(rows, "doc bigint, band int, bh bigint")
+
+    cand = dedup._lsh_candidates(buckets, max_bucket_width=16).collect()
+    pairs = {(r["doc1"], r["doc2"]) for r in cand}
+    # band 0 (width 20 > cap 16) contributes ONLY hub spokes (hub = doc 0)
+    assert {p for p in pairs if p[0] == 0} == {(0, d) for d in list(range(1, 10)) + list(range(100, 110))}
+    # family B's clique is fully present via its under-cap band-1 bucket
+    expect_b = {(a, b) for a in range(100, 110) for b in range(a + 1, 110)}
+    assert {p for p in pairs if p[0] >= 100} == expect_b
+
+    # with ONLY the piled-up band, family B's internal pairs are lost —
+    # the documented conditional: star connectivity survives verification
+    # only through pairs the hub can verify
+    cand0 = dedup._lsh_candidates(buckets.filter("band = 0"), 16).collect()
+    assert all(r["doc1"] == 0 for r in cand0)
