@@ -269,11 +269,18 @@ def minhash_lsh_pairs(
     Adversarial-skew guards (a boilerplate-heavy web corpus puts a
     1M-copy template into ONE band bucket — all-pairs there is ~5·10¹¹
     rows): buckets wider than ``max_bucket_width`` emit a STAR on the
-    bucket's minimum doc (w−1 rows) instead of the w(w−1)/2
-    clique. Connectivity — what `dedup_clusters` consumes — is
-    preserved exactly (a star spans the same component), candidate
-    volume becomes linear in bucket width, and buckets at or under the
-    cap are untouched, so normal-corpus output is bit-identical.
+    bucket's minimum doc (w−1 rows) instead of the w(w−1)/2 clique.
+    At CANDIDATE level the star spans the same component; after exact
+    verification, connectivity survives only through hub pairs that
+    PASS the Jaccard filter — a heterogeneous over-cap bucket (hash
+    pileup of distinct template families rather than one template)
+    loses the non-hub families' pairs in THAT band. The loss is
+    per-band and bounded: each family's own bucket in any other band
+    still contributes its full (under-cap) clique, which is how such
+    pairs are recovered in practice (pinned by the mixed-bucket golden
+    in tests/test_text_similarity_ops.py). Candidate volume becomes
+    linear in bucket width, and buckets at or under the cap are
+    untouched, so normal-corpus output is bit-identical.
     ``broadcast_candidates=None`` decides the verification join shape
     from a bounded early-exit count of the (cached) candidate set:
     small sets broadcast into the shingle joins (the huge shingle
@@ -303,10 +310,25 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    cand = _lsh_candidates(buckets, max_bucket_width).persist()
+    cand = _lsh_candidates(buckets, max_bucket_width)
     if broadcast_candidates is None:
+        # Decide the verify-join shape from a bounded probe. Under the
+        # cap the probe's rows ARE the full candidate set, so pin them
+        # as a driver-local frame (an Arrow round-trip of two id
+        # columns, ≤ ~8 MB) — the broadcast then ships exactly what was
+        # counted, nothing is recomputed, and nothing stays persisted
+        # for the session (the old `.persist()` here leaked cached
+        # partitions on every call, with no caller-side handle to
+        # unpersist). Over the cap, the shuffle join re-derives the
+        # candidate plan — one extra pass over the bucket aggregates,
+        # paid only on adversarial corpora.
         cap = 500_000
-        broadcast_candidates = cand.limit(cap + 1).count() <= cap
+        head = cand.limit(cap + 1).toPandas()
+        if len(head) <= cap:
+            cand = df.sparkSession.createDataFrame(head, schema=cand.schema)
+            broadcast_candidates = True
+        else:
+            broadcast_candidates = False
     s1 = shing.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
     s2 = shing.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
     inter = F.size(F.array_intersect("shs1", "shs2"))
@@ -329,12 +351,15 @@ def _lsh_candidates(buckets: DataFrame, max_bucket_width: int) -> DataFrame:
     Buckets at or under ``max_bucket_width`` docs contribute their full
     clique (all-pairs equi-self-join on (band, bh)); wider buckets
     contribute a STAR centered on the bucket's minimum doc — w−1 pairs
-    instead of w(w−1)/2, component-preserving (everything connects
-    through the hub, which is what `dedup_clusters` consumes), and
-    computed with one hash aggregate + one keyed join — no window
-    sort anywhere (`max_doc_freq` discipline from
-    ``ngram_jaccard_pairs``, adapted so mega-clusters stay CONNECTED
-    instead of being dropped)."""
+    instead of w(w−1)/2, computed with one hash aggregate + one keyed
+    join — no window sort anywhere (`max_doc_freq` discipline from
+    ``ngram_jaccard_pairs``, adapted so mega-clusters stay connected
+    instead of being dropped). Component preservation is a
+    CANDIDATE-graph property: downstream exact verification keeps only
+    hub pairs with real Jaccard ≥ t, so members of a mixed (hash-
+    pileup) bucket that aren't near-dups of the hub rely on their
+    other bands for recall — see ``minhash_lsh_pairs``'s docstring for
+    the bound."""
     stats = buckets.groupBy("band", "bh").agg(
         F.count(F.lit(1)).alias("wdt"), F.min("doc").alias("hub")
     )
@@ -740,6 +765,77 @@ def canonical_by_priority(
 
 
 # ----------------------------------------------------------------------
+def _admission_candidates(
+    corpus_shingles: DataFrame,
+    batch_shingles: DataFrame,
+    threshold: float,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(bdoc, cdoc) candidate pairs for the admission gate — a
+    prefix-filtered PROBE of the corpus-side inverted index, never a
+    self-join. Corpus↔corpus pairs are impossible by construction: the
+    corpus contributes index entries (its own df-ranked prefixes), the
+    batch contributes probes, and candidates come only from
+    probe-hits-index collisions.
+
+    The lossless AllPairs prefix theorem needs one global total order
+    shared by BOTH sides; here it is (corpus document frequency,
+    shingle) ascending — batch-only shingles get df 0 and sort first,
+    which wastes a few probe slots but keeps the order consistent, so
+    recall stays exactly 1. df-0 probes are dropped AFTER the prefix is
+    fixed (they hit nothing in the index; removing probes never loses a
+    candidate). ``max_doc_freq`` mirrors ``ngram_jaccard_pairs``'s
+    approximation, with df measured on the corpus alone.
+    """
+    from pyspark.sql import Window
+
+    t_lit = F.lit(float(threshold))
+    c_sh = corpus_shingles.select(
+        "doc", F.size("shs").alias("n"), F.explode("shs").alias("sh")
+    )
+    dftab = c_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.col("n") - F.ceil(t_lit * F.col("n")) + 1
+    c_ranked = c_sh.join(dftab, "sh")
+    if max_doc_freq is not None:
+        c_ranked = c_ranked.filter(F.col("df") <= max_doc_freq)
+    c_prefix = (
+        c_ranked.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("sh"))),
+        )
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("doc").alias("cdoc"), F.col("n").alias("cn"), "sh")
+    )
+    b_sh = batch_shingles.select(
+        "doc", F.size("shs").alias("n"), F.explode("shs").alias("sh")
+    )
+    b_ranked = b_sh.join(dftab, "sh", "left").withColumn(
+        "df", F.coalesce(F.col("df"), F.lit(0))
+    )
+    if max_doc_freq is not None:
+        b_ranked = b_ranked.filter(F.col("df") <= max_doc_freq)
+    b_prefix = (
+        b_ranked.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("sh"))),
+        )
+        .filter(F.col("rn") <= prefix_len)
+        .filter(F.col("df") > 0)
+        .select(F.col("doc").alias("bdoc"), F.col("n").alias("bn"), "sh")
+    )
+    # Length filter (lossless): J ≥ t ⟹ t·|B| ≤ |C| ≤ |B|/t.
+    return (
+        b_prefix.join(
+            c_prefix,
+            (b_prefix["sh"] == c_prefix["sh"])
+            & (F.col("cn") >= t_lit * F.col("bn"))
+            & (F.col("bn") >= t_lit * F.col("cn")),
+        )
+        .select("bdoc", "cdoc")
+        .distinct()
+    )
+
+
 def admission_against_corpus(
     corpus: DataFrame,
     batch: DataFrame,
@@ -747,6 +843,8 @@ def admission_against_corpus(
     text_col: str,
     threshold: float = 0.7,
     shingle_size: int = 3,
+    max_doc_freq: int | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """X2 — incremental near-dup admission: which documents of an
     incoming ``batch`` may enter a ``corpus`` that must stay
@@ -755,41 +853,75 @@ def admission_against_corpus(
     continuous-ingestion shape: the nightly crawl lands, the corpus
     only grows by admitted documents.
 
-    Built on the prefix-filtered exact join over the tagged union of
-    both sides (ids must be disjoint) — candidate volume tracks
-    near-duplicates, and only batch↔corpus pairs are consulted
-    (batch-internal duplicates are a separate policy: run exact_dedup
-    or minhash on the admitted set). Returns one row per batch doc:
-    (id_col, admitted, blocked_by, jaccard) with ``blocked_by`` the
-    lowest-id blocking corpus doc (deterministic) and NULL when
-    admitted.
+    PROBE-ONLY (the 100 TB shape): the corpus side is an inverted
+    prefix index, the batch side probes it — candidates are
+    batch↔corpus by construction, so a nightly batch never re-pays the
+    corpus's own self-join (the old tagged-union formulation generated
+    the full corpus×corpus candidate set each run and discarded it).
+    Candidates (≈ |batch near-dups|, tiny) broadcast into the exact
+    verification joins, so neither side's shingle-array table shuffles
+    for verify. Ids must be disjoint across the two frames;
+    batch-internal duplicates are a separate policy (run exact_dedup or
+    minhash on the admitted set). ``corpus_shingles`` accepts a
+    precomputed ``hashed_shingles(corpus, ...)`` frame — persist it
+    across nightly batches and the corpus text is shingled once, not
+    once per batch.
+
+    Returns one row per batch doc: (id_col, admitted, blocked_by,
+    jaccard) with ``blocked_by`` the lowest-id blocking corpus doc
+    (deterministic) and NULL when admitted.
     """
-    u = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
-        batch.select(F.col(id_col), F.col(text_col))
+    # The shingle projections are each consulted several times in the
+    # final plan (df table, prefix ranking, exact-verify arrays);
+    # materialize them ONCE via localCheckpoint — tokenization is the
+    # expensive part and must not re-run per consumer. Checkpoint
+    # storage is lineage-truncated and reclaimed by the context cleaner
+    # when the plan is dropped (unlike a bare .persist(), which would
+    # leak for the session). A caller-provided ``corpus_shingles`` is
+    # trusted to be already pinned (that's its contract).
+    def _widened(side: DataFrame) -> DataFrame:
+        # Tokenization is the CPU-bound stage; an input read from a
+        # handful of files (one small parquet, a few big gz) would pin
+        # it to that many cores. Only widens genuinely narrow inputs —
+        # a well-partitioned 100 TB scan never pays this text shuffle.
+        target = side.sparkSession.sparkContext.defaultParallelism
+        return side.repartition(target) if side.rdd.getNumPartitions() < target // 2 else side
+
+    c_shs = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _hashed_shingle_docs(
+            _widened(corpus), id_col, text_col, shingle_size
+        ).localCheckpoint()
     )
-    pairs = ngram_jaccard_pairs(
-        u, id_col=id_col, text_col=text_col, threshold=threshold, shingle_size=shingle_size
+    b_shs = _hashed_shingle_docs(
+        _widened(batch), id_col, text_col, shingle_size
+    ).localCheckpoint()
+    cand = _admission_candidates(c_shs, b_shs, threshold, max_doc_freq)
+    sb = b_shs.select(F.col("doc").alias("bdoc"), F.col("shs").alias("bshs"))
+    sc = c_shs.select(F.col("doc").alias("cdoc"), F.col("shs").alias("cshs"))
+    inter = F.size(F.array_intersect("bshs", "cshs"))
+    union = F.size("bshs") + F.size("cshs") - inter
+    verified = (
+        sb.join(F.broadcast(cand), "bdoc")
+        .join(sc, "cdoc")
+        .select("bdoc", "cdoc", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
-    # orient every pair as (batch doc, partner) and keep corpus partners
-    both = pairs.select(
-        F.col("doc1").alias("b"), F.col("doc2").alias("partner"), "jaccard"
-    ).unionByName(
-        pairs.select(F.col("doc2").alias("b"), F.col("doc1").alias("partner"), "jaccard")
-    )
-    bids = batch.select(F.col(id_col).alias("b"))
-    cids = corpus.select(F.col(id_col).alias("partner"))
     blocking = (
-        both.join(bids, "b")
-        .join(cids, "partner")
-        .groupBy("b")
+        verified.groupBy("bdoc")
         .agg(
-            F.min(F.struct(F.col("partner").alias("p"), F.col("jaccard").alias("j"))).alias("w")
+            F.min(F.struct(F.col("cdoc").alias("p"), F.col("jaccard").alias("j"))).alias("w")
         )
-        .select("b", F.col("w.p").alias("blocked_by"), F.col("w.j").alias("jaccard"))
+        .select(
+            F.col("bdoc").alias(id_col),
+            F.col("w.p").alias("blocked_by"),
+            F.col("w.j").alias("jaccard"),
+        )
     )
     return (
         batch.select(F.col(id_col))
-        .join(blocking.withColumnRenamed("b", id_col), id_col, "left")
+        .join(blocking, id_col, "left")
         .select(
             id_col,
             F.col("blocked_by").isNull().alias("admitted"),

@@ -923,3 +923,112 @@ def test_minhash_star_cap_mixed_bucket_bounded_recall_loss(spark):
     # only through pairs the hub can verify
     cand0 = dedup._lsh_candidates(buckets.filter("band = 0"), 16).collect()
     assert all(r["doc1"] == 0 for r in cand0)
+
+
+def test_admission_candidates_probe_only_shape(spark):
+    """The admission gate's scale contract: candidate generation PROBES
+    the corpus-side index with batch prefixes — corpus-internal
+    duplication contributes ZERO candidates. A corpus of 200 identical
+    docs (a ~20k-pair self-join under the old tagged-union shape) plus
+    a novel batch doc must yield an empty candidate set; a batch doc
+    that IS a near-dup yields corpus-partnered candidates only."""
+    from cbts_datalake_synnex_spark.operators import dedup
+
+    template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(i, template) for i in range(200)], "doc_id bigint, text string"
+    )
+    novel = spark.createDataFrame(
+        [(9000, "one two three four five six seven eight nine ten")],
+        "doc_id bigint, text string",
+    )
+    c_shs = dedup._hashed_shingle_docs(corpus, "doc_id", "text", 1)
+    b_shs = dedup._hashed_shingle_docs(novel, "doc_id", "text", 1)
+    assert dedup._admission_candidates(c_shs, b_shs, 0.7).count() == 0
+
+    near = spark.createDataFrame(
+        [(9001, template + " extra")], "doc_id bigint, text string"
+    )
+    n_shs = dedup._hashed_shingle_docs(near, "doc_id", "text", 1)
+    cand = dedup._admission_candidates(c_shs, n_shs, 0.7).collect()
+    assert len(cand) > 0
+    assert all(r["bdoc"] == 9001 and r["cdoc"] < 200 for r in cand)
+
+    # end-to-end: the near-dup batch doc is blocked by the lowest id
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.admission_against_corpus(
+            corpus, novel.unionByName(near), "doc_id", "text",
+            threshold=0.7, shingle_size=1,
+        ).collect()
+    }
+    assert out[9000]["admitted"] is True
+    assert out[9001]["admitted"] is False and out[9001]["blocked_by"] == 0
+
+
+def test_corpus_hygiene_pipeline_composition(spark):
+    """The composed Gopher → C4 → PII plan on crafted docs: PII is
+    counted ONLY on the cleaned text of documents that survive BOTH
+    gates — a failing doc's PII must not leak into the report, and a
+    surviving doc's PII dropped by the C4 line filter must not either."""
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    good_body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip()
+    docs = spark.createDataFrame(
+        [
+            # survives both gates; email sits on a kept (>=5-word) line
+            (1, good_body + "\nwrite to alice@example.com for the details please"),
+            # survives gates, but its email line has <5 words -> line dropped by C4
+            (2, good_body + "\nbob@example.com wrote this"),
+            # fails Gopher (too short); its email must not be counted
+            (3, "short spam carol@example.com"),
+            # passes Gopher, fails C4 page gate (curly brace)
+            (4, good_body + " { dave@example.com"),
+        ],
+        "doc_id bigint, text string",
+    )
+    flags = T.c4_clean(
+        T.gopher_quality_flags(docs, "text"), "text",
+        min_kept_lines=1, line_terminal_punct=False,
+    )
+    from pyspark.sql import functions as F
+
+    hygiene = F.col("gopher_pass") & F.col("c4_keep")
+    got = {r["doc_id"]: r.asDict() for r in flags.select("doc_id", "gopher_pass", "c4_keep").collect()}
+    assert got[1]["gopher_pass"] and got[1]["c4_keep"]
+    assert got[2]["gopher_pass"] and got[2]["c4_keep"]
+    assert not got[3]["gopher_pass"]
+    assert got[4]["gopher_pass"] and not got[4]["c4_keep"]
+
+    st = F.when(hygiene, F.col("c4_text"))
+    pat = T.DEFAULT_PII_PATTERNS["email"]
+    cnt = F.regexp_count(st, F.lit(pat))
+    row = flags.agg(
+        F.coalesce(F.sum(cnt), F.lit(0)).cast("bigint").alias("email_matches"),
+        F.coalesce(F.sum((cnt > 0).cast("int")), F.lit(0)).cast("bigint").alias("email_docs"),
+    ).collect()[0]
+    # only doc 1's email survives: doc 2's line was C4-dropped, doc 3
+    # failed Gopher, doc 4 failed the page gate
+    assert row["email_matches"] == 1 and row["email_docs"] == 1
+
+
+def test_semantic_dedup_assignment_lanes_equivalent(spark):
+    """The JVM HOF cell assignment and the Arrow GEMM lane must land
+    the identical (id, cell, keep, dup_of, dup_cosine) rows — routing
+    is a throughput decision only (the cosine_topk contract, extended
+    to SemDeDup's cell scoring and its per-cell pair GEMM)."""
+    from cbts_datalake_synnex_spark.operators import similarity
+
+    rows = [(i, [float(((i * 29 + j * 13) % 83) - 41) / 41 for j in range(32)])
+            for i in range(240)]
+    # a few exact duplicates so keep/dup_of paths are exercised
+    rows += [(1000 + i, rows[i][1]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kw = dict(threshold=0.6, n_cells=24, n_assign=2)
+    a = {tuple(r) for r in similarity.semantic_dedup(
+        df, "vec_id", "embedding", assign_engine="jvm", **kw).collect()}
+    b = {tuple(r) for r in similarity.semantic_dedup(
+        df, "vec_id", "embedding", assign_engine="arrow", **kw).collect()}
+    assert a == b and len(a) == 246
+    dropped = {r[0] for r in a if not r[2]}
+    assert {1000 + i for i in range(6)} <= dropped
