@@ -1629,7 +1629,18 @@ class LakeEngine:
         root) left by crashed jobs. Single-writer assumption: don't
         run concurrently with a live rewrite (whose scratch this would
         reap). Returns the number of files removed (counted only, when
-        ``dry_run``)."""
+        ``dry_run``).
+
+        Scale caveat — the one maintenance op here that LISTS on the
+        driver: ``os.walk`` over the table directory is fine for a
+        filesystem lake, but on an object store a 100 TB table's
+        listing is a paginated, rate-limited API crawl. There, the
+        listing side should become a distributed job (e.g. a
+        ``spark.read...select(_metadata.file_path)`` scan the way
+        ``table_layout_report`` does, or the store's inventory
+        manifest) anti-joined against the journaled manifest; the
+        delete fan-out batches through the store's bulk-delete API.
+        The journal side is already bounded (one manifest read)."""
         from urllib.parse import urlparse
 
         qtable = self.qualified(table)
@@ -1827,15 +1838,23 @@ class LakeEngine:
             ).alias("small_file_ratio"),
         )
 
+    _ZVALUE_TRAIN_ROWS = 200_000
+
     def _zvalue(self, df: DataFrame, cols: list[str], bits: int) -> F.Column:
         """Z-curve key: per-column quantile rank (``2**bits`` buckets),
-        bit-interleaved. All JVM-side: the only driver work is one
-        ``approxQuantile`` per numeric column (sample-based, returns
-        ``2**bits - 1`` cut points — bounded, the same sample-train
-        budget as IVF centroids). The rank assignment is a single
-        higher-order ``aggregate`` over a literal boundary array (one
-        array per column — plan size O(cols * 2**bits) constants, no
-        per-row Python."""
+        bit-interleaved. All JVM-side: the only driver work is ONE
+        ``approxQuantile`` call covering every numeric column at once
+        (one pass, not one scan per column), trained on a deterministic
+        xxhash64-mod row sample capped near ``_ZVALUE_TRAIN_ROWS`` (the
+        ANN md5-sample discipline — boundary estimation doesn't need
+        the full table, and at sf1+ the full-table per-column scans
+        were the dominant cost of OPTIMIZE ZORDER). Sampling moves
+        boundaries by at most the sampling error, which only shifts a
+        sliver of rows one bucket over — layout quality, not
+        correctness, and the layout goldens pin that quality. The rank
+        assignment is a single higher-order ``aggregate`` over a
+        literal boundary array (one array per column — plan size
+        O(cols * 2**bits) constants, no per-row Python)."""
         n_buckets = 1 << bits
         numeric = {
             f.name
@@ -1844,11 +1863,30 @@ class LakeEngine:
             in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
             or f.dataType.simpleString().startswith("decimal")
         }
+        num_cols = [c for c in cols if c in numeric]
+        cuts_by_col: dict[str, list[float]] = {}
+        if num_cols:
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            train = df
+            # bounded deterministic sample: one cheap count sizes the
+            # hash-mod rate; below the cap the full table trains. The
+            # hash covers EVERY column, not just the clustered ones —
+            # hashing only a low-cardinality cluster key would sample
+            # whole value classes in or out and wreck its boundary
+            # estimate.
+            n_rows = train.count()
+            if n_rows > self._ZVALUE_TRAIN_ROWS:
+                mod = max(2, n_rows // self._ZVALUE_TRAIN_ROWS)
+                train = train.filter(
+                    F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(mod)) == 0
+                )
+            train = train.select(*num_cols)
+            all_cuts = train.stat.approxQuantile(num_cols, probs, 0.01)
+            cuts_by_col = dict(zip(num_cols, all_cuts))
         ranks = []
         for c in cols:
             if c in numeric:
-                probs = [i / n_buckets for i in range(1, n_buckets)]
-                cuts = df.stat.approxQuantile(c, probs, 0.01)
+                cuts = cuts_by_col[c]
                 # dedupe (skewed columns repeat cut values); rank =
                 # count of boundaries <= value, via one higher-order
                 # aggregate over the literal boundary array
@@ -2073,12 +2111,27 @@ class LakeEngine:
         subset = self._read_files_as_table_schema(qtable, matched_files)
         n_matched = subset.filter(cond).count() if count_matches else -1
         replacement = rewrite(subset, cond).select(*target.columns)
+        # Validation and the splice write are separate jobs over the
+        # same replacement plan — pin it (the write_curated discipline)
+        # so a non-deterministic rewrite expression (rand()/uuid()) that
+        # passes validation cannot re-evaluate to different, violating
+        # rows in the splice. The validation aggregate materializes the
+        # cache; the splice reuses the pinned partitions.
+        pinned = None
         if validate:
-            # verify-only: every table column is present, so this never
-            # adds columns — it raises on stale generated values.
-            replacement = self._apply_generated_columns(table, replacement)
-            self._enforce_constraints(table, replacement)
-        self._splice_replacement(table, qtable, matched_files, replacement)
+            pinned = replacement.persist()
+            replacement = pinned
+        try:
+            if validate:
+                # verify-only: every table column is present, so this
+                # never adds columns — it raises on stale generated
+                # values.
+                replacement = self._apply_generated_columns(table, replacement)
+                self._enforce_constraints(table, replacement)
+            self._splice_replacement(table, qtable, matched_files, replacement)
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
         return n_matched
 
     def _read_files_as_table_schema(self, qtable: str, files: list[str]) -> DataFrame:
