@@ -204,6 +204,11 @@ def _run_dedup_skew_pass(spark, sf_dir: str, n_template: int = 2000) -> dict:
     return out
 
 
+# Round-6 additions tracked outside the headline total (VERDICT r6 #9):
+# the semantic-dedup report and one text-gate projection.
+NEW_SURFACE_QUERIES = ["x3_semantic_dedup", "x4_gopher_quality"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -230,6 +235,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_TABLE_OPS") != "1":
         result["table_ops"] = _run_table_ops_pass(spark, sf_dir)
         result["dedup_skew"] = _run_dedup_skew_pass(spark, sf_dir)
+        # Round-6 surfaces (SemDeDup, Gopher gates) get tracked wall
+        # times BEFORE they rotate into certification — their own block
+        # so the headline total keeps the rounds-1-5 query set and the
+        # baseline ratio stays meaningful.
+        ns_t, ns_b = _run_pass(spark, sf_dir, NEW_SURFACE_QUERIES)
+        result["new_surfaces"] = dict(ns_t) | {n: {"err": e} for n, e in ns_b.items()}
 
     # Second scale point: a single SF cannot separate fixed overhead
     # from scaling slope. If the 10×-scaled dataset exists (built once
@@ -267,6 +278,16 @@ def main() -> None:
                     and base_ops[n] > 0
                 }
                 result["sf1"]["table_ops"] = t_ops
+                ns1_t, _ns1_b = _run_pass(spark, sf1_dir, NEW_SURFACE_QUERIES, warm=False)
+                base_ns = result.get("new_surfaces", {})
+                ns1_t["slope_vs_sf0.1"] = {
+                    n: round(ns1_t[n] / base_ns[n], 2)
+                    for n in ns1_t
+                    if isinstance(ns1_t.get(n), float)
+                    and isinstance(base_ns.get(n), float)
+                    and base_ns[n] > 0
+                }
+                result["sf1"]["new_surfaces"] = ns1_t
         except Exception as e:  # noqa: BLE001
             result["sf1"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 

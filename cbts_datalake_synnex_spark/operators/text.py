@@ -491,6 +491,7 @@ def c4_clean(
     text_col: str,
     min_words_per_line: int = 5,
     min_kept_lines: int = 3,
+    line_terminal_punct: bool = True,
 ) -> DataFrame:
     """X4 — the C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683
     §2.2, public), the other canonical pretraining recipe beside
@@ -501,18 +502,30 @@ def c4_clean(
     a curly brace (code). One codegen projection — line filtering via
     array higher-order functions, no shuffle, no Python.
 
+    ``line_terminal_punct=False`` drops the end-of-sentence
+    requirement (the RefinedWeb-style relaxation — corpora whose
+    lines aren't prose sentences would lose everything to that one
+    rule); the other line and page gates still apply.
+
     Adds: c4_text (the cleaned, re-joined text), n_lines,
     n_kept_lines, has_lorem_ipsum, has_curly_brace, c4_keep.
     """
     lines = F.filter(
         F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0
     )
-    kept = F.filter(
-        lines,
-        lambda l: F.trim(l).rlike(r'[.!?"]$')
-        & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: F.length(w) > 0)) >= min_words_per_line)
-        & ~F.lower(l).contains("javascript"),
-    )
+
+    def _line_ok(l):
+        ok = (
+            F.size(
+                F.filter(F.split(F.trim(l), r"\s+"), lambda w: F.length(w) > 0)
+            )
+            >= min_words_per_line
+        ) & ~F.lower(l).contains("javascript")
+        if line_terminal_punct:
+            ok = F.trim(l).rlike(r'[.!?"]$') & ok
+        return ok
+
+    kept = F.filter(lines, _line_ok)
     lower = F.lower(F.col(text_col))
     return (
         df.withColumn("n_lines", F.size(lines).cast("bigint"))

@@ -1864,8 +1864,19 @@ def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anchors on it — n_should_drop is exact, the safety claim (every
 # dropped vector has a genuine lower-id ≥τ partner — zero false
 # drops) and the recall floor are constants DuckDB asserts as TRUE.
+# The BENCH times the raw operator (bench_fn): the report's exact
+# all-pairs twin is O(N²) scaffolding — at sf1 it would dominate the
+# wall time and measure the oracle, not the operator.
+def _bench_semantic_dedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4, n_assign=3
+    )
+
+
 @query(
     "x3_semantic_dedup",
+    bench_fn=_bench_semantic_dedup_raw,
     oracle="""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
     p AS (
@@ -2076,3 +2087,105 @@ def x4_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.pii_report(docs, "text")
+
+
+# ----------------------------------------------------------------------
+# X4 — the composed pretraining-hygiene pipeline (round 7): Gopher
+# gates → C4 cleaning → PII exposure over the CLEANED survivors, as
+# ONE declared plan (the pipeline_corpus_to_batches pattern — the
+# composition is the thing certified, not just the parts). C4 runs
+# with line_terminal_punct=False and min_kept_lines=1 (the
+# RefinedWeb-style relaxation): the synthetic corpus is single-line
+# word soup with no sentence punctuation, and the default rule would
+# zero out the downstream stages — the defaults' behavior is pinned by
+# x4_c4_clean and the crafted goldens. Whole pipeline = one scan + one
+# folded hash agg (all gates are projections; the conditional PII
+# counts ride the same aggregate — no second pass over the corpus).
+@query(
+    "pipeline_corpus_hygiene",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words,
+             list_filter(string_split_regex(text, '\n'), l -> len(trim(l)) > 0) AS lines,
+             len(regexp_extract_all(text, '#|\.\.\.')) + len(regexp_extract_all(text, '…')) AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, lines,
+             len(words) AS n_words,
+             round(list_sum(list_transform(words, w -> len(w))) / greatest(len(words), 1), 6) AS mean_word_len,
+             round(n_symbols / greatest(len(words), 1), 6) AS symbol_word_ratio,
+             round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / greatest(len(words), 1), 6) AS alpha_word_frac,
+             round(len(list_filter(lines, l -> regexp_matches(trim(l), '^(\-|\*|•)'))) / greatest(len(lines), 1), 6) AS bullet_line_frac,
+             round(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+      FROM t
+    ), g AS (
+      SELECT doc_id, text, lines,
+             ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+              AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+              AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS gopher_pass
+      FROM m
+    ), c AS (
+      SELECT doc_id, gopher_pass,
+             list_filter(lines, l ->
+               len(list_filter(string_split_regex(trim(l), '\s+'), w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+             contains(lower(text), 'lorem ipsum') AS has_li,
+             contains(text, '{') AS has_cb
+      FROM g
+    ), h AS (
+      SELECT gopher_pass,
+             (gopher_pass AND len(kept) >= 1 AND NOT has_li AND NOT has_cb) AS hygiene_pass,
+             CASE WHEN (gopher_pass AND len(kept) >= 1 AND NOT has_li AND NOT has_cb)
+                  THEN array_to_string(kept, chr(10)) END AS st
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gopher_pass,
+           CAST(COALESCE(sum(CASE WHEN hygiene_pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hygiene_pass,
+           CAST(COALESCE(sum(len(regexp_extract_all(st, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))), 0) AS BIGINT) AS email_matches,
+           CAST(COALESCE(sum(CASE WHEN len(regexp_extract_all(st, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS email_docs,
+           CAST(COALESCE(sum(len(regexp_extract_all(st, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))), 0) AS BIGINT) AS card_matches,
+           CAST(COALESCE(sum(CASE WHEN len(regexp_extract_all(st, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS card_docs,
+           CAST(COALESCE(sum(len(regexp_extract_all(st, '\b\+?\d{3}[- .]\d{3}[- .]\d{4}\b'))), 0) AS BIGINT) AS phone_matches,
+           CAST(COALESCE(sum(CASE WHEN len(regexp_extract_all(st, '\b\+?\d{3}[- .]\d{3}[- .]\d{4}\b')) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS phone_docs,
+           CAST(COALESCE(sum(len(regexp_extract_all(st, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))), 0) AS BIGINT) AS ipv4_matches,
+           CAST(COALESCE(sum(CASE WHEN len(regexp_extract_all(st, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS ipv4_docs
+    FROM h
+    """,
+    doc="[EXT] X4 — pretraining-hygiene pipeline: Gopher gates → relaxed C4 "
+    "cleaning (no terminal-punct rule, ≥1 surviving line) → PII exposure over "
+    "the cleaned survivors, certified as one composed plan: one scan, one "
+    "folded agg (operators/text.gopher_quality_flags + c4_clean + the "
+    "pii_report aggregate shape).",
+)
+def pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.c4_clean(
+        text.gopher_quality_flags(docs, "text"),
+        "text",
+        min_kept_lines=1,
+        line_terminal_punct=False,
+    )
+    hygiene = F.col("gopher_pass") & F.col("c4_keep")
+    st = F.when(hygiene, F.col("c4_text"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.col("gopher_pass").cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_gopher_pass"),
+        F.coalesce(F.sum(hygiene.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_hygiene_pass"),
+    ]
+    for name, pat in text.DEFAULT_PII_PATTERNS.items():
+        cnt = F.regexp_count(st, F.lit(pat))
+        aggs.append(
+            F.coalesce(F.sum(cnt), F.lit(0)).cast("bigint").alias(f"{name}_matches")
+        )
+        aggs.append(
+            F.coalesce(F.sum((cnt > 0).cast("int")), F.lit(0))
+            .cast("bigint")
+            .alias(f"{name}_docs")
+        )
+    return flags.agg(*aggs)
