@@ -575,3 +575,203 @@ def pii_report(
         aggs.append(F.sum(cnt).cast("bigint").alias(f"{name}_matches"))
         aggs.append(F.sum((cnt > 0).cast("int")).cast("bigint").alias(f"{name}_docs"))
     return df.agg(*aggs)
+
+
+# The published Gopher repetition thresholds (Rae et al. 2021,
+# arXiv:2112.11446 Table A1): a document FAILS a gate when the metric
+# exceeds its threshold.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _dup_run_stats(arr: F.Column) -> F.Column:
+    """(dupcnt, dupchars) over an array's exact-duplicate values:
+    occurrences beyond the first count as duplicates — for each value
+    appearing c times with length L, dupcnt += c-1 and dupchars +=
+    (c-1)*L. Computed as a run-length walk over the SORTED array (any
+    total order groups equal values adjacently, so the result is
+    order-independent) — one fold, no explode, right for the per-doc
+    small arrays (lines, paragraphs) this serves."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("dupcnt"),
+        F.lit(0).cast("long").alias("dupchars"),
+    )
+
+    def _close(acc):
+        extra = F.when(acc["run"] >= 2, (acc["run"] - 1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        return (
+            acc["dupcnt"] + extra,
+            acc["dupchars"] + extra * F.length(acc["prev"]).cast("long"),
+        )
+
+    def _merge(acc, x):
+        cnt, chars = _close(acc)
+        extend = F.struct(
+            acc["prev"].alias("prev"), (acc["run"] + 1).alias("run"),
+            acc["dupcnt"].alias("dupcnt"), acc["dupchars"].alias("dupchars"),
+        )
+        start = F.struct(
+            x.alias("prev"), F.lit(1).alias("run"),
+            cnt.alias("dupcnt"), chars.alias("dupchars"),
+        )
+        return F.when((acc["run"] > 0) & (x == acc["prev"]), extend).otherwise(start)
+
+    def _finish(acc):
+        cnt, chars = _close(acc)
+        return F.struct(cnt.alias("dupcnt"), chars.alias("dupchars"))
+
+    return F.aggregate(F.array_sort(arr), init, _merge, _finish)
+
+
+def repetition_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    thresholds: dict[str, float] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """X4 — the Gopher REPETITION rules (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1 Table A1), completing the published filter
+    set beside `gopher_quality_flags`: repetitious documents (boiler-
+    plate, templated spam, degenerate generations) measured four ways —
+    duplicate line / paragraph fractions (count and character mass,
+    occurrences beyond the first), the character fraction covered by
+    the single most frequent word {2,3,4}-gram, and the character
+    fraction covered by ALL duplicated word {5..10}-grams (every
+    occurrence counts; overlaps are not collapsed — documented
+    deviation shared by the common public reimplementations).
+
+    Scale shape: line/paragraph stats are in-row sort+fold projections
+    (per-doc arrays are small); the word-n-gram stats go through ONE
+    tagged explode + two hash aggregates keyed on (doc, n, gram-hash) —
+    the `bpe_pair_stats` discipline: map-side combine does the heavy
+    counting and the shuffle carries (doc, n, hash, len, count), never
+    gram text. The top-gram's covered-chars uses a single
+    `max(struct(count, chars))` — among max-count grams the widest
+    wins, no window, no second pass.
+
+    Returns (id_col, the 13 metrics, per-rule ok_* flags,
+    repetition_pass). Metrics round to ``round_dp`` for cross-engine
+    determinism; flags compare the ROUNDED values so borderline floats
+    can't flip between engines.
+    """
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    paras = F.filter(F.split(F.col(text_col), r"\n\s*\n"), lambda p: F.length(F.trim(p)) > 0)
+
+    def _arr_chars(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+        )
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("long").alias("__chars"),
+        words.alias("__words"),
+        _dup_run_stats(lines).alias("__lst"),
+        F.greatest(F.size(lines), F.lit(1)).cast("long").alias("__nlines"),
+        F.greatest(_arr_chars(lines), F.lit(1)).alias("__linechars"),
+        _dup_run_stats(paras).alias("__pst"),
+        F.greatest(F.size(paras), F.lit(1)).cast("long").alias("__nparas"),
+        F.greatest(_arr_chars(paras), F.lit(1)).alias("__parachars"),
+    )
+
+    # one combined (n, hash, len) struct array across every n, exploded
+    # ONCE; empty when the doc has fewer than n words (sequence() must
+    # be guarded — Spark generates a DESCENDING sequence for stop <
+    # start, not an empty one)
+    def _gram_structs(n: int):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__words")) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__words"), i, n)),
+        )
+        tagged = F.transform(
+            grams,
+            lambda g: F.struct(
+                F.lit(n).alias("n"), F.xxhash64(g).alias("h"),
+                F.length(g).cast("long").alias("l"),
+            ),
+        )
+        return F.when(F.size(F.col("__words")) >= n, tagged).otherwise(
+            F.array().cast("array<struct<n:int,h:bigint,l:bigint>>")
+        )
+
+    ex = base.select(
+        "__id",
+        F.explode(F.concat(*[_gram_structs(n) for n in (*top_ns, *dup_ns)])).alias("g"),
+    ).select("__id", "g.n", "g.h", "g.l")
+    counts = ex.groupBy("__id", "n", "h", "l").agg(F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy("__id", "n").agg(
+        F.max(F.struct(F.col("c"), (F.col("c") * F.col("l")).alias("cov"))).alias("top"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("l")).otherwise(F.lit(0).cast("long"))).alias("dupcov"),
+    )
+    gram_stats = per_n.groupBy("__id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top.cov"))).alias(f"__topcov_{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dupcov"))).alias(f"__dupcov_{n}")
+            for n in dup_ns
+        ],
+    )
+
+    out = base.join(gram_stats, "__id", "left")
+    metrics = {
+        "dup_line_frac": F.col("__lst.dupcnt") / F.col("__nlines"),
+        "dup_line_char_frac": F.col("__lst.dupchars") / F.col("__linechars"),
+        "dup_para_frac": F.col("__pst.dupcnt") / F.col("__nparas"),
+        "dup_para_char_frac": F.col("__pst.dupchars") / F.col("__parachars"),
+        # capped at 1: overlapping occurrences multiply-count their
+        # characters (overlaps aren't collapsed), so a degenerate
+        # "spam spam spam…" doc would otherwise report a fraction > 1
+        **{
+            f"top_{n}gram_char_frac": F.least(
+                F.lit(1.0),
+                F.coalesce(F.col(f"__topcov_{n}"), F.lit(0)) / F.col("__chars"),
+            )
+            for n in top_ns
+        },
+        **{
+            f"dup_{n}gram_char_frac": F.least(
+                F.lit(1.0),
+                F.coalesce(F.col(f"__dupcov_{n}"), F.lit(0)) / F.col("__chars"),
+            )
+            for n in dup_ns
+        },
+    }
+    for name, expr in metrics.items():
+        out = out.withColumn(name, F.round(expr, round_dp))
+    all_ok = F.lit(True)
+    for name in metrics:
+        flag = F.col(name) <= th[name]
+        out = out.withColumn(f"ok_{name}", flag)
+        all_ok = all_ok & flag
+    return out.withColumn("repetition_pass", all_ok).select(
+        F.col("__id").alias(id_col),
+        *metrics.keys(),
+        *[f"ok_{m}" for m in metrics],
+        "repetition_pass",
+    )

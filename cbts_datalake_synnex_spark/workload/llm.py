@@ -2189,3 +2189,189 @@ def pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"{name}_docs")
         )
     return flags.agg(*aggs)
+
+
+# ----------------------------------------------------------------------
+# X4 — the Gopher REPETITION rules (round 7): the other half of Rae et
+# al. §A.1.1 beside x4_gopher_quality. The oracle recomputes every
+# metric with unnest+GROUP BY (correctness formulation); the Spark
+# side keeps the scale formulation (in-row folds + one tagged explode
+# with hashed gram keys).
+@query(
+    "x4_repetition_flags",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             greatest(len(text), 1) AS chars,
+             list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words,
+             list_filter(string_split_regex(text, '\n'), l -> len(trim(l)) > 0) AS lines,
+             list_filter(string_split_regex(text, '\n\s*\n'), p -> len(trim(p)) > 0) AS paras
+      FROM documents
+    ),
+    line_grp AS (
+      SELECT doc_id, v, count(*) AS c, len(v) AS L
+      FROM (SELECT doc_id, unnest(lines) AS v FROM base) GROUP BY doc_id, v
+    ),
+    line_st AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dupcnt,
+             sum(CASE WHEN c >= 2 THEN (c - 1) * L ELSE 0 END) AS dupchars,
+             sum(c) AS n, sum(c * L) AS tchars
+      FROM line_grp GROUP BY doc_id
+    ),
+    para_grp AS (
+      SELECT doc_id, v, count(*) AS c, len(v) AS L
+      FROM (SELECT doc_id, unnest(paras) AS v FROM base) GROUP BY doc_id, v
+    ),
+    para_st AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dupcnt,
+             sum(CASE WHEN c >= 2 THEN (c - 1) * L ELSE 0 END) AS dupchars,
+             sum(c) AS n, sum(c * L) AS tchars
+      FROM para_grp GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, n,
+             unnest(list_transform(generate_series(1, greatest(len(words) - n + 1, 0)),
+                                   i -> array_to_string(words[i:i+n-1], ' '))) AS g
+      FROM base, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n)
+    ),
+    gram_grp AS (
+      SELECT doc_id, n, g, count(*) AS c, len(g) AS L FROM grams GROUP BY doc_id, n, g
+    ),
+    top1 AS (SELECT doc_id, n, max(c) AS maxc FROM gram_grp GROUP BY doc_id, n),
+    topcov AS (
+      SELECT g.doc_id, g.n, max(g.c * g.L) AS cov
+      FROM gram_grp g JOIN top1 t ON t.doc_id = g.doc_id AND t.n = g.n AND g.c = t.maxc
+      GROUP BY g.doc_id, g.n
+    ),
+    dupcov AS (
+      SELECT doc_id, n, sum(CASE WHEN c >= 2 THEN c * L ELSE 0 END) AS cov
+      FROM gram_grp GROUP BY doc_id, n
+    ),
+    toppiv AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN cov END) AS top2,
+             max(CASE WHEN n = 3 THEN cov END) AS top3,
+             max(CASE WHEN n = 4 THEN cov END) AS top4
+      FROM topcov GROUP BY doc_id
+    ),
+    duppiv AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 5 THEN cov END) AS dup5,
+             max(CASE WHEN n = 6 THEN cov END) AS dup6,
+             max(CASE WHEN n = 7 THEN cov END) AS dup7,
+             max(CASE WHEN n = 8 THEN cov END) AS dup8,
+             max(CASE WHEN n = 9 THEN cov END) AS dup9,
+             max(CASE WHEN n = 10 THEN cov END) AS dup10
+      FROM dupcov GROUP BY doc_id
+    ),
+    m AS (
+      SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+             round(COALESCE(ls.dupcnt, 0) * 1.0 / greatest(COALESCE(ls.n, 0), 1), 6) AS dup_line_frac,
+             round(COALESCE(ls.dupchars, 0) * 1.0 / greatest(COALESCE(ls.tchars, 0), 1), 6) AS dup_line_char_frac,
+             round(COALESCE(ps.dupcnt, 0) * 1.0 / greatest(COALESCE(ps.n, 0), 1), 6) AS dup_para_frac,
+             round(COALESCE(ps.dupchars, 0) * 1.0 / greatest(COALESCE(ps.tchars, 0), 1), 6) AS dup_para_char_frac,
+             round(least(1.0, COALESCE(tp.top2, 0) * 1.0 / b.chars), 6) AS top_2gram_char_frac,
+             round(least(1.0, COALESCE(tp.top3, 0) * 1.0 / b.chars), 6) AS top_3gram_char_frac,
+             round(least(1.0, COALESCE(tp.top4, 0) * 1.0 / b.chars), 6) AS top_4gram_char_frac,
+             round(least(1.0, COALESCE(dp.dup5, 0) * 1.0 / b.chars), 6) AS dup_5gram_char_frac,
+             round(least(1.0, COALESCE(dp.dup6, 0) * 1.0 / b.chars), 6) AS dup_6gram_char_frac,
+             round(least(1.0, COALESCE(dp.dup7, 0) * 1.0 / b.chars), 6) AS dup_7gram_char_frac,
+             round(least(1.0, COALESCE(dp.dup8, 0) * 1.0 / b.chars), 6) AS dup_8gram_char_frac,
+             round(least(1.0, COALESCE(dp.dup9, 0) * 1.0 / b.chars), 6) AS dup_9gram_char_frac,
+             round(least(1.0, COALESCE(dp.dup10, 0) * 1.0 / b.chars), 6) AS dup_10gram_char_frac
+      FROM base b
+      LEFT JOIN line_st ls ON ls.doc_id = b.doc_id
+      LEFT JOIN para_st ps ON ps.doc_id = b.doc_id
+      LEFT JOIN toppiv tp ON tp.doc_id = b.doc_id
+      LEFT JOIN duppiv dp ON dp.doc_id = b.doc_id
+    )
+    SELECT m.*,
+           (dup_line_frac <= 0.30) AS ok_dup_line_frac,
+           (dup_line_char_frac <= 0.20) AS ok_dup_line_char_frac,
+           (dup_para_frac <= 0.30) AS ok_dup_para_frac,
+           (dup_para_char_frac <= 0.20) AS ok_dup_para_char_frac,
+           (top_2gram_char_frac <= 0.20) AS ok_top_2gram_char_frac,
+           (top_3gram_char_frac <= 0.18) AS ok_top_3gram_char_frac,
+           (top_4gram_char_frac <= 0.16) AS ok_top_4gram_char_frac,
+           (dup_5gram_char_frac <= 0.15) AS ok_dup_5gram_char_frac,
+           (dup_6gram_char_frac <= 0.14) AS ok_dup_6gram_char_frac,
+           (dup_7gram_char_frac <= 0.13) AS ok_dup_7gram_char_frac,
+           (dup_8gram_char_frac <= 0.12) AS ok_dup_8gram_char_frac,
+           (dup_9gram_char_frac <= 0.11) AS ok_dup_9gram_char_frac,
+           (dup_10gram_char_frac <= 0.10) AS ok_dup_10gram_char_frac,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+            AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+            AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+            AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+            AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+            AND dup_10gram_char_frac <= 0.10) AS repetition_pass
+    FROM m
+    """,
+    doc="[EXT] X4 — the published Gopher repetition gates (dup line/paragraph "
+    "count+char fractions, top 2-4-gram char fraction, dup 5-10-gram char "
+    "fraction, Table A1 thresholds): line/para stats as in-row sort+fold "
+    "projections, word-gram stats via ONE tagged explode + hash aggs keyed on "
+    "(doc, n, xxhash64(gram)) so the shuffle never carries gram text "
+    "(operators/text.repetition_flags).",
+)
+def x4_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.repetition_flags(docs, "text")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), *out.columns[1:])
+
+
+# ----------------------------------------------------------------------
+# X8 — leakage-safe train/test split (round 7): the split is keyed on
+# the near-dup CLUSTER canonical, so an eval document can never have a
+# near-duplicate in train. Deterministic end to end on the exact pair
+# set (the x2_dedup_clusters_exact discipline: fr-subset + unigram
+# Jaccard keeps DuckDB's transitive closure bounded), so the per-doc
+# assignment itself is the oracle surface — not just a summary.
+@query(
+    "pipeline_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE lang = 'fr'),
+    tok AS (SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS sh FROM d),
+    sz AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS i
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2
+      FROM inter JOIN sz sa ON sa.doc = doc1 JOIN sz sb ON sb.doc = doc2
+      WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.7
+    ),
+    edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+              UNION SELECT doc2, doc1 FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc, least(a, min(b)) AS canonical FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(c.canonical, d.doc_id) AS canonical,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR) || 'ls'), 1, 8)) AS BIGINT)
+                     % 1000000 < 200000
+                THEN 'test' ELSE 'train' END AS split
+    FROM d LEFT JOIN comp c ON c.doc = d.doc_id
+    """,
+    doc="[EXT] X8 — leakage-safe train/test split: connected near-dup "
+    "components (exact unigram Jaccard >= 0.7 over the fr subset) are "
+    "assigned atomically to train or test by md5(canonical)-bucket, so "
+    "cross-split near-duplicate pairs are zero by construction "
+    "(operators/sampling.leakage_safe_split).",
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=1
+    )
+    return sampling.leakage_safe_split(
+        docs, pairs, id_col="doc_id", test_frac=0.2, salt="ls"
+    )

@@ -1032,3 +1032,79 @@ def test_semantic_dedup_assignment_lanes_equivalent(spark):
     assert a == b and len(a) == 246
     dropped = {r[0] for r in a if not r[2]}
     assert {1000 + i for i in range(6)} <= dropped
+
+
+def test_repetition_flags_crafted_docs(spark):
+    """Gopher repetition gates on hand-checkable shapes: a clean doc
+    passes every gate; a line-duplicated doc fails the line gates; a
+    'spam spam …' degenerate fails the n-gram gates with fractions
+    CAPPED at 1.0 (overlapping occurrences multiply-count chars)."""
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    # every word distinct across the whole doc — nothing repeats at any n
+    clean = "\n".join(
+        " ".join(f"w{i}x{j}" for j in range(8)) for i in range(6)
+    )
+    dup_lines = "\n".join(["the very same line again"] * 4 + ["one different line"])
+    spammy = " ".join(["spam"] * 40)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, dup_lines), (3, spammy)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in T.repetition_flags(docs, "text").collect()}
+
+    assert out[1]["repetition_pass"] is True
+    assert out[1]["dup_line_frac"] == 0.0 and out[1]["dup_10gram_char_frac"] == 0.0
+
+    # 4 copies of one line out of 5: 3 beyond-first duplicates
+    assert out[2]["dup_line_frac"] == round(3 / 5, 6)
+    assert out[2]["ok_dup_line_frac"] is False
+    assert out[2]["repetition_pass"] is False
+
+    assert out[3]["top_2gram_char_frac"] == 1.0  # capped
+    assert out[3]["dup_5gram_char_frac"] == 1.0
+    assert out[3]["ok_top_2gram_char_frac"] is False
+    assert out[3]["repetition_pass"] is False
+
+    # paragraph gates: two identical paragraphs out of three
+    para_doc = "first para here\n\nsame body of text\n\nsame body of text"
+    pd_out = T.repetition_flags(
+        spark.createDataFrame([(9, para_doc)], "doc_id bigint, text string"), "text"
+    ).collect()[0]
+    assert pd_out["dup_para_frac"] == round(1 / 3, 6)
+    assert pd_out["ok_dup_para_frac"] is False  # 0.333333 exceeds the 0.30 gate
+
+
+def test_leakage_safe_split_invariants(spark):
+    """The split contract: near-dup cluster members land in ONE split
+    (zero cross-split pairs), singletons split independently, the
+    assignment is deterministic across physical partitionings, and the
+    test fraction is hash-plausible on singletons."""
+    from cbts_datalake_synnex_spark.operators import dedup, sampling
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base + f" tail{i}") for i in range(10)]          # one near-dup cluster
+    rows += [(100 + i, f"unique{i} words{i} only{i} here{i} really{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7, shingle_size=1)
+    out = sampling.leakage_safe_split(docs, pairs, "doc_id", test_frac=0.3, salt="t")
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert len(got) == 50
+
+    # the cluster is atomic: one canonical (the min id 0), one split
+    cluster = [got[i] for i in range(10)]
+    assert {c["canonical"] for c in cluster} == {0}
+    assert len({c["split"] for c in cluster}) == 1
+    # no cross-split near-dup pair anywhere
+    p = {(r["doc1"], r["doc2"]) for r in pairs.collect()}
+    assert all(got[a]["split"] == got[b]["split"] for a, b in p)
+    # singletons: canonical = self, both splits present at 30%
+    singles = [got[100 + i] for i in range(40)]
+    assert all(s["canonical"] == s["doc_id"] for s in singles)
+    n_test = sum(1 for s in singles if s["split"] == "test")
+    assert 3 <= n_test <= 25
+
+    # partitioning invariance
+    out2 = sampling.leakage_safe_split(
+        docs.repartition(13), pairs, "doc_id", test_frac=0.3, salt="t"
+    )
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out.collect()}
