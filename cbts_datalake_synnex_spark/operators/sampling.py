@@ -220,3 +220,49 @@ def token_budget_sample(
     return df.withColumn("cum_tokens_before", before).filter(
         F.col("cum_tokens_before") < budget_tokens
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    test_frac: float = 0.2,
+    salt: str = "",
+    doc1_col: str = "doc1",
+    doc2_col: str = "doc2",
+) -> DataFrame:
+    """X8 — near-duplicate-aware train/test split: a hash split keyed
+    on the document's near-dup CLUSTER, not the document. A plain
+    per-id hash split leaks — two near-identical documents land on
+    opposite sides and the eval set rewards memorization (the
+    train/test contamination `decontaminate` guards against, caught at
+    split time instead of after). Here every member of a connected
+    near-dup component (``pairs`` from any pair operator —
+    `ngram_jaccard_pairs`, `minhash_lsh_pairs`, embedding pairs)
+    inherits the split of its canonical representative, so a cluster
+    is atomically train OR test and cross-split near-dup pairs are
+    ZERO by construction.
+
+    Scale shape: `dedup_clusters`' pointer-doubling fixpoint (keyed
+    shuffles, O(log diameter) rounds) + one broadcast-sized md5
+    projection; unpaired documents skip the fixpoint entirely via the
+    left join. Deterministic across engines, partitionings and
+    re-runs: split = md5(canonical || salt) bucket < test_frac, the
+    `hash_sample` discipline.
+
+    Returns (id_col, canonical, split) with split ∈ {'train','test'}.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs, doc1_col, doc2_col).withColumnRenamed("doc", id_col)
+    canonical = F.coalesce(F.col("canonical"), F.col(id_col))
+    h = F.md5(F.concat(canonical.cast("string"), F.lit(salt)))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BUCKETS
+    split = F.when(bucket < int(test_frac * _BUCKETS), F.lit("test")).otherwise(
+        F.lit("train")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(clusters, id_col, "left")
+        .select(F.col(id_col), canonical.alias("canonical"), split.alias("split"))
+    )
