@@ -204,9 +204,16 @@ def _run_dedup_skew_pass(spark, sf_dir: str, n_template: int = 2000) -> dict:
     return out
 
 
-# Round-6 additions tracked outside the headline total (VERDICT r6 #9):
-# the semantic-dedup report and one text-gate projection.
-NEW_SURFACE_QUERIES = ["x3_semantic_dedup", "x4_gopher_quality"]
+# Round-6/7 additions tracked outside the headline total (VERDICT r6
+# #9): new surfaces get wall times + slopes in the round they land,
+# BEFORE their certification rotation.
+NEW_SURFACE_QUERIES = [
+    "x3_semantic_dedup",
+    "x4_gopher_quality",
+    "x4_repetition_flags",
+    "pipeline_corpus_hygiene",
+    "pipeline_leakage_safe_split",
+]
 
 
 def main() -> None:
