@@ -79,6 +79,16 @@ def _hashed_shingles_over_tokens(toks_col: str, size: int) -> F.Column:
     return F.when(n < F.lit(size), F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(grams)
 
 
+def _widen_narrow_input(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW input up to default parallelism before the
+    CPU-bound tokenize/shingle projection. An input read from a handful
+    of files (one small parquet, a few big gz) pins tokenization to
+    that many cores; a well-partitioned 100 TB scan is already wider
+    than the threshold and never pays this text shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target // 2 else df
+
+
 def _hashed_shingle_docs(df: DataFrame, id_col: str, text_col: str, size: int) -> DataFrame:
     """(doc, shs) with tokens projected FIRST so the shingle lambda
     binds an attribute (see _hashed_shingles_over_tokens)."""
@@ -178,7 +188,9 @@ def ngram_jaccard_pairs(
     # and shrinks every exchange. ``shingles`` lets a caller running
     # this op alongside its LSH twin share one (cached) projection.
     shs_arr = (
-        shingles if shingles is not None else _hashed_shingle_docs(df, id_col, text_col, shingle_size)
+        shingles
+        if shingles is not None
+        else _hashed_shingle_docs(df, id_col, text_col, shingle_size)
     )
     sh = shs_arr.select("doc", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
     # Document frequency as a window over the sh partition — one
@@ -879,23 +891,15 @@ def admission_against_corpus(
     # when the plan is dropped (unlike a bare .persist(), which would
     # leak for the session). A caller-provided ``corpus_shingles`` is
     # trusted to be already pinned (that's its contract).
-    def _widened(side: DataFrame) -> DataFrame:
-        # Tokenization is the CPU-bound stage; an input read from a
-        # handful of files (one small parquet, a few big gz) would pin
-        # it to that many cores. Only widens genuinely narrow inputs —
-        # a well-partitioned 100 TB scan never pays this text shuffle.
-        target = side.sparkSession.sparkContext.defaultParallelism
-        return side.repartition(target) if side.rdd.getNumPartitions() < target // 2 else side
-
     c_shs = (
         corpus_shingles
         if corpus_shingles is not None
         else _hashed_shingle_docs(
-            _widened(corpus), id_col, text_col, shingle_size
+            _widen_narrow_input(corpus), id_col, text_col, shingle_size
         ).localCheckpoint()
     )
     b_shs = _hashed_shingle_docs(
-        _widened(batch), id_col, text_col, shingle_size
+        _widen_narrow_input(batch), id_col, text_col, shingle_size
     ).localCheckpoint()
     cand = _admission_candidates(c_shs, b_shs, threshold, max_doc_freq)
     sb = b_shs.select(F.col("doc").alias("bdoc"), F.col("shs").alias("bshs"))

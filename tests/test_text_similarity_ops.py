@@ -1108,3 +1108,61 @@ def test_leakage_safe_split_invariants(spark):
         docs.repartition(13), pairs, "doc_id", test_frac=0.3, salt="t"
     )
     assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_admission_corpus_index_reuse_roundtrip(spark, tmp_path):
+    """The nightly-batch contract: the corpus shingle projection can be
+    materialized ONCE (here: parquet roundtrip), and admission runs
+    against the loaded index with identical output — the corpus text
+    is never re-tokenized per batch."""
+    from cbts_datalake_synnex_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(i, base + f" v{i}") for i in range(20)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(900, base + " v1 extra"), (901, "totally different words here now")],
+        "doc_id bigint, text string",
+    )
+    kw = dict(id_col="doc_id", text_col="text", threshold=0.7, shingle_size=1)
+    direct = {tuple(r) for r in dedup.admission_against_corpus(corpus, batch, **kw).collect()}
+
+    idx_path = str(tmp_path / "corpus_shingle_index")
+    dedup.hashed_shingles(corpus, "doc_id", "text", 1).write.parquet(idx_path)
+    loaded = spark.read.parquet(idx_path)
+    reused = {
+        tuple(r)
+        for r in dedup.admission_against_corpus(
+            corpus, batch, corpus_shingles=loaded, **kw
+        ).collect()
+    }
+    assert reused == direct and len(direct) == 2
+    blocked = {r[0]: r for r in direct}
+    assert blocked[900][1] is False and blocked[901][1] is True
+
+
+def test_collapse_repeated_lines_shapes(spark):
+    """First occurrence survives in ORIGINAL order; interleaved repeats
+    drop; paragraphs unit works; a clean doc is untouched."""
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav menu\nreal content one.\nnav menu\nreal content two.\nnav menu"),
+            (2, "only\nunique\nlines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in T.collapse_repeated_lines(docs, "text").collect()}
+    assert out[1]["collapsed_text"] == "nav menu\nreal content one.\nreal content two."
+    assert out[1]["n_units"] == 5 and out[1]["n_kept_units"] == 3
+    assert out[2]["collapsed_text"] == "only\nunique\nlines"
+
+    para = spark.createDataFrame(
+        [(3, "intro para\n\nbody text here\n\nintro para\n\nclosing words")],
+        "doc_id bigint, text string",
+    )
+    p = T.collapse_repeated_lines(para, "text", unit="paragraph").collect()[0]
+    assert p["collapsed_text"] == "intro para\n\nbody text here\n\nclosing words"
+    assert p["n_units"] == 4 and p["n_kept_units"] == 3
