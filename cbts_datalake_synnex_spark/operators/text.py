@@ -672,10 +672,16 @@ def repetition_flags(
     determinism; flags compare the ROUNDED values so borderline floats
     can't flip between engines.
     """
+    from .dedup import _widen_narrow_input
+
     th = dict(GOPHER_REPETITION_THRESHOLDS)
     if thresholds:
         th.update(thresholds)
     top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    # the gram-construction HOFs are the CPU-bound stage; a one-file
+    # input would run them on one core (same guard as the admission
+    # gate's tokenize — a wide 100 TB scan never pays this shuffle)
+    df = _widen_narrow_input(df)
 
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)
     lines = F.filter(F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0)
@@ -774,4 +780,41 @@ def repetition_flags(
         *metrics.keys(),
         *[f"ok_{m}" for m in metrics],
         "repetition_pass",
+    )
+
+
+def collapse_repeated_lines(
+    df: DataFrame,
+    text_col: str,
+    unit: str = "line",
+    out_col: str = "collapsed_text",
+) -> DataFrame:
+    """X4 — the REPAIR counterpart of `repetition_flags`' line/paragraph
+    gates: drop every repeated line (or paragraph, ``unit``), keeping
+    the FIRST occurrence in original order — the navigation-footer /
+    templated-boilerplate cleanup a pipeline applies to documents worth
+    salvaging instead of dropping (`remove_boilerplate` is the
+    CROSS-doc twin; this one is within-doc and needs no corpus pass).
+
+    Pure projection: an indexed `filter` keeps element i iff it does
+    not appear among elements 0..i-1 — O(units²) per document, fine for
+    per-doc line/paragraph counts (the array is already in memory;
+    nothing shuffles, no state). Empty-after-trim units never count.
+
+    Adds ``out_col`` (units re-joined), n_units, n_kept_units.
+    """
+    sep = {"line": "\n", "paragraph": "\n\n"}[unit]
+    pattern = {"line": r"\n", "paragraph": r"\n\s*\n"}[unit]
+    units = F.filter(
+        F.split(F.col(text_col), pattern), lambda u: F.length(F.trim(u)) > 0
+    )
+
+    def _first_occurrence(u, i):
+        return ~F.array_contains(F.slice(units, 1, i), u)
+
+    kept = F.filter(units, _first_occurrence)
+    return (
+        df.withColumn("n_units", F.size(units).cast("bigint"))
+        .withColumn(out_col, F.array_join(kept, sep))
+        .withColumn("n_kept_units", F.size(kept).cast("bigint"))
     )

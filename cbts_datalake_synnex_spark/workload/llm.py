@@ -2375,3 +2375,41 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.leakage_safe_split(
         docs, pairs, id_col="doc_id", test_frac=0.2, salt="ls"
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — within-doc repetition REPAIR (round 7): the synthetic corpus is
+# single-line, so the query builds a 3-unit view (text, text, lang)
+# whose middle unit is a guaranteed duplicate — the operator must keep
+# the first occurrence in order and drop the copy; the goldens cover
+# the organic multi-line shapes.
+@query(
+    "x4_collapse_repeated_lines",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text || chr(10) || text || chr(10) || lang AS t FROM documents
+    ),
+    u AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '\n'), l -> len(trim(l)) > 0) AS units
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(units) AS BIGINT) AS n_units,
+           array_to_string(list_filter(units, (x, i) -> NOT list_contains(units[1:i-1], x)), chr(10)) AS collapsed_text,
+           CAST(len(list_filter(units, (x, i) -> NOT list_contains(units[1:i-1], x))) AS BIGINT) AS n_kept_units
+    FROM u
+    """,
+    doc="[EXT] X4 — within-doc line-repetition repair: drop repeated lines "
+    "keeping the FIRST occurrence in order (indexed array filter — pure "
+    "projection, no shuffle); the salvage counterpart of the repetition "
+    "gates (operators/text.collapse_repeated_lines).",
+)
+def x4_collapse_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws("\n", "text", "text", "lang").alias("text")
+    )
+    return text.collapse_repeated_lines(docs, "text").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_units", "collapsed_text", "n_kept_units",
+    )

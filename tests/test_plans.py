@@ -358,3 +358,29 @@ def test_round6_operator_plan_shapes(spark, sf_dir):
     assert "TakeOrderedAndProject" in bpe
     assert "Join" not in bpe
     assert "CartesianProduct" not in bpe
+
+
+def test_round7_operator_plan_shapes(spark, sf_dir):
+    """Round-7 additions: the hygiene pipeline is ONE aggregate pass
+    over a pure projection (no join, no window — the PII counts ride
+    the same folded agg); repetition flags are hash aggregates + one
+    doc-keyed join, never a cartesian; the leakage split's clustering
+    fixpoint and md5 assignment stay equi-join/agg shaped; admission's
+    probe-only candidate path has no cartesian and no corpus↔corpus
+    self-join artifacts."""
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    hyg = explain_str(REGISTRY["pipeline_corpus_hygiene"].fn(spark, sf_dir), "simple")
+    assert "Join" not in hyg and "Window" not in hyg
+    assert "HashAggregate" in hyg
+
+    rep = explain_str(REGISTRY["x4_repetition_flags"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in rep
+    assert "HashAggregate" in rep
+    assert "Window" not in rep  # top-gram via max(struct), no window
+
+    spl = explain_str(REGISTRY["pipeline_leakage_safe_split"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in spl
+
+    adm = explain_str(REGISTRY["pipeline_incremental_admission"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in adm
