@@ -975,3 +975,78 @@ def cosine_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    d: int,
+    renormalize: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """X3 — Matryoshka-style embedding truncation (Kusupati et al.
+    2022, arXiv:2205.13147, public): keep the first ``d`` dimensions
+    and (by default) re-normalize — MRL-trained models pack the most
+    information into the leading dimensions, so a prefix slice is the
+    cheap storage/bandwidth knob (d/dim of the bytes for most of the
+    recall; re-normalization keeps cosine = dot). Pure projection —
+    `slice` + one fold for the norm; no shuffle at any scale.
+
+    Replaces ``vec_col`` (or writes ``out_col``) with
+    array<double>; zero vectors stay zero instead of dividing by 0.
+    """
+    sliced = F.transform(
+        F.slice(F.col(vec_col), 1, d), lambda x: x.cast("double")
+    )
+    if renormalize:
+        nrm = _norm(sliced)
+        sliced = F.when(nrm > 0, F.transform(sliced, lambda x: x / nrm)).otherwise(sliced)
+    return df.withColumn(out_col or vec_col, sliced)
+
+
+def matryoshka_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: tuple[int, ...] = (8, 16, 32),
+    round_dp: int = 6,
+) -> DataFrame:
+    """X3 — truncation-quality report: for each candidate prefix
+    dimension, how much vector mass survives — the number a platform
+    consults BEFORE committing a corpus-wide `truncate_embeddings`
+    rewrite. Per dim d': retention(v) = ||v[:d']|| / ||v|| (the cosine
+    of a vector with its own zero-padded truncation — exactly the
+    self-similarity the truncation preserves). One tagged projection +
+    one hash aggregate over |dims| rows per vector; the shuffle
+    carries (d', retention) pairs only.
+
+    Returns one row per d' (ascending): (d_prime, n_vectors,
+    avg_retention, min_retention, frac_ge_090).
+    """
+    full = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    fnorm = _norm(full)
+    tagged = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d_prime"),
+                # a zero vector loses nothing to truncation: retention 1
+                F.when(
+                    fnorm > 0, _norm(F.slice(full, 1, d)) / fnorm
+                ).otherwise(F.lit(1.0)).alias("r"),
+            )
+            for d in sorted(dims)
+        ]
+    )
+    ex = df.select(F.explode(tagged).alias("t")).select("t.d_prime", "t.r")
+    return (
+        ex.groupBy("d_prime")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("r"), round_dp).alias("avg_retention"),
+            F.round(F.min("r"), round_dp).alias("min_retention"),
+            F.round(
+                F.avg((F.col("r") >= 0.90).cast("int")), round_dp
+            ).alias("frac_ge_090"),
+        )
+        .orderBy("d_prime")
+    )

@@ -2413,3 +2413,40 @@ def x4_collapse_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "n_units", "collapsed_text", "n_kept_units",
     )
+
+
+# ----------------------------------------------------------------------
+# X3 — Matryoshka truncation report (round 7): the go/no-go gauge a
+# platform consults before a corpus-wide `truncate_embeddings`
+# rewrite (MRL, Kusupati et al. 2022 — prefix dims carry most of the
+# signal; retention = ||v[:d']||/||v|| is the self-cosine the
+# truncation preserves).
+@query(
+    "x3_matryoshka_report",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    r AS (
+      SELECT d_prime,
+             CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                  THEN sqrt(list_dot_product(v[1:d_prime], v[1:d_prime]))
+                       / sqrt(list_dot_product(v, v))
+                  ELSE 1.0 END AS ret
+      FROM e, (VALUES (8),(16),(32)) ds(d_prime)
+    )
+    SELECT d_prime,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(ret), 6) AS avg_retention,
+           round(min(ret), 6) AS min_retention,
+           round(avg(CASE WHEN ret >= 0.90 THEN 1 ELSE 0 END), 6) AS frac_ge_090
+    FROM r GROUP BY d_prime
+    """,
+    doc="[EXT] X3 — Matryoshka truncation-quality report: per candidate "
+    "prefix dim, surviving vector mass (avg/min retention, frac >= 0.9); one "
+    "tagged projection + one hash agg, shuffle carries (d', retention) pairs "
+    "(operators/similarity.matryoshka_report + truncate_embeddings).",
+)
+def x3_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_report(emb, "vec_id", "embedding", dims=(8, 16, 32))

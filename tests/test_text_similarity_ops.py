@@ -1166,3 +1166,30 @@ def test_collapse_repeated_lines_shapes(spark):
     p = T.collapse_repeated_lines(para, "text", unit="paragraph").collect()[0]
     assert p["collapsed_text"] == "intro para\n\nbody text here\n\nclosing words"
     assert p["n_units"] == 4 and p["n_kept_units"] == 3
+
+
+def test_truncate_embeddings_and_matryoshka_report(spark):
+    """Truncation golden: prefix slice + renormalize ([3,4,0,0] at d=2
+    -> (0.6, 0.8)); zero vectors stay zero; the report's retention is
+    exactly ||v[:d']||/||v|| with full-dim retention 1."""
+    from cbts_datalake_synnex_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [1.0, 0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    t = {r["vec_id"]: r["embedding"] for r in S.truncate_embeddings(df, "embedding", 2).collect()}
+    assert [round(x, 6) for x in t[1]] == [0.6, 0.8]
+    assert t[2] == [0.0, 0.0]
+    assert [round(x, 6) for x in t[3]] == [1.0, 0.0]
+
+    rep = {r["d_prime"]: r.asDict() for r in S.matryoshka_report(
+        df, "vec_id", "embedding", dims=(2, 4)).collect()}
+    assert rep[4]["avg_retention"] == 1.0 and rep[4]["n_vectors"] == 3
+    # d'=2: v1 keeps all mass (1.0), v2 zero -> defined as 1.0 (nothing
+    # to lose), v3 sqrt(1/2)
+    import math
+    expect = round((1.0 + 1.0 + math.sqrt(0.5)) / 3, 6)
+    assert abs(rep[2]["avg_retention"] - expect) <= 1e-6
+    assert abs(rep[2]["min_retention"] - round(math.sqrt(0.5), 6)) <= 1e-6
+    assert abs(rep[2]["frac_ge_090"] - round(2 / 3, 6)) <= 1e-6
