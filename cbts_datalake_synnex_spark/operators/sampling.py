@@ -266,3 +266,37 @@ def leakage_safe_split(
         .join(clusters, id_col, "left")
         .select(F.col(id_col), canonical.alias("canonical"), split.alias("split"))
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture targets (the multilingual sampling
+    rule of XLM-R / mT5, Conneau et al. 2020 §3.1, public):
+    ``target_i ∝ actual_i^alpha`` — alpha 1 keeps the natural
+    distribution, alpha → 0 approaches uniform, the published 0.3
+    boosts low-resource strata without drowning high-resource ones.
+    Unlike `mixture_weights` the targets are DERIVED from the corpus
+    itself, so no hand-declared mixture is needed.
+
+    Same scale shape as `mixture_weights`: one hash aggregate over the
+    corpus; the pow/normalize arithmetic runs on the |strata|-row
+    aggregate. Feed the weights to `stratified_hash_sample` /
+    `mixture_resample`-style rates or epoch-repeat factors.
+    Returns (strata_col, n_rows, actual_frac, target_frac, weight).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = F.sum("n_rows").over(W.partitionBy())
+    actual = F.col("n_rows") / total
+    powed = F.pow(actual, F.lit(float(alpha)))
+    target = powed / F.sum(powed).over(W.partitionBy())
+    return counts.select(
+        strata_col,
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(actual, round_dp).alias("actual_frac"),
+        F.round(target, round_dp).alias("target_frac"),
+        F.round(target / actual, round_dp).alias("weight"),
+    )

@@ -2450,3 +2450,34 @@ def x4_collapse_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.matryoshka_report(emb, "vec_id", "embedding", dims=(8, 16, 32))
+
+
+# ----------------------------------------------------------------------
+# X8 — temperature sampling targets (round 7): the XLM-R/mT5 rule
+# target_i ∝ actual_i^alpha, alpha = 0.3 — derived from the corpus
+# itself, no hand-declared mixture.
+@query(
+    "pipeline_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+    t AS (
+      SELECT lang, n_rows,
+             n_rows * 1.0 / sum(n_rows) OVER () AS actual,
+             pow(n_rows * 1.0 / sum(n_rows) OVER (), 0.3) AS p
+      FROM c
+    )
+    SELECT lang,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(actual, 6) AS actual_frac,
+           round(p / sum(p) OVER (), 6) AS target_frac,
+           round((p / sum(p) OVER ()) / actual, 6) AS weight
+    FROM t
+    """,
+    doc="[EXT] X8 — temperature-based mixture targets (target ∝ actual^0.3, "
+    "the published multilingual sampling rule): one hash agg over the corpus, "
+    "pow/normalize on the |strata|-row aggregate "
+    "(operators/sampling.temperature_mixture_weights).",
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mixture_weights(docs, "lang", alpha=0.3)

@@ -1193,3 +1193,25 @@ def test_truncate_embeddings_and_matryoshka_report(spark):
     assert abs(rep[2]["avg_retention"] - expect) <= 1e-6
     assert abs(rep[2]["min_retention"] - round(math.sqrt(0.5), 6)) <= 1e-6
     assert abs(rep[2]["frac_ge_090"] - round(2 / 3, 6)) <= 1e-6
+
+
+def test_temperature_mixture_weights_properties(spark):
+    """alpha=1 reproduces the natural distribution (all weights 1);
+    alpha<1 upweights the rare stratum and downweights the common one;
+    targets always sum to 1."""
+    from cbts_datalake_synnex_spark.operators.sampling import temperature_mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id bigint, lang string",
+    )
+    nat = {r["lang"]: r.asDict() for r in temperature_mixture_weights(df, "lang", alpha=1.0).collect()}
+    assert nat["big"]["weight"] == 1.0 and nat["small"]["weight"] == 1.0
+
+    t = {r["lang"]: r.asDict() for r in temperature_mixture_weights(df, "lang", alpha=0.3).collect()}
+    assert abs(t["big"]["target_frac"] + t["small"]["target_frac"] - 1.0) < 1e-6
+    assert t["small"]["weight"] > 1.0 > t["big"]["weight"]
+    # hand-computed: p_big = 0.9^0.3, p_small = 0.1^0.3
+    import math
+    pb, ps = 0.9 ** 0.3, 0.1 ** 0.3
+    assert abs(t["small"]["target_frac"] - round(ps / (pb + ps), 6)) <= 1e-6
