@@ -213,6 +213,9 @@ NEW_SURFACE_QUERIES = [
     "x4_repetition_flags",
     "pipeline_corpus_hygiene",
     "pipeline_leakage_safe_split",
+    "x4_collapse_repeated_lines",
+    "x3_matryoshka_report",
+    "pipeline_temperature_mixture",
 ]
 
 
