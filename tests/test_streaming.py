@@ -671,3 +671,62 @@ def test_incremental_apply_changes_replay_idempotent(spark, tmp_path):
             assert got == {1: "a"}, (attempt, got)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+# ----------------------------------------------------------------------
+# Round 7 — the pretraining-hygiene gates composed into the T1/T2
+# streaming ingest: incremental_curate's transform hook runs Gopher +
+# C4 per micro-batch, so only passing documents (with their CLEANED
+# text) ever land in the curated table, and the checkpoint still
+# guarantees each staged file is gated exactly once.
+def test_incremental_curate_with_hygiene_gates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators import text as T
+
+    db = f"t_{abs(hash(str(tmp_path) + 'hyg')) % 10**9}"
+    engine = LakeEngine(spark, str(tmp_path / "lake"), database=db, clock=CLOCK)
+
+    def hygiene(df):
+        flags = T.c4_clean(
+            T.gopher_quality_flags(df, "text"), "text",
+            min_kept_lines=1, line_terminal_punct=False,
+        )
+        return (
+            flags.filter(F.col("gopher_pass") & F.col("c4_keep"))
+            .select("doc_id", F.col("c4_text").alias("text"))
+        )
+
+    good_body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip()
+    try:
+        ckpt = str(tmp_path / "ckpt")
+        engine.save_to_staging(
+            "hygiene_docs",
+            [
+                {"doc_id": 1, "text": good_body},
+                {"doc_id": 2, "text": "too short to pass gopher"},
+            ],
+            incremental=False,
+        )
+        q = incremental_curate(engine, "hygiene_docs", ckpt, transform=hygiene)
+        q.awaitTermination(120)
+        # ids ride through the ingest policy as strings; compare numerically
+        rows = {int(r["doc_id"]) for r in spark.table(engine.qualified("hygiene_docs")).collect()}
+        assert rows == {1}
+
+        # batch 2: only the NEW file is gated; a curly-brace page drops
+        engine.save_to_staging(
+            "hygiene_docs",
+            [
+                {"doc_id": 3, "text": good_body + " extra"},
+                {"doc_id": 4, "text": good_body + " {code}"},
+            ],
+            incremental=False,
+        )
+        q = incremental_curate(engine, "hygiene_docs", ckpt, transform=hygiene)
+        q.awaitTermination(120)
+        rows = {int(r["doc_id"]) for r in spark.table(engine.qualified("hygiene_docs")).collect()}
+        assert rows == {1, 3}
+        assert spark.table(engine.qualified("hygiene_docs")).count() == 2  # no re-ingest
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
