@@ -132,6 +132,13 @@ _ROUND7_FRONT = [
     "pipeline_token_budget_sample",
 ]
 
+# Round-8 rotation TODO (set _ROUND8_FRONT when the r8 window opens):
+# the six entries added after the r7 window froze —
+# pipeline_corpus_hygiene, x4_repetition_flags,
+# pipeline_leakage_safe_split, x4_collapse_repeated_lines,
+# x3_matryoshka_report, pipeline_temperature_mixture — close lifetime
+# driver coverage at 166/166.
+
 
 def _rotate_registry() -> None:
     order = list(dict.fromkeys(_ROUND7_FRONT + _ROUND6_FRONT + _ROUND5_FRONT))
