@@ -1,0 +1,160 @@
+"""Linear text classifiers trained and applied INSIDE the engine
+(SURVEY §2.10 [EXT] X4) — the quality/language classifier stage of a
+pretraining pipeline (CCNet's fastText lang-id + LM filter, GPT-3's
+WebText quality classifier) re-expressed as pure DataFrame algebra.
+
+Multinomial Naive Bayes is the one classic text classifier whose
+TRAINING is nothing but counting, so both train and apply stay
+hash-aggregates + broadcast joins — no gradient loop, no collect of
+the corpus, no UDF. At 100 TB: training is one shuffle keyed on
+(label, token) whose output is vocab×labels rows (MBs — broadcastable
+model); scoring is one shuffle keyed on (doc, token) for the per-doc
+term counts, then broadcast joins against the model. Reference parity:
+the reference has no classifier stage (its curation is schema-level,
+`staging_to_curated.py`); this extends the [EXT] mandate's
+text-analysis surface with the published filtering recipe.
+
+Determinism contract (oracle-replicable in ANSI SQL): whitespace
+tokenization, Laplace smoothing with an in-plan vocabulary count,
+``ln`` log-likelihoods, argmax on the ROUNDED score with the label as
+tiebreak — so IEEE summation-order noise (different between engines
+and partitionings) can never flip a prediction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """(keep..., token) — whitespace split, empty tokens dropped (the
+    same tokenization every text operator in this engine uses)."""
+    return df.select(
+        *keep, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def nb_train(
+    docs: DataFrame,
+    text_col: str,
+    label_col: str,
+    smoothing: float = 1.0,
+) -> dict[str, DataFrame]:
+    """Train a multinomial Naive Bayes model; returns small DataFrames
+    (the model), never driver-side data.
+
+    ``token_logprob``: (label, token, logprob) with Laplace smoothing
+    ``ln((c + a) / (total_label + a*V))``; ``label_stats``: (label,
+    logprior, default_logprob) where default covers tokens unseen for
+    that label (the same smoothing formula at c=0). V (vocabulary
+    size) is computed in-plan as a one-row aggregate and broadcast —
+    no driver action. Model size is O(vocab × labels): counting
+    shuffles carry (label, token, count), everything downstream is a
+    broadcast.
+    """
+    a = float(smoothing)
+    toks = _tokens(docs, text_col, label_col)
+    counts = toks.groupBy(label_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select(F.countDistinct("token").alias("__v"))
+    label_totals = counts.groupBy(label_col).agg(F.sum("c").alias("total"))
+    doc_counts = docs.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total_docs = F.sum("n_docs").over(W.partitionBy())
+    # LEFT join + coalesce: a label whose training docs are all empty
+    # still exists (prior-only scoring) — an inner join would drop it
+    # AND shrink every other label's prior normalizer.
+    label_stats = (
+        doc_counts.crossJoin(F.broadcast(vocab))
+        .join(label_totals, label_col, "left")
+        .withColumn("total", F.coalesce(F.col("total"), F.lit(0)))
+        .withColumn("__v", F.greatest(F.col("__v"), F.lit(1)))
+        .select(
+            label_col,
+            F.log(F.col("n_docs") / total_docs).alias("logprior"),
+            F.log(F.lit(a) / (F.col("total") + F.lit(a) * F.col("__v"))).alias(
+                "default_logprob"
+            ),
+            F.col("total").alias("__total"),
+            F.col("__v"),
+        )
+    )
+    token_logprob = counts.join(
+        F.broadcast(label_stats.select(label_col, "__total", "__v")), label_col
+    ).select(
+        label_col,
+        "token",
+        F.log((F.col("c") + F.lit(a)) / (F.col("__total") + F.lit(a) * F.col("__v"))).alias(
+            "logprob"
+        ),
+    )
+    return {
+        "token_logprob": token_logprob,
+        "label_stats": label_stats.select(label_col, "logprior", "default_logprob"),
+    }
+
+
+def nb_score(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Score every document under every label; returns the per-doc
+    argmax (id, pred_label, score, n_tokens).
+
+    score(d, l) = logprior(l) + Σ_t count(t in d) · logprob(t | l),
+    unseen-for-label tokens falling back to the label's smoothed
+    default. Shuffle budget: ONE (doc, token) count aggregate over the
+    corpus; the model and label list join in as broadcasts; the argmax
+    is a (doc)-keyed max_by on the rounded score — no window sort.
+    Zero-token documents score on the prior alone (left join keeps
+    them). Ties break on the smaller label string, both engines alike.
+    """
+    tlp = model["token_logprob"]
+    stats = model["label_stats"]
+    model_label = [c for c in stats.columns if c not in ("logprior", "default_logprob")][0]
+    term = _tokens(docs, text_col, id_col).groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # every (doc-term, label) pair — labels are a tiny broadcast
+    contrib = (
+        term.crossJoin(F.broadcast(stats.select(F.col(model_label).alias(label_col), "default_logprob")))
+        .join(
+            F.broadcast(tlp.select(F.col(model_label).alias(label_col), "token", "logprob")),
+            [label_col, "token"],
+            "left",
+        )
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce(F.col("logprob"), F.col("default_logprob"))).alias("__ll"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+    scored = (
+        docs.select(id_col)
+        .crossJoin(F.broadcast(stats.select(F.col(model_label).alias(label_col), "logprior")))
+        .join(contrib, [id_col, label_col], "left")
+        .select(
+            id_col,
+            label_col,
+            F.round(F.col("logprior") + F.coalesce(F.col("__ll"), F.lit(0.0)), round_dp).alias(
+                "score"
+            ),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    # argmax on (rounded score desc, label asc): max_by over a struct —
+    # a hash aggregate, not a window sort. Negated score gives the
+    # ascending-struct minimum the desc-score semantics; label ascends.
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col(label_col).alias("l"))).alias("b"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    return best.select(
+        id_col,
+        F.col("b.l").alias("pred_label"),
+        (-F.col("b.ns")).alias("score"),
+        "n_tokens",
+    )

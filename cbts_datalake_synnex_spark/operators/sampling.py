@@ -300,3 +300,97 @@ def temperature_mixture_weights(
         F.round(target, round_dp).alias("target_frac"),
         F.round(target / actual, round_dp).alias("weight"),
     )
+
+
+def dsir_log_ratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10_000,
+    smoothing: float = 1.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection with Importance
+    Resampling, Xie et al. 2023, public): score every raw-corpus
+    document by ``log p_target(x) − log p_raw(x)`` under two hashed
+    bag-of-words unigram language models — the published recipe for
+    picking the slice of a web-scale corpus that "looks like" a small
+    high-quality target corpus. Select by thresholding / top-fraction
+    on the returned log-ratio (Gumbel-top-k resampling composes via
+    `hash_sample`-style salts if sampled-not-ranked selection is
+    wanted).
+
+    Scale shape: the feature space is ``n_buckets`` hashed token ids
+    (md5-derived so both engines agree), so each LM is ONE hash
+    aggregate whose result is ≤ n_buckets rows — a broadcast. Scoring
+    is one (doc, bucket) count aggregate over the raw corpus plus two
+    broadcast joins; nothing driver-side, no UDF. The raw corpus is
+    touched twice (LM + scoring) — at 100 TB either pass is
+    shuffle-bounded by (doc, bucket) cardinality, and the LM pass can
+    run on a `hash_sample` when the corpus distribution is stable.
+
+    Returns (id_col, n_tokens, log_ratio) — log_ratio rounded, higher
+    = more target-like.
+    """
+    b = int(n_buckets)
+    a = float(smoothing)
+
+    def buckets(df: DataFrame, *keep: str) -> DataFrame:
+        tok = df.select(
+            *keep, F.explode(F.split(F.col(text_col), " ")).alias("__t")
+        ).filter(F.col("__t") != "")
+        return tok.select(
+            *keep,
+            (F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("bigint") % b).alias(
+                "bucket"
+            ),
+        )
+
+    def lm(df: DataFrame, out: str) -> DataFrame:
+        cnt = buckets(df).groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        total = F.sum("c").over(W.partitionBy())
+        return cnt.select(
+            "bucket", F.log((F.col("c") + F.lit(a)) / (total + F.lit(a * b))).alias(out),
+            total.alias(f"__tot_{out}"),
+        )
+
+    t_lm = lm(target, "lp_t")
+    r_lm = lm(raw, "lp_r")
+    # unseen-bucket fallbacks: ln(a / (total + a*B)) per LM, carried as
+    # one-row broadcast aggregates so the left joins stay total.
+    # coalesce(max, 0): an all-empty corpus yields an EMPTY lm — the
+    # default must still be the smoothed uniform ln(a / (0 + a·B)),
+    # not NULL (which would nullify every downstream log-ratio).
+    t_default = t_lm.agg(
+        F.log(F.lit(a) / (F.coalesce(F.max("__tot_lp_t"), F.lit(0)) + F.lit(a * b))).alias("d_t")
+    )
+    r_default = r_lm.agg(
+        F.log(F.lit(a) / (F.coalesce(F.max("__tot_lp_r"), F.lit(0)) + F.lit(a * b))).alias("d_r")
+    )
+    doc_buckets = buckets(raw, id_col).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(t_lm.select("bucket", "lp_t")), "bucket", "left")
+        .join(F.broadcast(r_lm.select("bucket", "lp_r")), "bucket", "left")
+        .crossJoin(F.broadcast(t_default))
+        .crossJoin(F.broadcast(r_default))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * (F.coalesce(F.col("lp_t"), F.col("d_t")) - F.coalesce(F.col("lp_r"), F.col("d_r")))
+            ).alias("__lr"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(F.coalesce(F.col("__lr"), F.lit(0.0)), round_dp).alias("log_ratio"),
+        )
+    )

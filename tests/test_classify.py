@@ -1,0 +1,155 @@
+"""In-engine classifier + DSIR operators — engine output vs a plain
+Python recomputation of the declared semantics (the round-7 property
+pattern), plus partitioning-invariance."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cbts_datalake_synnex_spark.operators import classify, sampling
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "zz"])
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+def _py_nb(train, score_docs, a=1.0):
+    """(doc_id -> (pred, score, n_tokens)) exactly per the operator contract."""
+    counts: dict = {}
+    totals: dict = {}
+    n_docs: dict = {}
+    vocab = set()
+    for label, text in train:
+        n_docs[label] = n_docs.get(label, 0) + 1
+        for t in text.split(" "):
+            if not t:
+                continue
+            counts[(label, t)] = counts.get((label, t), 0) + 1
+            totals[label] = totals.get(label, 0) + 1
+            vocab.add(t)
+    all_docs = sum(n_docs.values())
+    v = len(vocab)
+    out = {}
+    for did, text in score_docs:
+        toks = [t for t in text.split(" ") if t]
+        best = None
+        for label in sorted(n_docs):
+            s = math.log(n_docs[label] / all_docs)
+            tot = totals.get(label, 0)
+            for t in toks:
+                c = counts.get((label, t), 0)
+                s += math.log((c + a) / (tot + a * v))
+            s = round(s, 6)
+            if best is None or s > best[1]:
+                best = (label, s)
+        out[did] = (best[0], best[1], len(toks))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    train=st.lists(
+        st.tuples(st.sampled_from(["en", "fr"]), _doc), min_size=2, max_size=8
+    ).filter(lambda rows: len({l for l, _ in rows}) == 2 and any(t for _, t in rows)),
+    score=st.lists(_doc, min_size=1, max_size=5),
+)
+def test_nb_matches_python_model(spark, train, score):
+    tdf = spark.createDataFrame(train, "lang string, text string")
+    sdf = spark.createDataFrame(list(enumerate(score)), "doc_id bigint, text string")
+    model = classify.nb_train(tdf, text_col="text", label_col="lang")
+    got = {
+        r["doc_id"]: (r["pred_label"], r["score"], r["n_tokens"])
+        for r in classify.nb_score(sdf, model, id_col="doc_id", text_col="text").collect()
+    }
+    want = _py_nb(train, list(enumerate(score)))
+    assert got == want
+
+
+def test_nb_zero_token_doc_scores_on_prior(spark):
+    tdf = spark.createDataFrame(
+        [("en", "aa bb"), ("en", "aa"), ("fr", "cc")], "lang string, text string"
+    )
+    sdf = spark.createDataFrame([(0, "")], "doc_id bigint, text string")
+    model = classify.nb_train(tdf, text_col="text", label_col="lang")
+    row = classify.nb_score(sdf, model, id_col="doc_id", text_col="text").collect()[0]
+    # priors: en 2/3, fr 1/3 — the empty doc goes to the bigger prior
+    assert row["pred_label"] == "en"
+    assert row["n_tokens"] == 0
+    assert row["score"] == round(math.log(2 / 3), 6)
+
+
+def test_nb_partitioning_invariant(spark):
+    rows = [(i, f"w{i % 3} w{i % 5} common", ["en", "fr"][i % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    model = classify.nb_train(df, text_col="text", label_col="lang")
+    a = classify.nb_score(df, model, id_col="doc_id", text_col="text")
+    model2 = classify.nb_train(df.repartition(7), text_col="text", label_col="lang")
+    b = classify.nb_score(df.repartition(13), model2, id_col="doc_id", text_col="text")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _bucket(tok: str, b: int = 10_000) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % b
+
+
+def _py_dsir(raw, target, b=10_000, a=1.0):
+    def lm(docs):
+        cnt: dict = {}
+        for _, text in docs:
+            for t in text.split(" "):
+                if t:
+                    k = _bucket(t, b)
+                    cnt[k] = cnt.get(k, 0) + 1
+        tot = sum(cnt.values())
+        return cnt, tot
+
+    tc, tt = lm(target)
+    rc, rt = lm(raw)
+    d_t = math.log(a / (tt + a * b))
+    d_r = math.log(a / (rt + a * b))
+    out = {}
+    for did, text in raw:
+        lr, n = 0.0, 0
+        for t in text.split(" "):
+            if not t:
+                continue
+            n += 1
+            k = _bucket(t, b)
+            lp_t = math.log((tc[k] + a) / (tt + a * b)) if k in tc else d_t
+            lp_r = math.log((rc[k] + a) / (rt + a * b)) if k in rc else d_r
+            lr += lp_t - lp_r
+        out[did] = (n, round(lr, 6))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    raw=st.lists(_doc, min_size=1, max_size=6),
+    target_idx=st.lists(st.integers(0, 5), min_size=1, max_size=3),
+)
+def test_dsir_matches_python_model(spark, raw, target_idx):
+    raw_rows = list(enumerate(raw))
+    target_rows = [raw_rows[i % len(raw_rows)] for i in target_idx]
+    rdf = spark.createDataFrame(raw_rows, "doc_id bigint, text string")
+    tdf = spark.createDataFrame(target_rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in sampling.dsir_log_ratio(
+            rdf, tdf, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert got == _py_dsir(raw_rows, target_rows)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target speaks 'aa bb'; raw doc 0 mimics it, doc 1 doesn't.
+    raw = [(0, "aa bb aa bb"), (1, "zz yy zz yy")]
+    target = [(10, "aa bb aa"), (11, "bb aa bb")]
+    rdf = spark.createDataFrame(raw, "doc_id bigint, text string")
+    tdf = spark.createDataFrame(target, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["log_ratio"] for r in
+           sampling.dsir_log_ratio(rdf, tdf, id_col="doc_id", text_col="text").collect()}
+    assert got[0] > got[1]
