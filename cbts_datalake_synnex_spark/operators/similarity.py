@@ -1050,3 +1050,147 @@ def matryoshka_report(
         )
         .orderBy("d_prime")
     )
+
+
+def _fit_cells(vectors: DataFrame, id_col: str, vec_col: str, n_cells: int, lloyd_iters: int):
+    """Bounded, deterministic IVF cell training (the `ivf_topk`
+    budget): md5-ordered unbiased sample, seeded k-means++ + Lloyd.
+    Returns (cent_df, n_cells) where cent_df is the one-row broadcast
+    centroid matrix, or (None, 0) on an empty corpus."""
+    import numpy as np
+
+    seed_rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(max(n_cells * 64, 512))
+        .collect()
+    )
+    if not seed_rows:
+        return None, 0
+    sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, len(sample))
+    cents = _train_centroids(sample, n_cells, lloyd_iters)
+    cent_df = vectors.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in cents],)], "__cmat: array<array<double>>"
+    )
+    return cent_df, n_cells
+
+
+def knn_join(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 8,
+    n_assign: int = 1,
+    round_dp: int = 6,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Distributed approximate kNN JOIN — top-k cosine neighbors in
+    ``candidates`` for EVERY row of ``queries``, with BOTH sides too
+    large to broadcast (the regime `cosine_topk`/`ivf_topk` don't
+    cover: their query side is a broadcast by contract).
+
+    Physical plan, scale-first: train IVF cells once on a bounded
+    candidate sample (driver budget identical to `ivf_topk`); assign
+    candidates to their ``n_assign`` nearest cells and queries to
+    ``n_probe`` cells as broadcast-matrix codegen projections; then a
+    **shuffle equi-join on cell id via cogrouped `applyInPandas`** —
+    each cell's (Q_cell, d) × (d, C_cell) similarity block is ONE BLAS
+    GEMM, emitting only k rows per (query, cell). The global reduce
+    sees ≤ n_probe·k candidates per query. Nothing crosses the Arrow
+    boundary except cell-local blocks; no side is ever collected or
+    broadcast. Skew lever = n_cells (cells ≈ |C| / desired block rows).
+
+    Determinism: rounded cosine + candidate-id tiebreak at BOTH the
+    cell-local and global top-k, so results are partition- and
+    engine-stable. Returns (query_id, cand_id, cosine, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_df, n_cells = _fit_cells(candidates, id_col, vec_col, n_cells, lloyd_iters)
+    id_type = queries.schema[id_col].dataType.simpleString()
+    if cent_df is None:
+        return queries.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, cand_id {id_type}, cosine double, rank int"
+        )
+    n_probe = min(n_probe, n_cells)
+    n_assign = min(n_assign, n_cells)
+
+    def nearest_cells(vec: F.Column, n: int) -> F.Column:
+        scored = F.transform(
+            F.col("__cmat"),
+            lambda cv, i: F.struct(_dot(vec, cv).alias("s"), i.alias("c")),
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("c")
+
+    c = (
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cell", F.explode(nearest_cells(F.col("cv"), n_assign)))
+        .drop("__cmat")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+        .drop("__cmat")
+    )
+
+    out_schema = f"query_id {id_type}, cand_id {id_type}, cosine double"
+
+    def score_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "cand_id": [], "cosine": []})
+        qm = np.asarray([list(v) for v in qpdf["qv"]], dtype=np.float64)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        cm = np.asarray([list(v) for v in cpdf["cv"]], dtype=np.float64)
+        cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        # raw doubles out; the JVM applies the canonical F.round after
+        # the Arrow boundary (same discipline as cosine_topk_arrow, so
+        # HALF_UP vs numpy banker's rounding can never diverge)
+        sims = qm @ cm.T  # (Q, C)
+        q_ids = qpdf["query_id"].to_numpy()
+        c_ids = cpdf["cand_id"].to_numpy()
+        # candidate-id order for deterministic ties
+        order = np.argsort(c_ids, kind="stable")
+        sims = sims[:, order]
+        c_ids = c_ids[order]
+        out_q, out_c, out_s = [], [], []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for i, qid in enumerate(q_ids):
+            row = sims[i]
+            top = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
+            # (-cosine, cand_id) order: c_ids ascend with j, so sorting
+            # positions by (-score, position) IS the id tiebreak
+            top = sorted(top.tolist(), key=lambda j: (-row[j], j))
+            taken = 0
+            for j in top:
+                if exclude_self and c_ids[j] == qid:
+                    continue
+                out_q.append(qid)
+                out_c.append(c_ids[j])
+                out_s.append(row[j])
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame({"query_id": out_q, "cand_id": out_c, "cosine": out_s})
+
+    per_cell = (
+        q.groupBy("cell")
+        .cogroup(c.groupBy("cell"))
+        .applyInPandas(lambda qq, cc: score_cell(qq, cc), schema=out_schema)
+        .withColumn("cosine", F.round(F.col("cosine"), round_dp))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        per_cell.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

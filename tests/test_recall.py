@@ -199,3 +199,46 @@ def test_pq_recall_at_k(spark, sf_dir):
     # ADC shortlist (k*8) + exact re-rank: the shortlist has to miss a
     # true top-5 neighbor entirely for recall to drop; gate at 0.7.
     assert mean_recall >= 0.7, f"PQ mean recall@5 {mean_recall:.3f} below gate"
+
+
+def test_knn_join_recall_and_shape(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 5 == 0)
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    approx = similarity.knn_join(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=5, n_cells=16, n_probe=6, n_assign=2,
+    )
+    got = approx.collect()
+    truth = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    found = {(r["query_id"], r["cand_id"]) for r in got}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.80, f"knn_join recall@5 {recall:.3f} below gate"
+    # exactly k rows per query, ranks contiguous
+    per_q: dict = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    n_queries = queries.count()
+    assert len(per_q) == n_queries
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_knn_join_partitioning_invariant(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id % 5 == 0)
+    a = similarity.knn_join(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=3, n_cells=8, n_probe=3
+    )
+    b = similarity.knn_join(
+        emb.repartition(11), queries.repartition(7), id_col="vec_id",
+        vec_col="embedding", k=3, n_cells=8, n_probe=3,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_knn_join_empty_corpus_schema(spark):
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = similarity.knn_join(empty, empty, id_col="vec_id", vec_col="embedding", k=3)
+    # id types derive from the input schema (string here), not a hardcoded long
+    assert [f.dataType.simpleString() for f in out.schema.fields[:2]] == ["string", "string"]
+    assert out.count() == 0
