@@ -216,6 +216,9 @@ NEW_SURFACE_QUERIES = [
     "x4_collapse_repeated_lines",
     "x3_matryoshka_report",
     "pipeline_temperature_mixture",
+    "x4_nb_classifier",
+    "pipeline_dsir_weights",
+    "x3_knn_join",
 ]
 
 

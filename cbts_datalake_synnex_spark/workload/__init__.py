@@ -133,11 +133,12 @@ _ROUND7_FRONT = [
 ]
 
 # Round-8 rotation TODO (set _ROUND8_FRONT when the r8 window opens):
-# the six entries added after the r7 window froze —
+# the nine entries added after the r7 window froze —
 # pipeline_corpus_hygiene, x4_repetition_flags,
 # pipeline_leakage_safe_split, x4_collapse_repeated_lines,
-# x3_matryoshka_report, pipeline_temperature_mixture — close lifetime
-# driver coverage at 166/166.
+# x3_matryoshka_report, pipeline_temperature_mixture,
+# x4_nb_classifier, pipeline_dsir_weights, x3_knn_join — close
+# lifetime driver coverage at 169/169.
 
 
 def _rotate_registry() -> None:

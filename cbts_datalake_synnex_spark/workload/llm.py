@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cbts_datalake_synnex_spark.operators import dedup, multimodal, sampling, similarity, text
+from cbts_datalake_synnex_spark.operators import (
+    classify,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from cbts_datalake_synnex_spark.operators.text import LANG_MARKERS, STOPWORDS_EN
 from cbts_datalake_synnex_spark.workload.base import load_table, query
 
@@ -2514,3 +2521,230 @@ def x3_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sampling.temperature_mixture_weights(docs, "lang", alpha=0.3)
+
+
+# ----------------------------------------------------------------------
+# X4 — in-engine text classifier (round 7): multinomial Naive Bayes
+# trained on an md5-sampled labeled seed (50%, salt 'nb') and applied
+# to the WHOLE corpus — the CCNet/GPT-3 "quality/language classifier"
+# pipeline stage as pure DataFrame algebra (train = counting, score =
+# one (doc,token) agg + broadcast model joins). Per-doc argmax rows are
+# the oracle surface, so DuckDB re-derives the entire model.
+@query(
+    "x4_nb_classifier",
+    oracle="""
+    WITH seed AS (
+      SELECT lang, text FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'nb'), 1, 8)) AS BIGINT)
+            % 1000000 < 500000
+    ),
+    toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM seed
+    ),
+    counts AS (
+      SELECT lang, token, count(*) AS c FROM toks WHERE token <> '' GROUP BY lang, token
+    ),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+    totals AS (SELECT lang, sum(c) AS total FROM counts GROUP BY lang),
+    priors AS (
+      SELECT lang, count(*) AS n_docs, sum(count(*)) OVER () AS all_docs
+      FROM seed GROUP BY lang
+    ),
+    stats AS (
+      SELECT p.lang,
+             ln(p.n_docs * 1.0 / p.all_docs) AS logprior,
+             ln(1.0 / (t.total + v.v)) AS default_logprob
+      FROM priors p JOIN totals t ON t.lang = p.lang CROSS JOIN vocab v
+    ),
+    tlp AS (
+      SELECT c.lang, c.token, ln((c.c + 1.0) / (t.total + v.v)) AS logprob
+      FROM counts c JOIN totals t ON t.lang = c.lang CROSS JOIN vocab v
+    ),
+    term AS (
+      SELECT doc_id, token, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY doc_id, token
+    ),
+    contrib AS (
+      SELECT term.doc_id, s.lang,
+             sum(term.cnt * COALESCE(tlp.logprob, s.default_logprob)) AS ll,
+             sum(term.cnt) AS n_tokens
+      FROM term CROSS JOIN stats s
+      LEFT JOIN tlp ON tlp.lang = s.lang AND tlp.token = term.token
+      GROUP BY term.doc_id, s.lang
+    ),
+    scored AS (
+      SELECT d.doc_id, s.lang AS pred,
+             round(s.logprior + COALESCE(c.ll, 0.0), 6) AS score,
+             CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM documents d CROSS JOIN stats s
+      LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = s.lang
+    ),
+    best AS (
+      SELECT doc_id, pred, score, n_tokens,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred ASC) AS rn
+      FROM scored
+    )
+    SELECT b.doc_id, d.lang AS true_label, b.pred AS pred_label, b.score, b.n_tokens
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rn = 1
+    """,
+    doc="[EXT] X4 — in-engine multinomial Naive Bayes: trained on an "
+    "md5-hash 50% labeled seed (Laplace smoothing, in-plan vocabulary), "
+    "scores the whole corpus with broadcast model joins and a max_by "
+    "argmax on the rounded log-likelihood — the published CCNet/GPT-3 "
+    "classifier-filter stage, train AND apply as DataFrame aggregates "
+    "(operators/classify.nb_train/nb_score).",
+)
+def x4_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seed = sampling.hash_sample(docs, "doc_id", 0.5, salt="nb")
+    model = classify.nb_train(seed, text_col="text", label_col="lang")
+    preds = classify.nb_score(docs, model, id_col="doc_id", text_col="text")
+    return preds.join(docs.select("doc_id", F.col("lang").alias("true_label")), "doc_id").select(
+        "doc_id", "true_label", "pred_label", "score", "n_tokens"
+    )
+
+
+# ----------------------------------------------------------------------
+# X8 — DSIR importance weights (round 7): hashed-unigram LM log-ratio
+# of every raw document against a target domain (here: the English
+# slice) — Xie et al. 2023's published recipe for carving the
+# target-like fraction out of a web-scale corpus.
+@query(
+    "pipeline_dsir_weights",
+    oracle="""
+    WITH tt AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'
+    ),
+    tb AS (
+      SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM tt WHERE tok <> ''
+    ),
+    t_lm AS (
+      SELECT bucket, count(*) AS c, sum(count(*)) OVER () AS tot FROM tb GROUP BY bucket
+    ),
+    rt AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    rb AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM rt WHERE tok <> ''
+    ),
+    r_lm AS (
+      SELECT bucket, count(*) AS c, sum(count(*)) OVER () AS tot
+      FROM rb GROUP BY bucket
+    ),
+    t_def AS (SELECT ln(1.0 / (max(tot) + 10000.0)) AS d_t FROM t_lm),
+    r_def AS (SELECT ln(1.0 / (max(tot) + 10000.0)) AS d_r FROM r_lm),
+    db AS (SELECT doc_id, bucket, count(*) AS cnt FROM rb GROUP BY doc_id, bucket),
+    scored AS (
+      SELECT db.doc_id,
+             sum(db.cnt * (COALESCE(ln((t_lm.c + 1.0) / (t_lm.tot + 10000.0)), t_def.d_t)
+                           - COALESCE(ln((r_lm.c + 1.0) / (r_lm.tot + 10000.0)), r_def.d_r))) AS lr,
+             sum(db.cnt) AS n_tokens
+      FROM db
+      LEFT JOIN t_lm ON t_lm.bucket = db.bucket
+      LEFT JOIN r_lm ON r_lm.bucket = db.bucket
+      CROSS JOIN t_def CROSS JOIN r_def
+      GROUP BY db.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(COALESCE(s.lr, 0.0), 6) AS log_ratio
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+    doc="[EXT] X8 — DSIR (Xie et al. 2023) importance weights: hashed "
+    "10k-bucket unigram LMs over target (lang='en') and raw corpora, "
+    "per-doc log p_target − log p_raw; both LMs are ≤10k-row broadcasts, "
+    "scoring is one (doc,bucket) aggregate — select-by-threshold composes "
+    "with hash_sample (operators/sampling.dsir_log_ratio).",
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return sampling.dsir_log_ratio(
+        docs, target, id_col="doc_id", text_col="text", n_buckets=10_000
+    )
+
+
+# ----------------------------------------------------------------------
+# X3 — distributed kNN JOIN (round 7): top-k neighbors for EVERY row of
+# a 20% query slice against the full corpus — both sides shuffled on
+# IVF cell id and scored per cell with one cogrouped-GEMM block; the
+# regime the broadcast-contract ANN operators don't cover. Report
+# discipline identical to the other ANN rows: deterministic index ⇒
+# in-plan verification vs the exact twin, constant-expected oracle.
+# bench_fn times the RAW join — the report's exact twin is O(|Q|·|C|)
+# certification scaffolding, not the operator (the semantic-dedup
+# bench lesson).
+def _knn_join_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    return similarity.knn_join(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=5, n_cells=16, n_probe=6, n_assign=2,
+    )
+
+
+@query(
+    "x3_knn_join",
+    bench_fn=_knn_join_raw,
+    oracle="""
+    SELECT count(*) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           TRUE AS recall_ge_080,
+           TRUE AS scores_match_exact,
+           TRUE AS k_rows_per_query
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+    doc="[EXT] X3 — distributed approximate kNN join (cogrouped per-cell "
+    "GEMM, n_cells=16/n_probe=6/n_assign=2): neither side broadcast or "
+    "collected; emits the in-plan verification report vs exact cosine_topk "
+    "— recall@5 >= 0.80 (measured 0.89-0.92 across SFs), every returned "
+    "score equal to the exact rescore, k rows per query "
+    "(operators/similarity.knn_join).",
+)
+def x3_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    ann = similarity.knn_join(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=5, n_cells=16, n_probe=6, n_assign=2,
+    )
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    rescored = similarity.exact_rescore(ann, emb, id_col="vec_id", vec_col="embedding")
+    marked = rescored.join(
+        exact.select("query_id", "cand_id", F.lit(1).alias("in_exact")),
+        ["query_id", "cand_id"],
+        "left",
+    )
+    m = marked.agg(
+        F.count("in_exact").alias("n_hits"),
+        F.coalesce(F.max(F.abs(F.col("cosine") - F.col("cosine_exact"))), F.lit(0.0)).alias(
+            "max_err"
+        ),
+    )
+    per_q = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("nk"))
+    shape = per_q.agg(
+        (
+            (F.coalesce(F.min("nk"), F.lit(5)) == 5) & (F.coalesce(F.max("nk"), F.lit(5)) == 5)
+        ).alias("each_query_has_k"),
+        F.count(F.lit(1)).alias("n_q_ann"),
+    )
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        nq.crossJoin(m)
+        .crossJoin(e)
+        .crossJoin(shape)
+        .select(
+            "n_queries",
+            F.lit(5).cast("long").alias("k"),
+            (F.col("n_hits") * 100 >= F.col("n_exact") * 80).alias("recall_ge_080"),
+            (F.col("max_err") == 0.0).alias("scores_match_exact"),
+            (F.col("each_query_has_k") & (F.col("n_q_ann") == F.col("n_queries"))).alias(
+                "k_rows_per_query"
+            ),
+        )
+    )
