@@ -76,3 +76,76 @@ def schema_drift_report(batch: DataFrame, target: DataFrame) -> DataFrame:
     return batch.sparkSession.createDataFrame(
         rows, "column string, batch_type string, table_type string, status string"
     )
+
+
+def psi_drift_report(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    strata_col: str,
+    bucket_width: float,
+    n_buckets: int = 10,
+    smoothing: float = 0.5,
+    threshold: float = 0.1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots, per
+    stratum (the standard model-monitoring drift gauge, public):
+    ``PSI = Σ_buckets (p_a − p_b) · ln(p_a / p_b)`` over a fixed
+    equal-width binning of ``value_col``, with additive smoothing so
+    empty buckets stay finite. PSI < 0.1 ⇒ stable, 0.1–0.25 ⇒ moderate
+    drift, > 0.25 ⇒ major shift (the published rule of thumb;
+    ``threshold`` flags the first boundary).
+
+    Scale shape: one hash aggregate per snapshot keyed (stratum,
+    bucket) — the result is |strata|·n_buckets rows, so the PSI
+    arithmetic (dense bucket grid via a sequence explode, two
+    broadcast joins) never touches the corpora again. No window over
+    the raw data, no UDF.
+
+    Returns (strata_col, psi, drift_flag) — deterministic: bucket
+    edges are FIXED (width × index), not data-derived quantiles, so
+    re-runs and engines agree bit-for-bit after rounding.
+    """
+    w = float(bucket_width)
+    s = float(smoothing)
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        bucket = F.least(
+            F.greatest(F.floor(F.col(value_col) / F.lit(w)).cast("bigint"), F.lit(0)),
+            F.lit(n_buckets - 1),
+        )
+        return df.groupBy(F.col(strata_col), bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    ca, cb = bucketize(a), bucketize(b)
+    ta = ca.groupBy(strata_col).agg(F.sum("n").alias("ta"))
+    tb = cb.groupBy(strata_col).agg(F.sum("n").alias("tb"))
+    grid = (
+        ta.select(strata_col)
+        .join(tb.select(strata_col), strata_col)
+        .select(strata_col, F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"))
+        .withColumn("bucket", F.col("bucket").cast("bigint"))
+    )
+    p = (
+        grid.join(ca.withColumnRenamed("n", "na"), [strata_col, "bucket"], "left")
+        .join(cb.withColumnRenamed("n", "nb"), [strata_col, "bucket"], "left")
+        .join(F.broadcast(ta), strata_col)
+        .join(F.broadcast(tb), strata_col)
+        .select(
+            strata_col,
+            ((F.coalesce(F.col("na"), F.lit(0)) + F.lit(s)) / (F.col("ta") + F.lit(s * n_buckets))).alias("pa"),
+            ((F.coalesce(F.col("nb"), F.lit(0)) + F.lit(s)) / (F.col("tb") + F.lit(s * n_buckets))).alias("pb"),
+        )
+    )
+    psi = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return (
+        p.groupBy(strata_col)
+        .agg(F.sum(psi).alias("__psi"))
+        .select(
+            strata_col,
+            F.round(F.col("__psi"), round_dp).alias("psi"),
+            (F.col("__psi") >= F.lit(float(threshold))).alias("drift_flag"),
+        )
+    )

@@ -834,3 +834,56 @@ def collapse_repeated_lines(
         .withColumn(out_col, F.array_join(kept, sep))
         .withColumn("n_kept_units", F.size(kept).cast("bigint"))
     )
+
+
+def corpus_token_stats(
+    docs: DataFrame,
+    text_col: str,
+    top_n: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One-row corpus vocabulary report — the Zipf/Heaps health gauge
+    consulted when sizing a tokenizer or sanity-checking a crawl
+    slice: total token count, vocabulary size, hapax-legomenon count
+    and fraction (Heaps-law tail mass — a collapsing hapax fraction
+    means boilerplate/template pileup), and the Zipf slope (least
+    squares on ln rank vs ln frequency over the ``top_n`` head; clean
+    natural-language corpora sit near −1).
+
+    Scale shape: ONE (token) hash aggregate over the corpus; the
+    scalar stats are a one-row fold of the vocab table, the head is
+    TakeOrderedAndProject (``orderBy(...).limit(top_n)`` — no global
+    window over the vocabulary), and the regression runs on ≤ top_n
+    rows. Ranking ties break on the token string, both engines alike.
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    stats = tf.agg(
+        F.sum("f").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("bigint").alias("hapax_count"),
+    )
+    head = tf.orderBy(F.desc("f"), F.asc("t")).limit(top_n)
+    ranked = head.select(
+        F.log(F.row_number().over(W.orderBy(F.desc("f"), F.asc("t"))).cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    fit = ranked.agg(
+        (
+            (F.sum(F.col("x") * F.col("y")) - F.count(F.lit(1)) * F.avg("x") * F.avg("y"))
+            / (F.sum(F.col("x") * F.col("x")) - F.count(F.lit(1)) * F.avg("x") * F.avg("x"))
+        ).alias("slope")
+    )
+    return stats.crossJoin(F.broadcast(fit)).select(
+        "total_tokens",
+        "vocab_size",
+        "hapax_count",
+        F.round(F.col("hapax_count") / F.col("vocab_size"), round_dp).alias("hapax_frac"),
+        F.round(F.col("slope"), round_dp).alias("zipf_slope"),
+    )

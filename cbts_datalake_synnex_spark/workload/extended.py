@@ -1024,3 +1024,56 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("x").alias("n_comment"),
     )
     return schema_drift_report(batch, nation).withColumnRenamed("column", "column_name")
+
+
+# ----------------------------------------------------------------------
+# DQ — distribution drift (round 7): PSI between two snapshots of the
+# events stream (deterministic even/odd event_id halves stand in for
+# week-over-week snapshots), per event_type. Fixed-width bucket edges
+# keep the gauge engine- and rerun-stable — no data-derived quantiles.
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+             least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bucket
+      FROM events
+    ),
+    c AS (SELECT event_type, snap, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
+    tot AS (SELECT event_type, snap, sum(n) AS t FROM c GROUP BY 1, 2),
+    grid AS (
+      SELECT e.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) e,
+           (SELECT unnest(range(10)) AS bucket) g
+    ),
+    p AS (
+      SELECT g.event_type,
+             (COALESCE(ca.n, 0) + 0.5) / (ta.t + 5.0) AS pa,
+             (COALESCE(cb.n, 0) + 0.5) / (tb.t + 5.0) AS pb
+      FROM grid g
+      LEFT JOIN c ca ON ca.event_type = g.event_type AND ca.bucket = g.bucket AND ca.snap = 'a'
+      LEFT JOIN c cb ON cb.event_type = g.event_type AND cb.bucket = g.bucket AND cb.snap = 'b'
+      JOIN tot ta ON ta.event_type = g.event_type AND ta.snap = 'a'
+      JOIN tot tb ON tb.event_type = g.event_type AND tb.snap = 'b'
+    )
+    SELECT event_type,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           (sum((pa - pb) * ln(pa / pb)) >= 0.1) AS drift_flag
+    FROM p GROUP BY event_type
+    """,
+    doc="[EXT] DQ — Population Stability Index between two event snapshots "
+    "per event_type: fixed-width value buckets (width 50, 10 buckets, "
+    "smoothing 0.5), PSI = sum((pa-pb)*ln(pa/pb)), flag at the published "
+    "0.1 boundary. One hash agg per snapshot; the PSI arithmetic runs on "
+    "the |strata|*10-row grid (operators/dq.psi_drift_report).",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import psi_drift_report
+
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    return psi_drift_report(
+        a, b, value_col="value", strata_col="event_type", bucket_width=50.0
+    )

@@ -1,0 +1,76 @@
+"""PSI drift + corpus vocabulary report goldens."""
+
+from __future__ import annotations
+
+import math
+
+from cbts_datalake_synnex_spark.operators.dq import psi_drift_report
+from cbts_datalake_synnex_spark.operators.text import corpus_token_stats
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, value double")
+
+
+def test_psi_identical_snapshots_is_zero(spark):
+    rows = [("x", float(v)) for v in (1, 2, 3, 40, 41, 99)]
+    out = psi_drift_report(
+        _mk(spark, rows), _mk(spark, rows), value_col="value",
+        strata_col="k", bucket_width=10.0,
+    ).collect()
+    assert out == [("x", 0.0, False)] or (
+        out[0]["psi"] == 0.0 and out[0]["drift_flag"] is False
+    )
+
+
+def test_psi_flags_shifted_distribution(spark):
+    a = _mk(spark, [("x", 1.0)] * 50)            # all in bucket 0
+    b = _mk(spark, [("x", 95.0)] * 50)           # all in bucket 9
+    out = psi_drift_report(a, b, value_col="value", strata_col="k", bucket_width=10.0).collect()
+    assert out[0]["psi"] > 0.25
+    assert out[0]["drift_flag"] is True
+
+
+def test_psi_matches_hand_computation(spark):
+    # stratum x: snapshot a = [5, 15], b = [5, 5]; width 10, 2 buckets
+    a = _mk(spark, [("x", 5.0), ("x", 15.0)])
+    b = _mk(spark, [("x", 5.0), ("x", 5.0)])
+    out = psi_drift_report(
+        a, b, value_col="value", strata_col="k", bucket_width=10.0, n_buckets=2
+    ).collect()[0]
+    pa = [(1 + 0.5) / (2 + 1.0), (1 + 0.5) / (2 + 1.0)]
+    pb = [(2 + 0.5) / (2 + 1.0), (0 + 0.5) / (2 + 1.0)]
+    want = sum((x - y) * math.log(x / y) for x, y in zip(pa, pb))
+    assert out["psi"] == round(want, 6)
+
+
+def test_corpus_token_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a a b b c"), (1, "")], "doc_id bigint, text string"
+    )
+    row = corpus_token_stats(docs, "text", top_n=100).collect()[0]
+    assert row["total_tokens"] == 7
+    assert row["vocab_size"] == 3
+    assert row["hapax_count"] == 1
+    assert row["hapax_frac"] == round(1 / 3, 6)
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (4, 2, 1)]
+    n = 3
+    ax, ay = sum(xs) / n, sum(ys) / n
+    slope = (sum(x * y for x, y in zip(xs, ys)) - n * ax * ay) / (
+        sum(x * x for x in xs) - n * ax * ax
+    )
+    assert row["zipf_slope"] == round(slope, 6)
+
+
+def test_corpus_token_stats_tie_break_on_token(spark):
+    # equal frequencies: rank order must be token-ascending, so the
+    # report is deterministic across partitionings
+    docs = spark.createDataFrame([(0, "b a c")], "doc_id bigint, text string")
+    one = corpus_token_stats(docs, "text", top_n=3).collect()[0]
+    two = corpus_token_stats(
+        spark.createDataFrame([(0, "b a c")], "doc_id bigint, text string").repartition(5),
+        "text", top_n=3,
+    ).collect()[0]
+    assert one == two
+    assert one["zipf_slope"] == 0.0  # flat frequencies => slope 0
