@@ -219,6 +219,10 @@ NEW_SURFACE_QUERIES = [
     "x4_nb_classifier",
     "pipeline_dsir_weights",
     "x3_knn_join",
+    "dq_psi_drift",
+    "x4_corpus_zipf",
+    "x3_mmr_rerank",
+    "x3_embedding_standardize",
 ]
 
 

@@ -1194,3 +1194,122 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def mmr_rerank(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    lambda_: float = 0.7,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    public): from each query's retrieved pool (``pairs`` from ANY
+    retriever — cosine_topk, knn_join, ivf_topk), greedily pick ``k``
+    results maximizing ``λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)`` — the
+    standard diversity pass between retrieval and a context window, so
+    near-duplicate hits don't crowd out coverage.
+
+    Scale shape: the pool is k'·|queries| rows (the exact_rescore
+    broadcast contract), so vector attachment is two broadcast joins
+    against the big vector table (never shuffled); the greedy loop
+    runs per query over ≤pool² in-memory cosines inside one
+    `applyInPandas` group — the declared §2.9 escape hatch for
+    inherently sequential per-group logic (the BPE-apply precedent).
+
+    Deterministic: relevance is re-derived from the vectors (rounded
+    JVM-side), greedy ties break on (higher relevance, smaller cand
+    id). Returns (query_id, cand_id, relevance, mmr_rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qv = vectors.select(F.col(id_col).alias(query_col), F.col(vec_col).alias("__qv"))
+    cv = vectors.select(F.col(id_col).alias(cand_col), F.col(vec_col).alias("__cv"))
+    pool = (
+        cv.join(F.broadcast(pairs.select(query_col, cand_col)), cand_col)
+        .join(F.broadcast(qv), query_col)
+    )
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_col} {id_type}, {cand_col} {id_type}, relevance double, mmr_rank int"
+    lam = float(lambda_)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({query_col: [], cand_col: [], "relevance": [], "mmr_rank": []})
+        # candidate-id order pins every downstream tiebreak
+        pdf = pdf.sort_values(cand_col, kind="mergesort").reset_index(drop=True)
+        cm = np.asarray([list(v) for v in pdf["__cv"]], dtype=np.float64)
+        cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        q = np.asarray(list(pdf["__qv"].iloc[0]), dtype=np.float64)
+        q /= max(np.linalg.norm(q), 1e-12)
+        rel = np.round(cm @ q, round_dp)
+        sim = cm @ cm.T
+        n = len(pdf)
+        chosen: list[int] = []
+        avail = list(range(n))
+        while avail and len(chosen) < k:
+            if not chosen:
+                scores = rel[avail]
+            else:
+                red = sim[np.ix_(avail, chosen)].max(axis=1)
+                scores = lam * rel[avail] - (1.0 - lam) * red
+            # argmax with (score desc, rel desc, cand-position asc) ties
+            best = min(range(len(avail)), key=lambda i: (-scores[i], -rel[avail[i]], i))
+            chosen.append(avail.pop(best))
+        out = pdf.iloc[chosen]
+        return pd.DataFrame(
+            {
+                query_col: out[query_col].to_numpy(),
+                cand_col: out[cand_col].to_numpy(),
+                "relevance": rel[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return pool.groupBy(query_col).applyInPandas(greedy, schema=out_schema)
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the whitening step run before distance-based indexing when raw
+    dimensions carry wildly different scales. Constant dimensions
+    (std 0) are centered but not divided.
+
+    Scale shape: per-dim moments via ONE aggregate over the corpus
+    (`posexplode` → (dim) hash agg → re-assembled into two one-row
+    broadcast arrays), application is a `zip_with` projection — the
+    corpus is scanned twice, shuffled never.
+    """
+    dims = (
+        df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg("x").alias("m"), F.stddev_pop("x").alias("s"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda e: e.getField("m")
+        ).alias("__means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "s"))), lambda e: e.getField("s")
+        ).alias("__stds"),
+    )
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("__means"), lambda x, m: x - m
+    )
+    scaled = F.zip_with(
+        centered, F.col("__stds"), lambda x, s: F.when(s > 0, x / s).otherwise(x)
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col or vec_col, scaled)
+        .drop("__means", "__stds")
+    )

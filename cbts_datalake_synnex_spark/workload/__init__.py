@@ -133,12 +133,14 @@ _ROUND7_FRONT = [
 ]
 
 # Round-8 rotation TODO (set _ROUND8_FRONT when the r8 window opens):
-# the nine entries added after the r7 window froze —
+# the entries added after the r7 window froze —
 # pipeline_corpus_hygiene, x4_repetition_flags,
 # pipeline_leakage_safe_split, x4_collapse_repeated_lines,
 # x3_matryoshka_report, pipeline_temperature_mixture,
-# x4_nb_classifier, pipeline_dsir_weights, x3_knn_join — close
-# lifetime driver coverage at 169/169.
+# x4_nb_classifier, pipeline_dsir_weights, x3_knn_join,
+# dq_psi_drift, x4_corpus_zipf, x3_mmr_rerank,
+# x3_embedding_standardize — close lifetime driver coverage at the
+# final round-7 registry count (see SURVEY §8.0).
 
 
 def _rotate_registry() -> None:

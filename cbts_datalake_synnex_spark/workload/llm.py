@@ -2748,3 +2748,181 @@ def x3_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — corpus vocabulary report (round 7): Zipf/Heaps health gauge.
+@query(
+    "x4_corpus_zipf",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT t, count(*) AS f FROM tok WHERE t <> '' GROUP BY t),
+    stats AS (
+      SELECT CAST(sum(f) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count
+      FROM tf
+    ),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, t ASC) AS DOUBLE)) AS x,
+             ln(CAST(f AS DOUBLE)) AS y
+      FROM tf QUALIFY row_number() OVER (ORDER BY f DESC, t ASC) <= 100
+    ),
+    fit AS (
+      SELECT (sum(x * y) - count(*) * avg(x) * avg(y))
+             / (sum(x * x) - count(*) * avg(x) * avg(x)) AS slope
+      FROM ranked
+    )
+    SELECT s.total_tokens, s.vocab_size, s.hapax_count,
+           round(s.hapax_count * 1.0 / s.vocab_size, 6) AS hapax_frac,
+           round(f.slope, 6) AS zipf_slope
+    FROM stats s CROSS JOIN fit f
+    """,
+    doc="[EXT] X4 — corpus vocabulary report: total tokens, vocab size, "
+    "hapax count/fraction (Heaps tail mass), Zipf slope (least squares on "
+    "ln rank vs ln freq over the top-100 head; ties break on the token). "
+    "One token hash agg; the head is TakeOrderedAndProject, never a global "
+    "window over the vocabulary (operators/text.corpus_token_stats).",
+)
+def x4_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.corpus_token_stats(docs, "text", top_n=100)
+
+
+# ----------------------------------------------------------------------
+# X3 — MMR diversification rerank (round 7): the diversity pass between
+# retrieval and a context window. Greedy selection is inherently
+# sequential per query (no SQL expression), so the registry entry
+# certifies the invariants that ARE constant-expected — in-plan, the
+# ANN report discipline.
+@query(
+    "x3_mmr_rerank",
+    oracle="""
+    SELECT count(*) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           TRUE AS k_rows_per_query,
+           TRUE AS subset_of_pool,
+           TRUE AS first_pick_is_top1,
+           TRUE AS relevance_matches_exact
+    FROM embeddings WHERE vec_id < 8
+    """,
+    doc="[EXT] X3 — Maximal Marginal Relevance rerank (Carbonell & "
+    "Goldstein 1998) of each query's exact top-20 pool to a diversified "
+    "top-5 at lambda=0.7; greedy loop runs per query over the <=pool^2 "
+    "in-memory cosines inside one applyInPandas group (the BPE-apply "
+    "escape-hatch precedent). Report certifies: k rows/query with "
+    "contiguous ranks, result is a subset of the pool, the first pick IS "
+    "the relevance top-1, and every relevance equals the independent "
+    "exact rescore (operators/similarity.mmr_rerank).",
+)
+def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    pool = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=20)
+    mmr = similarity.mmr_rerank(
+        pool, emb, id_col="vec_id", vec_col="embedding", k=5, lambda_=0.7
+    )
+    rescored = similarity.exact_rescore(
+        mmr.select("query_id", "cand_id", "relevance", "mmr_rank"),
+        emb, id_col="vec_id", vec_col="embedding",
+    )
+    rel_ok = rescored.agg(
+        F.coalesce(
+            F.max(F.abs(F.col("relevance") - F.col("cosine_exact"))), F.lit(0.0)
+        ).alias("max_rel_err")
+    )
+    per_q = mmr.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.min("mmr_rank").alias("rmin"),
+        F.max("mmr_rank").alias("rmax"),
+    )
+    shape = per_q.agg(
+        (
+            (F.coalesce(F.min("nk"), F.lit(5)) == 5)
+            & (F.coalesce(F.min("rmin"), F.lit(1)) == 1)
+            & (F.coalesce(F.max("rmax"), F.lit(5)) == 5)
+        ).alias("each_query_has_k"),
+        F.count(F.lit(1)).alias("n_q_mmr"),
+    )
+    outside = mmr.join(
+        pool.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_outside"))
+    top1 = pool.filter(F.col("rank") == 1).select("query_id", F.col("cand_id").alias("c1"))
+    first = (
+        mmr.filter(F.col("mmr_rank") == 1)
+        .join(top1, "query_id")
+        .agg(F.sum(F.when(F.col("cand_id") == F.col("c1"), 0).otherwise(1)).alias("n_bad_first"))
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        nq.crossJoin(rel_ok)
+        .crossJoin(shape)
+        .crossJoin(outside)
+        .crossJoin(first)
+        .select(
+            "n_queries",
+            F.lit(5).cast("long").alias("k"),
+            (F.col("each_query_has_k") & (F.col("n_q_mmr") == F.col("n_queries"))).alias(
+                "k_rows_per_query"
+            ),
+            (F.col("n_outside") == 0).alias("subset_of_pool"),
+            (F.coalesce(F.col("n_bad_first"), F.lit(0)) == 0).alias("first_pick_is_top1"),
+            (F.col("max_rel_err") == 0.0).alias("relevance_matches_exact"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# X3 — per-dimension embedding standardization (round 7): the whitening
+# step before distance-based indexing. The report is the per-dim moment
+# table plus an in-plan proof that the transformed corpus is actually
+# standardized.
+@query(
+    "x3_embedding_standardize",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT dim,
+           round(avg(x), 6) AS mean_before,
+           round(stddev_pop(x), 6) AS std_before,
+           TRUE AS post_standardized
+    FROM e GROUP BY dim
+    """,
+    doc="[EXT] X3 — per-dim z-score standardization of the embedding "
+    "corpus: moments via ONE posexplode hash agg re-assembled into "
+    "one-row broadcast arrays, application a zip_with projection "
+    "(constant dims centered, not divided). Report emits each dim's "
+    "before-moments plus an in-plan recomputation over the TRANSFORMED "
+    "vectors proving |mean|<1e-9 and |std-1|<1e-9 "
+    "(operators/similarity.standardize_embeddings).",
+)
+def x3_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = similarity.standardize_embeddings(emb, "embedding", out_col="__z")
+    pre = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("m"), F.stddev_pop("x").alias("s"))
+    )
+    post = (
+        z.select(F.posexplode("__z").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("m2"), F.stddev_pop("x").alias("s2"))
+    )
+    return (
+        pre.join(post, "dim")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("m", 6).alias("mean_before"),
+            F.round("s", 6).alias("std_before"),
+            (
+                (F.abs(F.col("m2")) < 1e-9)
+                & ((F.col("s") == 0.0) | (F.abs(F.col("s2") - 1.0) < 1e-9))
+            ).alias("post_standardized"),
+        )
+    )

@@ -1,0 +1,74 @@
+"""MMR rerank + embedding standardization goldens."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.operators import similarity
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # q=10: a duplicates the query direction, b is a near-copy of a,
+    # c is diverse — plain top-2 is (a, b); MMR at lambda=0.5 takes (a, c)
+    vecs = _vecs(
+        spark,
+        [
+            (10, [1.0, 0.0]),
+            (1, [1.0, 0.0]),        # a: rel 1.0
+            (2, [0.999, 0.0447]),   # b: rel ~0.999, sim(a,b) ~0.999
+            (3, [0.7071, 0.7071]),  # c: rel ~0.707, diverse
+        ],
+    )
+    queries = vecs.filter(F.col("vec_id") == 10)
+    pool = similarity.cosine_topk(vecs, queries, id_col="vec_id", vec_col="embedding", k=3)
+    out = similarity.mmr_rerank(
+        pool, vecs, id_col="vec_id", vec_col="embedding", k=2, lambda_=0.5
+    ).collect()
+    picks = [r["cand_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    assert picks == [1, 3]
+    # lambda=1 degenerates to pure relevance: (a, b)
+    out_rel = similarity.mmr_rerank(
+        pool, vecs, id_col="vec_id", vec_col="embedding", k=2, lambda_=1.0
+    ).collect()
+    assert [r["cand_id"] for r in sorted(out_rel, key=lambda r: r["mmr_rank"])] == [1, 2]
+
+
+def test_mmr_partitioning_invariant(spark, sf_dir):
+    from cbts_datalake_synnex_spark.workload.base import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    pool = similarity.cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+    a = similarity.mmr_rerank(pool, emb, id_col="vec_id", vec_col="embedding", k=3)
+    b = similarity.mmr_rerank(
+        pool.repartition(13), emb.repartition(7), id_col="vec_id", vec_col="embedding", k=3
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_standardize_hand_computed(spark):
+    # dim0: values 1,3 -> mean 2, std 1; dim1 constant 5 -> centered only
+    df = _vecs(spark, [(0, [1.0, 5.0]), (1, [3.0, 5.0])])
+    out = {r["vec_id"]: r["embedding"] for r in
+           similarity.standardize_embeddings(df, "embedding").collect()}
+    assert out[0] == [-1.0, 0.0]
+    assert out[1] == [1.0, 0.0]
+
+
+def test_standardize_out_col_preserves_input(spark):
+    df = _vecs(spark, [(0, [2.0, 4.0]), (1, [4.0, 8.0])])
+    row = similarity.standardize_embeddings(df, "embedding", out_col="z").collect()[0]
+    assert list(row["embedding"]) in ([2.0, 4.0], [4.0, 8.0])
+    m0, s0 = 3.0, 1.0
+    m1, s1 = 6.0, 2.0
+    want = {
+        0: [(2.0 - m0) / s0, (4.0 - m1) / s1],
+        1: [(4.0 - m0) / s0, (8.0 - m1) / s1],
+    }
+    rows = similarity.standardize_embeddings(df, "embedding", out_col="z").collect()
+    got = {r["vec_id"]: [round(x, 9) for x in r["z"]] for r in rows}
+    assert got == {k: [round(x, 9) for x in v] for k, v in want.items()}
