@@ -223,6 +223,8 @@ NEW_SURFACE_QUERIES = [
     "x4_corpus_zipf",
     "x3_mmr_rerank",
     "x3_embedding_standardize",
+    "pipeline_dsir_resample",
+    "x7_source_overlap",
 ]
 
 

@@ -90,3 +90,71 @@ def decontaminate(
         corpus, benchmark, id_col, text_col, n=n, min_overlap=min_overlap
     ).filter(F.col("contaminated"))
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    groups (crawl snapshots, vendors, domains), how many distinct
+    token ``n``-grams they share and the containment ratio
+    ``shared / min(|A|, |B|)`` — the triage gauge run before merging
+    corpora (a high-containment pair means one source largely
+    duplicates the other, so naive union double-counts it).
+
+    Scale shape: shingles are reduced to (group, md5-hash) DISTINCT
+    rows first — one hash agg whose output is bounded by the union
+    vocabulary, never the corpus — then the pair counts come from a
+    self-equi-join on the hash where each key appears at most
+    ``n_groups`` times (fan-out ≤ n_groups² per shingle, with
+    n_groups the handful of sources being compared). Shuffles carry
+    32-bit shingle hashes, never text; the ~|vocab|²/2³³ birthday
+    collisions are identical in any engine recomputing the same hash.
+    Zero-overlap pairs are kept via the group-pair grid.
+
+    Returns (source_a, source_b, n_shingles_a, n_shingles_b, n_shared,
+    containment) for every unordered group pair.
+    """
+    sh = (
+        docs.select(F.col(group_col).alias("g"), _tokens(text_col).alias("__toks"))
+        .select("g", F.explode(_shingles_over_tokens("__toks", n)).alias("sh"))
+        .select(
+            "g",
+            (F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    grid = (
+        sizes.select(F.col("g").alias("ga"), F.col("n_sh").alias("n_shingles_a"))
+        .crossJoin(
+            F.broadcast(sizes.select(F.col("g").alias("gb"), F.col("n_sh").alias("n_shingles_b")))
+        )
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    return (
+        grid.join(shared, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            F.col("n_shingles_a").cast("bigint").alias("n_shingles_a"),
+            F.col("n_shingles_b").cast("bigint").alias("n_shingles_b"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                / F.least(F.col("n_shingles_a"), F.col("n_shingles_b")),
+                round_dp,
+            ).alias("containment"),
+        )
+    )

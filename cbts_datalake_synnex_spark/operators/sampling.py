@@ -394,3 +394,41 @@ def dsir_log_ratio(
             F.round(F.coalesce(F.col("__lr"), F.lit(0.0)), round_dp).alias("log_ratio"),
         )
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n: int,
+    temperature: float = 1.0,
+    salt: str = "",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as a deterministic
+    Gumbel-top-k (the published reduction: adding Gumbel noise to
+    log-weights and taking the top-k draws k items w/o replacement
+    with probability ∝ exp(score/T)). The noise is derived from
+    md5(id, salt) — the engine's hash-sample discipline — so the draw
+    is identical on any engine, any partitioning, any rerun, and
+    independent draws come from different salts.
+
+    This is the selection step DSIR resampling needs on top of
+    `dsir_log_ratio` (the log-ratio IS the log-weight); temperature
+    sharpens (T→0 ⇒ hard top-n) or flattens (T→∞ ⇒ uniform) the draw.
+
+    Scale shape: key computation is a pure projection; the top-n is
+    ``orderBy().limit(n)`` — TakeOrderedAndProject, a per-partition
+    heap + driver merge of n-row partials, never a global sort. The
+    key is rounded before ordering (id tiebreak) so libm ulp noise
+    can't flip the boundary. Returns the selected rows plus
+    ``sample_key``.
+    """
+    u = (_hash_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(F.col(score_col) / F.lit(float(temperature)) + gumbel, round_dp)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(n)
+    )

@@ -2611,9 +2611,7 @@ def x4_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of every raw document against a target domain (here: the English
 # slice) — Xie et al. 2023's published recipe for carving the
 # target-like fraction out of a web-scale corpus.
-@query(
-    "pipeline_dsir_weights",
-    oracle="""
+_DSIR_CTES = """
     WITH tt AS (
       SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'
     ),
@@ -2649,11 +2647,19 @@ def x4_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN t_def CROSS JOIN r_def
       GROUP BY db.doc_id
     )
+"""
+
+_DSIR_WEIGHTS_SELECT = """
     SELECT d.doc_id,
            CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
            round(COALESCE(s.lr, 0.0), 6) AS log_ratio
     FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
-    """,
+"""
+
+
+@query(
+    "pipeline_dsir_weights",
+    oracle=_DSIR_CTES + _DSIR_WEIGHTS_SELECT,
     doc="[EXT] X8 — DSIR (Xie et al. 2023) importance weights: hashed "
     "10k-bucket unigram LMs over target (lang='en') and raw corpora, "
     "per-doc log p_target − log p_raw; both LMs are ≤10k-row broadcasts, "
@@ -2926,3 +2932,89 @@ def x3_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("post_standardized"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X8 — DSIR resampling (round 7): the SELECTION step on top of the
+# weights — Gumbel-top-k draws n docs without replacement with
+# probability ∝ exp(log_ratio / T), noise derived from md5(id) so the
+# draw is engine/partitioning/rerun-stable.
+@query(
+    "pipeline_dsir_resample",
+    oracle=_DSIR_CTES
+    + """
+    , w AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             round(COALESCE(s.lr, 0.0), 6) AS log_ratio
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens, log_ratio,
+             round(log_ratio / 2.0
+                   - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gum'), 1, 8)) AS BIGINT)
+                             % 1000000 + 0.5) / 1000000.0)), 6) AS sample_key
+      FROM w
+    )
+    SELECT doc_id, n_tokens, log_ratio, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 200
+    """,
+    doc="[EXT] X8 — DSIR resampling end-to-end: Gumbel-top-k over the "
+    "dsir log-ratios (P ∝ exp(log_ratio/T), T=2) with md5-derived noise "
+    "— deterministic weighted sampling w/o replacement; key projection + "
+    "TakeOrderedAndProject, never a global sort "
+    "(operators/sampling.gumbel_topk_sample ∘ dsir_log_ratio).",
+)
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    weights = sampling.dsir_log_ratio(
+        docs, target, id_col="doc_id", text_col="text", n_buckets=10_000
+    )
+    return sampling.gumbel_topk_sample(
+        weights, id_col="doc_id", score_col="log_ratio", n=200,
+        temperature=2.0, salt="gum",
+    )
+
+
+# ----------------------------------------------------------------------
+# X7 — cross-source contamination matrix (round 7): the merge-triage
+# gauge over the corpus's source tags.
+@query(
+    "x7_source_overlap",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source AS g,
+             CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h
+      FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS gram
+        FROM (SELECT source, string_split_regex(lower(text), '\\s+') AS t FROM documents)
+      )
+    ),
+    sizes AS (SELECT g, count(*) AS n_sh FROM sh GROUP BY g),
+    shared AS (
+      SELECT a.g AS ga, b.g AS gb, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT sa.g AS source_a, sb.g AS source_b,
+           CAST(sa.n_sh AS BIGINT) AS n_shingles_a,
+           CAST(sb.n_sh AS BIGINT) AS n_shingles_b,
+           CAST(COALESCE(sd.n_shared, 0) AS BIGINT) AS n_shared,
+           round(COALESCE(sd.n_shared, 0) * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+    LEFT JOIN shared sd ON sd.ga = sa.g AND sd.gb = sb.g
+    """,
+    doc="[EXT] X7 — cross-source contamination matrix: distinct 5-gram "
+    "overlap + containment per source pair; shingles reduce to (group, "
+    "md5-hash) distinct rows first (shuffles carry 32-bit hashes, never "
+    "text; each hash key appears ≤ n_groups times in the pair join) "
+    "(operators/decontaminate.source_overlap_matrix).",
+)
+def x7_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.decontaminate import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, text_col="text", group_col="source", n=5)
