@@ -84,3 +84,43 @@ def table_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def scd2_from_log(
+    changes: DataFrame,
+    keys: Sequence[str],
+    sequence_col: str,
+    op_col: str | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from an append-only change log
+    (the ``APPLY CHANGES … STORED AS SCD TYPE 2`` semantics of the
+    public Delta Live Tables API, rebuilt as one window): every change
+    event opens a dimension version valid from its sequence number
+    until the key's NEXT event; the key's last event stays open
+    (``is_current``). A delete event (``op_col = 'D'``) closes the
+    previous version without opening one.
+
+    Scale shape: ONE shuffle on the key (the window partition) — the
+    lead() that closes each version is a partitioned window, never a
+    global sort, and no state beyond the window frame. Deterministic:
+    (keys, sequence, tiebreak) totally order the log, so the history
+    is identical under any partitioning.
+
+    Returns the change rows (minus deletes) plus ``valid_from``,
+    ``valid_to`` (null while current) and ``is_current``.
+    """
+    order = [F.col(sequence_col).asc()] + [F.col(t).asc() for t in tiebreak]
+    w = W.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(sequence_col)).over(w)
+    out = (
+        changes.withColumn("valid_from", F.col(sequence_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )
+    if op_col is not None:
+        # drop the delete events AFTER the window: their sequence
+        # already closed the prior version's valid_to, and a key whose
+        # last event was a delete keeps no current row.
+        out = out.filter(F.upper(F.col(op_col)) != "D")
+    return out

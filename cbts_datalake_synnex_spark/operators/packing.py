@@ -58,3 +58,78 @@ def pack_summary(packed: DataFrame, shard_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").cast("bigint").alias("bin_tokens"),
     )
+
+
+def ffd_pack(
+    df: DataFrame,
+    text_col: str,
+    shard_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """First-fit-decreasing bin packing within each shard — the
+    padding-efficient alternative to `token_pack` when documents must
+    NOT be split across training sequences (instruction tuning,
+    contrastive pairs): sort the shard's documents by token count
+    descending, place each into the first bin with room; a document
+    alone wider than the budget gets its own (flagged) bin.
+
+    Scale shape: packing is inherently sequential PER SHARD, so the
+    greedy loop runs inside one `applyInPandas` group per shard — the
+    declared §2.9 escape hatch — after ONE shuffle on the shard key;
+    bin state is O(bins) per shard, the classic FFD ≤ (11/9)·OPT + 6/9
+    bound caps the output. Shard count is the parallelism lever
+    exactly as in `epoch_shuffle`.
+
+    Deterministic: (tokens desc, id asc) ordering pins the greedy
+    trace. Adds ``tokens``, ``bin_id`` (per shard), ``oversize``.
+    """
+    import pandas as pd
+
+    tokens = F.regexp_count(F.col(text_col), F.lit(_BPE_PATTERN)).cast("bigint")
+    with_tok = df.withColumn("tokens", tokens)
+    id_type = df.schema[id_col].dataType.simpleString()
+    shard_type = df.schema[shard_col].dataType.simpleString()
+    out_schema = (
+        f"{shard_col} {shard_type}, {id_col} {id_type}, tokens bigint, "
+        "bin_id bigint, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        oversize: list[bool] = []
+        for t in pdf["tokens"]:
+            t = int(t)
+            if t > budget:
+                bins.append(0)
+                assign.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            for b, cap in enumerate(bins):
+                if cap >= t:
+                    bins[b] = cap - t
+                    assign.append(b)
+                    break
+            else:
+                bins.append(budget - t)
+                assign.append(len(bins) - 1)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                shard_col: pdf[shard_col],
+                id_col: pdf[id_col],
+                "tokens": pdf["tokens"],
+                "bin_id": assign,
+                "oversize": oversize,
+            }
+        )
+
+    return (
+        with_tok.select(shard_col, id_col, "tokens")
+        .groupBy(shard_col)
+        .applyInPandas(pack, schema=out_schema)
+    )

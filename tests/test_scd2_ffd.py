@@ -1,0 +1,84 @@
+"""SCD Type 2 history + FFD packing goldens."""
+
+from __future__ import annotations
+
+from cbts_datalake_synnex_spark.operators.cdc import scd2_from_log
+from cbts_datalake_synnex_spark.operators.packing import ffd_pack
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, name string, seq bigint, op string")
+
+
+def test_scd2_versions_and_delete_semantics(spark):
+    rows = [
+        (1, "a1", 1, "I"), (1, "a2", 3, "U"), (1, "a3", 5, "U"),   # live chain
+        (2, "b1", 1, "I"), (2, None, 4, "D"),                      # deleted key
+        (3, "c1", 2, "I"), (3, None, 4, "D"), (3, "c2", 6, "I"),   # reopened key
+    ]
+    hist = {
+        (r["k"], r["valid_from"]): (r["name"], r["valid_to"], r["is_current"])
+        for r in scd2_from_log(_feed(spark, rows), ["k"], "seq", op_col="op").collect()
+    }
+    assert hist[(1, 1)] == ("a1", 3, False)
+    assert hist[(1, 3)] == ("a2", 5, False)
+    assert hist[(1, 5)] == ("a3", None, True)
+    # delete closed b1 at seq 4 and key 2 has NO current row
+    assert hist[(2, 1)] == ("b1", 4, False)
+    assert not any(k == 2 and cur for (k, _), (_, _, cur) in hist.items())
+    # key 3 reopened after its delete
+    assert hist[(3, 2)] == ("c1", 4, False)
+    assert hist[(3, 6)] == ("c2", None, True)
+    assert len(hist) == 6  # delete events themselves are not emitted
+
+
+def test_scd2_without_op_col_keeps_every_event(spark):
+    rows = [(1, "x", 1, "I"), (1, "y", 2, "I")]
+    out = scd2_from_log(_feed(spark, rows), ["k"], "seq").collect()
+    assert len(out) == 2
+    assert sum(1 for r in out if r["is_current"]) == 1
+
+
+def test_ffd_respects_budget_and_packs_once(spark):
+    docs = spark.createDataFrame(
+        [(i, 0, "w " * (10 * (i % 5 + 1))) for i in range(40)],
+        "doc_id bigint, shard int, text string",
+    )
+    out = ffd_pack(docs, "text", "shard", "doc_id", budget=60).collect()
+    assert len(out) == 40 and len({r["doc_id"] for r in out}) == 40
+    fills: dict = {}
+    for r in out:
+        assert not r["oversize"]
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["tokens"]
+    assert all(v <= 60 for v in fills.values())
+
+
+def test_ffd_beats_one_doc_per_bin(spark):
+    # 6 docs of 30 + 6 of 20 into budget 60 => FFD needs 5 bins (30+30, 20x3...)
+    docs = spark.createDataFrame(
+        [(i, 0, "w " * 30) for i in range(6)] + [(10 + i, 0, "w " * 20) for i in range(6)],
+        "doc_id bigint, shard int, text string",
+    )
+    out = ffd_pack(docs, "text", "shard", "doc_id", budget=60).collect()
+    n_bins = len({r["bin_id"] for r in out})
+    assert n_bins == 5  # three (30,30) bins + two (20,20,20) bins
+
+
+def test_ffd_oversize_doc_gets_own_flagged_bin(spark):
+    docs = spark.createDataFrame(
+        [(0, 0, "w " * 100), (1, 0, "w " * 10)], "doc_id bigint, shard int, text string"
+    )
+    out = {r["doc_id"]: r for r in ffd_pack(docs, "text", "shard", "doc_id", budget=50).collect()}
+    assert out[0]["oversize"] is True
+    assert out[1]["oversize"] is False
+    assert out[0]["bin_id"] != out[1]["bin_id"]
+
+
+def test_ffd_partitioning_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, i % 3, "w " * (i % 17 + 1)) for i in range(60)],
+        "doc_id bigint, shard int, text string",
+    )
+    a = ffd_pack(docs, "text", "shard", "doc_id", budget=40)
+    b = ffd_pack(docs.repartition(11), "text", "shard", "doc_id", budget=40)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
