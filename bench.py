@@ -225,6 +225,10 @@ NEW_SURFACE_QUERIES = [
     "x3_embedding_standardize",
     "pipeline_dsir_resample",
     "x7_source_overlap",
+    "s_csv_roundtrip",
+    "s_orc_roundtrip",
+    "cdc_scd2_apply",
+    "pipeline_ffd_packing",
 ]
 
 

@@ -140,7 +140,8 @@ _ROUND7_FRONT = [
 # x4_nb_classifier, pipeline_dsir_weights, x3_knn_join,
 # dq_psi_drift, x4_corpus_zipf, x3_mmr_rerank,
 # x3_embedding_standardize, pipeline_dsir_resample,
-# x7_source_overlap — close lifetime driver coverage at the
+# x7_source_overlap, s_csv_roundtrip, s_orc_roundtrip,
+# cdc_scd2_apply, pipeline_ffd_packing — close lifetime driver coverage at the
 # final round-7 registry count (see SURVEY §8.0).
 
 

@@ -1051,3 +1051,137 @@ def lc_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.sql("ALTER TABLE col_nat RENAME COLUMN n_nationkey TO nation_key")
         out = spark.table(eng.qualified("col_nat")).select("nation_key", "n_name")
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# SCD Type 2 from a change log (round 7) — the APPLY CHANGES … STORED
+# AS SCD TYPE 2 semantics of the public DLT API: a deterministic
+# I/U/D feed derived from nation, full version history out.
+@query(
+    "cdc_scd2_apply",
+    oracle="""
+    WITH feed AS (
+      SELECT n_nationkey AS k, n_name AS name, 1 AS seq, 'I' AS op FROM nation
+      UNION ALL
+      SELECT n_nationkey, n_name || '_v2', 2, 'U' FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT n_nationkey, NULL, 3, 'D' FROM nation WHERE n_nationkey % 5 = 0
+    ),
+    hist AS (
+      SELECT k, name, seq, op,
+             seq AS valid_from,
+             lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to,
+             lead(seq) OVER (PARTITION BY k ORDER BY seq) IS NULL AS is_current
+      FROM feed
+    )
+    SELECT CAST(k AS BIGINT) AS k, name, op,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(COALESCE(valid_to, 0) AS BIGINT) AS valid_to_seq,
+           is_current
+    FROM hist WHERE op <> 'D'
+    """,
+    doc="SURVEY §2.2 [EXT] — SCD Type 2 dimension history from an "
+    "append-only I/U/D change log (the DLT APPLY CHANGES … SCD TYPE 2 "
+    "semantics): one window on the key — each event opens a version, "
+    "the key's next event closes it, delete events close without "
+    "opening; a key whose last event is a delete keeps no current row "
+    "(operators/cdc.scd2_from_log).",
+)
+def cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.cdc import scd2_from_log
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = nation.select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name"))
+    feed = (
+        base.select("k", "name", F.lit(1).alias("seq"), F.lit("I").alias("op"))
+        .unionByName(
+            base.filter(F.col("k") % 3 == 0).select(
+                "k", F.concat(F.col("name"), F.lit("_v2")).alias("name"),
+                F.lit(2).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("k") % 5 == 0).select(
+                "k", F.lit(None).cast("string").alias("name"),
+                F.lit(3).alias("seq"), F.lit("D").alias("op"),
+            )
+        )
+    )
+    hist = scd2_from_log(feed, keys=["k"], sequence_col="seq", op_col="op")
+    return hist.select(
+        F.col("k").cast("bigint").alias("k"),
+        "name",
+        "op",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.coalesce(F.col("valid_to"), F.lit(0)).cast("bigint").alias("valid_to_seq"),
+        "is_current",
+    )
+
+
+# ----------------------------------------------------------------------
+# §2.1/§2.2 — CSV + ORC interchange roundtrips (round 7): write the
+# corpus through the foreign format into a scratch dir, read it back
+# under the pinned dialect, and emit per-row digests — the oracle
+# recomputes them from the PARQUET originals, so a green row proves the
+# format boundary is byte-faithful (text, nulls, numerics).
+_ROUNDTRIP_ORACLE = """
+    SELECT doc_id,
+           lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           sha256(text) AS text_sha
+    FROM documents
+"""
+
+
+def _roundtrip_digest(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+@query(
+    "s_csv_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    doc="SURVEY §2.1/§2.2 — CSV extract sink + S2 all-string read under "
+    "the pinned RFC-4180 dialect (quoted newlines, \\N nulls, "
+    "quoted-empty ≠ null): the corpus goes parquet → CSV → engine and "
+    "the per-row sha256 digests must equal the parquet originals "
+    "(sources/file_formats.write_csv/read_csv_all_string).",
+)
+def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.sources.file_formats import (
+        read_csv_all_string,
+        write_csv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        write_csv(docs, scratch + "/docs")
+        back = read_csv_all_string(spark, scratch + "/docs")
+        return _materialize(spark, _roundtrip_digest(back))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "s_orc_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    doc="SURVEY §2.1/§2.2 — ORC sink + scan (the legacy-Hive interchange "
+    "format; native pushdown/pruning): parquet → ORC → engine with "
+    "per-row sha256 digests equal to the parquet originals "
+    "(sources/file_formats.write_orc/read_orc).",
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.sources.file_formats import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        write_orc(docs, scratch + "/docs")
+        return _materialize(spark, _roundtrip_digest(read_orc(spark, scratch + "/docs")))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

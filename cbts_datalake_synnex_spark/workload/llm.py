@@ -3018,3 +3018,83 @@ def x7_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_overlap_matrix(docs, text_col="text", group_col="source", n=5)
+
+
+# ----------------------------------------------------------------------
+# X6 — first-fit-decreasing packing (round 7): the no-split packing
+# lane next to token_pack's concat-then-chunk. Greedy FFD is
+# inherently sequential per shard (no SQL expression), so the registry
+# certifies the constant-expected invariants plus data anchors both
+# engines recompute: doc/token totals and the FFD bin bound.
+@query(
+    "pipeline_ffd_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ffd'), 1, 8)) AS BIGINT) % 4 AS shard,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS tokens
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard, sum(tokens) AS toks FROM t GROUP BY shard
+    )
+    SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_docs,
+           CAST((SELECT sum(tokens) FROM t) AS BIGINT) AS total_tokens,
+           CAST((SELECT sum(2 * CAST(ceil(toks / 128.0) AS BIGINT) + 1) FROM per_shard) AS BIGINT) AS bins_bound,
+           TRUE AS no_overflow,
+           TRUE AS all_docs_once,
+           TRUE AS within_bound
+    """,
+    doc="[EXT] X6 — first-fit-decreasing bin packing (budget 128, 4 md5 "
+    "shards): documents are never split across sequences; greedy FFD runs "
+    "per shard inside one applyInPandas group after one shard shuffle. "
+    "Report: no non-oversize bin exceeds the budget, every doc packed "
+    "exactly once, and the bin count stays within the per-shard FFD bound "
+    "2*ceil(tokens/budget)+1 (operators/packing.ffd_pack).",
+)
+def pipeline_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.packing import ffd_pack
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("ffd"))), 1, 8), 16, 10)
+            .cast("bigint") % 4
+        ).alias("shard"),
+    )
+    packed = ffd_pack(docs, text_col="text", shard_col="shard", id_col="doc_id", budget=128)
+    fills = packed.filter(~F.col("oversize")).groupBy("shard", "bin_id").agg(
+        F.sum("tokens").alias("fill")
+    )
+    over = fills.agg(
+        F.coalesce(F.max(F.when(F.col("fill") > 128, 1).otherwise(0)), F.lit(0)).alias("n_over")
+    )
+    per_doc = packed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    once = per_doc.agg(
+        (F.coalesce(F.max("n"), F.lit(1)) == 1).alias("max_once"),
+        F.count(F.lit(1)).alias("n_docs_packed"),
+    )
+    bins = packed.groupBy("shard").agg(
+        (F.max("bin_id") + 1).alias("n_bins"), F.sum("tokens").alias("toks")
+    )
+    bound = bins.agg(
+        F.sum("n_bins").cast("bigint").alias("n_bins_total"),
+        F.sum(2 * F.ceil(F.col("toks") / 128.0).cast("bigint") + 1).cast("bigint").alias("bins_bound"),
+    )
+    totals = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").cast("bigint").alias("total_tokens")
+    )
+    return (
+        totals.crossJoin(over)
+        .crossJoin(once)
+        .crossJoin(bound)
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "total_tokens",
+            "bins_bound",
+            (F.col("n_over") == 0).alias("no_overflow"),
+            (F.col("max_once") & (F.col("n_docs_packed") == F.col("n_docs"))).alias("all_docs_once"),
+            (F.col("n_bins_total") <= F.col("bins_bound")).alias("within_bound"),
+        )
+    )
