@@ -229,6 +229,7 @@ NEW_SURFACE_QUERIES = [
     "s_orc_roundtrip",
     "cdc_scd2_apply",
     "pipeline_ffd_packing",
+    "x4_unicode_normalize",
 ]
 
 

@@ -119,8 +119,17 @@ def source_overlap_matrix(
     Returns (source_a, source_b, n_shingles_a, n_shingles_b, n_shared,
     containment) for every unordered group pair.
     """
+    from cbts_datalake_synnex_spark.operators.dedup import _widen_narrow_input
+
+    # hash AFTER the explode: md5 on an exploded column stays inside
+    # whole-stage codegen, while the same expression inside a
+    # higher-order transform() lambda is interpreted per element
+    # (measured 20x slower at sf1) — the shuffled payload is still
+    # (group, bigint), never gram text, because distinct() keys on the
+    # hash projection
     sh = (
-        docs.select(F.col(group_col).alias("g"), _tokens(text_col).alias("__toks"))
+        _widen_narrow_input(docs)
+        .select(F.col(group_col).alias("g"), _tokens(text_col).alias("__toks"))
         .select("g", F.explode(_shingles_over_tokens("__toks", n)).alias("sh"))
         .select(
             "g",

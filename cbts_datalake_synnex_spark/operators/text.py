@@ -8,6 +8,10 @@ codegen, shuffle nothing, and cost one pass at any scale.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via
+# these globals (PEP 563 stringifies annotations; a function-local
+# import would leave 'pd.Series' unresolvable to the UDF inferencer)
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -887,3 +891,36 @@ def corpus_token_stats(
         F.round(F.col("hapax_count") / F.col("vocab_size"), round_dp).alias("hapax_frac"),
         F.round(F.col("slope"), round_dp).alias("zipf_slope"),
     )
+
+
+def unicode_normalize(
+    df: DataFrame,
+    text_col: str,
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization of a text column (NFC/NFKC/NFD/NFKD) —
+    the canonicalization step run before hashing/dedup on multilingual
+    corpora: visually identical strings with different codepoint
+    sequences (precomposed é vs e+combining-accent, full-width forms)
+    must collapse BEFORE `sha2`/MinHash sees them, or every dedup
+    operator silently under-counts.
+
+    Spark SQL has no ICU normalizer builtin, so this is the honest
+    §2.9 escape hatch: one Arrow-batched `pandas_udf` over Python's
+    unicodedata (the same tables DuckDB's ``nfc_normalize`` uses) —
+    a pure projection, no shuffle, and the only Python in the
+    canonicalize→hash→dedup chain.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form: {form!r}")
+
+    @pandas_udf("string")
+    def _norm_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize(form, x) if x is not None else None)
+
+    return df.withColumn(out_col or text_col, _norm_udf(F.col(text_col)))

@@ -141,7 +141,8 @@ _ROUND7_FRONT = [
 # dq_psi_drift, x4_corpus_zipf, x3_mmr_rerank,
 # x3_embedding_standardize, pipeline_dsir_resample,
 # x7_source_overlap, s_csv_roundtrip, s_orc_roundtrip,
-# cdc_scd2_apply, pipeline_ffd_packing — close lifetime driver coverage at the
+# cdc_scd2_apply, pipeline_ffd_packing, x4_unicode_normalize —
+# close lifetime driver coverage at the
 # final round-7 registry count (see SURVEY §8.0).
 
 

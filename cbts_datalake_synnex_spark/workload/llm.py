@@ -3098,3 +3098,49 @@ def pipeline_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bins_total") <= F.col("bins_bound")).alias("within_bound"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — Unicode NFC normalization (round 7): the canonicalization step
+# before hashing/dedup. The synthetic corpus is ASCII, so the query
+# APPENDS a decomposed tail (combining diaeresis/acute) to give the
+# normalizer real work; the oracle rebuilds the same tail and runs
+# DuckDB's own nfc_normalize — matching sha256 digests prove Python's
+# unicodedata and DuckDB agree byte-for-byte.
+@query(
+    "x4_unicode_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' na' || chr(776) || 'ive e' || chr(769) || 'cole' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           sha256(raw) AS raw_sha,
+           sha256(nfc_normalize(raw)) AS norm_sha,
+           (raw <> nfc_normalize(raw)) AS changed,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_norm
+    FROM d
+    """,
+    doc="[EXT] X4 — Unicode NFC normalization (precomposed vs combining "
+    "codepoints must collapse BEFORE sha2/MinHash sees them, or every "
+    "dedup under-counts): Spark SQL has no ICU builtin, so it is the "
+    "honest §2.9 escape hatch — one Arrow-batched pandas_udf over "
+    "unicodedata, pure projection, no shuffle; DuckDB's nfc_normalize "
+    "recomputes it independently (operators/text.unicode_normalize).",
+)
+def x4_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" näive école")).alias("raw"),
+    )
+    out = text.unicode_normalize(docs, "raw", form="NFC", out_col="norm")
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("raw"), 256).alias("raw_sha"),
+        F.sha2(F.col("norm"), 256).alias("norm_sha"),
+        (F.col("raw") != F.col("norm")).alias("changed"),
+        F.length("raw").cast("bigint").alias("n_chars_raw"),
+        F.length("norm").cast("bigint").alias("n_chars_norm"),
+    )

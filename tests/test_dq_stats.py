@@ -74,3 +74,25 @@ def test_corpus_token_stats_tie_break_on_token(spark):
     ).collect()[0]
     assert one == two
     assert one["zipf_slope"] == 0.0  # flat frequencies => slope 0
+
+
+def test_unicode_normalize_nfc_collapses_combining(spark):
+    import pytest
+
+    from cbts_datalake_synnex_spark.operators.text import unicode_normalize
+
+    df = spark.createDataFrame(
+        [(0, "école"), (1, "école"), (2, None), (3, "plain")],
+        "id bigint, t string",
+    )
+    out = {r["id"]: r["t"] for r in unicode_normalize(df, "t", form="NFC").collect()}
+    assert out[0] == out[1] == "école"   # decomposed == precomposed
+    assert out[2] is None                      # null passthrough
+    assert out[3] == "plain"
+    # NFKC folds compatibility forms (the fi ligature); NFC must not
+    df2 = spark.createDataFrame([(0, "ﬁn")], "id bigint, t string")
+    nfc = unicode_normalize(df2, "t", form="NFC").collect()[0]["t"]
+    nfkc = unicode_normalize(df2, "t", form="NFKC").collect()[0]["t"]
+    assert nfc == "ﬁn" and nfkc == "fin"
+    with pytest.raises(ValueError):
+        unicode_normalize(df2, "t", form="NFX")

@@ -384,3 +384,59 @@ def test_round7_operator_plan_shapes(spark, sf_dir):
 
     adm = explain_str(REGISTRY["pipeline_incremental_admission"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in adm
+
+
+def test_round7c_operator_plan_shapes(spark, sf_dir):
+    """Round-7 second-wave additions: the NB argmax is a hash
+    aggregate (no window sort) with broadcast model joins; DSIR and
+    PSI never go cartesian; the kNN join and MMR/FFD greedy stages
+    execute as cogrouped/grouped pandas stages with no broadcast of
+    either big side; Gumbel resampling and the Zipf head are
+    TakeOrderedAndProject, never a global sort of the corpus."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators import packing, similarity
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+    from cbts_datalake_synnex_spark.workload.base import load_table
+
+    nb = explain_str(REGISTRY["x4_nb_classifier"].fn(spark, sf_dir), "simple")
+    # the ONLY window is the |labels|-row prior normalizer; the per-doc
+    # argmax itself is a min(struct) hash aggregate, never a sort
+    assert nb.count("Window") <= 1
+    assert "CartesianProduct" not in nb
+    assert "BroadcastHashJoin" in nb   # model joins broadcast
+
+    dsir = explain_str(REGISTRY["pipeline_dsir_weights"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in dsir
+    assert "HashAggregate" in dsir
+
+    psi = explain_str(REGISTRY["dq_psi_drift"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in psi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = explain_str(
+        similarity.knn_join(emb, emb.limit(50), id_col="vec_id", vec_col="embedding", k=3),
+        "simple",
+    )
+    assert "FlatMapCoGroupsInPandas" in knn  # per-cell GEMM join
+    assert "CartesianProduct" not in knn
+
+    zipf = explain_str(REGISTRY["x4_corpus_zipf"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in zipf   # head, not a vocab window
+
+    resample = explain_str(REGISTRY["pipeline_dsir_resample"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    ffd = explain_str(
+        packing.ffd_pack(
+            docs.withColumn("shard", (F.col("doc_id") % 4).cast("int")),
+            "text", "shard", "doc_id", budget=128,
+        ),
+        "simple",
+    )
+    assert "FlatMapGroupsInPandas" in ffd
+
+    scd2 = explain_str(REGISTRY["cdc_scd2_apply"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in scd2
+    assert "Window" in scd2            # the one key-window, by design
