@@ -132,22 +132,42 @@ _ROUND7_FRONT = [
     "pipeline_token_budget_sample",
 ]
 
-# Round-8 rotation TODO (set _ROUND8_FRONT when the r8 window opens):
-# the entries added after the r7 window froze —
-# pipeline_corpus_hygiene, x4_repetition_flags,
-# pipeline_leakage_safe_split, x4_collapse_repeated_lines,
-# x3_matryoshka_report, pipeline_temperature_mixture,
-# x4_nb_classifier, pipeline_dsir_weights, x3_knn_join,
-# dq_psi_drift, x4_corpus_zipf, x3_mmr_rerank,
-# x3_embedding_standardize, pipeline_dsir_resample,
-# x7_source_overlap, s_csv_roundtrip, s_orc_roundtrip,
-# cdc_scd2_apply, pipeline_ffd_packing, x4_unicode_normalize —
-# close lifetime driver coverage at the
-# final round-7 registry count (see SURVEY §8.0).
+# Round 8: the 20 registry entries added after the round-7 window
+# froze (the §2.10 LLM-pipeline additions plus CSV/ORC interchange and
+# SCD2). All carry green local oracle parity; green CORRECTNESS_r08
+# rows close lifetime driver coverage at 180/180 of the r7 registry.
+# The remaining 30 window slots re-certify the round-7 then round-6
+# then round-5 fronts (first occurrence wins on overlap).
+_ROUND8_FRONT = [
+    "pipeline_corpus_hygiene",
+    "x4_repetition_flags",
+    "pipeline_leakage_safe_split",
+    "x4_collapse_repeated_lines",
+    "x3_matryoshka_report",
+    "pipeline_temperature_mixture",
+    "x4_nb_classifier",
+    "pipeline_dsir_weights",
+    "x3_knn_join",
+    "dq_psi_drift",
+    "x4_corpus_zipf",
+    "x3_mmr_rerank",
+    "x3_embedding_standardize",
+    "pipeline_dsir_resample",
+    "x7_source_overlap",
+    "s_csv_roundtrip",
+    "s_orc_roundtrip",
+    "cdc_scd2_apply",
+    "pipeline_ffd_packing",
+    "x4_unicode_normalize",
+]
 
 
 def _rotate_registry() -> None:
-    order = list(dict.fromkeys(_ROUND7_FRONT + _ROUND6_FRONT + _ROUND5_FRONT))
+    order = list(
+        dict.fromkeys(
+            _ROUND8_FRONT + _ROUND7_FRONT + _ROUND6_FRONT + _ROUND5_FRONT
+        )
+    )
     front = [n for n in order if n in REGISTRY]
     missing = [n for n in order if n not in REGISTRY]
     assert not missing, f"rotation references unknown queries: {missing}"
