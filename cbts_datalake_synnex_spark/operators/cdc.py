@@ -121,6 +121,8 @@ def scd2_from_log(
     if op_col is not None:
         # drop the delete events AFTER the window: their sequence
         # already closed the prior version's valid_to, and a key whose
-        # last event was a delete keeps no current row.
-        out = out.filter(F.upper(F.col(op_col)) != "D")
+        # last event was a delete keeps no current row. Null-safe: a
+        # NULL op is an upsert (DLT APPLY CHANGES semantics), not a
+        # silently-dropped row.
+        out = out.filter(~F.upper(F.col(op_col)).eqNullSafe("D"))
     return out

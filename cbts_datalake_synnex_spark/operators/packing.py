@@ -113,7 +113,11 @@ def ffd_pack(
         for t in pdf["tokens"]:
             t = int(t)
             if t > budget:
-                caps[n_bins] = 0
+                # sentinel capacity -1: an oversize bin never admits
+                # another document (a zero-token doc satisfies
+                # `live >= 0` against a cap-0 bin, which would mix
+                # oversize=true/false rows in one bin).
+                caps[n_bins] = -1
                 n_bins += 1
                 assign.append(n_bins - 1)
                 oversize.append(True)

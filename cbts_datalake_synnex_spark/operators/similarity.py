@@ -104,9 +104,12 @@ def exact_rescore(
     vector table joins; the big vector side is never shuffled."""
     qv = vectors.select(F.col(id_col).alias(query_col), F.col(vec_col).alias("__qv"))
     cv = vectors.select(F.col(id_col).alias(cand_col), F.col(vec_col).alias("__cv"))
+    # Both joins broadcast the POOL side (pairs, then pairs+cv — both
+    # k·|queries| rows); the full vector table is always the streamed
+    # probe side, never broadcast and never shuffled.
+    pool = cv.join(F.broadcast(pairs), cand_col)
     return (
-        cv.join(F.broadcast(pairs), cand_col)
-        .join(F.broadcast(qv), query_col)
+        qv.join(F.broadcast(pool), query_col)
         .withColumn(
             out_col,
             F.round(
@@ -528,7 +531,11 @@ def semantic_dedup(
         sims_m = V @ V.T
         iu, ju = np.triu_indices(len(ids), 1)
         sims = sims_m[iu, ju]
-        keep = sims >= (threshold - 1e-6)
+        # pre-filter margin derived from round_dp: any raw sim that
+        # could round UP to the threshold (>= threshold - 0.5 ulp of
+        # the rounding grid) must survive to the JVM round+filter, or
+        # the pair set diverges from the fold formulation's.
+        keep = sims >= (threshold - 0.5 * 10.0 ** -round_dp - 1e-12)
         return pd.DataFrame(
             {"a_id": ids[iu[keep]], "b_id": ids[ju[keep]], "cosine": sims[keep]}
         )
@@ -1165,10 +1172,17 @@ def knn_join(
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
         for i, qid in enumerate(q_ids):
             row = sims[i]
-            top = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
-            # (-cosine, cand_id) order: c_ids ascend with j, so sorting
-            # positions by (-score, position) IS the id tiebreak
-            top = sorted(top.tolist(), key=lambda j: (-row[j], j))
+            # The cell-local cut sorts on round_dp-ROUNDED scores (the
+            # same grid the global top-k window sees), so two
+            # candidates that tie after rounding can never be split at
+            # the per-cell k boundary by ulp-level raw differences —
+            # the id tiebreak applies at BOTH levels. c_ids ascend
+            # with j, so (rounded desc, position asc) via lexsort IS
+            # the id tiebreak. (numpy rounds half-to-even vs the JVM's
+            # HALF_UP — divergence needs a cosine exactly on the
+            # half-grid, measure-zero for float dot products.)
+            rounded = np.round(row, round_dp)
+            top = np.lexsort((np.arange(len(row)), -rounded))[:kk].tolist()
             taken = 0
             for j in top:
                 if exclude_self and c_ids[j] == qid:
@@ -1230,10 +1244,11 @@ def mmr_rerank(
 
     qv = vectors.select(F.col(id_col).alias(query_col), F.col(vec_col).alias("__qv"))
     cv = vectors.select(F.col(id_col).alias(cand_col), F.col(vec_col).alias("__cv"))
-    pool = (
-        cv.join(F.broadcast(pairs.select(query_col, cand_col)), cand_col)
-        .join(F.broadcast(qv), query_col)
-    )
+    # Broadcast the pool-side intermediate (k'·|queries| rows) into the
+    # big vector table at BOTH attachment joins — the vector table is
+    # always the streamed side (the exact_rescore contract).
+    cand_pool = cv.join(F.broadcast(pairs.select(query_col, cand_col)), cand_col)
+    pool = qv.join(F.broadcast(cand_pool), query_col)
     id_type = vectors.schema[id_col].dataType.simpleString()
     out_schema = f"{query_col} {id_type}, {cand_col} {id_type}, relevance double, mmr_rank int"
     lam = float(lambda_)
