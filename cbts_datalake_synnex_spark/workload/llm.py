@@ -2370,6 +2370,32 @@ def x4_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set (the x2_dedup_clusters_exact discipline: fr-subset + unigram
 # Jaccard keeps DuckDB's transitive closure bounded), so the per-doc
 # assignment itself is the oracle surface — not just a summary.
+# The BENCH times the SPLIT (fixpoint + md5 assignment), not the pair
+# generation: the operator takes `pairs` as input (any pair operator
+# feeds it), so the tracked number must isolate what the operator
+# itself costs — the `corpus_shingles=` precedent from the admission
+# gate. The pair set is built once per (session, sf_dir) and pinned
+# with an eager localCheckpoint during the untimed warm pass (bench.py
+# primes it explicitly before the warm-less sf1 pass);
+# `clearCache()` between queries drops cached tables, not checkpoints.
+_LEAKAGE_BENCH_PAIRS: dict = {}
+
+
+def _bench_leakage_split_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    key = (id(spark), sf_dir)
+    pinned = _LEAKAGE_BENCH_PAIRS.get(key)
+    if pinned is None:
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=1
+        )
+        pinned = pairs.localCheckpoint()  # eager: pair cost paid HERE
+        _LEAKAGE_BENCH_PAIRS[key] = pinned
+    return sampling.leakage_safe_split(
+        docs, pinned, id_col="doc_id", test_frac=0.2, salt="ls"
+    )
+
+
 @query(
     "pipeline_leakage_safe_split",
     oracle="""
@@ -2406,6 +2432,7 @@ def x4_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assigned atomically to train or test by md5(canonical)-bucket, so "
     "cross-split near-duplicate pairs are zero by construction "
     "(operators/sampling.leakage_safe_split).",
+    bench_fn=_bench_leakage_split_raw,
 )
 def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
