@@ -931,6 +931,7 @@ def unicode_normalize(
     text_col: str,
     form: str = "NFC",
     out_col: str | None = None,
+    lane: str = "auto",
 ) -> DataFrame:
     """Unicode normalization of a text column (NFC/NFKC/NFD/NFKD) —
     the canonicalization step run before hashing/dedup on multilingual
@@ -939,11 +940,17 @@ def unicode_normalize(
     must collapse BEFORE `sha2`/MinHash sees them, or every dedup
     operator silently under-counts.
 
-    Spark SQL has no ICU normalizer builtin, so this is the honest
-    §2.9 escape hatch: one Arrow-batched `pandas_udf` over Python's
-    unicodedata (the same tables DuckDB's ``nfc_normalize`` uses) —
-    a pure projection, no shuffle, and the only Python in the
-    canonicalize→hash→dedup chain.
+    Spark SQL has no ICU normalizer builtin, but icu4j ships inside
+    the Spark distribution (the collation engine), so the default
+    ``lane="auto"`` routes through a registered Java UDF over
+    `com.ibm.icu.text.Normalizer2` when the engine's UDF jar loads
+    (`functions/jvm_udfs.py`) — per-row JVM call, no Arrow round trip,
+    no Python worker in the canonicalize→hash→dedup chain. When the
+    jar is unavailable (locked-down classpath), the honest §2.9 escape
+    hatch remains: one Arrow-batched `pandas_udf` over Python's
+    unicodedata. ``lane="arrow"`` / ``lane="jvm"`` force a lane (jvm
+    raises if the jar can't load); a lane-equivalence golden pins
+    byte-identical output across both.
     """
     import unicodedata
 
@@ -951,6 +958,22 @@ def unicode_normalize(
 
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"form: {form!r}")
+    if lane not in ("auto", "arrow", "jvm"):
+        raise ValueError(f"lane: {lane!r}")
+
+    if lane in ("auto", "jvm"):
+        from cbts_datalake_synnex_spark.functions.jvm_udfs import (
+            ensure_unicode_normalize_jvm,
+        )
+
+        fn_name = ensure_unicode_normalize_jvm(df.sparkSession)
+        if fn_name is not None:
+            return df.withColumn(
+                out_col or text_col,
+                F.call_udf(fn_name, F.col(text_col), F.lit(form)),
+            )
+        if lane == "jvm":
+            raise RuntimeError("jvm normalization lane unavailable (jar failed to load)")
 
     @pandas_udf("string")
     def _norm_udf(s: pd.Series) -> pd.Series:

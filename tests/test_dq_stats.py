@@ -96,3 +96,42 @@ def test_unicode_normalize_nfc_collapses_combining(spark):
     assert nfc == "ﬁn" and nfkc == "fin"
     with pytest.raises(ValueError):
         unicode_normalize(df2, "t", form="NFX")
+
+
+def test_unicode_normalize_lane_equivalence(spark):
+    """The icu4j JVM lane and the unicodedata Arrow lane must produce
+    byte-identical output (the cosine_topk_arrow lane-golden pattern).
+    Skips only if the UDF jar genuinely can't load on this image."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.functions.jvm_udfs import (
+        ensure_unicode_normalize_jvm,
+    )
+    from cbts_datalake_synnex_spark.operators.text import unicode_normalize
+
+    if ensure_unicode_normalize_jvm(spark) is None:
+        pytest.skip("JVM normalization lane unavailable (no jar on this image)")
+
+    hostile = [
+        "école décor",            # combining accents (NFC composes)
+        "école",                   # precomposed
+        "ﬁne ½ ① ㎡ Ⅳ",          # compatibility forms (NFKC folds)
+        "가각 각",  # Hangul syllable + jamo sequence
+        "ẛ̣ ṩ",                    # multi-step composition chains
+        "Å vs Å",  # A+ring vs precomposed Å
+        "plain ascii",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hostile)], "id bigint, t string"
+    )
+    for form in ("NFC", "NFKC", "NFD", "NFKD"):
+        a = unicode_normalize(df, "t", form=form, out_col="n", lane="arrow")
+        j = unicode_normalize(df, "t", form=form, out_col="n", lane="jvm")
+        digest = lambda d: sorted(
+            d.select("id", F.sha2(F.coalesce(F.col("n"), F.lit("\x00null")), 256).alias("h"))
+            .collect()
+        )
+        assert digest(a) == digest(j), form
