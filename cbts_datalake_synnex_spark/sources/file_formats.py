@@ -35,8 +35,22 @@ _CSV_DIALECT = {
 }
 # Write-side only: empty string serializes as a QUOTED empty field so
 # the reader can tell it from NULL (Spark's reader nulls an unquoted
-# empty field; the quoted form survives as "").
-_CSV_WRITE = {**_CSV_DIALECT, "emptyValue": '""', "multiLine": None}
+# empty field; the quoted form survives as ""), and the univocity
+# writer's default whitespace TRIMMING is disabled — without the two
+# ignore*WhiteSpace pins a payload of ' ' round-trips to '' (found by
+# tests/test_csv_roundtrip_property.py).
+#
+# Known lossy value (inherent to Spark's reader, which applies
+# nullValue AFTER unquoting): a payload exactly equal to the null
+# token '\N' reads back as NULL — quoting it does not help
+# (verified; pinned by a golden in tests/test_file_formats.py).
+_CSV_WRITE = {
+    **_CSV_DIALECT,
+    "emptyValue": '""',
+    "multiLine": None,
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

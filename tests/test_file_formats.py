@@ -32,6 +32,29 @@ def test_csv_roundtrip_hostile_values(spark, tmp_path):
     assert got == want
 
 
+def test_csv_whitespace_payload_survives(spark, tmp_path):
+    # the univocity writer trims by default; the dialect pins it off —
+    # found by the hypothesis round-trip property (round 8)
+    df = spark.createDataFrame(
+        [(0, " "), (1, "  padded  "), (2, "\ttab-edge\t")], "k bigint, v string"
+    )
+    path = str(tmp_path / "csvws")
+    write_csv(df, path)
+    got = {r["k"]: r["v"] for r in read_csv_all_string(spark, path).collect()}
+    assert got == {"0": " ", "1": "  padded  ", "2": "\ttab-edge\t"}
+
+
+def test_csv_null_token_payload_is_the_documented_lossy_value(spark, tmp_path):
+    # a payload exactly '\N' reads back as NULL — Spark's reader
+    # applies nullValue after unquoting, so quoting can't protect it;
+    # pinned here so a Spark upgrade that changes this breaks loudly
+    df = spark.createDataFrame([(0, "\\N"), (1, "\\No")], "k bigint, v string")
+    path = str(tmp_path / "csvnull")
+    write_csv(df, path)
+    got = {r["k"]: r["v"] for r in read_csv_all_string(spark, path).collect()}
+    assert got == {"0": None, "1": "\\No"}
+
+
 def test_csv_all_string_leaves_typing_to_policy(spark, tmp_path):
     df = spark.createDataFrame([(1, 2.5)], "a bigint, b double")
     path = str(tmp_path / "csv2")
