@@ -230,6 +230,8 @@ NEW_SURFACE_QUERIES = [
     "cdc_scd2_apply",
     "pipeline_ffd_packing",
     "x4_unicode_normalize",
+    # round-8 additions
+    "pipeline_retrieve_rerank",
 ]
 
 

@@ -2908,6 +2908,95 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# X3 — retrieval composed END-TO-END (round 8, VERDICT r7 #6): the
+# distributed kNN join supplies each query's pool and MMR diversifies
+# it — certifying the two round-7 operators compose the way
+# `pipeline_corpus_hygiene` certified the text gates. Both stages keep
+# their scale contracts in composition: the kNN side is cogrouped
+# per-cell GEMM (neither side broadcast/collected — plan-pinned), the
+# MMR side is per-query applyInPandas over the k'-row pool, and the
+# pool handoff is exactly the k'·|queries|-row broadcast-contract
+# frame mmr_rerank expects.
+@query(
+    "pipeline_retrieve_rerank",
+    oracle="""
+    SELECT count(*) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           TRUE AS k_rows_per_query,
+           TRUE AS subset_of_knn_pool,
+           TRUE AS first_pick_is_pool_top1,
+           TRUE AS relevance_matches_exact
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+    doc="[EXT] X3 — end-to-end retrieve→rerank: knn_join (k'=20 pool, "
+    "IVF cogrouped per-cell GEMM) feeds mmr_rerank (k=5, lambda=0.7); "
+    "report certifies k rows/query, MMR output ⊆ kNN pool, the first "
+    "MMR pick IS the pool's top-1 (both sides round to the same grid, "
+    "ties break on cand id at both levels — the round-8 knn_join cut "
+    "fix), and every relevance equals the independent exact rescore "
+    "(operators/similarity.knn_join + mmr_rerank).",
+)
+def pipeline_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    pool = similarity.knn_join(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=20, n_cells=16, n_probe=6, n_assign=2,
+    )
+    mmr = similarity.mmr_rerank(
+        pool, emb, id_col="vec_id", vec_col="embedding", k=5, lambda_=0.7
+    )
+    rescored = similarity.exact_rescore(
+        mmr.select("query_id", "cand_id", "relevance", "mmr_rank"),
+        emb, id_col="vec_id", vec_col="embedding",
+    )
+    rel_ok = rescored.agg(
+        F.coalesce(
+            F.max(F.abs(F.col("relevance") - F.col("cosine_exact"))), F.lit(0.0)
+        ).alias("max_rel_err")
+    )
+    per_q = mmr.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.min("mmr_rank").alias("rmin"),
+        F.max("mmr_rank").alias("rmax"),
+    )
+    shape = per_q.agg(
+        (
+            (F.coalesce(F.min("nk"), F.lit(5)) == 5)
+            & (F.coalesce(F.min("rmin"), F.lit(1)) == 1)
+            & (F.coalesce(F.max("rmax"), F.lit(5)) == 5)
+        ).alias("each_query_has_k"),
+        F.count(F.lit(1)).alias("n_q_mmr"),
+    )
+    outside = mmr.join(
+        pool.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_outside"))
+    top1 = pool.filter(F.col("rank") == 1).select("query_id", F.col("cand_id").alias("c1"))
+    first = (
+        mmr.filter(F.col("mmr_rank") == 1)
+        .join(top1, "query_id")
+        .agg(F.sum(F.when(F.col("cand_id") == F.col("c1"), 0).otherwise(1)).alias("n_bad_first"))
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        nq.crossJoin(rel_ok)
+        .crossJoin(shape)
+        .crossJoin(outside)
+        .crossJoin(first)
+        .select(
+            "n_queries",
+            F.lit(5).cast("long").alias("k"),
+            (F.col("each_query_has_k") & (F.col("n_q_mmr") == F.col("n_queries"))).alias(
+                "k_rows_per_query"
+            ),
+            (F.col("n_outside") == 0).alias("subset_of_knn_pool"),
+            (F.coalesce(F.col("n_bad_first"), F.lit(0)) == 0).alias("first_pick_is_pool_top1"),
+            (F.col("max_rel_err") == 0.0).alias("relevance_matches_exact"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # X3 — per-dimension embedding standardization (round 7): the whitening
 # step before distance-based indexing. The report is the per-dim moment
 # table plus an in-plan proof that the transformed corpus is actually

@@ -440,3 +440,18 @@ def test_round7c_operator_plan_shapes(spark, sf_dir):
     scd2 = explain_str(REGISTRY["cdc_scd2_apply"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in scd2
     assert "Window" in scd2            # the one key-window, by design
+
+
+def test_round8_operator_plan_shapes(spark, sf_dir):
+    """Round-8 additions: the composed retrieve→rerank keeps BOTH
+    scale contracts in composition — the kNN stage is the cogrouped
+    per-cell GEMM, the MMR stage is a per-query grouped pandas stage,
+    and no broadcast carries the full vector table (the pool-side
+    intermediates are the only broadcast inputs — the round-8
+    exact_rescore/mmr fix)."""
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    rr = explain_str(REGISTRY["pipeline_retrieve_rerank"].fn(spark, sf_dir), "simple")
+    assert "FlatMapCoGroupsInPandas" in rr    # kNN per-cell GEMM
+    assert "FlatMapGroupsInPandas" in rr      # MMR per-query greedy
+    assert "CartesianProduct" not in rr
