@@ -93,7 +93,7 @@ def nb_train(
     }
 
 
-def nb_score(
+def nb_score_all(
     docs: DataFrame,
     model: dict[str, DataFrame],
     id_col: str,
@@ -101,16 +101,18 @@ def nb_score(
     label_col: str = "label",
     round_dp: int = 6,
 ) -> DataFrame:
-    """Score every document under every label; returns the per-doc
-    argmax (id, pred_label, score, n_tokens).
+    """Score every document under EVERY label; returns the full
+    (id, label, score, n_tokens) log-likelihood matrix — the surface
+    evaluation needs (one-vs-rest AUC ranks on a single class's score)
+    and `nb_score` argmaxes over.
 
     score(d, l) = logprior(l) + Σ_t count(t in d) · logprob(t | l),
     unseen-for-label tokens falling back to the label's smoothed
     default. Shuffle budget: ONE (doc, token) count aggregate over the
-    corpus; the model and label list join in as broadcasts; the argmax
-    is a (doc)-keyed max_by on the rounded score — no window sort.
-    Zero-token documents score on the prior alone (left join keeps
-    them). Ties break on the smaller label string, both engines alike.
+    corpus; the model and label list join in as broadcasts. Zero-token
+    documents score on the prior alone (left join keeps them). Scores
+    are rounded to ``round_dp`` so downstream comparisons are
+    engine-replicable.
     """
     tlp = model["token_logprob"]
     stats = model["label_stats"]
@@ -145,6 +147,24 @@ def nb_score(
             F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
     )
+    return scored
+
+
+def nb_score(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Score every document and return the per-doc argmax
+    (id, pred_label, score, n_tokens) — `nb_score_all` plus the
+    argmax reduction. Ties break on the smaller label string, both
+    engines alike; the argmax is a (doc)-keyed max_by on the rounded
+    score — no window sort.
+    """
+    scored = nb_score_all(docs, model, id_col, text_col, label_col, round_dp)
     # argmax on (rounded score desc, label asc): max_by over a struct —
     # a hash aggregate, not a window sort. Negated score gives the
     # ascending-struct minimum the desc-score semantics; label ascends.
@@ -157,4 +177,63 @@ def nb_score(
         F.col("b.l").alias("pred_label"),
         (-F.col("b.ns")).alias("score"),
         "n_tokens",
+    )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """ROC-AUC of a numeric score against a binary label, via the
+    tie-corrected Mann-Whitney U statistic — the quality gauge run on
+    a held-out slice before a classifier filter (the CCNet/GPT-3
+    recipe) is trusted to shape a corpus.
+
+        AUC = Σ_s pos(s) · (neg_below(s) + neg(s)/2) / (P · N)
+
+    computed over the score DISTRIBUTION, not the rows: one hash
+    aggregate compacts examples to (rounded score → pos/neg counts),
+    then a single ordered cumulative walk over that compact frame.
+    The walk's window deliberately has no partition key — it orders
+    the grouped distribution (bounded by the distinct rounded scores,
+    ≤ 2·10^{round_dp}·range values at the 10^-round_dp grain), never
+    the example set, so the sort never sees corpus-sized data. All
+    counts are integers and the tie term is an exact binary half, so
+    the only float op is the final division (rounded to ``round_dp``,
+    engine-replicable).
+
+    Returns one row ``(auc, n_pos, n_neg)``; ``auc`` is NULL when
+    either class is absent (AUC is undefined there).
+    """
+    g = (
+        df.select(
+            F.round(F.col(score_col), round_dp).alias("__s"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").cast("bigint").alias("p"),
+            F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("ng"),
+        )
+    )
+    w = W.orderBy("__s").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select(
+        "p",
+        "ng",
+        F.coalesce(F.sum("ng").over(w), F.lit(0).cast("bigint")).alias("below"),
+    )
+    t = c.agg(
+        F.sum(F.col("p") * (F.col("below") + F.col("ng") / F.lit(2.0))).alias("__u"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("ng").cast("bigint").alias("n_neg"),
+    )
+    return t.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(F.col("__u") / (F.col("n_pos") * F.col("n_neg")), round_dp),
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
     )

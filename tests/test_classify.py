@@ -153,3 +153,56 @@ def test_dsir_prefers_target_like_docs(spark):
     got = {r["doc_id"]: r["log_ratio"] for r in
            sampling.dsir_log_ratio(rdf, tdf, id_col="doc_id", text_col="text").collect()}
     assert got[0] > got[1]
+
+
+# --- binary_auc (round 8) -------------------------------------------------
+
+
+def _py_auc(pairs):
+    """Tie-corrected Mann-Whitney AUC over (score, label) pairs."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return round(u / (len(pos) * len(neg)), 6)
+
+
+def _auc_row(spark, pairs):
+    df = spark.createDataFrame(pairs, "s double, y int")
+    return classify.binary_auc(df, "s", "y").collect()[0]
+
+
+def test_binary_auc_goldens(spark):
+    # perfect separation
+    r = _auc_row(spark, [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)])
+    assert (r["auc"], r["n_pos"], r["n_neg"]) == (1.0, 2, 2)
+    # perfectly inverted
+    assert _auc_row(spark, [(0.9, 0), (0.8, 0), (0.1, 1)])["auc"] == 0.0
+    # all scores tied -> chance
+    assert _auc_row(spark, [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)])["auc"] == 0.5
+    # hand-computed mix: pos at 2 beats neg at 1; pos at 4 beats both -> 3/4
+    assert _auc_row(spark, [(1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)])["auc"] == 0.75
+    # single-class input: AUC undefined
+    r = _auc_row(spark, [(0.3, 1), (0.7, 1)])
+    assert r["auc"] is None and r["n_pos"] == 2 and r["n_neg"] == 0
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 0.125, 0.25, 0.5, 0.625, 1.0]),
+            st.sampled_from([0, 1]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_binary_auc_matches_python(spark, pairs):
+    row = _auc_row(spark, pairs)
+    want = _py_auc(pairs)
+    assert row["auc"] == want
+    assert row["n_pos"] == sum(y for _, y in pairs) or want is None
