@@ -232,6 +232,8 @@ NEW_SURFACE_QUERIES = [
     "x4_unicode_normalize",
     # round-8 additions
     "pipeline_retrieve_rerank",
+    "pipeline_classifier_eval",
+    "x4_ccnet_buckets",
 ]
 
 

@@ -259,6 +259,77 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """X4 — CCNet-style head/middle/tail bucketing (Wenzek et al.
+    2020, arXiv:1911.00359 §4.3): within each group (CCNet buckets per
+    language), rank documents by LM perplexity and split the group
+    into terciles — ``head`` = the lowest-perplexity third (the slice
+    CCNet keeps for pretraining), ``middle``, ``tail``. The perplexity
+    proxy is the engine's corpus-unigram LM (``unigram_logprob``
+    negated — low avg log-prob = high perplexity), the same stand-in
+    the `x4_unigram_logprob` surface certifies.
+
+    Scale shape: the per-group tercile cutoffs are computed on the
+    GROUPED (group, ppl) distribution — one hash aggregate compacts
+    documents to distinct rounded-ppl counts, a per-group cumulative
+    walk over that compact frame finds the two cut values
+    (percentile_disc semantics: the smallest value whose cumulative
+    doc count reaches ceil(n/3) / ceil(2n/3), integer arithmetic on
+    both engines), and the n_groups-row cut table broadcasts back onto
+    the docs. No per-document window sort anywhere; ties on the
+    rounded grid land in the lower bucket on both engines.
+
+    Returns (id_col, group_col, ppl, bucket); documents with zero
+    tokens have no defined perplexity and are excluded (same contract
+    as ``unigram_logprob``).
+    """
+    from pyspark.sql import Window as W
+
+    lp = unigram_logprob(df, id_col, text_col)
+    base = (
+        lp.join(df.select(F.col(id_col), F.col(group_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col).alias("__g"),
+            F.round(-F.col("avg_logprob"), round_dp).alias("ppl"),
+        )
+    )
+    dist = base.groupBy("__g", "ppl").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = W.partitionBy("__g").orderBy("ppl").rowsBetween(W.unboundedPreceding, 0)
+    cum = dist.select(
+        "__g",
+        "ppl",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(W.partitionBy("__g")).alias("__n"),
+    )
+    # ceil(n/3) and ceil(2n/3) in pure integer arithmetic — the same
+    # expression the oracle uses, so boundary docs can't drift
+    idx1 = F.floor((F.col("__n") + F.lit(2)) / F.lit(3))
+    idx2 = F.floor((F.lit(2) * F.col("__n") + F.lit(2)) / F.lit(3))
+    cuts = cum.groupBy("__g").agg(
+        F.min(F.when(F.col("__cum") >= idx1, F.col("ppl"))).alias("__c1"),
+        F.min(F.when(F.col("__cum") >= idx2, F.col("ppl"))).alias("__c2"),
+    )
+    return (
+        base.join(F.broadcast(cuts), "__g")
+        .select(
+            F.col(id_col),
+            F.col("__g").alias(group_col),
+            F.col("ppl"),
+            F.when(F.col("ppl") <= F.col("__c1"), F.lit("head"))
+            .when(F.col("ppl") <= F.col("__c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,

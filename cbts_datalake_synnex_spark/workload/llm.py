@@ -3260,3 +3260,190 @@ def x4_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("raw").cast("bigint").alias("n_chars_raw"),
         F.length("norm").cast("bigint").alias("n_chars_norm"),
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — classifier EVALUATION (round 8): the held-out report a pipeline
+# reads before trusting a classifier filter to shape a corpus. Train on
+# the md5 50% seed, score the COMPLEMENT, report accuracy plus the
+# one-vs-rest ROC-AUC of the 'en' score (tie-corrected Mann-Whitney
+# over the grouped score distribution — operators/classify.binary_auc).
+# DuckDB re-derives the entire model AND the rank statistic.
+@query(
+    "pipeline_classifier_eval",
+    oracle="""
+    WITH seed AS (
+      SELECT lang, text FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'nb'), 1, 8)) AS BIGINT)
+            % 1000000 < 500000
+    ),
+    test AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE NOT (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'nb'), 1, 8)) AS BIGINT)
+                 % 1000000 < 500000)
+    ),
+    toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM seed
+    ),
+    counts AS (
+      SELECT lang, token, count(*) AS c FROM toks WHERE token <> '' GROUP BY lang, token
+    ),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+    totals AS (SELECT lang, sum(c) AS total FROM counts GROUP BY lang),
+    priors AS (
+      SELECT lang, count(*) AS n_docs, sum(count(*)) OVER () AS all_docs
+      FROM seed GROUP BY lang
+    ),
+    stats AS (
+      SELECT p.lang,
+             ln(p.n_docs * 1.0 / p.all_docs) AS logprior,
+             ln(1.0 / (t.total + v.v)) AS default_logprob
+      FROM priors p JOIN totals t ON t.lang = p.lang CROSS JOIN vocab v
+    ),
+    tlp AS (
+      SELECT c.lang, c.token, ln((c.c + 1.0) / (t.total + v.v)) AS logprob
+      FROM counts c JOIN totals t ON t.lang = c.lang CROSS JOIN vocab v
+    ),
+    term AS (
+      SELECT doc_id, token, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test)
+      WHERE token <> '' GROUP BY doc_id, token
+    ),
+    contrib AS (
+      SELECT term.doc_id, s.lang,
+             sum(term.cnt * COALESCE(tlp.logprob, s.default_logprob)) AS ll
+      FROM term CROSS JOIN stats s
+      LEFT JOIN tlp ON tlp.lang = s.lang AND tlp.token = term.token
+      GROUP BY term.doc_id, s.lang
+    ),
+    scored AS (
+      SELECT d.doc_id, s.lang AS pred,
+             round(s.logprior + COALESCE(c.ll, 0.0), 6) AS score
+      FROM test d CROSS JOIN stats s
+      LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = s.lang
+    ),
+    best AS (
+      SELECT doc_id, pred,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred ASC) AS rn
+      FROM scored
+    ),
+    acc AS (
+      SELECT count(*) AS n_test,
+             sum(CASE WHEN b.pred = d.lang THEN 1 ELSE 0 END) AS n_correct
+      FROM best b JOIN test d USING (doc_id) WHERE b.rn = 1
+    ),
+    en AS (
+      SELECT s.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN test d USING (doc_id) WHERE s.pred = 'en'
+    ),
+    g AS (SELECT score, sum(y) AS p, sum(1 - y) AS ng FROM en GROUP BY score),
+    c AS (
+      SELECT p, ng,
+             COALESCE(sum(ng) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM g
+    ),
+    u AS (SELECT sum(p * (below + ng / 2.0)) AS u, sum(p) AS np, sum(ng) AS nn FROM c),
+    tr AS (SELECT count(*) AS n_train FROM seed)
+    SELECT CAST(tr.n_train AS BIGINT) AS n_train,
+           CAST(acc.n_test AS BIGINT) AS n_test,
+           round(acc.n_correct * 1.0 / acc.n_test, 6) AS accuracy,
+           CASE WHEN u.np > 0 AND u.nn > 0
+                THEN round(u.u / (u.np * u.nn), 6) END AS auc_en,
+           CAST(u.np AS BIGINT) AS n_pos,
+           CAST(u.nn AS BIGINT) AS n_neg
+    FROM tr CROSS JOIN acc CROSS JOIN u
+    """,
+    doc="[EXT] X4 — held-out classifier evaluation: NB trained on the "
+    "md5 50% seed, scored on the complement; accuracy from the argmax "
+    "plus one-vs-rest ROC-AUC of the 'en' log-likelihood via the "
+    "tie-corrected Mann-Whitney walk over the GROUPED score "
+    "distribution (one hash agg + a compact ordered walk — never a "
+    "corpus-sized sort; operators/classify.binary_auc/nb_score_all).",
+)
+def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seed = sampling.hash_sample(docs, "doc_id", 0.5, salt="nb")
+    test = docs.join(seed.select("doc_id"), "doc_id", "left_anti")
+    model = classify.nb_train(seed, text_col="text", label_col="lang")
+    truth = test.select("doc_id", F.col("lang").alias("true_label"))
+    preds = classify.nb_score(test, model, id_col="doc_id", text_col="text")
+    acc = preds.join(truth, "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum((F.col("pred_label") == F.col("true_label")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    en = (
+        classify.nb_score_all(test, model, id_col="doc_id", text_col="text")
+        .filter(F.col("label") == "en")
+        .join(truth, "doc_id")
+        .select("score", (F.col("true_label") == "en").cast("int").alias("y"))
+    )
+    auc = classify.binary_auc(en, "score", "y")
+    ntr = seed.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+    return (
+        ntr.crossJoin(acc)
+        .crossJoin(auc)
+        .select(
+            "n_train",
+            "n_test",
+            F.round(F.col("n_correct") / F.col("n_test"), 6).alias("accuracy"),
+            F.col("auc").alias("auc_en"),
+            "n_pos",
+            "n_neg",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# X4 — CCNet head/middle/tail perplexity buckets (round 8): Wenzek et
+# al. 2020's published corpus-shaping recipe — per language, tercile
+# the documents by LM perplexity (here the certified corpus-unigram
+# proxy) and tag the third CCNet keeps. Cutoffs come from the grouped
+# (lang, ppl) distribution, never a per-doc sort.
+@query(
+    "x4_ccnet_buckets",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    cf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n FROM tok),
+    d AS (
+      SELECT t.doc_id, ln(cf.cnt * 1.0 / n.n) AS lp
+      FROM tok t JOIN cf USING (term) CROSS JOIN n
+    ),
+    lp AS (SELECT doc_id, round(avg(lp), 6) AS avg_logprob FROM d GROUP BY doc_id),
+    base AS (
+      SELECT l.doc_id, dd.lang AS g, round(-l.avg_logprob, 6) AS ppl
+      FROM lp l JOIN documents dd USING (doc_id)
+    ),
+    dist AS (SELECT g, ppl, count(*) AS c FROM base GROUP BY g, ppl),
+    cum AS (
+      SELECT g, ppl,
+             sum(c) OVER (PARTITION BY g ORDER BY ppl
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY g) AS tot
+      FROM dist
+    ),
+    cuts AS (
+      SELECT g,
+             min(CASE WHEN cum >= (tot + 2) // 3 THEN ppl END) AS c1,
+             min(CASE WHEN cum >= (2 * tot + 2) // 3 THEN ppl END) AS c2
+      FROM cum GROUP BY g
+    )
+    SELECT b.doc_id, b.g AS lang, b.ppl,
+           CASE WHEN b.ppl <= c.c1 THEN 'head'
+                WHEN b.ppl <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM base b JOIN cuts c ON c.g = b.g
+    """,
+    doc="[EXT] X4 — CCNet-style per-language perplexity terciles "
+    "(Wenzek 2020 §4.3): head/middle/tail tags from percentile_disc "
+    "cutoffs computed on the grouped (lang, rounded-ppl) distribution "
+    "— one compacting hash agg, a per-group cumulative walk over the "
+    "compact frame, an n_groups-row broadcast back; no per-document "
+    "window sort (operators/text.perplexity_buckets).",
+)
+def x4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.perplexity_buckets(docs, id_col="doc_id", text_col="text", group_col="lang")

@@ -455,3 +455,16 @@ def test_round8_operator_plan_shapes(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in rr    # kNN per-cell GEMM
     assert "FlatMapGroupsInPandas" in rr      # MMR per-query greedy
     assert "CartesianProduct" not in rr
+
+    # classifier eval: pure aggregates + broadcast model joins — the
+    # AUC rank walk happens on the grouped score distribution, and
+    # nothing python-side enters the plan
+    ce = explain_str(REGISTRY["pipeline_classifier_eval"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in ce
+    assert "InPandas" not in ce and "BatchEvalPython" not in ce
+
+    # ccnet buckets: cutoffs from the compacted distribution, docs
+    # joined back via broadcast — no cartesian, no python
+    cb = explain_str(REGISTRY["x4_ccnet_buckets"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in cb
+    assert "InPandas" not in cb and "BatchEvalPython" not in cb

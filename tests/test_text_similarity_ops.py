@@ -1215,3 +1215,68 @@ def test_temperature_mixture_weights_properties(spark):
     import math
     pb, ps = 0.9 ** 0.3, 0.1 ** 0.3
     assert abs(t["small"]["target_frac"] - round(ps / (pb + ps), 6)) <= 1e-6
+
+
+# --- perplexity_buckets (round 8, CCNet terciles) -------------------------
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Six docs in one group with strictly increasing perplexity split
+    2/2/2; a second group shows cutoffs are computed per group."""
+    from cbts_datalake_synnex_spark.operators.text import perplexity_buckets
+
+    # 'common' appears everywhere; docs with more distinct rare words
+    # have lower avg unigram logprob => higher ppl. Construct docs
+    # whose ppl strictly increases with i by diluting 'common' runs
+    # with unique tokens.
+    rows = []
+    for i in range(6):
+        text = " ".join(["common"] * (6 - i) + [f"rare{i}_{j}" for j in range(i)])
+        rows.append((i, "g1", text))
+    rows.append((10, "g2", "common common"))
+    rows.append((11, "g2", "only rare tokens here"))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(df, "doc_id", "text", "lang").collect()
+    }
+    g1_ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity_buckets(df, "doc_id", "text", "lang")
+        .filter(F.col("lang") == "g1")
+        .collect()
+    }
+    order = sorted(g1_ppl, key=lambda k: g1_ppl[k])
+    assert [out[k] for k in order] == ["head", "head", "middle", "middle", "tail", "tail"]
+    # per-group cutoffs: the 2-doc g2 group splits ceil(2/3)=1 head,
+    # ceil(4/3)=2 middle, nothing in tail
+    assert out[10] == "head" and out[11] == "middle"
+
+
+def test_perplexity_buckets_all_tied_is_all_head(spark):
+    from cbts_datalake_synnex_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", "same text every time") for i in range(9)],
+        "doc_id bigint, lang string, text string",
+    )
+    out = perplexity_buckets(df, "doc_id", "text", "lang").collect()
+    assert len(out) == 9 and all(r["bucket"] == "head" for r in out)
+
+
+def test_perplexity_buckets_partitioning_invariant(spark):
+    from cbts_datalake_synnex_spark.operators.text import perplexity_buckets
+
+    rows = [
+        (i, ["en", "fr"][i % 2], f"w{i % 3} w{i % 5} common common w{i % 7}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    a = sorted(map(tuple, perplexity_buckets(df, "doc_id", "text", "lang").collect()))
+    b = sorted(
+        map(
+            tuple,
+            perplexity_buckets(df.repartition(13), "doc_id", "text", "lang").collect(),
+        )
+    )
+    assert a == b
