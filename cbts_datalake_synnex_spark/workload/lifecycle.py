@@ -1185,3 +1185,60 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, _roundtrip_digest(read_orc(spark, scratch + "/docs")))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §4.2 — bucketed co-located join (round 8): the shuffle-elimination
+# primitive for recurring fact-fact joins, driven end-to-end so the
+# driver certifies it. Both fact tables are written hash-bucketed on
+# the join key into the scratch catalog; the query VERIFIES IN-PLAN
+# that the re-join runs with zero exchanges (broadcast disabled to
+# force the sort-merge path — the regime that matters at 100 TB where
+# neither fact side broadcasts), then returns a bounded per-bin
+# aggregate of the joined rows for the oracle.
+@query(
+    "lc_bucketed_join",
+    oracle="""
+    SELECT CAST(o.o_orderkey % 16 AS BIGINT) AS key_bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey % 16
+    """,
+    doc="SURVEY §4.2 — bucketed tables (engine.write_bucketed): both "
+    "fact sides hash-bucketed+sorted on the join key, so the recurring "
+    "join plans with ZERO exchanges (each task reads matching bucket "
+    "files and merge-joins without re-sorting). Raises unless the "
+    "bucketed join's physical plan is actually exchange-free; the "
+    "reference has no analogue (Athena tables aren't bucketed) — this "
+    "is the Spark-native upgrade for the nightly fact-fact join.",
+)
+def lc_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from cbts_datalake_synnex_spark.engine import write_bucketed
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    with _scratch_engine(spark) as eng:
+        write_bucketed(spark, o, eng.qualified("orders_b"), ["o_orderkey"], n_buckets=8)
+        write_bucketed(spark, li, eng.qualified("lineitem_b"), ["l_orderkey"], n_buckets=8)
+        ob = spark.table(eng.qualified("orders_b"))
+        lb = spark.table(eng.qualified("lineitem_b"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            plan = explain_str(joined, "simple")
+            if re.findall(r"Exchange hashpartitioning", plan):
+                raise RuntimeError(f"bucketed join is not exchange-free:\n{plan}")
+            out = joined.groupBy(
+                (F.col("o_orderkey") % 16).cast("bigint").alias("key_bin")
+            ).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            return _materialize(spark, out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
