@@ -272,3 +272,111 @@ def t_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.round(F.col("n_transitions") / F.sum("n_transitions").over(tot), 6).alias("p_next"),
     )
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — watermarked stream-stream interval join, driven as two
+# REAL file streams (round 8): the engine's only stream-stream
+# correlation primitive (streaming/joins.py) was pytest-only; this
+# query replays the events table's view and purchase feeds through
+# availableNow file sources into a memory sink and aggregates the
+# joined pairs. An INNER band join over a bounded replay equals the
+# batch interval join (the watermark evicts state, it never drops an
+# inner match within the replay), so a plain DuckDB interval join
+# states the expected rows exactly.
+@query(
+    "t_stream_stream_join",
+    oracle="""
+    WITH i AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    p AS (
+      SELECT i.user_id, epoch_us(c.ts) - epoch_us(i.ts) AS lag_us
+      FROM i JOIN c ON c.user_id = i.user_id
+       AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 4 HOUR
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us
+    FROM p GROUP BY user_id
+    """,
+    doc="SURVEY §2.8 [EXT] — watermarked stream-stream interval join "
+    "(streaming/joins.stream_stream_join) driven end-to-end: view and "
+    "purchase feeds replayed as availableNow file streams, joined per "
+    "user within a 4h event-time band into a memory sink. State is "
+    "O(rows inside the band) via watermark+band eviction; shuffle is "
+    "one hash exchange per side on the key — the batch equi-join plan "
+    "plus state. The reference correlates its two feeds only in batch "
+    "(purchase_orders.py:22); this is the streaming upgrade.",
+)
+def t_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.joins import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    scratch = tempfile.mkdtemp(prefix="ssj_")
+    qn = f"ssj_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.filter(F.col("event_type") == "view").select("user_id", "ts").write.mode(
+            "overwrite"
+        ).parquet(f"{scratch}/imp")
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("c_ts")
+        ).write.mode("overwrite").parquet(f"{scratch}/conv")
+        imp = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+            f"{scratch}/imp"
+        )
+        conv = spark.readStream.schema("user_id bigint, c_ts timestamp").parquet(
+            f"{scratch}/conv"
+        )
+        j = stream_stream_join(
+            imp, conv, key="user_id", left_ts="ts", right_ts="c_ts",
+            watermark="1 hour", band="4 hours",
+        )
+        # the state-store partition count is frozen from
+        # spark.sql.shuffle.partitions at query start (AQE can't touch
+        # stateful plans) — size it to the replay, don't inherit a
+        # foreign session's fact-scale default (200 empty state tasks
+        # per micro-batch otherwise); at real stream scale this is the
+        # one knob to size BEFORE the first checkpoint
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                j.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                q.awaitTermination(180)
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = (
+            spark.table(qn)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.min(F.unix_micros("c_ts") - F.unix_micros("ts"))
+                .cast("bigint")
+                .alias("min_lag_us"),
+                F.max(F.unix_micros("c_ts") - F.unix_micros("ts"))
+                .cast("bigint")
+                .alias("max_lag_us"),
+            )
+        )
+        # pin the tiny grouped result before the memory table is dropped
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
