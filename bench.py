@@ -234,6 +234,7 @@ NEW_SURFACE_QUERIES = [
     "pipeline_retrieve_rerank",
     "pipeline_classifier_eval",
     "x4_ccnet_buckets",
+    "x3_random_projection",
 ]
 
 

@@ -1328,3 +1328,55 @@ def standardize_embeddings(
         .withColumn(out_col or vec_col, scaled)
         .drop("__means", "__stds")
     )
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    salt: str = "jl",
+    round_dp: int = 6,
+) -> DataFrame:
+    """X3 — Johnson-Lindenstrauss random projection (Achlioptas 2003,
+    database-friendly ±1 variant): y_k = (1/√out_dim) · Σ_d x_d · r(d,k)
+    with r(d,k) ∈ {+1, −1} derived from the parity of
+    md5("salt:d:k") — the dimensionality-reduction step run before an
+    ANN index or a dedup pass when the raw embedding width is the cost
+    driver.
+
+    The projection matrix is NEVER materialized, stored, or broadcast:
+    any executor — and any OTHER engine — regenerates entry (d, k)
+    from the hash, so the operator is a pure projection + one
+    (id, k)-keyed hash aggregate with map-side combine. Shuffle
+    carries (id, k, partial-sum): out_dim rows per vector, independent
+    of the input width. Deterministic by construction (no RNG state,
+    no seed collection); ±1 multiplication is exact in any float
+    precision, sums accumulate in double, and the output is rounded to
+    ``round_dp`` — engine-replicable.
+
+    Returns the long layout (id_col, k, val), k in [0, out_dim).
+    """
+    ks = F.explode(F.sequence(F.lit(0), F.lit(int(out_dim) - 1))).alias("k")
+    e = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "x"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("d"), F.col("k"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return (
+        e.select(F.col(id_col), F.col("d"), F.col("x").cast("double").alias("x"), ks)
+        .groupBy(id_col, "k")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * sign) / F.sqrt(F.lit(float(out_dim))), round_dp
+            ).alias("val")
+        )
+    )

@@ -3447,3 +3447,39 @@ def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.perplexity_buckets(docs, id_col="doc_id", text_col="text", group_col="lang")
+
+
+# ----------------------------------------------------------------------
+# X3 — Johnson-Lindenstrauss random projection (round 8): 64-dim
+# embeddings down to 16 via the Achlioptas ±1 matrix regenerated from
+# md5 parity — the matrix never exists as data, so DuckDB rebuilds it
+# independently and the full projected table is the oracle surface.
+@query(
+    "x3_random_projection",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding) AS x
+      FROM embeddings
+    ),
+    grid AS (SELECT unnest(generate_series(0, 15)) AS k),
+    r AS (
+      SELECT e.vec_id, g.k,
+             CAST(e.x AS DOUBLE) *
+             (CASE WHEN CAST(('0x' || substr(md5('jl:' || e.d || ':' || g.k), 1, 8)) AS BIGINT) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END) AS xr
+      FROM e CROSS JOIN grid g
+    )
+    SELECT vec_id, CAST(k AS INTEGER) AS k, round(sum(xr) / sqrt(16.0), 6) AS val
+    FROM r GROUP BY vec_id, k
+    """,
+    doc="[EXT] X3 — JL random projection 64→16 (Achlioptas 2003 ±1 "
+    "variant): the projection matrix is regenerated per-entry from "
+    "md5(salt:d:k) parity on any executor — never materialized, "
+    "stored, or broadcast — so the operator is a pure projection plus "
+    "one (id, k)-keyed hash aggregate with map-side combine; shuffle "
+    "carries out_dim rows per vector regardless of input width "
+    "(operators/similarity.random_project).",
+)
+def x3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_project(emb, id_col="vec_id", vec_col="embedding", out_dim=16)

@@ -72,3 +72,66 @@ def test_standardize_out_col_preserves_input(spark):
     rows = similarity.standardize_embeddings(df, "embedding", out_col="z").collect()
     got = {r["vec_id"]: [round(x, 9) for x in r["z"]] for r in rows}
     assert got == {k: [round(x, 9) for x in v] for k, v in want.items()}
+
+
+# --- random_project (round 8, JL ±1) --------------------------------------
+
+
+def _py_project(rows, out_dim, salt="jl"):
+    import hashlib
+    import math
+
+    out = {}
+    for vid, vec in rows:
+        for k in range(out_dim):
+            s = 0.0
+            for d, x in enumerate(vec):
+                h = hashlib.md5(f"{salt}:{d}:{k}".encode()).hexdigest()
+                sign = 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
+                s += float(x) * sign
+            out[(vid, k)] = round(s / math.sqrt(out_dim), 6)
+    return out
+
+
+def test_random_project_matches_python_reference(spark):
+    rows = [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [3.25, 1.0, -1.0])]
+    df = _vecs(spark, rows)
+    got = {
+        (r["vec_id"], r["k"]): r["val"]
+        for r in similarity.random_project(df, "vec_id", "embedding", out_dim=4).collect()
+    }
+    assert got == _py_project(rows, 4)
+
+
+def test_random_project_is_linear_and_salted(spark):
+    base = [(1, [1.0, 2.0, 3.0, 4.0])]
+    scaled = [(1, [2.0, 4.0, 6.0, 8.0])]
+    a = {
+        r["k"]: r["val"]
+        for r in similarity.random_project(_vecs(spark, base), "vec_id", "embedding", 4).collect()
+    }
+    b = {
+        r["k"]: r["val"]
+        for r in similarity.random_project(_vecs(spark, scaled), "vec_id", "embedding", 4).collect()
+    }
+    assert all(abs(b[k] - 2 * a[k]) < 1e-9 for k in a)  # projection is linear
+    c = {
+        r["k"]: r["val"]
+        for r in similarity.random_project(
+            _vecs(spark, base), "vec_id", "embedding", 4, salt="other"
+        ).collect()
+    }
+    assert c != a  # a different salt is a different matrix
+
+
+def test_random_project_partitioning_invariant(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(30)]
+    df = _vecs(spark, rows)
+    a = sorted(map(tuple, similarity.random_project(df, "vec_id", "embedding", 6).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.random_project(df.repartition(13), "vec_id", "embedding", 6).collect(),
+        )
+    )
+    assert a == b
