@@ -235,6 +235,7 @@ NEW_SURFACE_QUERIES = [
     "pipeline_classifier_eval",
     "x4_ccnet_buckets",
     "x3_random_projection",
+    "x6_fim_split",
 ]
 
 

@@ -148,3 +148,65 @@ def ffd_pack(
         .groupBy(shard_col)
         .applyInPandas(pack, schema=out_schema)
     )
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.5,
+    salt: str = "fim",
+) -> DataFrame:
+    """X6 — fill-in-the-middle example construction (Bavarian et al.
+    2022, arXiv:2207.14255): split a ``rate`` fraction of documents
+    into (prefix, middle, suffix) at two deterministic character
+    positions, tagging each example PSM or SPM (the paper's 50/50
+    mode mix); the rest pass through as plain examples. The FIM
+    transform is applied at the DOCUMENT level before packing, exactly
+    as published.
+
+    Determinism: selection, both split points, and the mode all derive
+    from md5(id:tag) — no RNG state, reproducible on any engine and
+    any partitioning (the corpus-shaping discipline of
+    ``operators/sampling.py``). Split points are uniform over
+    [0, len] and ordered, so any of the three parts may be empty
+    (the published construction allows it). Pure projection: no
+    shuffle, no UDF; whole-stage codegen end to end.
+
+    Returns (id_col, fim, mode, a, b, prefix, middle, suffix,
+    lossless) where ``lossless`` certifies prefix||middle||suffix
+    reassembles the original text.
+    """
+
+    def _h(tag: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(tag))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    text = F.col(text_col)
+    ln = F.length(text)
+    fim = (_h(salt) % 1000000) < int(round(rate * 1000000))
+    p1, p2 = _h(salt + "-a") % (ln + 1), _h(salt + "-b") % (ln + 1)
+    a = F.when(fim, F.least(p1, p2)).otherwise(ln)
+    b = F.when(fim, F.greatest(p1, p2)).otherwise(ln)
+    prefix = text.substr(F.lit(1), a)
+    middle = text.substr(a + 1, b - a)
+    suffix = text.substr(b + 1, ln - b)
+    mode = F.when(~fim, F.lit("plain")).otherwise(
+        F.when(_h(salt + "-m") % 2 == 0, F.lit("psm")).otherwise(F.lit("spm"))
+    )
+    return df.select(
+        F.col(id_col),
+        fim.alias("fim"),
+        mode.alias("mode"),
+        a.cast("bigint").alias("a"),
+        b.cast("bigint").alias("b"),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        (F.concat(prefix, middle, suffix) == text).alias("lossless"),
+    )

@@ -3483,3 +3483,65 @@ def x4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.random_project(emb, id_col="vec_id", vec_col="embedding", out_dim=16)
+
+
+# ----------------------------------------------------------------------
+# X6 — fill-in-the-middle example construction (round 8): Bavarian
+# 2022's FIM transform as a pure codegen projection; every split point
+# and mode derives from md5(id:tag), so DuckDB reconstructs the exact
+# same examples and the sha256'd parts are the oracle surface.
+@query(
+    "x6_fim_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text, length(text) AS ln,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)) AS BIGINT)
+          % 1000000 < 500000 AS fim,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim-a'), 1, 8)) AS BIGINT)
+          % (length(text) + 1) AS p1,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim-b'), 1, 8)) AS BIGINT)
+          % (length(text) + 1) AS p2,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim-m'), 1, 8)) AS BIGINT)
+          % 2 AS m
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, ln, fim,
+             CASE WHEN fim THEN least(p1, p2) ELSE ln END AS a,
+             CASE WHEN fim THEN greatest(p1, p2) ELSE ln END AS b,
+             CASE WHEN NOT fim THEN 'plain' WHEN m = 0 THEN 'psm' ELSE 'spm' END AS mode
+      FROM h
+    )
+    SELECT doc_id, fim, mode, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           sha256(substr(text, 1, CAST(a AS INTEGER))) AS prefix_sha,
+           sha256(substr(text, CAST(a + 1 AS INTEGER), CAST(b - a AS INTEGER))) AS middle_sha,
+           sha256(substr(text, CAST(b + 1 AS INTEGER), CAST(ln - b AS INTEGER))) AS suffix_sha,
+           (substr(text, 1, CAST(a AS INTEGER))
+            || substr(text, CAST(a + 1 AS INTEGER), CAST(b - a AS INTEGER))
+            || substr(text, CAST(b + 1 AS INTEGER), CAST(ln - b AS INTEGER))) = text AS lossless
+    FROM s
+    """,
+    doc="[EXT] X6 — fill-in-the-middle example construction (Bavarian "
+    "2022): a deterministic 50% of documents split into "
+    "(prefix, middle, suffix) at two md5-derived character positions "
+    "with a 50/50 PSM/SPM mode mix, the rest tagged plain; pure "
+    "whole-stage-codegen projection, no shuffle, no RNG state — the "
+    "same construction replays identically on any engine "
+    "(operators/packing.fim_split).",
+)
+def x6_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.packing import fim_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fim_split(docs, id_col="doc_id", text_col="text", rate=0.5, salt="fim")
+    return out.select(
+        "doc_id",
+        "fim",
+        "mode",
+        "a",
+        "b",
+        F.sha2(F.col("prefix"), 256).alias("prefix_sha"),
+        F.sha2(F.col("middle"), 256).alias("middle_sha"),
+        F.sha2(F.col("suffix"), 256).alias("suffix_sha"),
+        "lossless",
+    )

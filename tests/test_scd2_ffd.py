@@ -82,3 +82,55 @@ def test_ffd_partitioning_invariant(spark):
     a = ffd_pack(docs, "text", "shard", "doc_id", budget=40)
     b = ffd_pack(docs.repartition(11), "text", "shard", "doc_id", budget=40)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- fim_split (round 8) ---------------------------------------------------
+
+
+def _fim_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_fim_split_is_lossless_on_hostile_text(spark):
+    from cbts_datalake_synnex_spark.operators.packing import fim_split
+
+    rows = [
+        (1, "plain ascii text here"),
+        (2, ""),
+        (3, "x"),
+        (4, "école naïve — combining ẛ̣ chars 가각"),
+        (5, "tabs\tand\nnewlines\r\nand  spaces"),
+    ]
+    out = fim_split(_fim_df(spark, rows), "doc_id", "text", rate=1.0).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["fim"] and r["mode"] in ("psm", "spm")
+        assert r["lossless"]
+        assert 0 <= r["a"] <= r["b"]
+        want = dict(rows)[r["doc_id"]]
+        assert r["prefix"] + r["middle"] + r["suffix"] == want
+
+
+def test_fim_split_rate_gates_and_plain_passthrough(spark):
+    from cbts_datalake_synnex_spark.operators.packing import fim_split
+
+    rows = [(i, f"document number {i} with some text") for i in range(40)]
+    none = fim_split(_fim_df(spark, rows), "doc_id", "text", rate=0.0).collect()
+    assert all(not r["fim"] and r["mode"] == "plain" for r in none)
+    # plain examples pass through whole: prefix = text, middle/suffix empty
+    assert all(r["middle"] == "" and r["suffix"] == "" and r["lossless"] for r in none)
+    half = fim_split(_fim_df(spark, rows), "doc_id", "text", rate=0.5).collect()
+    n_fim = sum(r["fim"] for r in half)
+    assert 0 < n_fim < 40  # the md5 gate actually splits the corpus
+    modes = {r["mode"] for r in half if r["fim"]}
+    assert modes <= {"psm", "spm"}
+
+
+def test_fim_split_partitioning_and_rerun_invariant(spark):
+    from cbts_datalake_synnex_spark.operators.packing import fim_split
+
+    rows = [(i, f"text {i} " * (i % 5 + 1)) for i in range(30)]
+    df = _fim_df(spark, rows)
+    a = sorted(map(tuple, fim_split(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, fim_split(df.repartition(11), "doc_id", "text").collect()))
+    assert a == b
