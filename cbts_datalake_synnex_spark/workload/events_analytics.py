@@ -354,7 +354,10 @@ def t_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             try:
-                q.awaitTermination(180)
+                # a timed-out replay would silently aggregate a PARTIAL
+                # memory table — fail loudly instead
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream-stream replay did not finish in 300s")
             finally:
                 q.stop()
         finally:
