@@ -236,6 +236,7 @@ NEW_SURFACE_QUERIES = [
     "x4_ccnet_buckets",
     "x3_random_projection",
     "x6_fim_split",
+    "x3_hard_negatives",
 ]
 
 

@@ -1380,3 +1380,61 @@ def random_project(
             ).alias("val")
         )
     )
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    m: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """X3 — hard-negative mining for contrastive training (DPR,
+    Karpukhin et al. 2020 §4.2): for each query, the ``m`` most-similar
+    candidates whose label DIFFERS from the query's — the negatives
+    that actually move a contrastive loss, as opposed to the easy
+    random ones. Returns (query_id, q_label, cand_id, c_label, cosine,
+    hn_rank), deterministic via rounded-cosine ordering with the
+    candidate id as tiebreak.
+
+    Scale contract: same as `cosine_topk`'s exact lane — the QUERY
+    side broadcasts (bounded query batches, the training-loop shape),
+    the candidate corpus streams; the label mismatch filters BEFORE
+    the rank so the window sees only true negatives, and each window
+    partition is one query's candidate set. For the both-sides-large
+    regime, compose `knn_join` (cogrouped per-cell GEMM) → label
+    filter → per-query rerank instead; this exact form is also that
+    composition's verification twin. Null labels never match
+    ``!=`` and are therefore excluded from mining — label your corpus
+    first.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("q_label"),
+    ).withColumn("__qnorm", _norm(F.col("__qv")))
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("c_label"),
+    ).withColumn("__cnorm", _norm(F.col("__cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qnorm") * F.col("__cnorm")),
+                round_dp,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= m)
+        .select("query_id", "q_label", "cand_id", "c_label", "cosine", "hn_rank")
+    )

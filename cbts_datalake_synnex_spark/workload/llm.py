@@ -3545,3 +3545,46 @@ def x6_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("suffix"), 256).alias("suffix_sha"),
         "lossless",
     )
+
+
+# ----------------------------------------------------------------------
+# X3 — hard-negative mining (round 8): the contrastive-training prep
+# step (DPR) — per query, the top-m most-similar OTHER-label vectors.
+# Exact lane, so the full per-pair table is the oracle surface.
+@query(
+    "x3_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS cand_id, label AS cl, v AS cv FROM e),
+    scored AS (
+      SELECT query_id, ql, cand_id, cl,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM q JOIN c ON cand_id <> query_id AND cl <> ql
+    ),
+    ranked AS (
+      SELECT query_id, ql AS q_label, cand_id, cl AS c_label, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS hn_rank
+      FROM scored
+    )
+    SELECT query_id, q_label, cand_id, c_label, cosine, hn_rank
+    FROM ranked WHERE hn_rank <= 3
+    """,
+    doc="[EXT] X3 — hard-negative mining for contrastive training "
+    "(DPR, Karpukhin 2020): per query the top-3 most-similar "
+    "candidates with a DIFFERENT label, rounded-cosine rank with "
+    "candidate-id tiebreak; query side broadcasts (the bounded "
+    "training-batch shape), label mismatch filters before the rank, "
+    "each window partition is one query's negatives "
+    "(operators/similarity.hard_negatives).",
+)
+def x3_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.hard_negatives(
+        emb, queries, id_col="vec_id", vec_col="embedding", label_col="label", m=3
+    )

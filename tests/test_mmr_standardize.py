@@ -135,3 +135,54 @@ def test_random_project_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+# --- hard_negatives (round 8) ----------------------------------------------
+
+
+def _lvecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    # query 0 (label 1) is closest to 1 (same label) — mining must skip
+    # it and return the other-label vectors in similarity order
+    vecs = _lvecs(
+        spark,
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.99, 0.1], 1),   # nearest, same label -> excluded
+            (2, [0.9, 0.2], 2),    # nearest other-label
+            (3, [0.0, 1.0], 2),    # orthogonal other-label
+            (4, [-1.0, 0.0], 3),   # opposite
+        ],
+    )
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = similarity.hard_negatives(vecs, q, "vec_id", "embedding", "label", m=2).collect()
+    got = [(r["cand_id"], r["hn_rank"]) for r in sorted(out, key=lambda r: r["hn_rank"])]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r["c_label"] != r["q_label"] for r in out)
+
+
+def test_hard_negatives_query_with_no_negatives_yields_no_rows(spark):
+    vecs = _lvecs(spark, [(0, [1.0, 0.0], 1), (1, [0.5, 0.5], 1)])
+    out = similarity.hard_negatives(vecs, vecs, "vec_id", "embedding", "label", m=3)
+    assert out.count() == 0
+
+
+def test_hard_negatives_partitioning_invariant(spark):
+    rows = [
+        (i, [float((i * 3 + j) % 7) - 3.0 for j in range(4)], i % 3) for i in range(30)
+    ]
+    vecs = _lvecs(spark, rows)
+    q = vecs.filter(F.col("vec_id") % 10 == 0)
+    a = sorted(map(tuple, similarity.hard_negatives(vecs, q, "vec_id", "embedding", "label").collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.hard_negatives(
+                vecs.repartition(11), q, "vec_id", "embedding", "label"
+            ).collect(),
+        )
+    )
+    assert a == b
