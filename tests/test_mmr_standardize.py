@@ -186,3 +186,26 @@ def test_hard_negatives_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_hard_negatives_lane_equivalence(spark):
+    """JVM fold and Arrow GEMM lanes must return identical rows —
+    including rank order under rounded-cosine ties."""
+    rows = [
+        (i, [float((i * 5 + j * 2) % 9) - 4.0 for j in range(6)], i % 4)
+        for i in range(40)
+    ] + [
+        # exact duplicate vectors with different ids/labels: rounded
+        # ties at the cut, the id tiebreak must decide both lanes alike
+        (100, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 0),
+        (101, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 1),
+        (102, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 2),
+        (103, [2.0, 4.0, 6.0, 8.0, 10.0, 12.0], 3),  # same direction
+    ]
+    vecs = _lvecs(spark, rows)
+    q = vecs.filter(F.col("vec_id") % 7 == 0)
+    a = sorted(map(tuple, similarity.hard_negatives(
+        vecs, q, "vec_id", "embedding", "label", m=3, engine="jvm").collect()))
+    b = sorted(map(tuple, similarity.hard_negatives(
+        vecs, q, "vec_id", "embedding", "label", m=3, engine="arrow").collect()))
+    assert a == b
