@@ -1345,41 +1345,65 @@ def random_project(
     ANN index or a dedup pass when the raw embedding width is the cost
     driver.
 
-    The projection matrix is NEVER materialized, stored, or broadcast:
-    any executor — and any OTHER engine — regenerates entry (d, k)
-    from the hash, so the operator is a pure projection + one
-    (id, k)-keyed hash aggregate with map-side combine. Shuffle
-    carries (id, k, partial-sum): out_dim rows per vector, independent
-    of the input width. Deterministic by construction (no RNG state,
-    no seed collection); ±1 multiplication is exact in any float
-    precision, sums accumulate in double, and the output is rounded to
-    ``round_dp`` — engine-replicable.
+    The projection matrix is never stored or shipped as data: its
+    dim × out_dim sign entries are md5-regenerated IN-PLAN — but only
+    once (a tiny derived frame of `dim` rows, broadcast), not once per
+    (vector, d, k) triple; the first new-surfaces bench caught the
+    per-triple formulation spending its wall on |corpus|·dim·out_dim
+    md5 calls. The corpus-side work is one posexplode + one broadcast
+    join + ONE (id)-keyed hash aggregate computing all out_dim
+    components as parallel codegen sums (map-side combine; shuffle
+    carries one row of out_dim partials per vector), then a stack to
+    the long layout. Deterministic (no RNG state); ±1 multiplication
+    is exact in any float precision, sums accumulate in double, and
+    the output is rounded to ``round_dp`` — engine-replicable, and any
+    OTHER engine regenerates entry (d, k) from the same hash.
 
-    Returns the long layout (id_col, k, val), k in [0, out_dim).
+    Vectors must share one width (the embedding-table contract; the
+    sign table is built for the corpus max). Returns the long layout
+    (id_col, k, val), k in [0, out_dim).
     """
-    ks = F.explode(F.sequence(F.lit(0), F.lit(int(out_dim) - 1))).alias("k")
-    e = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "x"))
-    sign = F.when(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(salt), F.col("d"), F.col("k"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-        == 0,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-    return (
-        e.select(F.col(id_col), F.col("d"), F.col("x").cast("double").alias("x"), ks)
-        .groupBy(id_col, "k")
-        .agg(
-            F.round(
-                F.sum(F.col("x") * sign) / F.sqrt(F.lit(float(out_dim))), round_dp
-            ).alias("val")
-        )
+    k = int(out_dim)
+    spark = df.sparkSession
+    dim_row = df.agg(F.max(F.size(F.col(vec_col))).alias("d")).first()
+    dim = int(dim_row["d"] or 0)
+    # dim × k md5 evaluations TOTAL, in-plan, broadcast to every task
+    signs = spark.range(dim).select(
+        F.col("id").cast("int").alias("d"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda kk: F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(salt), F.col("id"), kk)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ).alias("s"),
     )
+    e = (
+        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .join(F.broadcast(signs), "d")
+        .select(F.col(id_col), F.col("x").cast("double").alias("x"), "s")
+    )
+    rt = F.sqrt(F.lit(float(k)))
+    agg = e.groupBy(id_col).agg(
+        *[
+            F.round(F.sum(F.col("x") * F.element_at(F.col("s"), kk + 1)) / rt, round_dp).alias(
+                f"__v{kk}"
+            )
+            for kk in range(k)
+        ]
+    )
+    stack = ", ".join(f"{kk}, __v{kk}" for kk in range(k))
+    return agg.select(
+        F.col(id_col), F.expr(f"stack({k}, {stack}) AS (k, val)")
+    ).select(F.col(id_col), F.col("k").cast("int").alias("k"), "val")
 
 
 def hard_negatives(
