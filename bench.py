@@ -237,6 +237,7 @@ NEW_SURFACE_QUERIES = [
     "x3_random_projection",
     "x6_fim_split",
     "x3_hard_negatives",
+    "x6_chat_assembly",
 ]
 
 

@@ -210,3 +210,58 @@ def fim_split(
         suffix.alias("suffix"),
         (F.concat(prefix, middle, suffix) == text).alias("lossless"),
     )
+
+
+def chat_assembly(
+    df: DataFrame,
+    conv_col: str,
+    order_col: str,
+    text_col: str,
+    user_tag: str = "<|user|>",
+    asst_tag: str = "<|assistant|>",
+) -> DataFrame:
+    """X6 — SFT conversation assembly with loss masking: order each
+    conversation's turns, render them into the chat template
+    (alternating roles, 0-based even positions = user), and report the
+    span the loss actually trains on (assistant turns only — the
+    instruction-tuning convention of masking user/context tokens out
+    of the objective).
+
+    One (conversation)-keyed hash aggregate; in-group ordering is an
+    `array_sort` over (order, text) structs — deterministic because
+    the order key is unique per conversation, and window-free (the
+    `embedding_standardize` collect discipline). Aggregate state is
+    ONE conversation's turns — bounded by the chat-context contract,
+    never corpus-sized. Everything downstream of the collect is a
+    codegen projection.
+
+    Returns (conv_col, n_turns, total_chars, trainable_chars, sha —
+    sha256 of the assembled template, the strong cross-engine check).
+    """
+    st = F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t"))
+    g = df.groupBy(conv_col).agg(F.array_sort(F.collect_list(st)).alias("__ts"))
+    idx = F.sequence(F.lit(0), F.size("__ts") - 1)
+    turn_at = lambda i: F.element_at(F.col("__ts"), i + 1).getField("t")  # noqa: E731
+    rendered = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.when(i % 2 == 0, F.lit(user_tag)).otherwise(F.lit(asst_tag)),
+            F.lit("\n"),
+            turn_at(i),
+        ),
+    )
+    assembled = F.array_join(rendered, "\n")
+    trainable = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda a, i: a + F.when(i % 2 == 1, F.length(turn_at(i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return g.select(
+        F.col(conv_col),
+        F.size("__ts").cast("bigint").alias("n_turns"),
+        F.length(assembled).cast("bigint").alias("total_chars"),
+        trainable.alias("trainable_chars"),
+        F.sha2(assembled, 256).alias("sha"),
+    )

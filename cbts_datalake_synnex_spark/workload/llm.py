@@ -3588,3 +3588,56 @@ def x3_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(
         emb, queries, id_col="vec_id", vec_col="embedding", label_col="label", m=3
     )
+
+
+# ----------------------------------------------------------------------
+# X6 — SFT conversation assembly (round 8): documents grouped into
+# synthetic conversations (source × doc_id bucket), turns ordered by
+# doc_id, rendered into the alternating chat template with the
+# assistant-only trainable span — the instruction-tuning data-prep
+# step. sha256 of the assembled template is the cross-engine check.
+@query(
+    "x6_chat_assembly",
+    oracle="""
+    WITH t AS (
+      SELECT source || '-' || CAST(doc_id % 20 AS VARCHAR) AS conv_id, doc_id, text,
+             row_number() OVER (PARTITION BY source || '-' || CAST(doc_id % 20 AS VARCHAR)
+                                ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    ),
+    r AS (
+      SELECT conv_id, pos,
+             (CASE WHEN pos % 2 = 0 THEN '<|user|>' ELSE '<|assistant|>' END)
+               || chr(10) || text AS turn,
+             CASE WHEN pos % 2 = 1 THEN length(text) ELSE 0 END AS tr
+      FROM t
+    ),
+    a AS (
+      SELECT conv_id, count(*) AS n_turns,
+             string_agg(turn, chr(10) ORDER BY pos) AS assembled,
+             sum(tr) AS trainable
+      FROM r GROUP BY conv_id
+    )
+    SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+           CAST(length(assembled) AS BIGINT) AS total_chars,
+           CAST(trainable AS BIGINT) AS trainable_chars,
+           sha256(assembled) AS sha
+    FROM a
+    """,
+    doc="[EXT] X6 — SFT conversation assembly with loss masking: per "
+    "conversation, turns ordered and rendered into the alternating "
+    "user/assistant template, with the assistant-only trainable span "
+    "reported (the instruction-tuning convention of masking user "
+    "tokens out of the objective); one conversation-keyed hash agg, "
+    "in-group order via array_sort over unique keys — window-free "
+    "(operators/packing.chat_assembly).",
+)
+def x6_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.packing import chat_assembly
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("-", "source", (F.col("doc_id") % 20).cast("string")).alias("conv_id"),
+        "doc_id",
+        "text",
+    )
+    return chat_assembly(docs, conv_col="conv_id", order_col="doc_id", text_col="text")

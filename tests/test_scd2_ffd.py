@@ -134,3 +134,41 @@ def test_fim_split_partitioning_and_rerun_invariant(spark):
     a = sorted(map(tuple, fim_split(df, "doc_id", "text").collect()))
     b = sorted(map(tuple, fim_split(df.repartition(11), "doc_id", "text").collect()))
     assert a == b
+
+
+# --- chat_assembly (round 8) -------------------------------------------------
+
+
+def test_chat_assembly_template_and_mask(spark):
+    from cbts_datalake_synnex_spark.operators.packing import chat_assembly
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 2, "hello"),     # pos 0 -> user
+            ("c1", 5, "hi there"),  # pos 1 -> assistant (trainable)
+            ("c1", 9, "thanks"),    # pos 2 -> user
+            ("c2", 1, "solo"),      # single-turn conv, nothing trainable
+        ],
+        "conv string, o bigint, text string",
+    )
+    out = {r["conv"]: r for r in chat_assembly(df, "conv", "o", "text").collect()}
+    import hashlib
+
+    want_c1 = "<|user|>\nhello\n<|assistant|>\nhi there\n<|user|>\nthanks"
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["total_chars"] == len(want_c1)
+    assert out["c1"]["trainable_chars"] == len("hi there")
+    assert out["c1"]["sha"] == hashlib.sha256(want_c1.encode()).hexdigest()
+    assert out["c2"]["n_turns"] == 1 and out["c2"]["trainable_chars"] == 0
+
+
+def test_chat_assembly_order_and_partitioning_invariant(spark):
+    from cbts_datalake_synnex_spark.operators.packing import chat_assembly
+
+    rows = [(f"c{i % 4}", i, f"turn {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "conv string, o bigint, text string")
+    a = sorted(map(tuple, chat_assembly(df, "conv", "o", "text").collect()))
+    b = sorted(
+        map(tuple, chat_assembly(df.repartition(13), "conv", "o", "text").collect())
+    )
+    assert a == b
