@@ -383,3 +383,83 @@ def t_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — time-series regularization: resample an irregular event
+# stream onto a fixed hourly grid per entity and forward-fill the
+# gaps — the densification step before any windowed model sees the
+# series. Timeline construction is a per-user `sequence()` explode
+# (no cross join against a calendar table), the fill is one
+# last-ignore-nulls window per user ordered by the grid.
+@query(
+    "t_gap_fill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value
+      FROM events WHERE user_id % 97 = 0
+    ),
+    hourly AS (
+      SELECT user_id, h, count(*) AS n_events, round(sum(value), 2) AS v
+      FROM e GROUP BY user_id, h
+    ),
+    span AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM span
+    ),
+    joined AS (
+      SELECT g.user_id, g.h,
+             COALESCE(hh.n_events, 0) AS n_events,
+             hh.v
+      FROM grid g LEFT JOIN hourly hh ON hh.user_id = g.user_id AND hh.h = g.h
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, h AS hour,
+           CAST(n_events AS BIGINT) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM joined
+    """,
+    doc="SURVEY §2.6 [EXT] — hourly gap-fill + forward-fill resampling: "
+    "per-entity fixed grid built with a sequence() explode between the "
+    "entity's own min/max hour (never a calendar cross join), hourly "
+    "sums left-joined on, and one last-ignore-nulls window per entity "
+    "carries the latest observation across the gaps — the series "
+    "densification every downstream window model assumes. One shuffle "
+    "on the entity key end to end.",
+)
+def t_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    hourly = (
+        ev.select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+        .groupBy("user_id", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+    )
+    span = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias("n_events"),
+        "v",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("h").alias("hour"),
+        "n_events",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
