@@ -161,14 +161,14 @@ _ROUND8_FRONT = [
     "x4_unicode_normalize",
 ]
 
-# TODO(round 9): rotate `_ROUND9_FRONT` = the 10 registry entries
+# TODO(round 9): rotate `_ROUND9_FRONT` = the 11 registry entries
 # added after the round-8 window froze (all local-oracle green; green
-# CORRECTNESS_r09 rows close lifetime driver coverage at 190/190):
+# CORRECTNESS_r09 rows close lifetime driver coverage at 191/191):
 #   pipeline_retrieve_rerank, pipeline_classifier_eval,
 #   x4_ccnet_buckets, lc_bucketed_join, t_stream_stream_join,
 #   x3_random_projection, x6_fim_split, x3_hard_negatives,
-#   x6_chat_assembly, t_gap_fill
-# The remaining 40 window slots re-certify the round-8 then round-7
+#   x6_chat_assembly, t_gap_fill, pipeline_dataset_card
+# The remaining 39 window slots re-certify the round-8 then round-7
 # then round-6 fronts (first occurrence wins on overlap).
 
 

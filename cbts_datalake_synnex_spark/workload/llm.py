@@ -3641,3 +3641,82 @@ def x6_chat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     return chat_assembly(docs, conv_col="conv_id", order_col="doc_id", text_col="text")
+
+
+# ----------------------------------------------------------------------
+# X8 — dataset card (round 8): the one-row "datasheet" a curated corpus
+# ships with (Gebru et al. 2018, Datasheets for Datasets) — size,
+# composition, duplication, and length-distribution facts, all from
+# ONE scan (the count-distincts share the pass via Expand; no second
+# read of the corpus, no join).
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, text, length(text) AS chars,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+      FROM documents
+    ),
+    a AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT sha256(text)) AS n_distinct_texts,
+             sum(chars) AS total_chars,
+             sum(toks) AS total_tokens,
+             round(avg(chars), 2) AS avg_chars,
+             round(quantile_cont(chars, 0.5), 2) AS p50_chars,
+             round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS pct_en
+      FROM per
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+           round(1.0 - n_distinct_texts * 1.0 / n_docs, 6) AS dup_rate,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           avg_chars, p50_chars, pct_en
+    FROM a
+    """,
+    doc="[EXT] X8 — dataset card (Gebru 2018 'Datasheets for "
+    "Datasets'): the one-row corpus datasheet — doc/source/lang "
+    "counts, exact-duplication rate via sha256 count-distinct, "
+    "char/token totals, length distribution, language share — "
+    "computed in ONE scan (count-distincts share the pass via "
+    "Expand; no re-read, no join).",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        F.length("text").alias("chars"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("toks"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+    a = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("sha").cast("bigint").alias("n_distinct_texts"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("chars"), 2).alias("avg_chars"),
+        F.round(F.percentile("chars", F.lit(0.5)), 2).alias("p50_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("pct_en"),
+    )
+    return a.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "n_distinct_texts",
+        F.round(F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 6).alias("dup_rate"),
+        "total_chars",
+        "total_tokens",
+        "avg_chars",
+        "p50_chars",
+        "pct_en",
+    )
