@@ -468,3 +468,26 @@ def test_round8_operator_plan_shapes(spark, sf_dir):
     cb = explain_str(REGISTRY["x4_ccnet_buckets"].fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in cb
     assert "InPandas" not in cb and "BatchEvalPython" not in cb
+
+    # hard negatives, GEMM lane: one mapInPandas over the candidate
+    # stream (the collected query block rides inside the plan, never a
+    # broadcast of the corpus), then the bounded global window
+    from cbts_datalake_synnex_spark.operators import similarity
+    from cbts_datalake_synnex_spark.workload.base import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hn = explain_str(
+        similarity.hard_negatives(
+            emb, emb.filter("vec_id % 25 = 0"), "vec_id", "embedding", "label",
+            engine="arrow",
+        ),
+        "simple",
+    )
+    assert "MapInPandas" in hn
+    assert "CartesianProduct" not in hn
+
+    # random projection: the sign table joins in as a broadcast; the
+    # corpus side is one hash aggregate — no explode-by-k, no python
+    rp = explain_str(REGISTRY["x3_random_projection"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in rp
+    assert "InPandas" not in rp and "CartesianProduct" not in rp
