@@ -149,3 +149,57 @@ def psi_drift_report(
             (F.col("__psi") >= F.lit(float(threshold))).alias("drift_flag"),
         )
     )
+
+
+def referential_integrity_report(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+    round_dp: int = 6,
+) -> DataFrame:
+    """DQ — foreign-key orphan report across table pairs: for each
+    (name, child, child_key, parent, parent_key) relation, how many
+    child rows reference a parent key that does not exist — the
+    referential check a lake runs after every load because nothing
+    else enforces it on plain files (the reference's Glue tables have
+    no constraints either; Deequ's `isContainedIn` on steroids).
+
+    SQL FK semantics: a NULL child key is NOT a violation (reported
+    separately as ``n_null_keys``); orphans are counted with one
+    left-anti join per relation against the distinct parent keys. At
+    scale each anti join is a plain shuffled semi-join reduction —
+    exactly the shape AQE + the engine's runtime bloom filters
+    already optimize; nothing is collected.
+
+    Returns one row per relation:
+    (relation, n_child_rows, n_null_keys, n_orphans, orphan_rate,
+    passed).
+    """
+    reports = []
+    for name, child, ck, parent, pk in relations:
+        keys = child.select(F.col(ck).alias("__k"))
+        base = keys.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.sum(F.col("__k").isNull().cast("int")).cast("bigint").alias("n_null_keys"),
+        )
+        orphans = (
+            keys.filter(F.col("__k").isNotNull())
+            .join(parent.select(F.col(pk).alias("__k")).distinct(), "__k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        reports.append(
+            base.crossJoin(orphans).select(
+                F.lit(name).alias("relation"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans")
+                    / F.greatest(F.col("n_child_rows") - F.col("n_null_keys"), F.lit(1)),
+                    round_dp,
+                ).alias("orphan_rate"),
+                (F.col("n_orphans") == 0).alias("passed"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -161,14 +161,15 @@ _ROUND8_FRONT = [
     "x4_unicode_normalize",
 ]
 
-# TODO(round 9): rotate `_ROUND9_FRONT` = the 11 registry entries
+# TODO(round 9): rotate `_ROUND9_FRONT` = the 12 registry entries
 # added after the round-8 window froze (all local-oracle green; green
-# CORRECTNESS_r09 rows close lifetime driver coverage at 191/191):
+# CORRECTNESS_r09 rows close lifetime driver coverage at 192/192):
 #   pipeline_retrieve_rerank, pipeline_classifier_eval,
 #   x4_ccnet_buckets, lc_bucketed_join, t_stream_stream_join,
 #   x3_random_projection, x6_fim_split, x3_hard_negatives,
-#   x6_chat_assembly, t_gap_fill, pipeline_dataset_card
-# The remaining 39 window slots re-certify the round-8 then round-7
+#   x6_chat_assembly, t_gap_fill, pipeline_dataset_card,
+#   dq_referential_integrity
+# The remaining 38 window slots re-certify the round-8 then round-7
 # then round-6 fronts (first occurrence wins on overlap).
 
 

@@ -1077,3 +1077,79 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift_report(
         a, b, value_col="value", strata_col="event_type", bucket_width=50.0
     )
+
+
+# ----------------------------------------------------------------------
+# DQ — referential integrity (round 8): the FK orphan report nothing
+# else enforces on plain files. Two clean TPC-H relations certify the
+# zero case; events.event_id→customer is a deliberately violated
+# relation so the orphan-counting path is exercised with real counts.
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+           CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           round(sum(CASE WHEN l_orderkey IS NOT NULL
+                           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(count(*) - sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 1), 6) AS orphan_rate,
+           sum(CASE WHEN l_orderkey IS NOT NULL
+                     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+                    THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NOT NULL
+                          AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN o_custkey IS NOT NULL
+                           AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(count(*) - sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 1), 6),
+           sum(CASE WHEN o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'events.event_id->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN event_id IS NOT NULL
+                          AND event_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN event_id IS NOT NULL
+                           AND event_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(count(*) - sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END), 1), 6),
+           sum(CASE WHEN event_id IS NOT NULL
+                     AND event_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+                    THEN 1 ELSE 0 END) = 0
+    FROM events
+    """,
+    doc="[EXT] DQ — referential-integrity report: per FK relation, the "
+    "orphan count via one left-anti join against distinct parent keys "
+    "(NULL child keys reported separately, not violations — SQL FK "
+    "semantics); two clean TPC-H relations plus a deliberately "
+    "violated events→customer relation exercise both branches "
+    "(operators/dq.referential_integrity_report).",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import referential_integrity_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return referential_integrity_report(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+            ("events.event_id->customer", ev, "event_id", c, "c_custkey"),
+        ]
+    )
