@@ -451,10 +451,25 @@ def test_round8_operator_plan_shapes(spark, sf_dir):
     exact_rescore/mmr fix)."""
     from cbts_datalake_synnex_spark.plans.inspect import explain_str
 
-    rr = explain_str(REGISTRY["pipeline_retrieve_rerank"].fn(spark, sf_dir), "simple")
+    # the registry fn localCheckpoints the pool (the report reads it in
+    # five branches), which truncates lineage — pin the composition's
+    # shape at the operator level instead, exactly as the query builds it
+    from cbts_datalake_synnex_spark.operators import similarity as _sim
+    from cbts_datalake_synnex_spark.workload.base import load_table as _lt
+
+    _emb = _lt(spark, sf_dir, "embeddings")
+    _pool = _sim.knn_join(
+        _emb, _emb.filter("vec_id % 5 = 0"), id_col="vec_id", vec_col="embedding",
+        k=20, n_cells=16, n_probe=6, n_assign=2,
+    )
+    _mmr = _sim.mmr_rerank(_pool, _emb, id_col="vec_id", vec_col="embedding", k=5, lambda_=0.7)
+    rr = explain_str(_mmr, "simple")
     assert "FlatMapCoGroupsInPandas" in rr    # kNN per-cell GEMM
     assert "FlatMapGroupsInPandas" in rr      # MMR per-query greedy
     assert "CartesianProduct" not in rr
+    # and the registry report itself stays cartesian-free
+    rr_q = explain_str(REGISTRY["pipeline_retrieve_rerank"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in rr_q
 
     # classifier eval: pure aggregates + broadcast model joins — the
     # AUC rank walk happens on the grouped score distribution, and
