@@ -161,22 +161,37 @@ _ROUND8_FRONT = [
     "x4_unicode_normalize",
 ]
 
-# TODO(round 9): rotate `_ROUND9_FRONT` = the 12 registry entries
-# added after the round-8 window froze (all local-oracle green; green
-# CORRECTNESS_r09 rows close lifetime driver coverage at 192/192):
-#   pipeline_retrieve_rerank, pipeline_classifier_eval,
-#   x4_ccnet_buckets, lc_bucketed_join, t_stream_stream_join,
-#   x3_random_projection, x6_fim_split, x3_hard_negatives,
-#   x6_chat_assembly, t_gap_fill, pipeline_dataset_card,
-#   dq_referential_integrity
-# The remaining 38 window slots re-certify the round-8 then round-7
-# then round-6 fronts (first occurrence wins on overlap).
+# Round 9: the 12 registry entries added after the round-8 window
+# froze (all local-oracle green). Green CORRECTNESS_r09 rows close
+# lifetime driver coverage at 192/192 of the r8 registry. The
+# remaining window slots re-certify the round-8 then round-7 then
+# round-6 fronts (first occurrence wins on overlap); round-9-new
+# queries appended after this list lands past the 50-slot window and
+# stay local-oracle-only until the round-10 rotation.
+_ROUND9_FRONT = [
+    "pipeline_retrieve_rerank",
+    "pipeline_classifier_eval",
+    "x4_ccnet_buckets",
+    "lc_bucketed_join",
+    "t_stream_stream_join",
+    "x3_random_projection",
+    "x6_fim_split",
+    "x3_hard_negatives",
+    "x6_chat_assembly",
+    "t_gap_fill",
+    "pipeline_dataset_card",
+    "dq_referential_integrity",
+]
 
 
 def _rotate_registry() -> None:
     order = list(
         dict.fromkeys(
-            _ROUND8_FRONT + _ROUND7_FRONT + _ROUND6_FRONT + _ROUND5_FRONT
+            _ROUND9_FRONT
+            + _ROUND8_FRONT
+            + _ROUND7_FRONT
+            + _ROUND6_FRONT
+            + _ROUND5_FRONT
         )
     )
     front = [n for n in order if n in REGISTRY]
