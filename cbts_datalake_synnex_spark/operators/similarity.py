@@ -1498,28 +1498,46 @@ def _hard_negatives_arrow(
     with the label mask applied BEFORE the batch-local cut: the
     bounded query block (ids, labels, normalized (Q, d) matrix)
     collects once, each candidate Arrow batch scores against all
-    queries with one BLAS GEMM, same-label and self pairs are masked
-    to -inf, and the batch emits every candidate whose ROUNDED score
-    ties or beats the batch-local m-th rounded score (ties survive the
-    cut — the knn_join round-8 discipline — so the global rounded+id
-    window sees every contender). Python state per batch is
+    queries with one BLAS GEMM, same-label, null-label and self pairs
+    are masked to -inf (matching the JVM lane's SQL ``!=`` semantics,
+    under which a NULL label on either side never mines — numpy's
+    ``!=`` would otherwise treat None/NaN as a mismatch and mine it),
+    and the batch emits every candidate whose ROUNDED score ties or
+    beats the batch-local m-th rounded score (ties survive the cut —
+    the knn_join round-8 discipline — so the global rounded+id window
+    sees every contender). The rounded grid drives the CUT only; the
+    emitted value is the raw double, with the canonical JVM ``F.round``
+    (HALF_UP) applied after the Arrow boundary — the same cross-lane
+    rounding discipline as `cosine_topk_arrow`/`knn_join` (numpy
+    rounds half-to-even, so a cosine on the half-grid would otherwise
+    store a different value between lanes). Python state per batch is
     O(B·d + B·Q sims); the driver holds only the query block.
     """
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, label_col, vec_col).collect()
-    q_ids = np.asarray([r[0] for r in qrows])
-    q_labels = np.asarray([r[1] for r in qrows])
-    qm = np.asarray([list(r[2]) for r in qrows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-
+    # NULL-label query rows are dropped at collect: the JVM lane's SQL
+    # `c_label != q_label` never evaluates true for them, so they mine
+    # nothing there and must mine nothing here either.
+    qrows = (
+        queries.select(id_col, label_col, vec_col)
+        .filter(F.col(label_col).isNotNull())
+        .collect()
+    )
     id_type = candidates.schema[id_col].dataType.simpleString()
     lab_type = candidates.schema[label_col].dataType.simpleString()
     out_schema = (
         f"query_id {id_type}, q_label {lab_type}, cand_id {id_type}, "
         f"c_label {lab_type}, cosine double"
     )
+    if not qrows:
+        return candidates.sparkSession.createDataFrame(
+            [], out_schema + ", hn_rank int"
+        )
+    q_ids = np.asarray([r[0] for r in qrows])
+    q_labels = np.asarray([r[1] for r in qrows])
+    qm = np.asarray([list(r[2]) for r in qrows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
@@ -1529,9 +1547,14 @@ def _hard_negatives_arrow(
             labels = pdf[label_col].to_numpy()
             cm = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = np.round(cm @ qm.T, round_dp)  # (B, Q), rounded grid
-            allowed = (labels[:, None] != q_labels[None, :]) & (
-                ids[:, None] != q_ids[None, :]
+            raw = cm @ qm.T  # (B, Q) raw doubles — the emitted value
+            sims = np.round(raw, round_dp)  # rounded grid drives the cut
+            # notna mask: SQL `!=` is NULL-absorbing, numpy's isn't —
+            # a None/NaN candidate label must never mine (ADVICE r8).
+            allowed = (
+                (labels[:, None] != q_labels[None, :])
+                & (ids[:, None] != q_ids[None, :])
+                & pd.notna(labels)[:, None]
             )
             sims[~allowed] = -np.inf
             kk = min(m, sims.shape[0])
@@ -1544,12 +1567,16 @@ def _hard_negatives_arrow(
                     "q_label": q_labels[qi],
                     "cand_id": ids[ci],
                     "c_label": labels[ci],
-                    "cosine": sims[ci, qi],
+                    "cosine": raw[ci, qi],
                 }
             )
 
-    scored = candidates.select(id_col, label_col, vec_col).mapInPandas(
-        score, schema=out_schema
+    scored = (
+        candidates.select(id_col, label_col, vec_col)
+        .mapInPandas(score, schema=out_schema)
+        # canonical HALF_UP rounding happens JVM-side, after the Arrow
+        # boundary — identical stored values across lanes and vs DuckDB
+        .withColumn("cosine", F.round(F.col("cosine"), round_dp))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (

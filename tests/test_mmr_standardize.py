@@ -209,3 +209,35 @@ def test_hard_negatives_lane_equivalence(spark):
     b = sorted(map(tuple, similarity.hard_negatives(
         vecs, q, "vec_id", "embedding", "label", m=3, engine="arrow").collect()))
     assert a == b
+
+
+def test_hard_negatives_lane_equivalence_null_labels(spark):
+    """NULL labels must mine nothing in EITHER lane (SQL `!=` is
+    NULL-absorbing; the Arrow lane masks them explicitly — ADVICE r8
+    found numpy's `!=` treating None as a mismatch and mining it)."""
+    rows = [
+        (i, [float((i * 5 + j * 2) % 9) - 4.0 for j in range(6)], i % 3)
+        for i in range(20)
+    ] + [
+        (200, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0], None),  # null-label cand
+        (201, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5], None),  # null-label query
+    ]
+    vecs = _lvecs(spark, rows)
+    q = vecs.filter((F.col("vec_id") % 7 == 0) | (F.col("vec_id") == 201))
+    a = sorted(map(tuple, similarity.hard_negatives(
+        vecs, q, "vec_id", "embedding", "label", m=3, engine="jvm").collect()))
+    b = sorted(map(tuple, similarity.hard_negatives(
+        vecs, q, "vec_id", "embedding", "label", m=3, engine="arrow").collect()))
+    assert a == b
+    assert a, "non-null queries must still mine"
+    mined_ids = {t[0] for t in a} | {t[2] for t in a}
+    assert 200 not in mined_ids and 201 not in mined_ids
+
+
+def test_hard_negatives_arrow_all_null_label_queries_empty(spark):
+    vecs = _lvecs(spark, [(0, [1.0, 0.0], 1), (1, [0.5, 0.5], 2)])
+    q = _lvecs(spark, [(9, [1.0, 0.0], None)])
+    out = similarity.hard_negatives(
+        vecs, q, "vec_id", "embedding", "label", m=3, engine="arrow"
+    )
+    assert out.count() == 0
