@@ -195,14 +195,20 @@ def binary_auc(
 
     computed over the score DISTRIBUTION, not the rows: one hash
     aggregate compacts examples to (rounded score → pos/neg counts),
-    then a single ordered cumulative walk over that compact frame.
-    The walk's window deliberately has no partition key — it orders
-    the grouped distribution (bounded by the distinct rounded scores,
-    ≤ 2·10^{round_dp}·range values at the 10^-round_dp grain), never
-    the example set, so the sort never sees corpus-sized data. All
-    counts are integers and the tie term is an exact binary half, so
-    the only float op is the final division (rounded to ``round_dp``,
-    engine-replicable).
+    then an exact TWO-LEVEL prefix sum over that frame (ADVICE r8 —
+    continuous scores like NB log-likelihoods stay essentially all
+    distinct even rounded, so a single unpartitioned window would
+    order ~|examples| rows in one task). Level 1 range-partitions the
+    distribution by score and computes within-partition cumulative
+    negatives; level 2 cumulates the per-partition totals — a frame
+    with one row PER PARTITION, the only unpartitioned window — and
+    broadcasts the offsets back. No task ever sorts more than
+    |distinct scores| / P rows, at any corpus size. All counts are
+    integers and the tie term is an exact binary half, so the only
+    float op is the final division (rounded to ``round_dp``,
+    engine-replicable); the result is independent of the sampled
+    range boundaries, since every score lands in exactly one ordered
+    range.
 
     Returns one row ``(auc, n_pos, n_neg)``; ``auc`` is NULL when
     either class is absent (AUC is undefined there).
@@ -218,11 +224,37 @@ def binary_auc(
             F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("ng"),
         )
     )
-    w = W.orderBy("__s").rowsBetween(W.unboundedPreceding, -1)
-    c = g.select(
+    try:
+        n_ranges = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except (TypeError, ValueError):
+        n_ranges = 32
+    ranged = g.repartitionByRange(n_ranges, F.col("__s")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        W.partitionBy("__pid").orderBy("__s").rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = ranged.withColumn(
+        "__below_in", F.coalesce(F.sum("ng").over(w_in), F.lit(0).cast("bigint"))
+    )
+    # per-partition totals: ≤ n_ranges rows — the only unpartitioned walk
+    w_p = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("ng").cast("bigint").alias("__part_ng"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__part_ng").over(w_p), F.lit(0).cast("bigint")).alias(
+                "__off"
+            ),
+        )
+    )
+    c = within.join(F.broadcast(offsets), "__pid").select(
         "p",
         "ng",
-        F.coalesce(F.sum("ng").over(w), F.lit(0).cast("bigint")).alias("below"),
+        (F.col("__below_in") + F.col("__off")).alias("below"),
     )
     t = c.agg(
         F.sum(F.col("p") * (F.col("below") + F.col("ng") / F.lit(2.0))).alias("__u"),
