@@ -326,11 +326,22 @@ def t_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase").select(
             "user_id", F.col("ts").alias("c_ts")
         ).write.mode("overwrite").parquet(f"{scratch}/conv")
-        imp = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
-            f"{scratch}/imp"
+        # single-batch pin (ADVICE r8): the DuckDB oracle states the
+        # BATCH band join, which equals the streaming result only if
+        # the whole replay lands in one micro-batch — a split replay
+        # lets out-of-order files advance the 1h watermark mid-stream
+        # and silently evict matches. maxFilesPerTrigger set far above
+        # the replay's file count overrides any session-level default;
+        # the lastProgress assertion below proves it held.
+        imp = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1_000_000)
+            .parquet(f"{scratch}/imp")
         )
-        conv = spark.readStream.schema("user_id bigint, c_ts timestamp").parquet(
-            f"{scratch}/conv"
+        conv = (
+            spark.readStream.schema("user_id bigint, c_ts timestamp")
+            .option("maxFilesPerTrigger", 1_000_000)
+            .parquet(f"{scratch}/conv")
         )
         j = stream_stream_join(
             imp, conv, key="user_id", left_ts="ts", right_ts="c_ts",
@@ -358,6 +369,17 @@ def t_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # memory table — fail loudly instead
                 if not q.awaitTermination(300):
                     raise RuntimeError("stream-stream replay did not finish in 300s")
+                # prove the single-batch contract the oracle assumes:
+                # exactly one data-carrying micro-batch processed
+                data_batches = [
+                    p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                ]
+                if len(data_batches) != 1:
+                    raise RuntimeError(
+                        "stream-stream replay split into "
+                        f"{len(data_batches)} data batches; the batch "
+                        "oracle only states the single-batch replay"
+                    )
             finally:
                 q.stop()
         finally:
