@@ -27,16 +27,32 @@ from pyspark.sql import SparkSession
 
 _JAR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "jars", "spark-graft-udfs.jar")
 _FN_NAME = "spark_graft_unicode_normalize"
-_READY: dict[int, bool] = {}
+_READY: dict[str, bool] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    # id(spark) alone can be REUSED after a stopped session is GC'd,
+    # inheriting a stale gate (ADVICE r8); applicationId is unique per
+    # SparkContext, and the id() suffix separates sessions sharing one
+    # context (newSession()).
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — stopped context: don't cache
+        app = "no-context"
+    return f"{app}:{id(spark)}"
 
 
 def ensure_unicode_normalize_jvm(spark: SparkSession) -> str | None:
     """Register the JVM unicode-normalize UDF in ``spark`` if the jar
     is available; return the registered SQL function name, or None when
     the lane is unavailable (caller falls back to the Arrow lane)."""
-    key = id(spark)
+    key = _session_key(spark)
     if key in _READY:
-        return _FN_NAME if _READY[key] else None
+        # trust a cached False (the jar won't appear mid-session), but
+        # verify a cached True against the catalog — a same-key session
+        # without the registration must not skip it and fail mid-query
+        if not _READY[key] or spark.catalog.functionExists(_FN_NAME):
+            return _FN_NAME if _READY[key] else None
     ok = False
     try:
         if os.path.exists(_JAR):

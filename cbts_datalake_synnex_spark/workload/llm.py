@@ -3248,9 +3248,11 @@ def pipeline_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="[EXT] X4 — Unicode NFC normalization (precomposed vs combining "
     "codepoints must collapse BEFORE sha2/MinHash sees them, or every "
-    "dedup under-counts): Spark SQL has no ICU builtin, so it is the "
-    "honest §2.9 escape hatch — one Arrow-batched pandas_udf over "
-    "unicodedata, pure projection, no shuffle; DuckDB's nfc_normalize "
+    "dedup under-counts): Spark SQL has no ICU builtin, so the engine "
+    "registers an icu4j Java UDF when the gated jar is present "
+    "(functions/jvm_udfs — per-row JVM call, no Python worker) and "
+    "falls back to an Arrow-batched pandas_udf over unicodedata; "
+    "either way a pure projection, no shuffle. DuckDB's nfc_normalize "
     "recomputes it independently (operators/text.unicode_normalize).",
 )
 def x4_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
