@@ -204,39 +204,53 @@ def _run_dedup_skew_pass(spark, sf_dir: str, n_template: int = 2000) -> dict:
     return out
 
 
-# Round-6/7 additions tracked outside the headline total (VERDICT r6
+# Round-6+ additions tracked outside the headline total (VERDICT r6
 # #9): new surfaces get wall times + slopes in the round they land,
 # BEFORE their certification rotation.
+#
+# Bench-row rotation (VERDICT r8 #2 — keep the full wall under the
+# driver's 580 s cap as the surface count grows): rows whose slope has
+# been stable for ≥2 rounds and whose sf1 wall is ~1 s or less retire
+# to the sf0.1-only list below — their last two-SF numbers are
+# recorded in BASELINE.md ("retired bench rows" table) and their
+# sf0.1 number keeps regression coverage. Heavy or slope-watch rows
+# stay on the two-SF list.
 NEW_SURFACE_QUERIES = [
     "x3_semantic_dedup",
-    "x4_gopher_quality",
     "x4_repetition_flags",
-    "pipeline_corpus_hygiene",
     "pipeline_leakage_safe_split",
     "x4_collapse_repeated_lines",
-    "x3_matryoshka_report",
-    "pipeline_temperature_mixture",
     "x4_nb_classifier",
     "pipeline_dsir_weights",
     "x3_knn_join",
-    "dq_psi_drift",
-    "x4_corpus_zipf",
     "x3_mmr_rerank",
-    "x3_embedding_standardize",
     "pipeline_dsir_resample",
     "x7_source_overlap",
-    "s_csv_roundtrip",
-    "s_orc_roundtrip",
-    "cdc_scd2_apply",
     "pipeline_ffd_packing",
-    "x4_unicode_normalize",
     # round-8 additions
     "pipeline_retrieve_rerank",
     "pipeline_classifier_eval",
     "x4_ccnet_buckets",
+    "x3_hard_negatives",
+]
+
+# Retired from the sf1 pass (slopes 1.0-2.3 across r7+r8, sf1 walls
+# 0.4-1.3 s — no superlinear risk left to watch; last two-SF numbers
+# in BASELINE.md). Still timed at sf0.1 every round.
+NEW_SURFACE_QUERIES_SF01_ONLY = [
+    "x4_gopher_quality",
+    "pipeline_corpus_hygiene",
+    "x3_matryoshka_report",
+    "pipeline_temperature_mixture",
+    "dq_psi_drift",
+    "x4_corpus_zipf",
+    "x3_embedding_standardize",
+    "s_csv_roundtrip",
+    "s_orc_roundtrip",
+    "cdc_scd2_apply",
+    "x4_unicode_normalize",
     "x3_random_projection",
     "x6_fim_split",
-    "x3_hard_negatives",
     "x6_chat_assembly",
 ]
 
@@ -274,7 +288,9 @@ def main() -> None:
         # block: BASELINE.md "new_surfaces" section (r7 driver sf1 +
         # judge sf0.1 numbers) — regressions judged at the same 2×
         # bound as the headline set.
-        ns_t, ns_b = _run_pass(spark, sf_dir, NEW_SURFACE_QUERIES)
+        ns_t, ns_b = _run_pass(
+            spark, sf_dir, NEW_SURFACE_QUERIES + NEW_SURFACE_QUERIES_SF01_ONLY
+        )
         result["new_surfaces"] = dict(ns_t) | {n: {"err": e} for n, e in ns_b.items()}
 
     # Second scale point: a single SF cannot separate fixed overhead
