@@ -2532,6 +2532,26 @@ class LakeEngine:
             exclude_cols=exclude,
         )
 
+    # ------------------------------------------------------------------
+    # Persistent near-dup admission index (round 9) — thin delegates to
+    # the module-level helpers below (kept module-level so the operator
+    # tier stays importable without an engine instance).
+    def build_dedup_index(self, index_name, corpus, id_col, text_col,
+                          shingle_size: int = 3, n_buckets: int = 32) -> None:
+        build_dedup_index(self, index_name, corpus, id_col, text_col,
+                          shingle_size=shingle_size, n_buckets=n_buckets)
+
+    def admit_against_dedup_index(self, index_name, batch, id_col, text_col,
+                                  threshold: float = 0.7,
+                                  max_doc_freq: int | None = None) -> DataFrame:
+        return admit_against_dedup_index(self, index_name, batch, id_col,
+                                         text_col, threshold=threshold,
+                                         max_doc_freq=max_doc_freq)
+
+    def update_dedup_index(self, index_name, batch, decisions, id_col,
+                           text_col) -> None:
+        update_dedup_index(self, index_name, batch, decisions, id_col, text_col)
+
 
 def _and_all(conds):
     out = conds[0]
@@ -2632,3 +2652,119 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(*bucket_cols)
     writer.saveAsTable(table)
+
+
+# ----------------------------------------------------------------------
+# Persistent near-dup admission index (round 9 — VERDICT r8 #3): the
+# engine-managed form of the admission gate's `corpus_shingles=` reuse.
+# A real continuous-ingest pipeline probes the same corpus every night;
+# these helpers make the corpus's shingle index a TABLE — built once,
+# probed per batch, appended per admission — so the nightly run never
+# re-reads or re-tokenizes corpus text. Layout and losslessness
+# arguments live on `operators/dedup.shingle_index_frames`.
+def build_dedup_index(
+    engine: "LakeEngine",
+    index_name: str,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    n_buckets: int = 32,
+) -> None:
+    """Write the three index tables into the engine's database:
+    ``{index_name}_entries`` (sh, doc, n) bucketed+sorted by sh,
+    ``{index_name}_docs`` (doc, shs), ``{index_name}_df`` (sh, df)
+    bucketed by sh, plus a one-row ``{index_name}_meta`` pinning
+    (shingle_size, n_buckets) so probes can't drift from the build."""
+    from cbts_datalake_synnex_spark.operators.dedup import shingle_index_frames
+
+    entries, docs, dfinc = shingle_index_frames(
+        corpus, id_col, text_col, shingle_size
+    )
+    spark = engine.spark
+    write_bucketed(
+        spark, entries, engine.qualified(f"{index_name}_entries"), ["sh"], n_buckets
+    )
+    write_bucketed(
+        spark, dfinc, engine.qualified(f"{index_name}_df"), ["sh"], n_buckets
+    )
+    docs.write.format("parquet").mode("overwrite").saveAsTable(
+        engine.qualified(f"{index_name}_docs")
+    )
+    spark.createDataFrame(
+        [(int(shingle_size), int(n_buckets))], "shingle_size int, n_buckets int"
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        engine.qualified(f"{index_name}_meta")
+    )
+
+
+def admit_against_dedup_index(
+    engine: "LakeEngine",
+    index_name: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Probe the persisted index: (id, admitted, blocked_by, jaccard)
+    per batch doc. Only the batch is tokenized; the index side of the
+    candidate join moves nothing (bucketed scan, or the tiny probe
+    prefix broadcasts into it)."""
+    from cbts_datalake_synnex_spark.operators.dedup import admission_against_index
+
+    spark = engine.spark
+    meta = spark.table(engine.qualified(f"{index_name}_meta")).first()
+    return admission_against_index(
+        spark.table(engine.qualified(f"{index_name}_entries")),
+        spark.table(engine.qualified(f"{index_name}_docs")),
+        spark.table(engine.qualified(f"{index_name}_df")),
+        batch,
+        id_col,
+        text_col,
+        threshold=threshold,
+        shingle_size=int(meta["shingle_size"]),
+        max_doc_freq=max_doc_freq,
+    )
+
+
+def update_dedup_index(
+    engine: "LakeEngine",
+    index_name: str,
+    batch: DataFrame,
+    decisions: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Append the ADMITTED batch docs' shingles to the index — one
+    bucketed append per table, df rows as additive increments (readers
+    sum per sh); no corpus rewrite, no re-tokenize of anything but the
+    admitted slice. Appends use the meta-pinned bucket spec, so the
+    bucketed-join property survives every nightly update.
+
+    ``decisions`` is PINNED (localCheckpoint) before the first append:
+    its plan reads the very index tables being appended, so a lazy
+    frame re-evaluated afterwards would see the batch's own rows in
+    the index and block everything as a self-match. Pass the frame
+    straight from ``admit_against_dedup_index`` — or an already
+    checkpointed one, for which the pin is a no-op read."""
+    from cbts_datalake_synnex_spark.operators.dedup import shingle_index_frames
+
+    spark = engine.spark
+    meta = spark.table(engine.qualified(f"{index_name}_meta")).first()
+    admitted = batch.join(
+        decisions.localCheckpoint().filter(F.col("admitted")).select(id_col), id_col
+    )
+    entries, docs, dfinc = shingle_index_frames(
+        admitted, id_col, text_col, int(meta["shingle_size"])
+    )
+    nb = int(meta["n_buckets"])
+    entries.write.format("parquet").mode("append").bucketBy(nb, "sh").sortBy(
+        "sh"
+    ).saveAsTable(engine.qualified(f"{index_name}_entries"))
+    dfinc.write.format("parquet").mode("append").bucketBy(nb, "sh").sortBy(
+        "sh"
+    ).saveAsTable(engine.qualified(f"{index_name}_df"))
+    docs.write.format("parquet").mode("append").saveAsTable(
+        engine.qualified(f"{index_name}_docs")
+    )

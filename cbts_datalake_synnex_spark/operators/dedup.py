@@ -911,8 +911,66 @@ def admission_against_corpus(
         _widen_narrow_input(batch), id_col, text_col, shingle_size
     ).localCheckpoint()
     cand = _admission_candidates(c_shs, b_shs, threshold, max_doc_freq)
+    return _admission_decisions(b_shs, c_shs, cand, batch, id_col, threshold)
+
+
+# ----------------------------------------------------------------------
+def shingle_index_frames(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three frames of a PERSISTENT near-dup admission index
+    (round 9 — the engine-managed form of ``corpus_shingles=`` reuse):
+
+    - ``entries`` (sh, doc, n): the FULL inverted index — every hashed
+      shingle of every corpus doc, with the doc's shingle count.
+      Persist bucketed+sorted by ``sh`` so the nightly probe join
+      reads matching buckets with no exchange on the corpus side.
+    - ``docs`` (doc, shs): the per-doc shingle arrays the exact
+      Jaccard verification reads for candidate partners.
+    - ``dfinc`` (sh, df): document-frequency INCREMENT rows (this
+      build's counts). Increments are additive — index updates append
+      rather than rewrite, and readers sum per ``sh`` (exchange-free
+      on the bucketed layout). df only orders probe prefixes and
+      feeds the optional skew cap, so a stale snapshot costs probe
+      efficiency, never recall.
+
+    Indexing the FULL corpus side (not a prefix) is what makes
+    incremental appends lossless: the AllPairs prefix theorem needs a
+    shared total order only when BOTH sides are prefix-filtered; with
+    a complete index, ANY (n - ceil(t*n) + 1)-subset of a probe doc's
+    shingles must intersect every qualifying partner (at most
+    n - t*n < that many shingles can miss), so probe-side-only
+    prefixing keeps recall exactly 1 under any ordering — appended
+    docs never invalidate previously written index rows.
+    """
+    shs = _hashed_shingle_docs(
+        _widen_narrow_input(corpus), id_col, text_col, shingle_size
+    ).localCheckpoint()
+    entries = shs.select(
+        "doc", F.size("shs").alias("n"), F.explode("shs").alias("sh")
+    ).select("sh", "doc", "n")
+    dfinc = entries.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return entries, shs, dfinc
+
+
+def _admission_decisions(
+    b_shs: DataFrame,
+    corpus_docs: DataFrame,
+    cand: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared verify+decide tail of the admission gates: exact-Jaccard
+    verification of the (bdoc, cdoc) candidates against the shingle
+    arrays, lowest-id blocking partner, one row per batch doc.
+    ``cand`` is tiny (≈ |batch near-dups|) and broadcasts into both
+    attachment joins, so neither shingle-array side shuffles."""
     sb = b_shs.select(F.col("doc").alias("bdoc"), F.col("shs").alias("bshs"))
-    sc = c_shs.select(F.col("doc").alias("cdoc"), F.col("shs").alias("cshs"))
+    sc = corpus_docs.select(F.col("doc").alias("cdoc"), F.col("shs").alias("cshs"))
     inter = F.size(F.array_intersect("bshs", "cshs"))
     union = F.size("bshs") + F.size("cshs") - inter
     verified = (
@@ -924,7 +982,9 @@ def admission_against_corpus(
     blocking = (
         verified.groupBy("bdoc")
         .agg(
-            F.min(F.struct(F.col("cdoc").alias("p"), F.col("jaccard").alias("j"))).alias("w")
+            F.min(
+                F.struct(F.col("cdoc").alias("p"), F.col("jaccard").alias("j"))
+            ).alias("w")
         )
         .select(
             F.col("bdoc").alias(id_col),
@@ -942,3 +1002,74 @@ def admission_against_corpus(
             "jaccard",
         )
     )
+
+
+def admission_against_index(
+    entries: DataFrame,
+    docs: DataFrame,
+    dfinc: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """X2 — near-dup admission against a PERSISTED shingle index
+    (``shingle_index_frames``), the continuous-ingestion form: the
+    nightly batch tokenizes only ITSELF and probes the stored inverted
+    index — the corpus text is never re-read, never re-shingled.
+
+    Candidate generation is probe-prefix-only (lossless against the
+    full index — see ``shingle_index_frames``): batch shingles rank by
+    the summed df snapshot ascending (rare first; df 0 probes are
+    dropped AFTER the prefix is fixed — they cannot hit the index),
+    keep the first n - ceil(t*n) + 1 per doc, and equi-join ``entries``
+    on ``sh`` with the lossless |B|/|C| length band. With ``entries``
+    bucketed by ``sh``, the join shuffles ONLY the batch prefixes (or
+    broadcasts them when small — either way the index side moves
+    nothing). Verification and blocking semantics are identical to
+    ``admission_against_corpus``.
+
+    Returns (id_col, admitted, blocked_by, jaccard), one row per batch
+    doc. Same contracts: ids disjoint, batch-internal dups separate.
+    """
+    t_lit = F.lit(float(threshold))
+    b_shs = _hashed_shingle_docs(
+        _widen_narrow_input(batch), id_col, text_col, shingle_size
+    ).localCheckpoint()
+    dftab = dfinc.groupBy("sh").agg(F.sum("df").alias("df"))
+    b_sh = b_shs.select("doc", F.size("shs").alias("n"), F.explode("shs").alias("sh"))
+    b_ranked = b_sh.join(dftab, "sh", "left").withColumn(
+        "df", F.coalesce(F.col("df"), F.lit(0).cast("bigint"))
+    )
+    if max_doc_freq is not None:
+        b_ranked = b_ranked.filter(F.col("df") <= max_doc_freq)
+    from pyspark.sql import Window
+
+    prefix_len = F.col("n") - F.ceil(t_lit * F.col("n")) + 1
+    b_prefix = (
+        b_ranked.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("sh"))
+            ),
+        )
+        .filter(F.col("rn") <= prefix_len)
+        .filter(F.col("df") > 0)
+        .select(F.col("doc").alias("bdoc"), F.col("n").alias("bn"), "sh")
+    )
+    idx = entries.select(F.col("sh"), F.col("doc").alias("cdoc"), F.col("n").alias("cn"))
+    if max_doc_freq is not None:
+        idx = idx.join(dftab.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
+    cand = (
+        b_prefix.join(
+            idx,
+            (b_prefix["sh"] == idx["sh"])
+            & (F.col("cn") >= t_lit * F.col("bn"))
+            & (F.col("bn") >= t_lit * F.col("cn")),
+        )
+        .select("bdoc", "cdoc")
+        .distinct()
+    )
+    return _admission_decisions(b_shs, docs, cand, batch, id_col, threshold)
