@@ -3822,3 +3822,71 @@ def x2_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2.select(F.lit(2).alias("batch"), "doc_id", "admitted", "blocked_by", "jaccard")
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# X4 — backoff-bigram LM perplexity proxy (round 9, VERDICT r8 #4):
+# the CCNet-style ranker upgraded from the permutation-invariant
+# unigram proxy to an order-sensitive interpolated bigram with
+# absolute-discount backoff. DuckDB re-derives the ENTIRE model —
+# bigram/context/continuation/unigram counts and every per-pair
+# log-probability — from the same corpus.
+@query(
+    "x4_bigram_ppl",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+    ucnt AS (SELECT t AS v, count(*) AS c_v FROM uni GROUP BY t),
+    ntot AS (SELECT count(*) AS n_total FROM uni),
+    bglist AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> struct_pack(u := toks[i], v := toks[i + 1]))
+             ELSE [] END AS bgs
+      FROM tk
+    ),
+    bg AS (
+      SELECT doc_id, b.u AS u, b.v AS v
+      FROM (SELECT doc_id, unnest(bgs) AS b FROM bglist)
+    ),
+    cuv AS (SELECT u, v, count(*) AS c_uv FROM bg GROUP BY u, v),
+    cu AS (SELECT u, sum(c_uv) AS c_u, count(*) AS n1p_u FROM cuv GROUP BY u),
+    pair_lp AS (
+      SELECT cuv.u, cuv.v,
+             ln(greatest(c_uv - 0.75, 0) / c_u
+                + 0.75 * n1p_u / c_u * (c_v * 1.0 / n_total)) AS lp
+      FROM cuv JOIN cu USING (u) JOIN ucnt ON ucnt.v = cuv.v CROSS JOIN ntot
+    ),
+    doc_bg AS (
+      SELECT doc_id, sum(lp) AS s_bg
+      FROM bg JOIN pair_lp USING (u, v) GROUP BY doc_id
+    ),
+    first_tok AS (
+      SELECT tk.doc_id, ln(c_v * 1.0 / n_total) AS l1
+      FROM tk JOIN ucnt ON ucnt.v = toks[1] CROSS JOIN ntot
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(t.toks) > 0 THEN
+             round((COALESCE(f.l1, 0) + COALESCE(b.s_bg, 0)) / len(t.toks), 6)
+           END AS avg_logprob
+    FROM tk t
+    LEFT JOIN first_tok f ON f.doc_id = t.doc_id
+    LEFT JOIN doc_bg b ON b.doc_id = t.doc_id
+    """,
+    doc="[EXT] X4 — interpolated backoff-bigram LM log-prob per doc "
+    "(Ney 1994 absolute discounting, D=0.75; CCNet Wenzek 2020 uses a "
+    "5-gram KenLM — this is the two-order distributed analogue, and "
+    "unlike the unigram proxy it is word-order-sensitive): all model "
+    "statistics on compact count tables, corpus stream shuffled once "
+    "onto (u,v), per-doc reduce ships map-combined partials "
+    "(operators/text.bigram_logprob).",
+)
+def x4_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs, id_col="doc_id", text_col="text")
+
+

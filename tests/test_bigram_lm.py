@@ -1,0 +1,136 @@
+"""Backoff-bigram LM perplexity proxy (round 9 — VERDICT r8 #4):
+goldens vs a hand-rolled python model, hypothesis equivalence, order
+sensitivity (the property the unigram proxy lacks), plan shape."""
+
+import math
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.operators import text
+from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+D = 0.75
+
+
+def _py_bigram(docs: dict[int, str]) -> dict[int, tuple[int, float | None]]:
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    uni = Counter(tok for ts in toks.values() for tok in ts)
+    n_total = sum(uni.values())
+    cuv: Counter = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            cuv[(a, b)] += 1
+    cu: Counter = Counter()
+    n1p: Counter = Counter()
+    for (a, _b), c in cuv.items():
+        cu[a] += c
+        n1p[a] += 1
+    out = {}
+    for i, ts in toks.items():
+        lp = math.log(uni[ts[0]] / n_total)
+        for a, b in zip(ts, ts[1:]):
+            lp += math.log(
+                max(cuv[(a, b)] - D, 0.0) / cu[a]
+                + D * n1p[a] / cu[a] * (uni[b] / n_total)
+            )
+        out[i] = (len(ts), round(lp / len(ts), 6))
+    return out
+
+
+def _run(spark, docs: dict[int, str]):
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    rows = text.bigram_logprob(df, "doc_id", "text").collect()
+    return {r["doc_id"]: (r["n_tokens"], r["avg_logprob"]) for r in rows}
+
+
+def test_bigram_golden_matches_python(spark):
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the hat",
+        2: "mat the on sat cat the",  # same bag, different order
+        3: "completely unrelated words here",
+        4: "single",
+    }
+    got = _run(spark, docs)
+    want = _py_bigram(docs)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+
+
+def test_bigram_is_order_sensitive_unigram_is_not(spark):
+    docs = {0: "a b a b a b", 1: "a a a b b b"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    u = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in text.unigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert u[0] == u[1]  # permutation-invariant
+    b = _run(spark, docs)
+    assert b[0][1] != b[1][1]  # the bigram model separates them
+
+
+def test_bigram_probabilities_sum_to_one_per_context(spark):
+    """Σ_v P(v|u) over the VOCABULARY = 1 for every seen context u —
+    the absolute-discount mass argument, checked numerically."""
+    docs = {0: "a b a c a b d", 1: "b c b a"}
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    n_total = sum(uni.values())
+    cuv: Counter = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            cuv[(a, b)] += 1
+    cu: Counter = Counter()
+    n1p: Counter = Counter()
+    for (a, _b), c in cuv.items():
+        cu[a] += c
+        n1p[a] += 1
+    for u in cu:
+        s = sum(
+            max(cuv.get((u, v), 0) - D, 0.0) / cu[u]
+            + D * n1p[u] / cu[u] * (uni[v] / n_total)
+            for v in uni
+        )
+        assert s == pytest.approx(1.0, abs=1e-12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_matches_python_model(spark, corpora):
+    docs = {i: " ".join(ts) for i, ts in enumerate(corpora)}
+    got = _run(spark, docs)
+    want = _py_bigram(docs)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+
+
+def test_bigram_partitioning_invariance(spark):
+    docs = {i: " ".join("abcd"[(i * 3 + j) % 4] for j in range(6)) for i in range(24)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    a = sorted(map(tuple, text.bigram_logprob(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(tuple, text.bigram_logprob(df.repartition(7), "doc_id", "text").collect())
+    )
+    assert a == b
+
+
+def test_bigram_plan_is_python_free_and_cartesian_bounded(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id bigint, text string"
+    )
+    plan = explain_str(text.bigram_logprob(df, "doc_id", "text"), "simple")
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # the N join is a broadcast
