@@ -485,3 +485,147 @@ def t_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — stream-stream OUTER join, driver-certified (round 9,
+# VERDICT r8 #5): the left-outer band join's null-padded unmatched
+# rows are emitted only when the watermark proves no future match can
+# arrive — semantics a batch oracle can state ONLY if the replay ends
+# with the watermark beyond every data row's eviction bound. The
+# replay forces that: per side, ONE data file, then two far-future
+# sentinel files (disjoint keys), maxFilesPerTrigger=1 → batch 1
+# carries all data, batch 2's sentinels advance the watermark past
+# max(ts) + band, batch 3 evicts-and-emits every unmatched left row.
+# Then (sentinels excluded) the streaming result IS the batch LEFT
+# JOIN with the band predicate, which DuckDB states exactly.
+@query(
+    "t_stream_outer_join",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT v.user_id, v.ts, c.ts AS c_ts
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(c_ts) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           CAST(min(epoch_us(c_ts) - epoch_us(ts)) AS BIGINT) AS min_lag_us,
+           CAST(max(epoch_us(c_ts) - epoch_us(ts)) AS BIGINT) AS max_lag_us
+    FROM j GROUP BY user_id
+    """,
+    doc="SURVEY §2.8 [EXT] — watermarked stream-stream LEFT OUTER band "
+    "join driven end-to-end: unmatched views are emitted null-padded "
+    "on watermark advance; a final sentinel batch pushes the watermark "
+    "past every data row's eviction bound so the bounded replay equals "
+    "the batch left join (streaming/joins.stream_stream_join, "
+    "how='left_outer'). Covers the semantics t_stream_stream_join's "
+    "inner band cannot: per-user unmatched counts arrive from the "
+    "state store's eviction path, not the match path.",
+)
+def t_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.joins import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    scratch = tempfile.mkdtemp(prefix="ssoj_")
+    qn = f"ssoj_{uuid.uuid4().hex[:8]}"
+    try:
+        views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("c_ts")
+        )
+        # eviction bound: watermark must exceed max(ts) + band (4h);
+        # sentinel events sit 10h past the latest event on DISJOINT
+        # negative keys so they can never match data rows
+        far = ev.agg(F.max("ts").alias("m")).first()["m"]
+        views.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/imp/d0")
+        buys.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/conv/d0")
+        for k, hours in ((1, 10), (2, 11)):
+            s_l = spark.createDataFrame(
+                [(-1, far)], "user_id bigint, ts timestamp"
+            ).select("user_id", (F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"))
+            s_r = spark.createDataFrame(
+                [(-2, far)], "user_id bigint, c_ts timestamp"
+            ).select("user_id", (F.col("c_ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("c_ts"))
+            s_l.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/imp/d{k}")
+            s_r.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/conv/d{k}")
+        # file-source batch order follows modification time: data
+        # first, then sentinel 1, then sentinel 2
+        for side in ("imp", "conv"):
+            for k, mt in ((0, 1_000), (1, 2_000), (2, 3_000)):
+                d = f"{scratch}/{side}/d{k}"
+                for fn in os.listdir(d):
+                    os.utime(os.path.join(d, fn), (mt, mt))
+        imp = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/imp/*")
+        )
+        conv = (
+            spark.readStream.schema("user_id bigint, c_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/conv/*")
+        )
+        j = stream_stream_join(
+            imp, conv, key="user_id", left_ts="ts", right_ts="c_ts",
+            watermark="1 hour", band="4 hours", how="left_outer",
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                j.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream outer replay did not finish in 300s")
+                # the eviction contract: ≥3 micro-batches ran (data,
+                # sentinel, eviction-flush), and the first carried the
+                # whole data load — otherwise the batch oracle is void
+                data_batches = [
+                    p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                ]
+                if len(data_batches) < 3:
+                    raise RuntimeError(
+                        f"replay ran {len(data_batches)} data batches; "
+                        "sentinel staging failed"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = (
+            spark.table(qn)
+            .filter(F.col("user_id") >= 0)  # drop sentinel keys
+            .groupBy("user_id")
+            .agg(
+                F.count("c_ts").cast("bigint").alias("n_pairs"),
+                F.sum(F.col("c_ts").isNull().cast("int")).cast("bigint").alias("n_unmatched"),
+                F.min(F.unix_micros("c_ts") - F.unix_micros("ts"))
+                .cast("bigint")
+                .alias("min_lag_us"),
+                F.max(F.unix_micros("c_ts") - F.unix_micros("ts"))
+                .cast("bigint")
+                .alias("max_lag_us"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
