@@ -261,6 +261,9 @@ NEW_SURFACE_QUERIES = [
     "pipeline_classifier_eval",
     "x4_ccnet_buckets",
     "x3_hard_negatives",
+    # round-9 additions
+    "x4_bigram_ppl",
+    "x3_hard_negatives_distributed",
 ]
 
 # Retired from the sf1 pass (slopes 1.0-2.3 across r7+r8, sf1 walls
@@ -281,6 +284,10 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "x3_random_projection",
     "x6_fim_split",
     "x6_chat_assembly",
+    # round 9: full index lifecycle (build + 2 probes + append) — the
+    # dedup_skew block's admission_index_probe carries the isolated
+    # probe timing; the lifecycle row stays sf0.1-only
+    "x2_index_admission",
 ]
 
 

@@ -3890,3 +3890,54 @@ def x4_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(docs, id_col="doc_id", text_col="text")
 
 
+# ----------------------------------------------------------------------
+# X3 — hard-negative mining, BOTH-SIDES-LARGE lane (round 9, VERDICT
+# r8 #6): the knn_join → label-filter → per-query-truncate composition
+# the broadcast-contract operator documents as its escape hatch, now a
+# certified query. Exhaustive probing (n_probe = n_cells) makes the
+# pool the exact rounded-cosine top-k', so DuckDB states the ENTIRE
+# pool-bounded semantics: rank all pairs, keep the top-20 pool, filter
+# label mismatches inside it, keep the top-3.
+@query(
+    "x3_hard_negatives_distributed",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS cand_id, label AS cl, v AS cv FROM e),
+    scored AS (
+      SELECT query_id, ql, cand_id, cl,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM q JOIN c ON cand_id <> query_id
+    ),
+    pool AS (
+      SELECT query_id, ql, cand_id, cl, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS prank
+      FROM scored
+    ),
+    mined AS (
+      SELECT query_id, ql AS q_label, cand_id, cl AS c_label, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INTEGER) AS hn_rank
+      FROM pool WHERE prank <= 20 AND cl <> ql
+    )
+    SELECT query_id, q_label, cand_id, c_label, cosine, hn_rank
+    FROM mined WHERE hn_rank <= 3
+    """,
+    doc="[EXT] X3 — hard-negative mining for the both-sides-large "
+    "regime: knn_join pool (k'=20, exhaustive probe ⇒ exact rounded "
+    "top-k') → labels attached to the BOUNDED pool (broadcast the "
+    "pool-side intermediate, never the vector tables) → NULL-absorbing "
+    "label-mismatch filter → per-query truncate to m=3. Pool-bounded "
+    "semantics stated exactly by the oracle "
+    "(operators/similarity.hard_negatives_distributed).",
+)
+def x3_hard_negatives_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.hard_negatives_distributed(
+        emb, queries, id_col="vec_id", vec_col="embedding", label_col="label",
+        m=3, k_pool=20, n_cells=8, n_probe=8, n_assign=1,
+    )

@@ -241,3 +241,52 @@ def test_hard_negatives_arrow_all_null_label_queries_empty(spark):
         vecs, q, "vec_id", "embedding", "label", m=3, engine="arrow"
     )
     assert out.count() == 0
+
+
+def test_hard_negatives_distributed_equals_broadcast_lane(spark):
+    """The knn_join→filter→truncate composition must equal the
+    broadcast-contract operator wherever the pool covers the
+    negatives: exhaustive probing + k_pool ≥ corpus makes the pool the
+    full rounded ranking, so the two lanes coincide exactly."""
+    rows = [
+        (i, [float((i * 5 + j * 2) % 9) - 4.0 for j in range(6)], i % 3)
+        for i in range(30)
+    ] + [
+        (100, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 0),
+        (101, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 1),   # rounded tie twin
+        (102, [2.0, 4.0, 6.0, 8.0, 10.0, 12.0], 2),  # same direction
+        (103, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5], None),  # null label
+    ]
+    vecs = _lvecs(spark, rows)
+    q = vecs.filter(F.col("vec_id") % 7 == 0)
+    a = sorted(map(tuple, similarity.hard_negatives(
+        vecs, q, "vec_id", "embedding", "label", m=3, engine="jvm").collect()))
+    b = sorted(map(tuple, similarity.hard_negatives_distributed(
+        vecs, q, "vec_id", "embedding", "label",
+        m=3, k_pool=64, n_cells=4, n_probe=4, n_assign=1).collect()))
+    assert a == b
+
+
+def test_hard_negatives_distributed_pool_bound_is_honest(spark):
+    """With a pool too small to reach past a same-label crowd, the
+    distributed lane returns FEWER negatives — the documented
+    pool-bounded semantics, not silent wrongness."""
+    # query 0 (label 0); its 3 nearest are all label 0; the only
+    # other-label vector is far away
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 0),
+        (2, [0.98, 0.02], 0),
+        (3, [0.97, 0.03], 0),
+        (4, [-1.0, 0.0], 1),
+    ]
+    vecs = _lvecs(spark, rows)
+    q = vecs.filter(F.col("vec_id") == 0)
+    small = similarity.hard_negatives_distributed(
+        vecs, q, "vec_id", "embedding", "label",
+        m=1, k_pool=2, n_cells=2, n_probe=2, n_assign=1).collect()
+    assert small == []  # pool exhausted by same-label neighbors
+    full = similarity.hard_negatives_distributed(
+        vecs, q, "vec_id", "embedding", "label",
+        m=1, k_pool=4, n_cells=2, n_probe=2, n_assign=1).collect()
+    assert [(r["cand_id"], r["hn_rank"]) for r in full] == [(4, 1)]
