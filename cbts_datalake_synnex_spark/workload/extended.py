@@ -1153,3 +1153,83 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("events.event_id->customer", ev, "event_id", c, "c_custkey"),
         ]
     )
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — iterative graph analytics (round 9): weighted PageRank
+# over the part co-purchase graph. The oracle unrolls all five power
+# iterations in SQL — every transition probability and contribution
+# sum is re-derived by DuckDB, so the driver certifies the full
+# fixpoint arithmetic, not just the final shape. Ranks are emitted
+# scaled by N (mean exactly 1.0) and rounded on the engine's 6dp
+# cross-engine grid, ~6 orders above double accumulation noise.
+@query(
+    "j_copurchase_pagerank",
+    oracle="""
+    WITH e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, sum(w) AS w_out FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.w / ow.w_out AS p
+          FROM e0 JOIN ow USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM e0),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    r1 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r0.r * e.p) AS s
+                 FROM r0 JOIN e ON e.src = r0.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    r2 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r1.r * e.p) AS s
+                 FROM r1 JOIN e ON e.src = r1.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    r3 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r2.r * e.p) AS s
+                 FROM r2 JOIN e ON e.src = r2.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    r4 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r3.r * e.p) AS s
+                 FROM r3 JOIN e ON e.src = r3.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    r5 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r4.r * e.p) AS s
+                 FROM r4 JOIN e ON e.src = r4.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    )
+    SELECT CAST(r5.node AS BIGINT) AS part,
+           round(nn.n * r5.r, 6) AS rank_scaled
+    FROM r5 CROSS JOIN nn
+    """,
+    doc="SURVEY §2.6 [EXT] — weighted PageRank (Page 1999, damping "
+    "0.85, 5 iterations) over the part co-purchase graph (parts in the "
+    "same order; pair fanout bounded by max order size). Edge list "
+    "normalized once, src-partitioned and localCheckpoint-pinned; each "
+    "power iteration shuffles only the N-row rank frame and aggregates "
+    "contributions on dst (operators/graph.pagerank). The oracle "
+    "unrolls all five iterations in SQL.",
+)
+def j_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.graph import copurchase_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li)
+    pr = pagerank(edges, damping=0.85, iterations=5, round_dp=6)
+    return pr.select(F.col("node").cast("bigint").alias("part"), "rank_scaled")

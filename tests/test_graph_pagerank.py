@@ -1,0 +1,110 @@
+"""Weighted PageRank (round 9): golden vs a hand-rolled python model,
+conservation-of-rank property, partitioning invariance, plan shape,
+and the co-purchase edge builder."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.operators.graph import copurchase_edges, pagerank
+from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+D = 0.85
+
+
+def _py_pagerank(edges, iterations=5):
+    """edges: list of (src, dst, w). Returns {node: n * rank}."""
+    out_w: dict = {}
+    for s, _t, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    nodes = sorted(out_w)
+    n = float(len(nodes))
+    r = {p: 1.0 / n for p in nodes}
+    for _ in range(iterations):
+        contrib = {p: 0.0 for p in nodes}
+        for s, t, w in edges:
+            contrib[t] = contrib.get(t, 0.0) + r[s] * (w / out_w[s])
+        r = {p: (1.0 - D) / n + D * contrib.get(p, 0.0) for p in nodes}
+    return {p: round(n * v, 6) for p, v in r.items()}
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [(s, t, float(w)) for s, t, w in edges],
+        "src bigint, dst bigint, weight double",
+    )
+
+
+TRIANGLE_PLUS_HUB = [
+    # triangle 0-1-2 with a hub 3 everyone points to (and back, so
+    # every node is a source — the operator's no-dangling contract)
+    (0, 1, 1), (1, 0, 1), (1, 2, 1), (2, 1, 1), (0, 2, 1), (2, 0, 1),
+    (0, 3, 3), (1, 3, 3), (2, 3, 3), (3, 0, 1), (3, 1, 1), (3, 2, 1),
+]
+
+
+def test_pagerank_matches_python_model(spark):
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(_edges_df(spark, TRIANGLE_PLUS_HUB)).collect()
+    }
+    want = _py_pagerank(TRIANGLE_PLUS_HUB)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(_edges_df(spark, TRIANGLE_PLUS_HUB)).collect()
+    }
+    assert got[3] > max(got[0], got[1], got[2])
+
+
+def test_pagerank_total_rank_is_conserved(spark):
+    # no dangling nodes => sum of scaled ranks == N exactly (up to
+    # the rounding grid)
+    rows = pagerank(_edges_df(spark, TRIANGLE_PLUS_HUB)).collect()
+    assert sum(r["rank_scaled"] for r in rows) == pytest.approx(len(rows), abs=1e-4)
+
+
+def test_pagerank_partitioning_invariance(spark):
+    df = _edges_df(spark, TRIANGLE_PLUS_HUB)
+    a = sorted(map(tuple, pagerank(df).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_pagerank_weight_sensitivity(spark):
+    # all of 0's mass flows to 2 when the 0->2 edge dominates
+    edges = [(0, 1, 1), (0, 2, 99), (1, 0, 1), (2, 0, 1)]
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(_edges_df(spark, edges)).collect()}
+    want = _py_pagerank(edges)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+    assert got[2] > got[1]
+
+
+def test_pagerank_plan_is_python_free_no_cartesian(spark):
+    plan = explain_str(pagerank(_edges_df(spark, TRIANGLE_PLUS_HUB)), "simple")
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # node-count attaches via broadcast
+
+
+def test_copurchase_edges_symmetric_counts(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 10)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in copurchase_edges(li).collect()
+    }
+    # orders 1 and 2 both contain {10, 20} -> weight 2 each direction
+    assert got[(10, 20)] == 2.0 and got[(20, 10)] == 2.0
+    assert got[(10, 30)] == 1.0 and got[(30, 10)] == 1.0
+    # symmetric multiset
+    assert {(a, b) for a, b in got} == {(b, a) for a, b in got}
+    assert all(got[(a, b)] == got[(b, a)] for a, b in got)
+    # order 3 is a singleton: part 10 pairs only via orders 1/2
+    assert (10, 10) not in got
