@@ -629,3 +629,57 @@ def t_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — exact per-entity EWMA smoothing (round 9): the
+# adjust-free recurrence y_1=x_1, y_i = a*x_i + (1-a)*y_{i-1} is a
+# sequential scan per entity — no window frame or prefix sum restates
+# it exactly in fixed precision (the closed form overflows
+# (1-a)^(-i)). One shuffle onto user_id, grouped-map Arrow lane, one
+# double of carried state; the oracle is a recursive CTE stepping the
+# SAME multiply-add order, so the 6dp grid compares exactly.
+@query(
+    "t_ewma_smooth",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ew AS (
+      SELECT event_id, user_id, rn, value, value AS y FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.event_id, e.user_id, e.rn, e.value,
+             0.3 * e.value + (1.0 - 0.3) * ew.y
+      FROM ew JOIN ev e ON e.user_id = ew.user_id AND e.rn = ew.rn + 1
+    )
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           round(y, 6) AS ewma
+    FROM ew
+    """,
+    doc="SURVEY §2.6 [EXT] — exact adjust-free EWMA (alpha=0.3) over "
+    "each user's purchase stream ordered by (ts, event_id): the "
+    "canonical drift smoother, computed as the honest sequential "
+    "recurrence per entity (operators/timeseries.ewma — grouped-map "
+    "applyInPandas, state one double, entities parallelize freely). "
+    "DuckDB restates it with a recursive CTE stepping the same "
+    "multiply-add order.",
+)
+def t_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.timeseries import ewma
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = ewma(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_cols=["event_id"],
+        alpha=0.3,
+    )
+    return out.select("event_id", "user_id", "value", "ewma")
