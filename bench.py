@@ -248,7 +248,6 @@ NEW_SURFACE_QUERIES = [
     "x3_semantic_dedup",
     "x4_repetition_flags",
     "pipeline_leakage_safe_split",
-    "x4_collapse_repeated_lines",
     "x4_nb_classifier",
     "pipeline_dsir_weights",
     "x3_knn_join",
@@ -264,6 +263,7 @@ NEW_SURFACE_QUERIES = [
     # round-9 additions
     "x4_bigram_ppl",
     "x3_hard_negatives_distributed",
+    "t_ewma_smooth",
 ]
 
 # Retired from the sf1 pass (slopes 1.0-2.3 across r7+r8, sf1 walls
@@ -284,11 +284,20 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "x3_random_projection",
     "x6_fim_split",
     "x6_chat_assembly",
-    # round 9: full index lifecycle (build + 2 probes + append) — the
-    # dedup_skew block's admission_index_probe carries the isolated
-    # probe timing; the lifecycle row stays sf0.1-only
-    "x2_index_admission",
+    # round 9: sf1 reading is pure load noise (0.3-0.6 s warm A/B,
+    # 4.7 s contended — see memory + BASELINE); sf0.1 keeps coverage
+    "x4_collapse_repeated_lines",
+    # round 9: 24M-edge 5-iteration fixpoint — sf1 slope (2.7/10x)
+    # measured and recorded at land time (BASELINE.md); ~20 s sf1 is
+    # too heavy for the per-round pass, sf0.1 keeps regression cover
+    "j_copurchase_pagerank",
 ]
+
+# Not benched at all (registry-certified, but the wall time measures
+# oracle scaffolding, not the operator): x2_index_admission runs the
+# FULL two-night lifecycle incl. a from-scratch rebuild (13+ s sf0.1);
+# the operator's real per-night cost is the isolated
+# `admission_index_probe` row in the dedup_skew block.
 
 
 def main() -> None:

@@ -1242,3 +1242,71 @@ def lc_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _materialize(spark, out)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ----------------------------------------------------------------------
+# §4.2 [EXT] — salted-join skew mitigation, driver-certified (round 9):
+# AQE splits skewed PARTITIONS but one hot key is one partition-slice,
+# so a single dominant key still lands on one reducer. skew.salted_join
+# spreads it: the left gets a deterministic per-row salt, the small
+# right is replicated across all salts, and the join runs on
+# (key, salt). An exact rewrite — same rows as the plain join — which
+# is precisely what the oracle states. The query RAISES unless the
+# physical join actually carries the salt column (broadcast disabled,
+# the 100 TB hot-key regime), converting the pytest-only evidence into
+# driver-certifiable evidence, the lc_bucketed_join discipline.
+@query(
+    "lc_salted_join",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey % 997 END
+               AS hot_key,
+             l_quantity
+      FROM lineitem
+    ),
+    r AS (SELECT range AS hot_key, (range % 7) + 1 AS boost FROM range(0, 997))
+    SELECT CAST(l.hot_key % 16 AS BIGINT) AS key_bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l.l_quantity * r.boost), 2) AS weighted_qty
+    FROM l JOIN r ON l.hot_key = r.hot_key
+    GROUP BY l.hot_key % 16
+    """,
+    doc="SURVEY §4.2 [EXT] — salted join under a deliberately hot key "
+    "(~75% of lineitem lands on key 0): left salted deterministically, "
+    "right replicated across 8 salts, joined on (key, salt) with "
+    "broadcast disabled; raises unless the physical join carries the "
+    "salt. Exact rewrite — the oracle is the PLAIN join "
+    "(operators/skew.salted_join).",
+)
+def lc_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.skew import salted_join
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 997)
+        .cast("bigint")
+        .alias("hot_key"),
+        "l_quantity",
+    )
+    dim = spark.range(0, 997).select(
+        F.col("id").alias("hot_key"), ((F.col("id") % 7) + 1).alias("boost")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = salted_join(li, dim, on=["hot_key"], n_salts=8, how="inner")
+        plan = explain_str(joined, "simple")
+        if "__salt" not in plan:
+            raise RuntimeError(f"salted join lost its salt:\n{plan}")
+        out = joined.groupBy(
+            (F.col("hot_key") % 16).cast("bigint").alias("key_bin")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity") * F.col("boost")), 2).alias(
+                "weighted_qty"
+            ),
+        )
+        return _materialize(spark, out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
