@@ -2552,6 +2552,25 @@ class LakeEngine:
                            text_col) -> None:
         update_dedup_index(self, index_name, batch, decisions, id_col, text_col)
 
+    # ------------------------------------------------------------------
+    # Persistent ANN (IVF) index (round 9) — same thin-delegate shape.
+    def build_ann_index(self, index_name, vectors, id_col, vec_col,
+                        n_cells: int = 16, n_assign: int = 1,
+                        lloyd_iters: int = 8, n_buckets: int = 32) -> None:
+        build_ann_index(self, index_name, vectors, id_col, vec_col,
+                        n_cells=n_cells, n_assign=n_assign,
+                        lloyd_iters=lloyd_iters, n_buckets=n_buckets)
+
+    def update_ann_index(self, index_name, vectors, id_col, vec_col) -> None:
+        update_ann_index(self, index_name, vectors, id_col, vec_col)
+
+    def query_ann_index(self, index_name, queries, id_col, vec_col,
+                        k: int = 5, n_probe: int = 4, round_dp: int = 6,
+                        exclude_self: bool = True) -> DataFrame:
+        return query_ann_index(self, index_name, queries, id_col, vec_col,
+                               k=k, n_probe=n_probe, round_dp=round_dp,
+                               exclude_self=exclude_self)
+
 
 def _and_all(conds):
     out = conds[0]
@@ -2767,4 +2786,126 @@ def update_dedup_index(
     ).saveAsTable(engine.qualified(f"{index_name}_df"))
     docs.write.format("parquet").mode("append").saveAsTable(
         engine.qualified(f"{index_name}_docs")
+    )
+
+
+# ----------------------------------------------------------------------
+# Persistent ANN (IVF) index (round 9) — the similarity-search sibling
+# of the near-dup admission index: a real retrieval pipeline probes the
+# same embedded corpus every batch; these helpers make the IVF index a
+# pair of TABLES — centroids trained once, postings assigned once and
+# bucketed by cell — so a probe moves only the query batch (the
+# postings side's cogroup clustering requirement is satisfied by the
+# bucket layout, zero exchange) and new vectors append WITHOUT
+# retraining (frozen-centroid assignment; the staleness contract is the
+# standard IVF one — recall drifts as the corpus distribution shifts,
+# rebuild cadence is the operator's knob, and an exhaustive probe stays
+# EXACT no matter how stale the centroids are).
+def build_ann_index(
+    engine: "LakeEngine",
+    index_name: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    n_assign: int = 1,
+    lloyd_iters: int = 8,
+    n_buckets: int = 32,
+) -> None:
+    """Write ``{index_name}_cells`` (cell, centroid), the postings
+    table ``{index_name}_postings`` (cell, cand_id, cv) bucketed+sorted
+    by cell, and a one-row ``{index_name}_meta`` pinning
+    (n_cells, n_assign, n_buckets) so probes and appends can't drift
+    from the build."""
+    from cbts_datalake_synnex_spark.operators import similarity
+
+    spark = engine.spark
+    cents = similarity.train_cells_list(vectors, id_col, vec_col, n_cells, lloyd_iters)
+    if cents is None:
+        raise ValueError("cannot build an ANN index over an empty corpus")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        engine.qualified(f"{index_name}_cells")
+    )
+    postings = similarity.assign_cells(
+        vectors, id_col, vec_col,
+        similarity._cmat_frame(spark, cents), min(n_assign, len(cents)),
+    )
+    write_bucketed(
+        spark, postings.select("cell", "cand_id", "cv"),
+        engine.qualified(f"{index_name}_postings"), ["cell"], n_buckets,
+    )
+    spark.createDataFrame(
+        [(len(cents), int(n_assign), int(n_buckets))],
+        "n_cells int, n_assign int, n_buckets int",
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        engine.qualified(f"{index_name}_meta")
+    )
+
+
+def update_ann_index(
+    engine: "LakeEngine",
+    index_name: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Append new vectors' postings under the FROZEN centroid set —
+    one bucketed append, no retrain, no corpus re-read. Appends use
+    the meta-pinned bucket spec so the bucketed-probe property
+    survives every update."""
+    from cbts_datalake_synnex_spark.operators import similarity
+
+    spark = engine.spark
+    meta = spark.table(engine.qualified(f"{index_name}_meta")).first()
+    cent_rows = (
+        spark.table(engine.qualified(f"{index_name}_cells")).orderBy("cell").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    postings = similarity.assign_cells(
+        vectors, id_col, vec_col,
+        similarity._cmat_frame(spark, cents),
+        min(int(meta["n_assign"]), len(cents)),
+    )
+    postings.select("cell", "cand_id", "cv").write.format("parquet").mode(
+        "append"
+    ).bucketBy(int(meta["n_buckets"]), "cell").sortBy("cell").saveAsTable(
+        engine.qualified(f"{index_name}_postings")
+    )
+
+
+def query_ann_index(
+    engine: "LakeEngine",
+    index_name: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+    round_dp: int = 6,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe the persisted index: (query_id, cand_id, cosine, rank)
+    per query. Only the query batch is assigned and shuffled; the
+    postings side reads motionless from its bucketed layout. With
+    ``n_probe >= n_cells`` the result is the exact rounded-cosine
+    top-k regardless of centroid staleness."""
+    from cbts_datalake_synnex_spark.operators import similarity
+
+    spark = engine.spark
+    cent_rows = (
+        spark.table(engine.qualified(f"{index_name}_cells")).orderBy("cell").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    return similarity.ann_probe(
+        spark.table(engine.qualified(f"{index_name}_postings")),
+        cents,
+        queries,
+        id_col,
+        vec_col,
+        k=k,
+        n_probe=n_probe,
+        round_dp=round_dp,
+        exclude_self=exclude_self,
     )

@@ -1059,11 +1059,14 @@ def matryoshka_report(
     )
 
 
-def _fit_cells(vectors: DataFrame, id_col: str, vec_col: str, n_cells: int, lloyd_iters: int):
+def train_cells_list(
+    vectors: DataFrame, id_col: str, vec_col: str, n_cells: int, lloyd_iters: int = 8
+) -> list[list[float]] | None:
     """Bounded, deterministic IVF cell training (the `ivf_topk`
     budget): md5-ordered unbiased sample, seeded k-means++ + Lloyd.
-    Returns (cent_df, n_cells) where cent_df is the one-row broadcast
-    centroid matrix, or (None, 0) on an empty corpus."""
+    Returns the centroid list (≤ n_cells unit vectors) — the
+    persistable form the ANN index stores as a table — or None on an
+    empty corpus."""
     import numpy as np
 
     seed_rows = (
@@ -1073,15 +1076,58 @@ def _fit_cells(vectors: DataFrame, id_col: str, vec_col: str, n_cells: int, lloy
         .collect()
     )
     if not seed_rows:
-        return None, 0
+        return None
     sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     n_cells = min(n_cells, len(sample))
     cents = _train_centroids(sample, n_cells, lloyd_iters)
-    cent_df = vectors.sparkSession.createDataFrame(
-        [([[float(x) for x in c] for c in cents],)], "__cmat: array<array<double>>"
+    return [[float(x) for x in c] for c in cents]
+
+
+def _cmat_frame(spark, cents: list[list[float]]) -> DataFrame:
+    """One-row broadcast centroid-matrix frame (the ivf_topk plan-size
+    discipline: centroids travel as DATA, never as plan literals)."""
+    return spark.createDataFrame([(cents,)], "__cmat: array<array<double>>")
+
+
+def _fit_cells(vectors: DataFrame, id_col: str, vec_col: str, n_cells: int, lloyd_iters: int):
+    """`train_cells_list` + the one-row broadcast matrix frame.
+    Returns (cent_df, n_cells), or (None, 0) on an empty corpus."""
+    cents = train_cells_list(vectors, id_col, vec_col, n_cells, lloyd_iters)
+    if cents is None:
+        return None, 0
+    return _cmat_frame(vectors.sparkSession, cents), len(cents)
+
+
+def _nearest_cells_col(vec: F.Column, n: int) -> F.Column:
+    """Array of the n cell-ids with highest dot product to ``vec``
+    against the broadcast ``__cmat`` (unit centroids ⇒ dot ranks
+    cosine). Codegen projection — no shuffle, no python."""
+    scored = F.transform(
+        F.col("__cmat"),
+        lambda cv, i: F.struct(_dot(vec, cv).alias("s"), i.alias("c")),
     )
-    return cent_df, n_cells
+    return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("c")
+
+
+def assign_cells(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_df: DataFrame,
+    n_assign: int,
+    out_id: str = "cand_id",
+    out_vec: str = "cv",
+) -> DataFrame:
+    """(cell, out_id, out_vec) postings: each vector indexed under its
+    ``n_assign`` nearest cells via the broadcast-matrix projection —
+    the persistable assignment half of the IVF index."""
+    return (
+        vectors.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cell", F.explode(_nearest_cells_col(F.col(out_vec), n_assign)))
+        .drop("__cmat")
+    )
 
 
 def knn_join(
@@ -1117,9 +1163,6 @@ def knn_join(
     cell-local and global top-k, so results are partition- and
     engine-stable. Returns (query_id, cand_id, cosine, rank).
     """
-    import numpy as np
-    import pandas as pd
-
     cent_df, n_cells = _fit_cells(candidates, id_col, vec_col, n_cells, lloyd_iters)
     id_type = queries.schema[id_col].dataType.simpleString()
     if cent_df is None:
@@ -1129,25 +1172,30 @@ def knn_join(
     n_probe = min(n_probe, n_cells)
     n_assign = min(n_assign, n_cells)
 
-    def nearest_cells(vec: F.Column, n: int) -> F.Column:
-        scored = F.transform(
-            F.col("__cmat"),
-            lambda cv, i: F.struct(_dot(vec, cv).alias("s"), i.alias("c")),
-        )
-        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("c")
+    c = assign_cells(candidates, id_col, vec_col, cent_df, n_assign)
+    q = assign_cells(
+        queries, id_col, vec_col, cent_df, n_probe, out_id="query_id", out_vec="qv"
+    )
+    return cell_cogroup_topk(q, c, k, round_dp, exclude_self, id_type)
 
-    c = (
-        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("cell", F.explode(nearest_cells(F.col("cv"), n_assign)))
-        .drop("__cmat")
-    )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
-        .drop("__cmat")
-    )
+
+def cell_cogroup_topk(
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+    round_dp: int,
+    exclude_self: bool,
+    id_type: str,
+) -> DataFrame:
+    """The kNN-join scoring core over pre-assigned cells: cogrouped
+    per-cell GEMM emitting ≤ k rows per (query, cell), then the global
+    rounded+id-tiebreak reduce. ``q`` is (cell, query_id, qv), ``c``
+    is (cell, cand_id, cv) — either freshly assigned (`knn_join`) or
+    read motionless from a persisted postings table (`ann_probe`,
+    where the bucketed-by-cell layout makes the candidate side's
+    clustering requirement exchange-free)."""
+    import numpy as np
+    import pandas as pd
 
     out_schema = f"query_id {id_type}, cand_id {id_type}, cosine double"
 
@@ -1208,6 +1256,46 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def ann_probe(
+    postings: DataFrame,
+    cents: list[list[float]],
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+    round_dp: int = 6,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """X3 — probe a PERSISTED IVF index (round 9): the query half of
+    `knn_join` against a stored postings table instead of a freshly
+    assigned corpus. ``postings`` is (cell, cand_id, cv) — built once
+    by `assign_cells` and written bucketed by ``cell``
+    (`engine.build_ann_index`), so the cogroup's clustering
+    requirement on the candidate side is satisfied by the bucket
+    layout and the index side moves NOTHING: only the (tiny) probe
+    batch is assigned, exploded to ``n_probe`` cells, and shuffled.
+    Exhaustive probing (``n_probe >= n_cells``) returns the exact
+    rounded-cosine top-k — the SQL-stateable form the registry
+    certifies; partial probing trades recall for probe cost under the
+    same determinism contract (rounded + id tiebreak at both cuts).
+    """
+    spark = queries.sparkSession
+    id_type = queries.schema[id_col].dataType.simpleString()
+    n_probe = min(n_probe, len(cents))
+    q = assign_cells(
+        queries,
+        id_col,
+        vec_col,
+        _cmat_frame(spark, cents),
+        n_probe,
+        out_id="query_id",
+        out_vec="qv",
+    )
+    c = postings.select("cell", "cand_id", "cv")
+    return cell_cogroup_topk(q, c, k, round_dp, exclude_self, id_type)
 
 
 def mmr_rerank(

@@ -3941,3 +3941,73 @@ def x3_hard_negatives_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
         emb, queries, id_col="vec_id", vec_col="embedding", label_col="label",
         m=3, k_pool=20, n_cells=8, n_probe=8, n_assign=1,
     )
+
+
+# ----------------------------------------------------------------------
+# X3 — persistent ANN (IVF) index (round 9): the similarity sibling of
+# x2_index_admission. Two nights: build on batch 1, frozen-centroid
+# append of batch 2 (no retrain, no corpus re-read), then a probe that
+# moves ONLY the query batch — the postings side reads motionless from
+# its bucketed-by-cell layout (the query RAISES unless the formatted
+# plan shows the bucketed scan and exactly one cell exchange, the
+# probe side's). Exhaustive probing makes the result the exact
+# rounded-cosine top-k over BOTH nights' vectors regardless of
+# centroid staleness, so DuckDB states it exactly.
+@query(
+    "x3_ann_index_probe",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM q JOIN e ON e.vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="[EXT] X3 — persistent IVF index as engine tables "
+    "(engine.build_ann_index / update_ann_index / query_ann_index): "
+    "centroids trained once (md5-sampled deterministic k-means), "
+    "postings bucketed by cell, appends under frozen centroids. The "
+    "probe assigns and shuffles ONLY the query batch; raises unless "
+    "the postings scan is bucketed and exchange-free. Exhaustive "
+    "probe (n_probe = n_cells) ⇒ exact rounded top-5 over both "
+    "nights' vectors (operators/similarity.ann_probe).",
+)
+def x3_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+    from cbts_datalake_synnex_spark.workload.lifecycle import (
+        _materialize,
+        _scratch_engine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    night1 = emb.filter(F.col("vec_id") % 3 != 0)
+    night2 = emb.filter(F.col("vec_id") % 3 == 0)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    with _scratch_engine(spark) as eng:
+        eng.build_ann_index("vix", night1, "vec_id", "embedding", n_cells=8, n_assign=1)
+        eng.update_ann_index("vix", night2, "vec_id", "embedding")
+        got = eng.query_ann_index(
+            "vix", q, "vec_id", "embedding", k=5, n_probe=8, exclude_self=True
+        )
+        plan = explain_str(got, "formatted")
+        cell_ex = len(re.findall(r"hashpartitioning\(cell", plan))
+        if "Bucketed: true" not in plan or cell_ex != 1:
+            raise RuntimeError(
+                f"ANN probe is not a motionless bucketed read "
+                f"(cell exchanges={cell_ex}):\n{plan}"
+            )
+        return _materialize(spark, got)

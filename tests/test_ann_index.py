@@ -1,0 +1,114 @@
+"""Persistent ANN (IVF) index (round 9): exhaustive-probe exactness,
+append-vs-rebuild equivalence, partial-probe recall, bucketed
+motionless-probe plan shape."""
+
+import re
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.engine import LakeEngine
+from cbts_datalake_synnex_spark.operators import similarity
+from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+
+@pytest.fixture()
+def eng(spark):
+    root = tempfile.mkdtemp(prefix="annidx_")
+    db = f"annidx_{uuid.uuid4().hex[:8]}"
+    engine = LakeEngine(spark, root, database=db)
+    try:
+        yield engine
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _vecs(spark, n=80, dim=6):
+    return spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(dim)]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_exhaustive_probe_is_exact(spark, eng):
+    vecs = _vecs(spark)
+    q = vecs.filter(F.col("vec_id") % 10 == 0)
+    eng.build_ann_index("v", vecs, "vec_id", "embedding", n_cells=4, n_assign=1)
+    got = sorted(map(tuple, eng.query_ann_index(
+        "v", q, "vec_id", "embedding", k=3, n_probe=4).collect()))
+    want = sorted(map(tuple, similarity.cosine_topk(
+        vecs, q, "vec_id", "embedding", k=3).collect()))
+    assert got == want
+
+
+def test_append_equals_rebuild_under_exhaustive_probe(spark, eng):
+    vecs = _vecs(spark)
+    n1 = vecs.filter(F.col("vec_id") % 3 != 0)
+    n2 = vecs.filter(F.col("vec_id") % 3 == 0)
+    q = vecs.filter(F.col("vec_id") % 10 == 0)
+    eng.build_ann_index("inc", n1, "vec_id", "embedding", n_cells=4, n_assign=1)
+    eng.update_ann_index("inc", n2, "vec_id", "embedding")
+    # rebuild trains DIFFERENT centroids (full-corpus sample) — the
+    # exhaustive probe must not care
+    eng.build_ann_index("full", vecs, "vec_id", "embedding", n_cells=4, n_assign=1)
+    a = sorted(map(tuple, eng.query_ann_index(
+        "inc", q, "vec_id", "embedding", k=3, n_probe=4).collect()))
+    b = sorted(map(tuple, eng.query_ann_index(
+        "full", q, "vec_id", "embedding", k=3, n_probe=4).collect()))
+    assert a == b
+
+
+def test_partial_probe_recall_floor(spark, eng):
+    vecs = _vecs(spark, n=200)
+    q = vecs.filter(F.col("vec_id") % 20 == 0)
+    eng.build_ann_index("r", vecs, "vec_id", "embedding", n_cells=8, n_assign=2)
+    approx = eng.query_ann_index("r", q, "vec_id", "embedding", k=5, n_probe=4)
+    exact = similarity.cosine_topk(vecs, q, "vec_id", "embedding", k=5)
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.6  # recall floor at n_probe/n_cells=1/2
+
+
+def test_probe_plan_is_motionless_bucketed_read(spark, eng):
+    vecs = _vecs(spark)
+    q = vecs.filter(F.col("vec_id") % 10 == 0)
+    eng.build_ann_index("p", vecs, "vec_id", "embedding", n_cells=4, n_assign=1)
+    plan = explain_str(
+        eng.query_ann_index("p", q, "vec_id", "embedding", k=3, n_probe=2),
+        "formatted",
+    )
+    assert "Bucketed: true" in plan
+    # the only cell exchange is the probe (query) side's
+    assert len(re.findall(r"hashpartitioning\(cell", plan)) == 1
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_meta_pins_bucket_spec_across_appends(spark, eng):
+    vecs = _vecs(spark)
+    eng.build_ann_index("m", vecs.filter(F.col("vec_id") < 40),
+                        "vec_id", "embedding", n_cells=4, n_buckets=8)
+    eng.update_ann_index("m", vecs.filter(F.col("vec_id") >= 40),
+                         "vec_id", "embedding")
+    q = vecs.filter(F.col("vec_id") % 10 == 0)
+    plan = explain_str(
+        eng.query_ann_index("m", q, "vec_id", "embedding", k=3, n_probe=4),
+        "formatted",
+    )
+    # appended files land in the same bucket layout — still bucketed
+    assert "Bucketed: true" in plan
+    got = sorted(map(tuple, eng.query_ann_index(
+        "m", q, "vec_id", "embedding", k=3, n_probe=4).collect()))
+    want = sorted(map(tuple, similarity.cosine_topk(
+        vecs, q, "vec_id", "embedding", k=3).collect()))
+    assert got == want
+
+
+def test_build_on_empty_corpus_raises(spark, eng):
+    empty = _vecs(spark).filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        eng.build_ann_index("e", empty, "vec_id", "embedding")
