@@ -291,13 +291,17 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     # measured and recorded at land time (BASELINE.md); ~20 s sf1 is
     # too heavy for the per-round pass, sf0.1 keeps regression cover
     "j_copurchase_pagerank",
+    # round 9: binaryFile roundtrip, the CSV/ORC discipline
+    "s_binary_dir_scan",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
 # oracle scaffolding, not the operator): x2_index_admission runs the
 # FULL two-night lifecycle incl. a from-scratch rebuild (13+ s sf0.1);
 # the operator's real per-night cost is the isolated
-# `admission_index_probe` row in the dedup_skew block.
+# `admission_index_probe` row in the dedup_skew block. Same for
+# x3_ann_index_probe (build + append + exhaustive probe — the probe
+# alone is the knn_join cogroup core, already benched as x3_knn_join).
 
 
 def main() -> None:

@@ -1310,3 +1310,85 @@ def lc_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ----------------------------------------------------------------------
+# §2.1 [EXT] — binary directory ingestion (round 9): Spark's
+# `binaryFile` source is the canonical entry point for multimodal
+# corpora (image/audio dirs → (path, modificationTime, length,
+# content) rows). Drive it end-to-end: deterministic PPM payloads
+# derived from the documents table are written as real files, read
+# back through the source, and decoded by the real byte-level codec
+# (operators/multimodal.decode_payloads). The oracle re-derives every
+# expected value — dimensions, mean level, exact file size (PPM
+# header arithmetic included) — from the parquet originals, the
+# s_csv_roundtrip trust model: a green row proves the file write, the
+# source scan metadata, and the decode lane agree byte-for-byte.
+@query(
+    "s_binary_dir_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(n_chars % 256 AS DOUBLE) AS mean_level,
+           CAST(9 + length(CAST(4 + doc_id % 13 AS VARCHAR))
+                  + length(CAST(3 + doc_id % 7 AS VARCHAR))
+                  + 3 * (4 + doc_id % 13) * (3 + doc_id % 7) AS BIGINT)
+             AS payload_len
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+    doc="SURVEY §2.1 [EXT] — binaryFile directory source driven "
+    "end-to-end: per-doc deterministic P6 payloads written as files, "
+    "scanned via spark.read.format('binaryFile') (payload_len is the "
+    "SOURCE's length column, doc_id parsed from its path column), "
+    "decoded by the real PPM codec over mapInPandas. Oracle recomputes "
+    "dimensions, mean level, and exact byte size from the parquet "
+    "originals.",
+)
+def s_binary_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cbts_datalake_synnex_spark.operators.multimodal import (
+        decode_payloads,
+        encode_ppm,
+    )
+
+    fixture = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "n_chars")
+        .collect()
+    )  # bounded fixture write (test scaffolding, not an operator collect)
+    scratch = tempfile.mkdtemp(prefix="bindir_")
+    try:
+        for r in fixture:
+            d = int(r["doc_id"])
+            w, h, val = 4 + d % 13, 3 + d % 7, int(r["n_chars"]) % 256
+            with open(os.path.join(scratch, f"{d}.ppm"), "wb") as f:
+                f.write(encode_ppm(w, h, val))
+        bf = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.ppm")
+            .load(scratch)
+            .select(
+                F.regexp_extract(F.col("path"), r"(\d+)\.ppm$", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                F.col("length").alias("payload_len"),
+                F.col("content").alias("payload"),
+                F.lit("image/x-portable-pixmap").alias("media_type"),
+            )
+        )
+        decoded = decode_payloads(bf, payload_col="payload", media_type_col="media_type")
+        out = decoded.select(
+            "doc_id",
+            "width",
+            "height",
+            F.col("mean_level").cast("double").alias("mean_level"),
+            F.col("payload_len").cast("bigint").alias("payload_len"),
+        )
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
