@@ -234,3 +234,75 @@ def first_seen_admission(
     return df.groupBy(key).transformWithStateInPandas(
         _FirstSeen(), out_schema, "Update", "ProcessingTime"
     )
+
+
+def ewma_stream(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols=(),
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """T5+ [EXT] — exact per-entity EWMA as a STATEFUL STREAMING
+    operator (round 9): the streaming twin of
+    `operators/timeseries.ewma`, certified against the same recursive
+    SQL oracle by `t_stream_ewma`'s time-partitioned replay. Carried
+    state per entity is ONE double — the boundedness a stateful
+    streaming operator must prove.
+
+    Within each micro-batch the entity's rows are sorted by
+    (ts, *order_cols); ACROSS batches exactness requires
+    event-time-ordered arrival per entity (no late data) — the
+    contract the certification replay constructs by splitting the
+    input on time. Late/out-of-order streams need a watermarked
+    reorder buffer in front (the T4 lane); this operator states the
+    recurrence, not the reordering.
+
+    Emits the input columns + ``out_col`` (RAW double — round at the
+    sink for cross-engine comparison) in Update mode.
+    """
+    import numpy as np
+
+    a = float(alpha)
+    order = [ts_col, *order_cols]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = StructType([StructField("y", DoubleType())])
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts)
+            .sort_values(order, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        have_prev = state.exists
+        y_prev = float(state.get[0]) if have_prev else 0.0
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        y = np.empty_like(x)
+        for i in range(len(x)):
+            if not have_prev:
+                y_prev = x[i]
+                have_prev = True
+            else:
+                # same multiply-add order as the batch operator and
+                # the oracle's recursive CTE
+                y_prev = a * x[i] + (1.0 - a) * y_prev
+            y[i] = y_prev
+        state.update((float(y_prev),))
+        pdf[out_col] = y
+        yield pdf[out_cols]
+
+    return df.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -683,3 +683,121 @@ def t_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.3,
     )
     return out.select("event_id", "user_id", "value", "ewma")
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — driver-certified applyInPandasWithState (round 9): the
+# custom-stateful-streaming lane (streaming/stateful.py) had golden
+# coverage only; this query certifies it against an exact SQL oracle.
+# The per-user EWMA runs as a stateful streaming operator over a
+# bounded replay: purchases split into three TIME-PARTITIONED files
+# (ts terciles, mtime-ordered, maxFilesPerTrigger=1), so each user's
+# rows arrive in event-time order across micro-batches and the
+# carried one-double state makes the streamed result EQUAL the batch
+# recurrence — the same recursive-CTE statement t_ewma_smooth uses.
+# The query RAISES unless >= 3 data batches ran (cross-batch state
+# must actually be exercised, else the certification is vacuous).
+@query(
+    "t_stream_ewma",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ew AS (
+      SELECT event_id, user_id, rn, value, value AS y FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.event_id, e.user_id, e.rn, e.value,
+             0.3 * e.value + (1.0 - 0.3) * ew.y
+      FROM ew JOIN ev e ON e.user_id = ew.user_id AND e.rn = ew.rn + 1
+    )
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           round(y, 6) AS ewma
+    FROM ew
+    """,
+    doc="SURVEY §2.8 [EXT] — applyInPandasWithState driven end-to-end: "
+    "per-user EWMA state (one double) carried across three real "
+    "micro-batches of a time-partitioned availableNow replay; the "
+    "streamed result equals the batch recurrence, stated exactly by "
+    "the recursive-CTE oracle (streaming/stateful.ewma_stream). "
+    "Raises unless cross-batch state was actually exercised.",
+)
+def t_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import ewma_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    scratch = tempfile.mkdtemp(prefix="sewma_")
+    qn = f"sewma_{uuid.uuid4().hex[:8]}"
+    try:
+        cuts = ev.select(
+            F.percentile_approx(F.unix_micros("ts"), F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)), F.lit(100000)).alias("c")
+        ).first()["c"]
+        us = F.unix_micros("ts")
+        parts = [
+            ev.filter(us <= cuts[0]),
+            ev.filter((us > cuts[0]) & (us <= cuts[1])),
+            ev.filter(us > cuts[1]),
+        ]
+        for k, p in enumerate(parts):
+            p.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/in/d{k}")
+            d = f"{scratch}/in/d{k}"
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        smoothed = ewma_stream(
+            src, entity_col="user_id", ts_col="ts", value_col="value",
+            order_cols=["event_id"], alpha=0.3,
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                smoothed.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream ewma replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; time-partitioned "
+                        "staging failed — cross-batch state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.table(qn).select(
+            "event_id", "user_id", "value", F.round(F.col("ewma"), 6).alias("ewma")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

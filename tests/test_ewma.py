@@ -94,3 +94,48 @@ def test_ewma_plan_one_scan_one_shuffle(spark):
     assert "FlatMapGroupsInPandas" not in plan
     # exactly the entity-key exchange, nothing else
     assert plan.count("Exchange") == 1
+
+
+def test_ewma_stream_equals_batch_over_time_partitioned_replay(spark, tmp_path):
+    """The streaming twin (applyInPandasWithState) must equal the batch
+    operator when batches arrive time-partitioned — state (one double
+    per entity) carries across real micro-batches."""
+    import os
+
+    from cbts_datalake_synnex_spark.streaming.stateful import ewma_stream
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, i % 3, float(1000 + i * 17), float((i * 7) % 13) - 6.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, entity bigint, tsv double, x double")
+    # three time-partitioned files, mtime-ordered
+    for k in range(3):
+        p = df.filter((F.col("tsv") >= 1000 + k * 170) & (F.col("tsv") < 1000 + (k + 1) * 170))
+        d = str(tmp_path / "in" / f"d{k}")
+        p.coalesce(1).write.mode("overwrite").parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (1000 * (k + 1), 1000 * (k + 1)))
+    src = (
+        spark.readStream.schema("event_id bigint, entity bigint, tsv double, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    out = ewma_stream(src, "entity", "tsv", "x", order_cols=["event_id"], alpha=0.3)
+    q = (
+        out.writeStream.format("memory").queryName("ewmastreamtest")
+        .trigger(availableNow=True).outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "_ckpt")).start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = sorted(
+        (r["event_id"], r["entity"], round(r["ewma"], 6))
+        for r in spark.table("ewmastreamtest").collect()
+    )
+    want = sorted(
+        (r["event_id"], r["entity"], r["ewma"])
+        for r in ewma(df, "entity", "tsv", "x", order_cols=["event_id"], alpha=0.3).collect()
+    )
+    assert got == want
