@@ -264,6 +264,7 @@ NEW_SURFACE_QUERIES = [
     "x4_bigram_ppl",
     "x3_hard_negatives_distributed",
     "t_ewma_smooth",
+    "x8_quantile_normalize",
 ]
 
 # Retired from the sf1 pass (slopes 1.0-2.3 across r7+r8, sf1 walls

@@ -432,3 +432,95 @@ def gumbel_topk_sample(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(n)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """X8 [EXT] — per-group quantile normalization (round 9): map each
+    group's value distribution onto the GLOBAL distribution, the
+    standard alignment step before mixing heterogeneous sources on a
+    shared quality threshold (a score of "0.8" from a lenient scorer
+    and a strict one mean different things; their quantiles don't).
+
+        q(g, v)   = mid-rank of v within group g  (ties averaged)
+        norm(g,v) = min { u : F(u) >= q(g, v) }   (global percentile_disc)
+
+    Scale shape (the distribution-table discipline): everything runs
+    on COMPACT (group, value)-distinct count tables, never per-row —
+    two hash aggregates build the per-group and global distributions,
+    cumulative counts are windows over those tables (bounded by
+    distinct-value cardinality, not corpus size; the one
+    unpartitioned window orders the global distribution — the
+    classifier-eval boundedness argument), and the successor lookup
+    min{u : F(u) >= q} is the union+window as-of trick (J6): probes
+    (q) and global entries (F) sort together on the threshold key,
+    first-following-global answers every probe in ONE pass — no
+    inequality join, no per-probe scan. Per-document work is a single
+    broadcast attach of the tiny (group, value) -> norm map.
+
+    Exact and engine-replicable: q and F derive from integer counts
+    with a pinned arithmetic order, so a SQL oracle restates every
+    comparison bit-for-bit. Returns df + ``out_col`` (same type as
+    ``value_col``).
+    """
+    vt = df.schema[value_col].dataType.simpleString()
+    ds = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ws = (
+        W.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ns = ds.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    qs = (
+        ds.withColumn("cum", F.sum("cnt").over(ws))
+        .join(ns, group_col)
+        # mid-rank, pinned arithmetic order: (cum - cnt + cnt/2.0) / n
+        .select(
+            group_col,
+            F.col(value_col).alias("v"),
+            ((F.col("cum") - F.col("cnt") + F.col("cnt") / 2.0) / F.col("n")).alias(
+                "q"
+            ),
+        )
+    )
+    dg = df.groupBy(value_col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ng = dg.agg(F.sum("cnt").alias("n_total"))
+    wg = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    fg = (
+        dg.withColumn("cumg", F.sum("cnt").over(wg))
+        .crossJoin(F.broadcast(ng))
+        .select(
+            F.col(value_col).alias("g"),
+            (F.col("cumg") / F.col("n_total")).alias("f"),
+        )
+    )
+    # union+window successor: probes (key=q, is_g=0) sort BEFORE global
+    # entries (key=F, is_g=1) at equal key, so first-following global
+    # is exactly min{u : F(u) >= q}; F(max)=1 guarantees a successor.
+    probes = qs.select(
+        F.col("q").alias("key"), F.lit(0).alias("is_g"),
+        group_col, "v", F.lit(None).cast(vt).alias("g"),
+    )
+    gt = df.schema[group_col].dataType.simpleString()
+    entries = fg.select(
+        F.col("f").alias("key"), F.lit(1).alias("is_g"),
+        F.lit(None).cast(gt).alias(group_col),
+        F.lit(None).cast(vt).alias("v"), "g",
+    )
+    wu = (
+        W.orderBy("key", "is_g", "g")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    norm_map = (
+        probes.unionByName(entries)
+        .withColumn("norm", F.first("g", ignorenulls=True).over(wu))
+        .filter(F.col("is_g") == 0)
+        .select(group_col, F.col("v").alias(value_col), F.col("norm").alias(out_col))
+    )
+    return df.join(F.broadcast(norm_map), [group_col, value_col])

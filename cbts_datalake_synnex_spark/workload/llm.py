@@ -4011,3 +4011,62 @@ def x3_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(cell exchanges={cell_ex}):\n{plan}"
             )
         return _materialize(spark, got)
+
+
+# ----------------------------------------------------------------------
+# X8 — per-source quantile normalization (round 9): align each
+# source's length distribution onto the global one before a shared
+# threshold is applied (the mixing-prep step where "top 30% by
+# quality" must mean the same thing for a lenient and a strict
+# scorer). DuckDB re-derives both distributions, every mid-rank, and
+# every percentile_disc successor lookup from the same integers, so
+# each comparison is restated bit-for-bit.
+@query(
+    "x8_quantile_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    ds AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+           FROM d GROUP BY 1, 2),
+    ns AS (SELECT source, sum(cnt) AS n FROM ds GROUP BY source),
+    qs AS (
+      SELECT ds.source, ds.v,
+             (sum(cnt) OVER (PARTITION BY ds.source ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - cnt + cnt / 2.0) / ns.n AS q
+      FROM ds JOIN ns USING (source)
+    ),
+    dg AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+           FROM d GROUP BY 1),
+    ng AS (SELECT sum(cnt) AS n_total FROM dg),
+    fg AS (SELECT v AS g,
+                  sum(cnt) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    / ng.n_total AS f
+           FROM dg CROSS JOIN ng),
+    norm AS (
+      SELECT source, v,
+             (SELECT min(fg.g) FROM fg WHERE fg.f >= qs.q) AS norm_chars
+      FROM qs
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(norm.norm_chars AS BIGINT) AS norm_chars
+    FROM d JOIN norm ON norm.source = d.source AND norm.v = d.n_chars
+    """,
+    doc="[EXT] X8 — per-source quantile normalization onto the global "
+    "distribution (mid-rank q within source, percentile_disc successor "
+    "over the global CDF): two compact distribution tables, windows "
+    "bounded by distinct-value cardinality, the successor lookup as "
+    "the union+window as-of trick, one broadcast attach per document "
+    "(operators/sampling.quantile_normalize).",
+)
+def x8_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = sampling.quantile_normalize(
+        docs, group_col="source", value_col="n_chars", out_col="norm_chars"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("norm_chars").cast("bigint").alias("norm_chars"),
+    )
