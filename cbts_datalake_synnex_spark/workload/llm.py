@@ -4070,3 +4070,91 @@ def x8_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("norm_chars").cast("bigint").alias("norm_chars"),
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — TextRank keywords (round 9): PageRank over the symmetric token
+# co-occurrence graph, top-20. The oracle re-derives the edge list
+# from the bigram stream and unrolls all five power iterations — the
+# j_copurchase_pagerank discipline applied through a composition.
+@query(
+    "x4_textrank_keywords",
+    oracle="""
+    WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    bglist AS (
+      SELECT CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> struct_pack(u := toks[i], v := toks[i + 1]))
+             ELSE [] END AS bgs
+      FROM tk
+    ),
+    bg AS (
+      SELECT b.u AS u, b.v AS v
+      FROM (SELECT unnest(bgs) AS b FROM bglist)
+      WHERE b.u <> b.v
+    ),
+    e0 AS (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        SELECT u AS src, v AS dst FROM bg
+        UNION ALL
+        SELECT v AS src, u AS dst FROM bg
+      ) GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, sum(w) AS w_out FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.w / ow.w_out AS p FROM e0 JOIN ow USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM e0),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    r1 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r0.r * e.p) AS s
+                 FROM r0 JOIN e ON e.src = r0.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    r2 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r1.r * e.p) AS s
+                 FROM r1 JOIN e ON e.src = r1.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    r3 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r2.r * e.p) AS s
+                 FROM r2 JOIN e ON e.src = r2.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    r4 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r3.r * e.p) AS s
+                 FROM r3 JOIN e ON e.src = r3.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    r5 AS (
+      SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r4.r * e.p) AS s
+                 FROM r4 JOIN e ON e.src = r4.node GROUP BY e.dst) c
+        ON c.node = nodes.node
+    ),
+    ranked AS (
+      SELECT r5.node AS word, round(nn.n * r5.r, 6) AS rank_scaled,
+             CAST(row_number() OVER (ORDER BY round(nn.n * r5.r, 6) DESC,
+                                     r5.node) AS INTEGER) AS keyword_rank
+      FROM r5 CROSS JOIN nn
+    )
+    SELECT word, rank_scaled, keyword_rank FROM ranked WHERE keyword_rank <= 20
+    """,
+    doc="[EXT] X4 — TextRank keyword extraction (Mihalcea 2004): "
+    "PageRank over the symmetric token co-occurrence graph (adjacent "
+    "tokens), top-20 on the deterministic (rounded rank, word) order. "
+    "A composition of the bigram pair stream and graph.pagerank — the "
+    "edge list is vocab²-bounded (Heaps law), every iteration touches "
+    "vocab-sized frames (operators/text.textrank_keywords).",
+)
+def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.textrank_keywords(docs, text_col="text", k=20)

@@ -108,3 +108,43 @@ def test_copurchase_edges_symmetric_counts(spark):
     assert all(got[(a, b)] == got[(b, a)] for a, b in got)
     # order 3 is a singleton: part 10 pairs only via orders 1/2
     assert (10, 10) not in got
+
+
+def test_textrank_matches_python_composition(spark):
+    """textrank == python PageRank over the symmetrized bigram graph."""
+    from cbts_datalake_synnex_spark.operators.text import textrank_keywords
+
+    docs = {
+        0: "apache spark runs fast queries",
+        1: "spark queries scan parquet",
+        2: "fast queries need fast plans",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    edges = []
+    for t in docs.values():
+        ts = t.split(" ")
+        for a, b in zip(ts, ts[1:]):
+            if a != b:
+                edges += [(a, b, 1), (b, a, 1)]
+    # collapse multi-edges to weights
+    from collections import Counter
+
+    wc = Counter((s, t) for s, t, _ in edges)
+    want_pr = _py_pagerank([(s, t, w) for (s, t), w in wc.items()])
+    ranked = sorted(want_pr.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = textrank_keywords(df, "text", k=5).collect()
+    assert [(r["word"], r["rank_scaled"]) for r in sorted(got, key=lambda r: r["keyword_rank"])] == [
+        (w, pytest.approx(v, abs=2e-6)) for w, v in ranked[:5]
+    ]
+
+
+def test_textrank_rank_positions_are_deterministic(spark):
+    from cbts_datalake_synnex_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "c a b c")], "doc_id bigint, text string"
+    )
+    a = [tuple(r) for r in textrank_keywords(df, "text", k=10).collect()]
+    b = [tuple(r) for r in textrank_keywords(df.repartition(5), "text", k=10).collect()]
+    assert sorted(a) == sorted(b)
+    assert len({r[2] for r in a}) == len(a)  # dense distinct positions
