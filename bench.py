@@ -265,6 +265,8 @@ NEW_SURFACE_QUERIES = [
     "x3_hard_negatives_distributed",
     "t_ewma_smooth",
     "x8_quantile_normalize",
+    "x4_textrank_keywords",
+    "dq_control_chart",
 ]
 
 # Retired from the sf1 pass (slopes 1.0-2.3 across r7+r8, sf1 walls

@@ -203,3 +203,61 @@ def referential_integrity_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def control_chart(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    sigma: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DQ [EXT] — Shewhart control chart over daily arrival counts
+    (round 9): per group, daily event counts vs the group's
+    mean ± ``sigma``·stddev limits — the standing freshness/volume
+    monitor a nightly pipeline runs before trusting a partition
+    (VACUUM'd feeds, upstream outages, and duplicate replays all show
+    up as limit breaches before any content check fires).
+
+    Scale shape: ONE hash aggregate compacts the corpus to
+    (group, day) counts; the control limits are a second, group-sized
+    aggregate broadcast back onto the compact day table. Nothing
+    after the first aggregate is corpus-sized. ``stddev_samp`` of the
+    day counts is the classic individuals-chart estimate; with fewer
+    than two days the limits are undefined and the group reports
+    zero breaches (flagged NULL sigma, not an error).
+
+    Returns (group, day, n_events, mean_n, sigma_n, breach);
+    ``day`` is the canonical 'yyyy-MM-dd' string (cross-engine stable).
+    """
+    day = F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"), day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    limits = daily.groupBy("grp").agg(
+        F.avg("n_events").alias("mean_n"),
+        F.stddev_samp("n_events").alias("sigma_n"),
+    )
+    s = float(sigma)
+    # the breach test runs on the ROUNDED limits (the engine's 6dp
+    # cross-engine grid): Spark's and an oracle's stddev accumulate in
+    # different orders, and a strict float comparison on raw values
+    # could flip for a day sitting exactly on the boundary
+    return (
+        daily.join(F.broadcast(limits), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "day",
+            "n_events",
+            F.round("mean_n", round_dp).alias("mean_n"),
+            F.round("sigma_n", round_dp).alias("sigma_n"),
+        )
+        .withColumn(
+            "breach",
+            F.when(
+                F.col("sigma_n").isNotNull(),
+                F.abs(F.col("n_events") - F.col("mean_n"))
+                > s * F.col("sigma_n"),
+            ).otherwise(F.lit(False)),
+        )
+    )

@@ -1233,3 +1233,42 @@ def j_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(li)
     pr = pagerank(edges, damping=0.85, iterations=5, round_dp=6)
     return pr.select(F.col("node").cast("bigint").alias("part"), "rank_scaled")
+
+
+# ----------------------------------------------------------------------
+# DQ [EXT] — daily-volume control chart (round 9): the freshness/
+# volume monitor a nightly pipeline runs before trusting a partition.
+# The breach comparison runs on the ROUNDED 6dp limits in BOTH
+# engines, so cross-engine stddev accumulation-order differences
+# cannot flip a boundary day.
+@query(
+    "dq_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    limits AS (
+      SELECT event_type,
+             round(avg(n_events), 6) AS mean_n,
+             round(stddev_samp(n_events), 6) AS sigma_n
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events, l.mean_n, l.sigma_n,
+           CASE WHEN l.sigma_n IS NOT NULL
+                THEN abs(d.n_events - l.mean_n) > 3.0 * l.sigma_n
+                ELSE FALSE END AS breach
+    FROM daily d JOIN limits l USING (event_type)
+    """,
+    doc="DQ [EXT] — Shewhart control chart over daily arrival counts "
+    "per event type (individuals chart, mean ± 3σ of day counts): one "
+    "hash aggregate compacts the corpus to (type, day), a group-sized "
+    "limits aggregate broadcasts back; breach computed on the rounded "
+    "6dp grid (operators/dq.control_chart).",
+)
+def dq_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import control_chart
+
+    ev = load_table(spark, sf_dir, "events")
+    return control_chart(ev, ts_col="ts", group_col="event_type", sigma=3.0)
