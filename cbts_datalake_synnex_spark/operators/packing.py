@@ -265,3 +265,56 @@ def chat_assembly(
         trainable.alias("trainable_chars"),
         F.sha2(assembled, 256).alias("sha"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """X6 — DPO/RLHF preference-pair assembly (Rafailov et al. 2023,
+    arXiv:2305.18290 — direct preference optimization trains on
+    (prompt, chosen, rejected) triples): per prompt, pair the
+    best-scored candidate against the worst-scored one, reporting the
+    reward margin the pair carries. The reference has no preference
+    lane (its pipeline stops at curated tables); this is the [EXT]
+    step that turns a scored candidate pool into a DPO training set.
+
+    Deterministic extremes: chosen = (max score, tie -> lowest id),
+    rejected = (min score, tie -> lowest id), both computed as ONE
+    hash aggregate over struct-ordered ``max``/``min`` (Spark orders
+    structs lexicographically by field, so ``max(struct(score, -id))``
+    is exactly "max score then min id") — no window over the candidate
+    pool, no join, map-side combine does the heavy lifting, aggregate
+    state is two structs + a count per prompt. Zero-margin prompts
+    (all candidates tied, including single-candidate prompts where
+    chosen == rejected) are dropped: a DPO pair with no preference
+    signal is degenerate.
+
+    Returns (prompt_col, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_candidates). Scores should arrive
+    pre-rounded on the caller's grid so the extremes are
+    engine-stable.
+    """
+    neg_id = (-F.col(id_col)).alias("nid")
+    g = df.groupBy(prompt_col).agg(
+        F.max(F.struct(F.col(score_col).alias("s"), neg_id)).alias("__hi"),
+        F.min(F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("pid"))).alias(
+            "__lo"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )
+    margin = F.round(F.col("__hi.s") - F.col("__lo.s"), 6)
+    return (
+        g.select(
+            F.col(prompt_col),
+            (-F.col("__hi.nid")).alias("chosen_id"),
+            F.col("__lo.pid").alias("rejected_id"),
+            F.col("__hi.s").alias("chosen_score"),
+            F.col("__lo.s").alias("rejected_score"),
+            margin.alias("margin"),
+            "n_candidates",
+        )
+        .filter(F.col("margin") > 0)
+    )

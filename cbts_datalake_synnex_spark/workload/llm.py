@@ -4158,3 +4158,68 @@ def x8_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.textrank_keywords(docs, text_col="text", k=20)
+
+
+# ----------------------------------------------------------------------
+# X6 — DPO preference-pair assembly (round 9): the post-SFT data-prep
+# step — per prompt, pair the best-scored candidate response against
+# the worst-scored one (Rafailov 2023). Candidates are synthesized by
+# bucketing documents into prompts; the reward is a deterministic
+# quality proxy (alpha fraction x log length) rounded on the 6dp grid
+# in both engines so the extremes are engine-stable.
+@query(
+    "x6_dpo_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(doc_id % 50 AS BIGINT) AS prompt_id, doc_id,
+             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                   / greatest(length(text), 1) * ln(1 + length(text)), 6) AS score
+      FROM documents
+    ),
+    r AS (
+      SELECT prompt_id, doc_id, score,
+             row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id) AS rk_hi,
+             row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, doc_id) AS rk_lo,
+             count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+      FROM s
+    ),
+    hi AS (
+      SELECT prompt_id, doc_id AS chosen_id, score AS chosen_score,
+             CAST(n_candidates AS BIGINT) AS n_candidates
+      FROM r WHERE rk_hi = 1
+    ),
+    lo AS (
+      SELECT prompt_id, doc_id AS rejected_id, score AS rejected_score
+      FROM r WHERE rk_lo = 1
+    )
+    SELECT h.prompt_id, h.chosen_id, l.rejected_id, h.chosen_score,
+           l.rejected_score,
+           round(h.chosen_score - l.rejected_score, 6) AS margin,
+           h.n_candidates
+    FROM hi h JOIN lo l USING (prompt_id)
+    WHERE round(h.chosen_score - l.rejected_score, 6) > 0
+    """,
+    doc="[EXT] X6 — DPO preference-pair assembly (Rafailov 2023): per "
+    "prompt the (chosen, rejected) extreme pair by a deterministic "
+    "reward with margin > 0, computed as ONE hash aggregate of "
+    "struct-ordered max/min (no window over the candidate pool, no "
+    "join; ties broken on candidate id in both engines) "
+    "(operators/packing.preference_pairs).",
+)
+def x6_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.packing import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("doc_id") % 50).cast("bigint").alias("prompt_id"),
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+            * F.log(F.length("text") + F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    return preference_pairs(
+        scored, prompt_col="prompt_id", id_col="doc_id", score_col="score"
+    )

@@ -172,3 +172,43 @@ def test_chat_assembly_order_and_partitioning_invariant(spark):
         map(tuple, chat_assembly(df.repartition(13), "conv", "o", "text").collect())
     )
     assert a == b
+
+
+def test_preference_pairs_extremes_ties_and_margin_filter(spark):
+    from cbts_datalake_synnex_spark.operators.packing import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            # p1: clear extremes
+            (1, 10, 0.9), (1, 11, 0.2), (1, 12, 0.5),
+            # p2: tie at the top (ids 20 < 21) and at the bottom (30 < 31)
+            (2, 21, 0.8), (2, 20, 0.8), (2, 31, 0.1), (2, 30, 0.1),
+            # p3: all tied -> margin 0 -> dropped
+            (3, 40, 0.5), (3, 41, 0.5),
+            # p4: single candidate -> chosen == rejected -> dropped
+            (4, 50, 0.7),
+        ],
+        "prompt_id bigint, cand_id bigint, score double",
+    )
+    out = {
+        r["prompt_id"]: r
+        for r in preference_pairs(df, "prompt_id", "cand_id", "score").collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1]["chosen_id"], out[1]["rejected_id"]) == (10, 11)
+    assert out[1]["n_candidates"] == 3
+    assert abs(out[1]["margin"] - 0.7) < 1e-9
+    # ties break to the LOWEST id on both sides
+    assert (out[2]["chosen_id"], out[2]["rejected_id"]) == (20, 30)
+
+
+def test_preference_pairs_partitioning_invariant(spark):
+    from cbts_datalake_synnex_spark.operators.packing import preference_pairs
+
+    rows = [(i % 7, i, float((i * 37) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "p bigint, i bigint, score double")
+    a = sorted(map(tuple, preference_pairs(df, "p", "i", "score").collect()))
+    b = sorted(
+        map(tuple, preference_pairs(df.repartition(13), "p", "i", "score").collect())
+    )
+    assert a == b and len(a) > 0
