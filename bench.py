@@ -296,6 +296,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "j_copurchase_pagerank",
     # round 9: binaryFile roundtrip, the CSV/ORC discipline
     "s_binary_dir_scan",
+    # round 9: one hash agg over struct-ordered extremes — no sf1
+    # slope to watch beyond the scan
+    "x6_dpo_pairs",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -24,8 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -304,5 +306,120 @@ def ewma_stream(
         yield pdf[out_cols]
 
     return df.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def mg_merge(
+    counters: dict, batch_counts: dict, cap: int
+) -> tuple[dict, int]:
+    """One Misra-Gries merge step in the MERGEABLE-summaries
+    formulation (Agarwal et al. 2012, 'Mergeable Summaries' §3.1,
+    public): add the incoming counts, and if more than ``cap``
+    counters survive, subtract the (cap+1)-th largest count from all
+    and drop the non-positive ones.
+
+    Unlike the textbook one-item-at-a-time MG update this is
+    ORDER-INDEPENDENT within a batch (the summary of a multiset is a
+    function of the multiset), which is what makes the streaming
+    operator's result replay-stable. Returns (new counters, amount
+    subtracted) — the subtracted amounts accumulate into the
+    undercount bound: true_count ∈ [est, est + Σ subtracted] for every
+    tracked item, and any item with true frequency > Σ subtracted is
+    guaranteed to be tracked. With ≤ cap distinct items ever seen the
+    subtraction never fires and every count is EXACT.
+    """
+    st = dict(counters)
+    for item, c in batch_counts.items():
+        st[item] = st.get(item, 0) + int(c)
+    if len(st) <= cap:
+        return st, 0
+    kth = sorted(st.values(), reverse=True)[cap]
+    return {i: c - kth for i, c in st.items() if c - kth > 0}, kth
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    cap: int = 64,
+) -> DataFrame:
+    """T5+ [EXT] — streaming heavy hitters (frequent items) per group
+    as a STATEFUL STREAMING operator: Misra-Gries summaries carried in
+    the state store, merged per micro-batch with `mg_merge`. The
+    training-data use is per-source token/domain/URL frequency
+    monitoring over a continuous ingest without a corpus-sized
+    groupBy-count state.
+
+    State per group is AT MOST ``cap`` (item, count) pairs plus two
+    longs — the boundedness contract — regardless of the all-time
+    distinct-item cardinality. With ≤ cap distinct items per group the
+    counts are exact (``err_bound`` stays 0, the witness the certified
+    query asserts); beyond cap the MG guarantee holds: every item with
+    true count > err_bound is present, estimates undercount by at most
+    ``err_bound``.
+
+    Emits, on every batch that touches the group, the group's full
+    current summary: (group, item, est_count, err_bound, n_seen) in
+    Update mode — ``n_seen`` is monotone per group, so the replay's
+    final summary is the max-``n_seen`` emission.
+    """
+    out_schema = StructType(
+        [
+            df.schema[group_col],
+            StructField("item", StringType()),
+            StructField("est_count", LongType()),
+            StructField("err_bound", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n", LongType()),
+            StructField("d", LongType()),
+        ]
+    )
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch_counts: dict = {}
+        n_batch = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[item_col].astype(str).value_counts()
+            n_batch += int(vc.sum())
+            for item, c in vc.items():
+                batch_counts[item] = batch_counts.get(item, 0) + int(c)
+        if not batch_counts:
+            return
+        if state.exists:
+            items, cnts, n, d = state.get
+            counters = dict(zip(items, cnts))
+        else:
+            counters, n, d = {}, 0, 0
+        counters, subtracted = mg_merge(counters, batch_counts, cap)
+        n += n_batch
+        d += subtracted
+        out_items = sorted(counters)  # deterministic state + emission order
+        state.update(
+            (out_items, [counters[i] for i in out_items], int(n), int(d))
+        )
+        yield pd.DataFrame(
+            {
+                group_col: [key_tuple[0]] * len(out_items),
+                "item": out_items,
+                "est_count": [counters[i] for i in out_items],
+                "err_bound": [int(d)] * len(out_items),
+                "n_seen": [int(n)] * len(out_items),
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

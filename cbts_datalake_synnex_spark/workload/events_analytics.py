@@ -801,3 +801,137 @@ def t_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — streaming heavy hitters (round 9): Misra-Gries
+# summaries in the state store (streaming/stateful.heavy_hitters_
+# stream), driven end-to-end over a 3-batch availableNow replay. The
+# mergeable-summaries merge is order-independent, so no time
+# partitioning is needed — files split on event_id % 3. The item
+# domain (user_id % 40) stays under the cap (64), so every count is
+# EXACT (the query asserts the err_bound == 0 witness and raises
+# otherwise) and the batch groupBy-count oracle states the result
+# bit-for-bit; beyond the cap the operator degrades to the published
+# MG guarantee, exercised in tests/, never silently here.
+@query(
+    "t_stream_topk",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(user_id % 40 AS VARCHAR) AS item,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, item, cnt,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, item
+             ) AS topk_rank
+      FROM c
+    )
+    SELECT event_type, item, cnt, CAST(topk_rank AS INTEGER) AS topk_rank
+    FROM r WHERE topk_rank <= 10
+    """,
+    doc="SURVEY §2.8 [EXT] — streaming heavy hitters driven "
+    "end-to-end: per-event-type Misra-Gries summaries (cap 64, "
+    "mergeable-summaries merge — order-independent, state bounded at "
+    "cap counters per group) carried across three real micro-batches; "
+    "below the cap the counts are exact (asserted via the err_bound "
+    "witness) so the batch count oracle states the top-10 exactly "
+    "(streaming/stateful.heavy_hitters_stream). Raises unless "
+    "cross-batch state was exercised.",
+)
+def t_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import heavy_hitters_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 40).cast("string").alias("item"),
+    )
+    scratch = tempfile.mkdtemp(prefix="stopk_")
+    qn = f"stopk_{uuid.uuid4().hex[:8]}"
+    try:
+        for k in range(3):
+            d = f"{scratch}/in/d{k}"
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, event_type string, item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        hh = heavy_hitters_stream(src, group_col="event_type", item_col="item", cap=64)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                hh.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream topk replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; cross-batch "
+                        "state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        emitted = spark.table(qn)
+        # the replay's final summary per group is the max-n_seen
+        # emission (n_seen is monotone; groups emit only on batches
+        # that touch them)
+        final = (
+            emitted.withColumn(
+                "__mx", F.max("n_seen").over(W.partitionBy("event_type"))
+            )
+            .filter(F.col("n_seen") == F.col("__mx"))
+            .drop("__mx")
+        )
+        inexact = final.filter(F.col("err_bound") > 0).count()
+        if inexact:
+            raise RuntimeError(
+                "MG summaries decremented below the cap — the exact-regime "
+                "certification contract is broken"
+            )
+        ranked = final.withColumn(
+            "topk_rank",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.desc("est_count"), F.asc("item")
+                )
+            ),
+        ).filter(F.col("topk_rank") <= 10)
+        out = ranked.select(
+            "event_type",
+            "item",
+            F.col("est_count").alias("cnt"),
+            F.col("topk_rank").cast("int").alias("topk_rank"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

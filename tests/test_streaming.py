@@ -10,6 +10,7 @@ from datetime import datetime, timezone
 
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -730,3 +731,95 @@ def test_incremental_curate_with_hygiene_gates(spark, tmp_path):
         assert spark.table(engine.qualified("hygiene_docs")).count() == 2  # no re-ingest
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries streaming heavy hitters (round 9)
+
+
+def test_mg_merge_exact_below_cap_and_guarantee_above():
+    import random
+
+    from cbts_datalake_synnex_spark.streaming.stateful import mg_merge
+
+    rng = random.Random(7)
+    # true multiset: one heavy item, a mid item, and a tail of singletons
+    stream = ["heavy"] * 400 + ["mid"] * 60 + [f"t{i}" for i in range(100)]
+    rng.shuffle(stream)
+    true = {}
+    for x in stream:
+        true[x] = true.get(x, 0) + 1
+
+    # exact regime: cap >= distinct -> no decrement, counts exact,
+    # and the result is independent of the batch split
+    for n_batches in (1, 3, 7):
+        st, d_total = {}, 0
+        size = (len(stream) + n_batches - 1) // n_batches
+        for k in range(n_batches):
+            batch = stream[k * size : (k + 1) * size]
+            bc = {}
+            for x in batch:
+                bc[x] = bc.get(x, 0) + 1
+            st, d = mg_merge(st, bc, cap=200)
+            d_total += d
+        assert d_total == 0 and st == true
+
+    # eviction regime: cap 8 << 102 distinct — the published MG
+    # guarantee: est <= true <= est + d_total for tracked items, and
+    # any item with true count > d_total is tracked
+    st, d_total = {}, 0
+    size = (len(stream) + 4) // 5
+    for k in range(5):
+        batch = stream[k * size : (k + 1) * size]
+        bc = {}
+        for x in batch:
+            bc[x] = bc.get(x, 0) + 1
+        st, d = mg_merge(st, bc, cap=8)
+        d_total += d
+    assert len(st) <= 8 and d_total > 0
+    for item, est in st.items():
+        assert est <= true[item] <= est + d_total
+    for item, cnt in true.items():
+        if cnt > d_total:
+            assert item in st, f"{item} (count {cnt} > bound {d_total}) evicted"
+
+
+def test_heavy_hitters_stream_equals_batch_counts(spark, tmp_path):
+    import os
+
+    from cbts_datalake_synnex_spark.streaming.stateful import heavy_hitters_stream
+
+    rows = [(i, f"g{i % 2}", f"u{(i * 13) % 9}") for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id bigint, grp string, item string")
+    for k in range(3):
+        d = str(tmp_path / "in" / f"d{k}")
+        df.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (1000 * (k + 1), 1000 * (k + 1)))
+    src = (
+        spark.readStream.schema("event_id bigint, grp string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    hh = heavy_hitters_stream(src, group_col="grp", item_col="item", cap=16)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("hh_golden")
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    emitted = spark.table("hh_golden")
+    final = (
+        emitted.withColumn("mx", F.max("n_seen").over(Window.partitionBy("grp")))
+        .filter("n_seen = mx")
+    )
+    got = {(r["grp"], r["item"]): r["est_count"] for r in final.collect()}
+    assert all(r["err_bound"] == 0 for r in final.collect())
+    want = {
+        (r["grp"], r["item"]): r["n"]
+        for r in df.groupBy("grp", "item").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
