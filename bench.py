@@ -267,6 +267,8 @@ NEW_SURFACE_QUERIES = [
     "x8_quantile_normalize",
     "x4_textrank_keywords",
     "dq_control_chart",
+    "x4_bpe_train",
+    "x3_kmeans_refine",
 ]
 
 # Retired from the sf1 pass (slopes 1.0-2.3 across r7+r8, sf1 walls

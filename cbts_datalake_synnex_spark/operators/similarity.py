@@ -1740,3 +1740,125 @@ def hard_negatives_distributed(
         .filter(F.col("hn_rank") <= m)
         .select("query_id", "q_label", "cand_id", "c_label", "cosine", "hn_rank")
     )
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """X3 — DISTRIBUTED Lloyd refinement (k-means over the full
+    corpus): the scale-out counterpart of `_train_centroids`, which
+    deliberately trains on a bounded md5 sample (the IVF/SemDeDup
+    budget). A 100 TB curation pipeline does both — sample-train the
+    seeds, then refine on ALL vectors so the final cells reflect the
+    corpus, not the sample (Abbas 2023 runs full k-means before its
+    within-cluster dedup). This operator is the refinement half, built
+    so every stage is a standard shuffle: no stage ever holds more
+    than (k x d) centroid state or a corpus-wide (cell, pos) hash agg.
+
+    Per iteration: (1) ASSIGN — centroids travel as the one-row
+    broadcast matrix frame (`_cmat_frame`, the ivf_topk plan-size
+    discipline); each vector's squared-L2 distances to the k cells
+    compute in a codegen-side HOF projection, argmin via struct-
+    ordered `array_min` on the ROUND(round_dp) grid (distance ties
+    break to the lowest cell id in both engines — the knn rounding
+    discipline). No shuffle. (2) UPDATE — posexplode to (cell, pos, x)
+    feeding one hash aggregate (map-side combine; the shuffle carries
+    k x d partial means per map task, not vectors); the k x d result is
+    collected (bounded by construction) and rebroadcast. Cells that
+    lose every member keep their previous centroid (the standard empty-
+    cell rule, stated identically by the oracle's left join).
+
+    Seeds are the k vectors with the lowest (md5(id), id) order —
+    deterministic, unbiased, SQL-stateable. Returns the long-format
+    report (cell, pos, c, n_members, cell_inertia): final centroids
+    with membership counts and per-cell inertia, where labels are the
+    LAST assignment and centers the means those labels produced
+    (sklearn's convention after a final update step).
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seeds = (
+        v.orderBy(F.md5(F.col("__vid").cast("string")), F.col("__vid"))
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        return spark.createDataFrame(
+            [], "cell int, pos int, c double, n_members bigint, cell_inertia double"
+        )
+    cents = [list(r["__v"]) for r in seeds]
+    k = len(cents)
+    d = len(cents[0])
+
+    def _assigned(cdf: DataFrame) -> DataFrame:
+        scored = F.transform(
+            F.col("__cmat"),
+            lambda cv, i: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(F.col("__v"), cv, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s,
+                    ),
+                    round_dp,
+                ).alias("d"),
+                i.cast("int").alias("cell"),
+            ),
+        )
+        return v.crossJoin(F.broadcast(cdf)).select(
+            "__vid", "__v", F.array_min(scored).getField("cell").alias("cell")
+        )
+
+    assigned = None
+    for _ in range(iters):
+        # pin the assignment: both the update agg and (on the last
+        # round) the report branches read it — without the pin each
+        # branch re-runs the distance projection over the corpus
+        assigned = _assigned(_cmat_frame(spark, cents)).localCheckpoint()
+        means = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("c"))
+        )
+        got: dict[int, list[float]] = {}
+        for r in means.collect():
+            got.setdefault(r["cell"], [0.0] * d)[r["pos"]] = float(r["c"])
+        cents = [got.get(i, cents[i]) for i in range(k)]
+
+    cdf = _cmat_frame(spark, cents)
+    memb = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    inert = (
+        assigned.crossJoin(F.broadcast(cdf))
+        .select(
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.element_at(F.col("__cmat"), F.col("cell") + 1),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s,
+            ).alias("d2"),
+        )
+        .groupBy("cell")
+        .agg(F.round(F.sum("d2"), round_dp).alias("cell_inertia"))
+    )
+    cent_rows = spark.createDataFrame(
+        [(i, p, c) for i, vec in enumerate(cents) for p, c in enumerate(vec)],
+        "cell int, pos int, c double",
+    ).select("cell", "pos", F.round("c", round_dp).alias("c"))
+    return (
+        cent_rows.join(memb, "cell")
+        .join(inert, "cell")
+        .select("cell", "pos", "c", "n_members", "cell_inertia")
+    )

@@ -1237,3 +1237,106 @@ def textrank_keywords(
             F.col("node").alias("word"), "rank_scaled", "keyword_rank"
         )
     )
+
+
+def _bpe_greedy_fold(syms: F.Column, x: str, y: str) -> F.Column:
+    """One left-to-right greedy non-overlapping merge of the adjacent
+    symbol pair (x, y) in a symbol array, as a JVM-side array fold:
+    the accumulator appends each symbol, or replaces its own last
+    element with x||y when (last, current) == (x, y). Greedy
+    non-overlap falls out of the fold — a just-merged element is
+    x||y, which can never equal x again (concatenation strictly
+    lengthens), so a merged position cannot chain into the next.
+    The SQL-stateable twin is the gaps-and-islands selection
+    (alternate members of each run of consecutive candidate
+    positions), which the oracle uses; equivalence is property-tested
+    against a python reference in tests/.
+    """
+    merged = F.lit(x + y)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(x))
+            & (s == F.lit(y)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFrame:
+    """X4 — distributed BPE merge TRAINING (Sennrich et al. 2016,
+    arXiv:1508.07909 §3.2): learn the first ``n_merges`` merge rules
+    from the corpus — the counterpart of `bpe_pair_stats` (one round's
+    candidate counts) and `apply_bpe_merges` (inference with a learned
+    table). The reference ships no tokenizer trainer; this is the
+    [EXT] piece that closes the tokenizer-training loop on the lake.
+
+    Scale shape — the published algorithm's own structure: the corpus
+    is scanned ONCE into a (word, freq) table (Heaps-bounded — vocab
+    grows ~sqrt(corpus), so every later stage is compact no matter the
+    input size); words become character-symbol arrays with a ``</w>``
+    end marker. Each round then (1) counts adjacent symbol pairs
+    weighted by word freq — one explode + hash agg over the VOCAB
+    table, never the corpus, (2) fetches the argmax pair as ONE
+    bounded driver row (n desc, then lexicographic — deterministic at
+    ties), (3) rewrites the symbol arrays with the greedy fold
+    (`_bpe_greedy_fold` — interpreted HOF, but per vocab word, ~word
+    length elements). The syms frame is localCheckpoint-pinned per
+    round (vocab-sized) so round r+1 never re-derives round r's
+    lineage — the pagerank fixpoint discipline.
+
+    Returns (merge_rank, lhs, rhs, pair_count) — rank 1 is the first
+    merge learned. Words are lowercase letter runs (the corpus-stats
+    convention); digits/symbols don't participate.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = (
+        words.select(
+            "word",
+            "freq",
+            F.concat(
+                F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+                F.array(F.lit("</w>")),
+            ).alias("syms"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pair = F.expr(
+            "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+            " slice(syms, 2, greatest(size(syms) - 1, 0)),"
+            " (a, b) -> struct(a, b))"
+        )
+        top = (
+            seqs.select(F.explode(pair).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((r, x, y, n))
+        if r == n_merges:
+            break  # the last rewrite would feed nothing
+        seqs = seqs.select(
+            "word", "freq", _bpe_greedy_fold(F.col("syms"), x, y).alias("syms")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )

@@ -4223,3 +4223,220 @@ def x6_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(
         scored, prompt_col="prompt_id", id_col="doc_id", score_col="score"
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — distributed BPE merge training (round 9): the tokenizer-
+# training loop closed on the lake. bpe_pair_stats counts one round's
+# candidates and apply_bpe_merges runs inference with a learned table;
+# this learns the table — n_merges rounds of (count weighted adjacent
+# pairs over the vocab table -> promote the argmax -> greedy
+# left-to-right rewrite). The oracle unrolls all three rounds; its
+# merge application is the gaps-and-islands selection (alternate
+# members of each run of consecutive candidate positions), the
+# SQL-stateable twin of the engine's array fold — equivalence is
+# property-tested against a python reference.
+@query(
+    "x4_bpe_train",
+    oracle="""
+    WITH w AS (
+      SELECT lower(x.w) AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM documents CROSS JOIN LATERAL (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w) x
+      GROUP BY 1
+    ),
+    s0 AS (
+      SELECT word, freq,
+             list_append(list_transform(generate_series(1, length(word)),
+                                        i -> substr(word, i, 1)), '</w>') AS syms
+      FROM w
+    ),
+    p1 AS (
+      SELECT s.syms[t.i] AS a, s.syms[t.i + 1] AS b, CAST(sum(s.freq) AS BIGINT) AS n
+      FROM s0 s CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(s.syms) - 1)) AS i) t
+      GROUP BY 1, 2
+    ),
+    m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+    s1_e AS (
+      SELECT s.word, s.freq, t.i, s.syms[t.i] AS s, s.syms[t.i + 1] AS s_next
+      FROM s0 s CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(s.syms))) AS i) t
+    ),
+    s1_c AS (
+      SELECT *, coalesce(s = (SELECT a FROM m1) AND s_next = (SELECT b FROM m1),
+                         FALSE) AS cand
+      FROM s1_e
+    ),
+    s1_i AS (
+      SELECT *, CASE WHEN cand THEN i - row_number() OVER (
+        PARTITION BY word, cand ORDER BY i) END AS isl
+      FROM s1_c
+    ),
+    s1_t AS (
+      SELECT *, CASE WHEN cand THEN row_number() OVER (
+        PARTITION BY word, isl ORDER BY i) % 2 = 1 ELSE FALSE END AS take
+      FROM s1_i
+    ),
+    s1 AS (
+      SELECT word, freq, list(sym ORDER BY i) AS syms FROM (
+        SELECT word, freq, i,
+               CASE WHEN take THEN (SELECT a || b FROM m1) ELSE s END AS sym,
+               lag(take) OVER (PARTITION BY word ORDER BY i) AS prev_take
+        FROM s1_t
+      ) WHERE NOT coalesce(prev_take, FALSE)
+      GROUP BY word, freq
+    ),
+    p2 AS (
+      SELECT s.syms[t.i] AS a, s.syms[t.i + 1] AS b, CAST(sum(s.freq) AS BIGINT) AS n
+      FROM s1 s CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(s.syms) - 1)) AS i) t
+      GROUP BY 1, 2
+    ),
+    m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+    s2_e AS (
+      SELECT s.word, s.freq, t.i, s.syms[t.i] AS s, s.syms[t.i + 1] AS s_next
+      FROM s1 s CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(s.syms))) AS i) t
+    ),
+    s2_c AS (
+      SELECT *, coalesce(s = (SELECT a FROM m2) AND s_next = (SELECT b FROM m2),
+                         FALSE) AS cand
+      FROM s2_e
+    ),
+    s2_i AS (
+      SELECT *, CASE WHEN cand THEN i - row_number() OVER (
+        PARTITION BY word, cand ORDER BY i) END AS isl
+      FROM s2_c
+    ),
+    s2_t AS (
+      SELECT *, CASE WHEN cand THEN row_number() OVER (
+        PARTITION BY word, isl ORDER BY i) % 2 = 1 ELSE FALSE END AS take
+      FROM s2_i
+    ),
+    s2 AS (
+      SELECT word, freq, list(sym ORDER BY i) AS syms FROM (
+        SELECT word, freq, i,
+               CASE WHEN take THEN (SELECT a || b FROM m2) ELSE s END AS sym,
+               lag(take) OVER (PARTITION BY word ORDER BY i) AS prev_take
+        FROM s2_t
+      ) WHERE NOT coalesce(prev_take, FALSE)
+      GROUP BY word, freq
+    ),
+    p3 AS (
+      SELECT s.syms[t.i] AS a, s.syms[t.i + 1] AS b, CAST(sum(s.freq) AS BIGINT) AS n
+      FROM s2 s CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(s.syms) - 1)) AS i) t
+      GROUP BY 1, 2
+    ),
+    m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+    SELECT 1 AS merge_rank, a AS lhs, b AS rhs, n AS pair_count FROM m1
+    UNION ALL SELECT 2, a, b, n FROM m2
+    UNION ALL SELECT 3, a, b, n FROM m3
+    """,
+    doc="[EXT] X4 — BPE merge training (Sennrich 2016): the first 3 "
+    "merge rules learned from the corpus. ONE corpus scan builds the "
+    "Heaps-bounded (word, freq) table; every round then counts "
+    "freq-weighted adjacent symbol pairs over the VOCAB table "
+    "(explode + hash agg, map-side combine), promotes the argmax "
+    "(n desc then lexicographic — deterministic ties), and rewrites "
+    "the symbol arrays with a greedy JVM-side fold; the syms frame "
+    "is localCheckpoint-pinned per round so no round re-derives the "
+    "last (operators/text.bpe_train).",
+)
+def x4_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train(docs, text_col="text", n_merges=3)
+
+
+# ----------------------------------------------------------------------
+# X3 — distributed Lloyd refinement (round 9): full-corpus k-means
+# iterations from deterministic md5-ordered seeds — the refinement
+# half a curation pipeline runs after sample-training (SemDeDup runs
+# full k-means before its within-cluster dedup). Distances argmin on
+# the rounded 6dp grid with lowest-cell tiebreak in both engines;
+# empty cells keep their previous centroid (the oracle's left join).
+@query(
+    "x3_kmeans_refine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell
+      FROM embeddings QUALIFY row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
+    ),
+    c0 AS (SELECT s.cell, e.pos, e.x AS c FROM seeds s JOIN e USING (vec_id)),
+    a1_d AS (
+      SELECT e.vec_id, c.cell, round(sum((e.x - c.c) * (e.x - c.c)), 6) AS d
+      FROM e JOIN c0 c USING (pos)
+      GROUP BY e.vec_id, c.cell
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cell) AS rk
+        FROM a1_d
+      ) WHERE rk = 1
+    ),
+    c1_m AS (
+      SELECT a.cell, e.pos, avg(e.x) AS c
+      FROM e JOIN a1 a USING (vec_id)
+      GROUP BY a.cell, e.pos
+    ),
+    c1 AS (
+      SELECT p.cell, p.pos, coalesce(m.c, p.c) AS c
+      FROM c0 p LEFT JOIN c1_m m USING (cell, pos)
+    ),
+    a2_d AS (
+      SELECT e.vec_id, c.cell, round(sum((e.x - c.c) * (e.x - c.c)), 6) AS d
+      FROM e JOIN c1 c USING (pos)
+      GROUP BY e.vec_id, c.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cell) AS rk
+        FROM a2_d
+      ) WHERE rk = 1
+    ),
+    c2_m AS (
+      SELECT a.cell, e.pos, avg(e.x) AS c
+      FROM e JOIN a2 a USING (vec_id)
+      GROUP BY a.cell, e.pos
+    ),
+    c2 AS (
+      SELECT p.cell, p.pos, coalesce(m.c, p.c) AS c
+      FROM c1 p LEFT JOIN c2_m m USING (cell, pos)
+    ),
+    members AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cell
+    ),
+    inert AS (
+      SELECT a.cell, round(sum((e.x - c.c) * (e.x - c.c)), 6) AS cell_inertia
+      FROM e JOIN a2 a USING (vec_id)
+        JOIN c2 c ON c.cell = a.cell AND c.pos = e.pos
+      GROUP BY a.cell
+    )
+    SELECT c.cell, CAST(c.pos AS INTEGER) AS pos, round(c.c, 6) AS c,
+           m.n_members, i.cell_inertia
+    FROM c2 c JOIN members m USING (cell) JOIN inert i ON i.cell = c.cell
+    """,
+    doc="[EXT] X3 — distributed Lloyd refinement: 2 full-corpus "
+    "k-means iterations (k=4) from deterministic md5-ordered seeds; "
+    "per iteration one broadcast-matrix codegen distance projection "
+    "(argmin on the rounded grid, lowest-cell ties) and one "
+    "(cell, pos) hash aggregate whose k x d result rebroadcasts; "
+    "empty cells keep their previous centroid. Emits final centroids "
+    "long-format with membership and per-cell inertia "
+    "(operators/similarity.kmeans_refine).",
+)
+def x3_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_refine(
+        emb, id_col="vec_id", vec_col="embedding", k=4, iters=2
+    )

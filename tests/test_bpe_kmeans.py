@@ -1,0 +1,206 @@
+"""BPE merge training + distributed Lloyd refinement (round 9):
+fold-vs-reference properties, known-merge goldens, empty-cell rule,
+partitioning invariance."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.operators.similarity import kmeans_refine
+from cbts_datalake_synnex_spark.operators.text import _bpe_greedy_fold, bpe_train
+
+
+def _greedy_ref(syms, x, y):
+    out = []
+    for s in syms:
+        if out and out[-1] == x and s == y:
+            out[-1] = x + y
+        else:
+            out.append(s)
+    return out
+
+
+def test_bpe_fold_matches_python_greedy_reference(spark):
+    # adversarial chains (overlapping candidates) + random tails: the
+    # exact regime where naive string replace diverges from greedy
+    seqs = [
+        ["a", "a", "a"],
+        ["a", "a", "a", "a"],
+        ["a", "b", "a", "b", "a"],
+        ["a", "b", "b", "a"],
+        ["b", "a", "b"],
+        ["a"],
+        [],
+    ]
+    import random
+
+    rng = random.Random(11)
+    for _ in range(60):
+        seqs.append([rng.choice("ab") for _ in range(rng.randint(1, 12))])
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i int, syms array<string>"
+    )
+    for x, y in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        got = {
+            r["i"]: r["out"]
+            for r in df.select(
+                "i", _bpe_greedy_fold(F.col("syms"), x, y).alias("out")
+            ).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == _greedy_ref(s, x, y), (s, x, y)
+
+
+def _train_ref(texts, n_merges):
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[a-z]+", t.lower()))
+    seqs = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pc = Counter()
+        for w, f in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (x, y), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((r, x, y, n))
+        for w in seqs:
+            seqs[w] = _greedy_ref(seqs[w], x, y)
+    return merges
+
+
+def test_bpe_train_matches_reference_and_partitioning(spark):
+    texts = [
+        "the theme thesis there",
+        "other mother weather the the",
+        "aaaa aaab abab the",
+        "banana bandana and sand",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = _train_ref(texts, 4)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+    got13 = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(df.repartition(13), "text", n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got13 == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_train_hypothesis_equivalence(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = _train_ref(texts, 2)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+
+
+def _kmeans_ref(vecs, k, iters):
+    import hashlib
+
+    import numpy as np
+
+    ids = sorted(range(len(vecs)), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(vecs[i]) for i in ids[:k]]
+    X = np.array(vecs, dtype=np.float64)
+    labels = None
+    for _ in range(iters):
+        D = ((X[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
+        D = np.round(D, 6)
+        labels = np.argmin(D, axis=1)  # argmin ties to the lowest cell
+        new = []
+        for c in range(k):
+            m = X[labels == c]
+            new.append(m.mean(axis=0).tolist() if len(m) else cents[c])
+        cents = new
+    out = {}
+    for c in range(k):
+        m = X[labels == c]
+        if len(m) == 0:
+            continue
+        inert = (((m - np.array(cents[c])[None, :]) ** 2).sum(axis=1)).sum()
+        out[c] = (len(m), round(float(inert), 6), [round(v, 6) for v in cents[c]])
+    return out
+
+
+def test_kmeans_refine_matches_numpy_reference(spark):
+    import random
+
+    rng = random.Random(5)
+    vecs = []
+    for i in range(90):
+        base = [5.0, 5.0] if i % 3 == 0 else ([-5.0, 0.0] if i % 3 == 1 else [0.0, -5.0])
+        vecs.append([base[0] + rng.uniform(-1, 1), base[1] + rng.uniform(-1, 1)])
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(len(vecs))], "vec_id bigint, v array<double>"
+    )
+    out = kmeans_refine(df, "vec_id", "v", k=3, iters=2).collect()
+    want = _kmeans_ref(vecs, 3, 2)
+    got = {}
+    for r in out:
+        e = got.setdefault(r["cell"], {"n": r["n_members"], "i": r["cell_inertia"], "c": {}})
+        e["c"][r["pos"]] = r["c"]
+    assert set(got) == set(want)
+    for c, (n, inert, cent) in want.items():
+        assert got[c]["n"] == n
+        assert math.isclose(got[c]["i"], inert, abs_tol=1e-5)
+        assert [got[c]["c"][p] for p in range(len(cent))] == cent
+
+
+def test_kmeans_refine_empty_cell_keeps_seed(spark):
+    # seeds are the k md5-lowest ids; duplicate vectors tie on the
+    # rounded distance grid and break to the LOWEST cell, so a seed
+    # duplicated by a lower cell's seed ends with zero members and
+    # must keep its previous centroid (and emit no report row)
+    vecs = [[1.0, 1.0]] * 6  # all identical -> every point goes to cell 0
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, v array<double>"
+    )
+    out = kmeans_refine(df, "vec_id", "v", k=2, iters=2).collect()
+    cells = {r["cell"] for r in out}
+    assert cells == {0}
+    n = {r["cell"]: r["n_members"] for r in out}
+    assert n[0] == 6
+
+
+def test_kmeans_refine_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(9)
+    vecs = [[rng.uniform(-3, 3) for _ in range(4)] for _ in range(120)]
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(len(vecs))], "vec_id bigint, v array<double>"
+    )
+    a = sorted(map(tuple, kmeans_refine(df, "vec_id", "v", k=4, iters=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeans_refine(df.repartition(17), "vec_id", "v", k=4, iters=2).collect(),
+        )
+    )
+    assert a == b
