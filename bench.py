@@ -301,6 +301,11 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     # round 9: one hash agg over struct-ordered extremes — no sf1
     # slope to watch beyond the scan
     "x6_dpo_pairs",
+    # round 9: lifecycle certifications (fixed scratch-write overhead
+    # dominates; land-time sf1 numbers in BASELINE.md)
+    "lc_snapshot_vacuum",
+    "lc_dpp_join",
+    "lc_bloom_join",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -1392,3 +1392,213 @@ def s_binary_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# K-side snapshot VACUUM (round 9): the retention-reclaim half of the
+# time-travel story — history older than the horizon stops being
+# readable while the journal keeps the metadata (Delta VACUUM
+# semantics). v1 is overwritten (its data files are deleted by the
+# v2 rewrite), so after vacuuming its retention copy the version is
+# GENUINELY gone — the query RAISES unless read_snapshot(v1) raises,
+# and unless vacuum reclaimed exactly the one pre-horizon version.
+@query(
+    "lc_snapshot_vacuum",
+    oracle="""
+    SELECT CAST(1 AS INTEGER) AS version, FALSE AS readable,
+           CAST(NULL AS BIGINT) AS n_rows, CAST(1 AS INTEGER) AS n_reclaimed
+    UNION ALL
+    SELECT 2, TRUE, CAST((SELECT count(*) FROM nation) AS BIGINT), 1
+    UNION ALL
+    SELECT 3, TRUE,
+           CAST((SELECT count(*) FROM nation)
+                + (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+                AS BIGINT), 1
+    """,
+    doc="K-side snapshot VACUUM — retention reclaim beyond a keep_last "
+    "horizon: overwrite region (v1), overwrite nation (v2, deletes "
+    "v1's files), append a customer slice (v3); vacuum keep_last=2 "
+    "reclaims exactly v1, which then raises on read while v2/v3 stay "
+    "readable with their journaled contents "
+    "(engine.vacuum_snapshots / read_snapshot).",
+)
+def lc_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _scratch_engine(spark) as eng:
+        region = load_table(spark, sf_dir, "region").select(
+            F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+        )
+        nation = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+        )
+        cust = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 10 == 0)
+            .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
+        )
+        eng.write_curated("sv", region, mode="overwrite", partition_cols=[])
+        eng.write_curated("sv", nation, mode="overwrite", partition_cols=[])
+        eng.write_curated("sv", cust, mode="append", partition_cols=[])
+        versions = [h["version"] for h in eng.snapshot_history("sv")]
+        if versions != [1, 2, 3]:
+            raise RuntimeError(f"expected snapshot versions [1, 2, 3], got {versions}")
+        n_reclaimed = eng.vacuum_snapshots("sv", keep_last=2)
+        if n_reclaimed != 1:
+            raise RuntimeError(
+                f"vacuum keep_last=2 over 3 versions must reclaim exactly 1, "
+                f"got {n_reclaimed}"
+            )
+        try:
+            eng.read_snapshot("sv", 1).count()
+        except ValueError:
+            pass  # the certified outcome: v1 is no longer materialized
+        else:
+            raise RuntimeError(
+                "vacuumed snapshot v1 is still readable — retention was not "
+                "reclaimed (or the v2 overwrite left v1's files in place)"
+            )
+        out = spark.createDataFrame(
+            [
+                (1, False, None, n_reclaimed),
+                (2, True, eng.read_snapshot("sv", 2).count(), n_reclaimed),
+                (3, True, eng.read_snapshot("sv", 3).count(), n_reclaimed),
+            ],
+            "version int, readable boolean, n_rows bigint, n_reclaimed int",
+        )
+        return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# §4.2 — dynamic partition pruning, driver-certified (round 9): the
+# run-time analogue of static partition pruning and the single
+# biggest scan-killer on a 100 TB partitioned fact table — the
+# selective dim filter prunes fact PARTITIONS via a runtime subquery
+# (Catalyst's DPP), so the scan never touches non-qualifying
+# partitions. The query RAISES unless the executed plan's fact scan
+# carries the dynamicpruning partition filter; the oracle is the
+# plain join (DPP is an exact rewrite).
+@query(
+    "lc_dpp_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority,
+             substr(o_orderpriority, 1, 1) AS grade
+      FROM orders
+    )
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN dim d USING (o_orderpriority)
+    WHERE d.grade IN ('1', '2')
+    GROUP BY o.o_orderpriority
+    """,
+    doc="SURVEY §4.2 [EXT] — dynamic partition pruning driven "
+    "end-to-end: orders written partitioned by o_orderpriority, a "
+    "tiny dim filtered on a NON-join column; Catalyst injects the "
+    "runtime dynamicpruning subquery into the fact scan's partition "
+    "filters (broadcast-reused — the pruning side is the join's own "
+    "broadcast). Raises unless the executed plan carries it; the "
+    "oracle is the plain join, since DPP is an exact rewrite.",
+)
+def lc_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = tempfile.mkdtemp(prefix="lc_dpp_")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            f"{scratch}/fact"
+        )
+        dim = (
+            orders.select("o_orderpriority")
+            .distinct()
+            .withColumn("grade", F.substring("o_orderpriority", 1, 1))
+        )
+        dim.write.mode("overwrite").parquet(f"{scratch}/dim")
+        fact = spark.read.parquet(f"{scratch}/fact")
+        dimr = spark.read.parquet(f"{scratch}/dim")
+        out = (
+            fact.join(dimr.filter(F.col("grade").isin("1", "2")), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan:
+            raise RuntimeError(
+                "fact scan is not dynamically pruned — the plan must carry a "
+                "dynamicpruning partition filter for the certification to hold"
+            )
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §4.2 — runtime bloom-filter join pruning, driver-certified
+# (round 9): DPP's sibling for NON-partition join keys — when the
+# fact side shuffles (no broadcast) and the dim side is selective,
+# Catalyst injects a bloom filter built from the dim's join keys into
+# the fact scan (`might_contain`), discarding non-joining rows before
+# the shuffle. On a 100 TB fact⋈selective-dim this is the difference
+# between shuffling the corpus and shuffling the matching slice. The
+# size thresholds are tuned for multi-GB scans, so the query pins
+# them down for the certification-scale input (conf save/restore, the
+# lc_salted_join discipline) and RAISES unless the executed plan
+# carries the bloom probe. An exact rewrite — the oracle is the plain
+# join.
+@query(
+    "lc_bloom_join",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    doc="SURVEY §4.2 [EXT] — runtime bloom-filter join pruning driven "
+    "end-to-end: shuffle join (broadcast disabled) of lineitem "
+    "against urgent orders; Catalyst injects the dim-side bloom "
+    "filter into the fact scan (might_contain) so non-joining rows "
+    "drop before the shuffle. Raises unless the executed plan "
+    "carries the probe; oracle is the plain join (exact rewrite).",
+)
+def lc_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = tempfile.mkdtemp(prefix="lc_bloom_")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # the defaults gate on multi-GB scan sizes — pin them down so
+        # the rewrite fires at certification scale
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force the shuffle join: a broadcast join needs no bloom
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ).write.mode("overwrite").parquet(f"{scratch}/fact")
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.mode("overwrite").parquet(f"{scratch}/dim")
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(f"{scratch}/fact")
+        dim = spark.read.parquet(f"{scratch}/dim").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = fact.join(dim, fact.l_orderkey == dim.o_orderkey).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise RuntimeError(
+                "fact scan carries no runtime bloom probe (might_contain) — "
+                "the pre-shuffle pruning certification does not hold"
+            )
+        return _materialize(spark, out)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -287,3 +287,59 @@ def test_describe_detail(engine, spark):
     # refuses other databases like every dispatched statement
     with pytest.raises(ValueError, match="otherdb"):
         engine.sql("DESCRIBE DETAIL otherdb.dd")
+
+
+def test_vacuum_reclaims_pre_horizon_versions_only(engine, spark):
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    df3 = spark.createDataFrame([(3, "c")], "id int, v string")
+    engine.write_curated("t", df1, mode="overwrite", partition_cols=[])
+    engine.write_curated("t", df2, mode="overwrite", partition_cols=[])
+    engine.write_curated("t", df3, mode="overwrite", partition_cols=[])
+    assert engine.vacuum_snapshots("t", keep_last=2) == 1
+    # v1 was overwritten (files rewritten) AND its retention is gone
+    with pytest.raises(ValueError, match="no longer materialized"):
+        engine.read_snapshot("t", 1).count()
+    # inside the horizon: still readable with journaled contents
+    assert {r["id"] for r in engine.read_snapshot("t", 2).collect()} == {2}
+    assert {r["id"] for r in engine.read_snapshot("t", 3).collect()} == {3}
+    # idempotent: a second vacuum has nothing left to reclaim
+    assert engine.vacuum_snapshots("t", keep_last=2) == 0
+    # the journal keeps metadata for vacuumed versions
+    assert [h["version"] for h in engine.snapshot_history("t")] == [1, 2, 3]
+
+
+def test_dpp_join_raises_when_pruning_disabled(spark):
+    from cbts_datalake_synnex_spark.workload.lifecycle import lc_dpp_join
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try:
+        with pytest.raises(RuntimeError, match="not dynamically pruned"):
+            lc_dpp_join(spark, "/root/testdata/sf0.001")
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_bloom_join_raises_when_disabled(spark):
+    """The plan pin must fire when the bloom rewrite cannot: the query
+    sets the enabling confs itself, so intercept conf.set and force
+    the feature off underneath it."""
+    import unittest.mock as mock
+
+    from cbts_datalake_synnex_spark.workload.lifecycle import lc_bloom_join
+
+    prev = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    orig_set = spark.conf.set
+
+    def force_off(k, v):
+        if k == "spark.sql.optimizer.runtime.bloomFilter.enabled":
+            v = "false"
+        orig_set(k, v)
+
+    try:
+        with mock.patch.object(spark.conf, "set", side_effect=force_off):
+            with pytest.raises(RuntimeError, match="bloom probe"):
+                lc_bloom_join(spark, "/root/testdata/sf0.001")
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev)
