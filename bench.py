@@ -269,6 +269,8 @@ NEW_SURFACE_QUERIES = [
     "dq_control_chart",
     "x4_bpe_train",
     "x3_kmeans_refine",
+    # round 9: python-bound Arrow encode lane — the slope to watch
+    "x4_bpe_apply",
 ]
 
 # Retired from the sf1 pass (slopes 1.0-2.3 across r7+r8, sf1 walls
@@ -306,6 +308,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "lc_snapshot_vacuum",
     "lc_dpp_join",
     "lc_bloom_join",
+    # round 9: distribution-table bound (d-row stats frame)
+    "dq_embedding_drift",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -261,3 +261,43 @@ def control_chart(
             ).otherwise(F.lit(False)),
         )
     )
+
+
+def embedding_drift_report(
+    ref: DataFrame, new: DataFrame, vec_col: str, round_dp: int = 6
+) -> DataFrame:
+    """DQ [EXT] — embedding-space drift between a reference batch and
+    a new batch: the regression monitor an embedding pipeline consults
+    after a model re-deploy or encoder upgrade (PSI covers categorical
+    feature drift; this is its dense-vector sibling). Reports the L2
+    shift of the mean vector, the average per-dimension variance ratio
+    (new/ref), the worst single-dimension mean shift, and the
+    dimension count.
+
+    Scale shape: one posexplode per side into a tagged union feeding
+    ONE (pos) hash aggregate — the label_centroids layout: the shuffle
+    carries d-sized partial (sum, sumsq, n) triples per map task,
+    never vectors; the final reduce runs over the d-row stats frame.
+    All comparisons on the rounded grid so cross-engine accumulation
+    order cannot move a reading.
+    """
+    tagged = ref.select(
+        F.lit(0).alias("__half"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).unionByName(
+        new.select(
+            F.lit(1).alias("__half"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+    )
+    stats = tagged.groupBy("pos").agg(
+        F.avg(F.when(F.col("__half") == 0, F.col("x"))).alias("m0"),
+        F.avg(F.when(F.col("__half") == 1, F.col("x"))).alias("m1"),
+        F.var_samp(F.when(F.col("__half") == 0, F.col("x"))).alias("v0"),
+        F.var_samp(F.when(F.col("__half") == 1, F.col("x"))).alias("v1"),
+    )
+    d = F.col("m1") - F.col("m0")
+    return stats.agg(
+        F.round(F.sqrt(F.sum(d * d)), round_dp).alias("mean_shift_l2"),
+        F.round(F.avg(F.col("v1") / F.col("v0")), round_dp).alias("avg_var_ratio"),
+        F.round(F.max(F.abs(d)), round_dp).alias("max_dim_shift"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+    )

@@ -283,11 +283,13 @@ def preference_pairs(
 
     Deterministic extremes: chosen = (max score, tie -> lowest id),
     rejected = (min score, tie -> lowest id), both computed as ONE
-    hash aggregate over struct-ordered ``max``/``min`` (Spark orders
+    aggregation pass over struct-ordered ``max``/``min`` (Spark orders
     structs lexicographically by field, so ``max(struct(score, -id))``
     is exactly "max score then min id") — no window over the candidate
-    pool, no join, map-side combine does the heavy lifting, aggregate
-    state is two structs + a count per prompt. Zero-margin prompts
+    pool, no join; struct extremes plan as SortAggregate (struct
+    min/max is sort-based in Spark), but the partial/final split is
+    intact, so map-side combine still does the heavy lifting and the
+    shuffle carries two structs + a count per prompt. Zero-margin prompts
     (all candidates tied, including single-candidate prompts where
     chosen == rejected) are dropped: a DPO pair with no preference
     signal is degenerate.

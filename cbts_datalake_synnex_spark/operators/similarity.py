@@ -1857,8 +1857,10 @@ def kmeans_refine(
         [(i, p, c) for i, vec in enumerate(cents) for p, c in enumerate(vec)],
         "cell int, pos int, c double",
     ).select("cell", "pos", F.round("c", round_dp).alias("c"))
+    # k-row report frames: broadcast so the k x d centroid rows never
+    # shuffle for a join against k values
     return (
-        cent_rows.join(memb, "cell")
-        .join(inert, "cell")
+        cent_rows.join(F.broadcast(memb), "cell")
+        .join(F.broadcast(inert), "cell")
         .select("cell", "pos", "c", "n_members", "cell_inertia")
     )

@@ -1272,3 +1272,48 @@ def dq_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return control_chart(ev, ts_col="ts", group_col="event_type", sigma=3.0)
+
+
+# ----------------------------------------------------------------------
+# DQ [EXT] — embedding drift report (round 9): PSI's dense-vector
+# sibling — mean-vector L2 shift + per-dimension variance ratio
+# between a reference and a new embedding batch (vec_id parity stands
+# in for the two batches). All readings on the rounded 6dp grid.
+@query(
+    "dq_embedding_drift",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id % 2 AS half, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    s AS (
+      SELECT pos,
+             avg(CASE WHEN half = 0 THEN x END) AS m0,
+             avg(CASE WHEN half = 1 THEN x END) AS m1,
+             var_samp(CASE WHEN half = 0 THEN x END) AS v0,
+             var_samp(CASE WHEN half = 1 THEN x END) AS v1
+      FROM e GROUP BY pos
+    )
+    SELECT round(sqrt(sum((m1 - m0) * (m1 - m0))), 6) AS mean_shift_l2,
+           round(avg(v1 / v0), 6) AS avg_var_ratio,
+           round(max(abs(m1 - m0)), 6) AS max_dim_shift,
+           CAST(count(*) AS BIGINT) AS n_dims
+    FROM s
+    """,
+    doc="DQ [EXT] — embedding-space drift between two batches (vec_id "
+    "parity split): mean-vector L2 shift, average per-dim variance "
+    "ratio, worst single-dim shift. One posexplode into a tagged "
+    "union feeding ONE (pos) hash aggregate (d-sized partials, the "
+    "label_centroids layout); the final reduce runs over the d-row "
+    "stats frame (operators/dq.embedding_drift_report).",
+)
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import embedding_drift_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_drift_report(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        vec_col="embedding",
+    )

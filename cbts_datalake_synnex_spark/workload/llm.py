@@ -4440,3 +4440,86 @@ def x3_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_refine(
         emb, id_col="vec_id", vec_col="embedding", k=4, iters=2
     )
+
+
+# ----------------------------------------------------------------------
+# X4 — BPE inference over the corpus, driver-certified (round 9):
+# apply_bpe_merges (the mapInPandas Arrow lane) had golden coverage
+# only; this certifies it against an exact SQL oracle. With a SINGLE
+# merge rule, priority-based BPE inference converges after one greedy
+# left-to-right pass (the merged symbol x||y can never re-equal x,
+# and removing "x y" never creates a new (x, y) adjacency), so the
+# oracle can state it with the same gaps-and-islands selection the
+# trainer's oracle uses — here over each document's word-level token
+# stream. The merge applied is the corpus's own top pair
+# (bpe_pair_stats k=1), making the whole composition self-contained.
+@query(
+    "x4_bpe_apply",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT t.toks[u.i] AS a, t.toks[u.i + 1] AS b, count(*) AS n
+      FROM t CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i) u
+      GROUP BY 1, 2
+    ),
+    m1 AS (SELECT a, b FROM p ORDER BY n DESC, a, b LIMIT 1),
+    e AS (
+      SELECT t.doc_id, u.i, t.toks[u.i] AS s, t.toks[u.i + 1] AS s_next
+      FROM t CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(t.toks))) AS i) u
+    ),
+    c AS (
+      SELECT *, coalesce(s = (SELECT a FROM m1) AND s_next = (SELECT b FROM m1),
+                         FALSE) AS cand
+      FROM e
+    ),
+    ii AS (
+      SELECT *, CASE WHEN cand THEN i - row_number() OVER (
+        PARTITION BY doc_id, cand ORDER BY i) END AS isl
+      FROM c
+    ),
+    tt AS (
+      SELECT *, CASE WHEN cand THEN row_number() OVER (
+        PARTITION BY doc_id, isl ORDER BY i) % 2 = 1 ELSE FALSE END AS take
+      FROM ii
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           sha256(string_agg(sym, ' ' ORDER BY i)) AS sha
+    FROM (
+      SELECT doc_id, i,
+             CASE WHEN take THEN (SELECT a || b FROM m1) ELSE s END AS sym,
+             lag(take) OVER (PARTITION BY doc_id ORDER BY i) AS prev_take
+      FROM tt
+    ) WHERE NOT coalesce(prev_take, FALSE)
+    GROUP BY doc_id
+    """,
+    doc="[EXT] X4 — BPE inference driven end-to-end: the corpus's own "
+    "top adjacent-token pair (bpe_pair_stats) applied to every "
+    "document through apply_bpe_merges' Arrow-batched mapInPandas "
+    "lane; per-doc token count + sha256 of the space-joined stream "
+    "is the strong cross-engine check. A single rule converges in "
+    "one greedy pass, which the oracle states exactly with the "
+    "trainer's gaps-and-islands twin (operators/text.apply_bpe_merges).",
+)
+def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both passes' parallelism follows the input partitioning and the
+    # test parquet is 1-2 files — width-correct once before the
+    # corpus-sized work (the gopher_quality bench discipline)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
+    top = text.bpe_pair_stats(docs, "text", k=1).collect()[0]
+    toks = text.apply_bpe_merges(docs, "text", [(top["t1"], top["t2"])])
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.sha2(F.array_join("tokens", " "), 256).alias("sha"),
+    )

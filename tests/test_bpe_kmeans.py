@@ -204,3 +204,45 @@ def test_kmeans_refine_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_apply_single_rule_equals_one_greedy_pass(spark):
+    # the x4_bpe_apply oracle premise: with ONE merge rule, priority
+    # BPE inference (repeat-until-none) == a single greedy pass
+    from cbts_datalake_synnex_spark.operators.text import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x"), (2, "x x y y"), (3, "y x y")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_bpe_merges(df, "text", [("x", "y")]).collect()
+    }
+    assert got[1] == ["xy", "xy", "x"]
+    assert got[2] == ["x", "xy", "y"]
+    assert got[3] == ["y", "xy"]
+
+
+def test_embedding_drift_identity_and_known_shift(spark):
+    from cbts_datalake_synnex_spark.operators.dq import embedding_drift_report
+
+    ref = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0 + (i % 3)]) for i in range(40)],
+        "vec_id bigint, v array<double>",
+    )
+    same = embedding_drift_report(ref, ref, "v").collect()[0]
+    assert same["mean_shift_l2"] == 0.0
+    assert same["avg_var_ratio"] == 1.0
+    assert same["max_dim_shift"] == 0.0 and same["n_dims"] == 2
+
+    shifted = ref.selectExpr(
+        "vec_id", "transform(v, x -> x + 3.0d) AS v"
+    )
+    moved = embedding_drift_report(ref, shifted, "v").collect()[0]
+    # a constant +3 shift in every dim: L2 = 3*sqrt(2), var unchanged
+    import math
+
+    assert abs(moved["mean_shift_l2"] - 3.0 * math.sqrt(2)) < 1e-6
+    assert moved["avg_var_ratio"] == 1.0
+    assert abs(moved["max_dim_shift"] - 3.0) < 1e-9
