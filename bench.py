@@ -248,8 +248,6 @@ NEW_SURFACE_QUERIES = [
     "x3_semantic_dedup",
     "x4_repetition_flags",
     "pipeline_leakage_safe_split",
-    "x4_nb_classifier",
-    "pipeline_dsir_weights",
     "x3_knn_join",
     "x3_mmr_rerank",
     "pipeline_dsir_resample",
@@ -263,10 +261,7 @@ NEW_SURFACE_QUERIES = [
     # round-9 additions
     "x4_bigram_ppl",
     "x3_hard_negatives_distributed",
-    "t_ewma_smooth",
-    "x8_quantile_normalize",
     "x4_textrank_keywords",
-    "dq_control_chart",
     "x4_bpe_train",
     "x3_kmeans_refine",
     # round 9: python-bound Arrow encode lane — the slope to watch
@@ -303,6 +298,15 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     # round 9: one hash agg over struct-ordered extremes — no sf1
     # slope to watch beyond the scan
     "x6_dpo_pairs",
+    # round-9 retirements (slopes stable 2+ rounds; last two-SF
+    # numbers in BASELINE.md). dsir_weights and nb_classifier keep
+    # sf1 coverage via their composite rows (pipeline_dsir_resample /
+    # pipeline_classifier_eval)
+    "x4_nb_classifier",
+    "pipeline_dsir_weights",
+    "t_ewma_smooth",
+    "x8_quantile_normalize",
+    "dq_control_chart",
     # round 9: lifecycle certifications (fixed scratch-write overhead
     # dominates; land-time sf1 numbers in BASELINE.md)
     "lc_snapshot_vacuum",
