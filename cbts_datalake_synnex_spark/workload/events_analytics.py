@@ -935,3 +935,109 @@ def t_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — streaming dedup within watermark, driver-certified
+# (round 9): Spark's built-in `dropDuplicatesWithinWatermark` driven
+# end-to-end over a 3-batch replay. The key set (user_id, event_type)
+# repeats across batches (files split on event_id % 3), so the
+# first-seen state is genuinely exercised cross-batch. The watermark
+# delay is pinned PAST the corpus's event-time span, so no key's
+# state evicts during the replay and the emitted set equals the batch
+# DISTINCT — the exact statement the oracle runs. The within-horizon
+# eviction semantics (a late duplicate re-emits after its first
+# occurrence's state expires) are the documented contract and are
+# golden-tested; only key columns are emitted because WHICH duplicate
+# row's attributes survive is arrival-order-dependent.
+@query(
+    "t_stream_dedup",
+    oracle="""
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events
+    """,
+    doc="SURVEY §2.8 [EXT] — dropDuplicatesWithinWatermark driven "
+    "end-to-end: first-seen (user_id, event_type) pairs across three "
+    "real micro-batches, watermark delay pinned past the event-time "
+    "span so the replay equals the batch DISTINCT; key columns only "
+    "(surviving-row attributes are arrival-order-dependent). Raises "
+    "unless cross-batch state was exercised.",
+)
+def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    scratch = tempfile.mkdtemp(prefix="sdd_")
+    qn = f"sdd_{uuid.uuid4().hex[:8]}"
+    try:
+        for k in range(3):
+            d = f"{scratch}/in/d{k}"
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        deduped = (
+            src.withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("append")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream dedup replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; cross-batch "
+                        "state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        emitted = spark.table(qn)
+        dup_emissions = (
+            emitted.groupBy("user_id", "event_type")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if dup_emissions:
+            raise RuntimeError(
+                f"{dup_emissions} keys emitted more than once — state evicted "
+                "inside the pinned watermark horizon"
+            )
+        out = emitted.select("user_id", "event_type")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

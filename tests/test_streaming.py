@@ -823,3 +823,54 @@ def test_heavy_hitters_stream_equals_batch_counts(spark, tmp_path):
         for r in df.groupBy("grp", "item").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_drop_duplicates_within_watermark_evicts_and_readmits(spark, tmp_path):
+    """The WITHIN-watermark contract t_stream_dedup's pinned horizon
+    avoids: once the watermark passes a key's first occurrence + delay,
+    its state evicts, and a LATER duplicate re-emits. Three batches of
+    ascending event time with a 1-hour delay over a 24-hour span must
+    produce re-emissions; the same replay with a spanning delay must
+    not."""
+    import os
+
+    rows = [
+        (i, i % 40, f"2024-01-01 {i % 24:02d}:00:00", float(i)) for i in range(120)
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id bigint, k bigint, ts_s string, v double")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .select("event_id", "k", "ts", "v")
+    )
+    for k in range(3):
+        d = str(tmp_path / "in" / f"d{k}")
+        df.filter(F.col("v") % 3 == k).coalesce(1).write.parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (1000 * (k + 1), 1000 * (k + 1)))
+
+    def replay(delay, name):
+        src = (
+            spark.readStream.schema("event_id bigint, k bigint, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "in" / "*"))
+        )
+        dd = (
+            src.withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["k"])
+            .select("k")
+        )
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.table(name)
+
+    short = replay("1 hour", "dd_short")
+    assert short.count() > short.select("k").distinct().count()  # re-emissions
+    long = replay("30 days", "dd_long")
+    assert long.count() == long.select("k").distinct().count() == 40
