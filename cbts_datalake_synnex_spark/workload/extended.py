@@ -1317,3 +1317,60 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1),
         vec_col="embedding",
     )
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — triangle counting over the co-purchase graph (round 9):
+# the degree-orientation algorithm (Suri & Vassilvitskii 2011) whose
+# whole point is the 100 TB shape — orienting edges toward the
+# (degree, id)-larger endpoint bounds every node's out-degree by
+# O(sqrt(E)), so the wedge self-join never melts down on a hub.
+@query(
+    "j_triangle_count",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+      ) GROUP BY n
+    ),
+    rk AS (SELECT n, row_number() OVER (ORDER BY d, n) AS r FROM deg),
+    arcs AS (
+      SELECT CASE WHEN ru.r < rv.r THEN e0.u ELSE e0.v END AS s,
+             CASE WHEN ru.r < rv.r THEN rv.r ELSE ru.r END AS rt,
+             CASE WHEN ru.r < rv.r THEN e0.v ELSE e0.u END AS t
+      FROM e0 JOIN rk ru ON ru.n = e0.u JOIN rk rv ON rv.n = e0.v
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM arcs a1 JOIN arcs a2 ON a1.s = a2.s AND a1.rt < a2.rt
+           JOIN arcs a3 ON a3.s = a1.t AND a3.t = a2.t
+    ),
+    paths AS (SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+           CAST((SELECT n_wedges FROM paths) AS BIGINT) AS n_wedges,
+           CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+           round(3.0 * (SELECT n_tri FROM tri)
+                 / greatest((SELECT n_wedges FROM paths), 1), 6) AS clustering
+    """,
+    doc="SURVEY §2.6 [EXT] — triangle count + global clustering "
+    "coefficient over the part co-purchase graph by degree "
+    "orientation (Suri 2011): out-degree bounded O(sqrt(E)) "
+    "everywhere, wedge and closing joins both equi-joins on compact "
+    "frames; the orientation uses (degree, id) struct comparison — "
+    "no global rank window (operators/graph.triangle_count).",
+)
+def j_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.graph import (
+        copurchase_edges,
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return triangle_count(copurchase_edges(li))

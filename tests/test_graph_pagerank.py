@@ -148,3 +148,52 @@ def test_textrank_rank_positions_are_deterministic(spark):
     b = [tuple(r) for r in textrank_keywords(df.repartition(5), "text", k=10).collect()]
     assert sorted(a) == sorted(b)
     assert len({r[2] for r in a}) == len(a)  # dense distinct positions
+
+
+def test_triangle_count_known_graphs(spark):
+    from cbts_datalake_synnex_spark.operators.graph import triangle_count
+
+    # K4: 4 triangles, 6 edges, clustering 1.0
+    k4 = [(u, v) for u in range(4) for v in range(4) if u != v]
+    df = spark.createDataFrame(k4, "src bigint, dst bigint")
+    r = triangle_count(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["clustering"] == 1.0
+
+    # path a-b-c: one wedge, no triangle
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    r = triangle_count(path).collect()[0]
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (2, 1, 0)
+    assert r["clustering"] == 0.0
+
+    # triangle + pendant: T=1, wedges = C(2,2)*2 + C(3,2) = 1+1+3 = 5? deg: a=2,b=2,c=3,d=1
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    r = triangle_count(g).collect()[0]
+    assert (r["n_triangles"], r["n_wedges"]) == (1, 5)
+
+
+def test_triangle_count_dedups_and_ignores_direction(spark):
+    from cbts_datalake_synnex_spark.operators.graph import triangle_count
+
+    # duplicate and reversed edges must collapse to one simple edge
+    g = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 3), (1, 1)],
+        "src bigint, dst bigint",
+    )
+    r = triangle_count(g).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_triangle_count_partitioning_invariant(spark):
+    import random
+
+    from cbts_datalake_synnex_spark.operators.graph import triangle_count
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = triangle_count(df).collect()[0]
+    b = triangle_count(df.repartition(17)).collect()[0]
+    assert tuple(a) == tuple(b)
