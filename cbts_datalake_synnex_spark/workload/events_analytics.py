@@ -1041,3 +1041,95 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — streaming quantile via the mergeable GK sketch
+# (round 9): the third stateful-sketch certification beside the EWMA
+# recurrence (one double) and the Misra-Gries counters (cap-bounded):
+# a streaming groupBy aggregate whose state is percentile_approx's
+# MERGEABLE buffer — the property that makes a quantile maintainable
+# per micro-batch at all (exact state is as big as the data). Exact
+# below the accuracy budget, where it equals DuckDB's quantile_disc
+# bit-for-bit (the pipeline_dataset_card discipline) — certification
+# scales sit well under it. Complete output mode: the memory sink
+# holds exactly the final merged state.
+@query(
+    "t_stream_quantile",
+    oracle="""
+    SELECT event_type,
+           round(CAST(quantile_disc(value, 0.5) AS DOUBLE), 6) AS p50
+    FROM events GROUP BY event_type
+    """,
+    doc="SURVEY §2.8 [EXT] — per-type streaming median: a streaming "
+    "groupBy aggregate carrying percentile_approx's mergeable GK "
+    "buffer across three real micro-batches (complete mode — the "
+    "sink holds the final merged state); exact below the 50k "
+    "accuracy budget, where DuckDB's quantile_disc states it "
+    "bit-for-bit. Raises unless cross-batch state was exercised.",
+)
+def t_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="sq_")
+    qn = f"sq_{uuid.uuid4().hex[:8]}"
+    try:
+        for k in range(3):
+            d = f"{scratch}/in/d{k}"
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        agg = src.groupBy("event_type").agg(
+            F.round(
+                F.percentile_approx("value", F.lit(0.5), F.lit(50000)).cast("double"),
+                6,
+            ).alias("p50")
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream quantile replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; cross-batch "
+                        "state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.table(qn).select("event_type", "p50")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
