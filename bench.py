@@ -314,6 +314,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "lc_bloom_join",
     # round 9: distribution-table bound (d-row stats frame)
     "dq_embedding_drift",
+    # round 9: one GK aggregate + codegen projection
+    "pipeline_temporal_split",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -524,3 +524,46 @@ def quantile_normalize(
         .select(group_col, F.col("v").alias(value_col), F.col("norm").alias(out_col))
     )
     return df.join(F.broadcast(norm_map), [group_col, value_col])
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_q: float = 0.70,
+    embargo_q: float = 0.75,
+    accuracy: int = 50000,
+    out_col: str = "split",
+) -> DataFrame:
+    """X8 — temporal train/test split with an EMBARGO gap (López de
+    Prado 2018, 'Advances in Financial Machine Learning' ch.7 —
+    purged/embargoed splits, public): train on the past, test on the
+    future, and DROP the band in between so serially-correlated
+    observations straddling the boundary cannot leak label
+    information. The hash split (`pipeline_train_test_split`) is the
+    right tool for exchangeable documents; ordered event data needs
+    this one.
+
+    Cut points are the ``train_q`` / ``embargo_q`` quantiles of the
+    event time (microsecond grid), computed with the mergeable GK
+    sketch (`approx_percentile`, exact below ``accuracy`` values —
+    the dataset-card discipline, where it equals DuckDB's
+    quantile_disc bit-for-bit) and attached as a ONE-ROW broadcast;
+    the assignment itself is a codegen projection. One aggregate +
+    one scan, no window, no shuffle of the data.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    cuts = df.agg(
+        F.percentile_approx(
+            us, F.array(F.lit(float(train_q)), F.lit(float(embargo_q))), F.lit(accuracy)
+        ).alias("__c")
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            out_col,
+            F.when(us <= F.element_at("__c", 1), "train")
+            .when(us <= F.element_at("__c", 2), "embargo")
+            .otherwise("test"),
+        )
+        .drop("__c")
+    )

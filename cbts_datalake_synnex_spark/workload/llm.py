@@ -4523,3 +4523,36 @@ def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("bigint").alias("n_tokens"),
         F.sha2(F.array_join("tokens", " "), 256).alias("sha"),
     )
+
+
+# ----------------------------------------------------------------------
+# X8 — embargoed temporal split (round 9): train on the past, test on
+# the future, drop the band in between (the purged/embargoed split —
+# the leakage control ordered event data needs where the md5 hash
+# split assumes exchangeability). Cuts are GK-sketch quantiles of the
+# microsecond grid — exact at certification scales, where DuckDB's
+# quantile_disc states them bit-for-bit.
+@query(
+    "pipeline_temporal_split",
+    oracle="""
+    WITH c AS (
+      SELECT quantile_disc(epoch_us(ts), 0.70) AS c1,
+             quantile_disc(epoch_us(ts), 0.75) AS c2
+      FROM events
+    )
+    SELECT e.event_id,
+           CASE WHEN epoch_us(e.ts) <= c.c1 THEN 'train'
+                WHEN epoch_us(e.ts) <= c.c2 THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events e CROSS JOIN c
+    """,
+    doc="[EXT] X8 — embargoed temporal split (de Prado 2018 ch.7): "
+    "train <= p70 of event time, embargo (p70, p75], test beyond — "
+    "the leakage gap for serially-correlated data. One GK-sketch "
+    "aggregate (exact below the accuracy budget) broadcast as a "
+    "one-row cuts frame; the assignment is a codegen projection "
+    "(operators/sampling.temporal_split).",
+)
+def pipeline_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return sampling.temporal_split(ev, ts_col="ts").select("event_id", "split")

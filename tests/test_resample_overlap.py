@@ -81,3 +81,32 @@ def test_source_overlap_identical_sources_fully_contained(spark):
     )
     row = source_overlap_matrix(docs, "text", "source", n=5).collect()[0]
     assert row["containment"] == 1.0
+
+
+def test_temporal_split_ordering_and_embargo(spark):
+    from cbts_datalake_synnex_spark.operators.sampling import temporal_split
+
+    rows = [(i, f"2024-01-{(i % 28) + 1:02d} 06:00:00") for i in range(280)]
+    df = (
+        spark.createDataFrame(rows, "id bigint, ts_s string")
+        .selectExpr("id", "to_timestamp(ts_s) AS ts")
+    )
+    out = temporal_split(df, "ts", train_q=0.70, embargo_q=0.75).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], []).append(r["ts"])
+    # strict temporal ordering: max(train) <= min(embargo) wait-free,
+    # max(embargo) <= min(test); no overlap across the gap
+    assert max(by["train"]) <= min(by["embargo"])
+    assert max(by["embargo"]) <= min(by["test"])
+    # discrete-quantile cuts: train holds ~70%, the embargo band is thin
+    n = len(out)
+    assert 0.6 * n <= len(by["train"]) <= 0.8 * n
+    assert len(by["embargo"]) <= 0.15 * n
+    # determinism across partitionings
+    a = sorted((r["id"], r["split"]) for r in out)
+    b = sorted(
+        (r["id"], r["split"])
+        for r in temporal_split(df.repartition(13), "ts").collect()
+    )
+    assert a == b
