@@ -316,6 +316,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "dq_embedding_drift",
     # round 9: one GK aggregate + codegen projection
     "pipeline_temporal_split",
+    # round 9: exhaustive-probe certification path — brute-force by
+    # design, sf1 recorded at land time only
+    "x3_bitext_mine",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

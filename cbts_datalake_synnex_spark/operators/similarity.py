@@ -1864,3 +1864,100 @@ def kmeans_refine(
         .join(F.broadcast(inert), "cell")
         .select("cell", "pos", "c", "n_members", "cell_inertia")
     )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    n_cells: int = 8,
+    lloyd_iters: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """X3 — margin-based bitext mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 §3.2 'ratio' margin; the CCMatrix/LASER parallel-
+    corpus mining recipe, Schwenk 2021): for every source embedding,
+    the best target candidate scored by cosine NORMALIZED by the
+    average of both sides' k-NN neighborhoods — raw cosine thresholds
+    fail under hubness (some vectors are near everything), the margin
+    cancels it. The accepted pairs are the mined bitext a translation
+    pipeline trains on.
+
+    Scale shape: two exhaustive-probe `knn_join`s (cogrouped per-cell
+    GEMM, neither side collected or broadcast — both "languages" are
+    corpus-sized), each emitting the |side|·k top-pair frame, both
+    localCheckpoint-pinned because every downstream branch (both
+    neighborhood averages, both argmax passes) reads them; the
+    neighborhood averages are key-grouped hash aggs on those compact
+    frames, margins a broadcast-free equi-join attach, and the
+    per-source / per-target argmaxes are windows over ≤ k rows per
+    key. Exhaustive probing keeps the top-k exact (the ann_index
+    discipline), so the whole composition is SQL-stateable.
+
+    Returns one row per SOURCE vector: (src_id, tgt_id, cosine,
+    margin, accepted — margin > threshold, mutual — the target's own
+    best-margin source is this source; mutual pairs are the
+    high-precision subset the paper mines with).
+    """
+    fwd = knn_join(
+        tgt, src, id_col=id_col, vec_col=vec_col, k=k,
+        n_cells=n_cells, n_probe=n_cells, lloyd_iters=lloyd_iters,
+        round_dp=round_dp, exclude_self=False,
+    ).localCheckpoint(eager=True)
+    bwd = knn_join(
+        src, tgt, id_col=id_col, vec_col=vec_col, k=k,
+        n_cells=n_cells, n_probe=n_cells, lloyd_iters=lloyd_iters,
+        round_dp=round_dp, exclude_self=False,
+    ).localCheckpoint(eager=True)
+    # neighborhood averages stay RAW: an average of rounded cosines can
+    # land exactly on the rounding half-grid (observed: 0.2573155 at
+    # 6dp), where cross-engine rounding modes flip the stored value;
+    # dividing by the raw average leaves only summation-order ulps,
+    # which the final margin rounding absorbs.
+    fa = fwd.groupBy("query_id").agg(F.avg("cosine").alias("fa"))
+    ba = bwd.groupBy("query_id").agg(F.avg("cosine").alias("ba"))
+
+    def _margins(pairs: DataFrame, q_avg, c_avg, q_out, c_out) -> DataFrame:
+        return (
+            pairs.join(q_avg, "query_id")
+            .join(
+                c_avg.withColumnRenamed("query_id", "cand_id"),
+                "cand_id",
+            )
+            .select(
+                F.col("query_id").alias(q_out),
+                F.col("cand_id").alias(c_out),
+                "cosine",
+                F.round(
+                    F.col("cosine")
+                    / ((F.col(fa.columns[1]) + F.col(ba.columns[1])) / 2),
+                    round_dp,
+                ).alias("margin"),
+            )
+        )
+
+    fm = _margins(fwd, fa, ba, "src_id", "tgt_id")
+    bm = _margins(bwd, ba, fa, "tgt_id", "src_id")
+    wf = W.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    best = (
+        fm.withColumn("rk", F.row_number().over(wf)).filter(F.col("rk") == 1).drop("rk")
+    )
+    wb = W.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
+    bbest = (
+        bm.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(F.col("tgt_id").alias("__bt"), F.col("src_id").alias("__bs"))
+    )
+    return best.join(
+        bbest, best["tgt_id"] == bbest["__bt"], "left"
+    ).select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        "margin",
+        (F.col("margin") > F.lit(float(margin_threshold))).alias("accepted"),
+        F.coalesce(F.col("__bs") == F.col("src_id"), F.lit(False)).alias("mutual"),
+    )

@@ -161,10 +161,10 @@ _ROUND8_FRONT = [
     "x4_unicode_normalize",
 ]
 
-# TODO(round 10): rotate `_ROUND10_FRONT` = the 26 registry entries
+# TODO(round 10): rotate `_ROUND10_FRONT` = the 27 registry entries
 # added after the round-9 window froze (all local-oracle green,
 # hostile-tz probed where timestamped) to close lifetime driver
-# coverage at 218/218 of the round-9 registry:
+# coverage at 219/219 of the round-9 registry:
 #   x2_index_admission, x4_bigram_ppl, t_stream_outer_join,
 #   x3_hard_negatives_distributed, j_copurchase_pagerank,
 #   t_ewma_smooth, lc_salted_join, x3_ann_index_probe,
@@ -173,8 +173,9 @@ _ROUND8_FRONT = [
 #   t_stream_topk, x4_bpe_train, x3_kmeans_refine,
 #   lc_snapshot_vacuum, lc_dpp_join, lc_bloom_join,
 #   dq_embedding_drift, x4_bpe_apply, t_stream_dedup,
-#   j_triangle_count, t_stream_quantile, pipeline_temporal_split
-# (24 remaining slots re-certify the r9 then r8 then r7 fronts.)
+#   j_triangle_count, t_stream_quantile, pipeline_temporal_split,
+#   x3_bitext_mine
+# (23 remaining slots re-certify the r9 then r8 then r7 fronts.)
 
 # Round 9: the 12 registry entries added after the round-8 window
 # froze (all local-oracle green). Green CORRECTNESS_r09 rows close

@@ -4556,3 +4556,74 @@ def x4_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     return sampling.temporal_split(ev, ts_col="ts").select("event_id", "split")
+
+
+# ----------------------------------------------------------------------
+# X3 — margin-based bitext mining (round 9): the parallel-corpus
+# mining recipe (Artetxe & Schwenk 2019 ratio margin; CCMatrix) —
+# per source vector the best target by cosine normalized by both
+# sides' k-NN neighborhood averages (hubness cancellation), with the
+# accepted and mutual-best flags. Exhaustive-probe knn_joins keep the
+# pools exact, so the full composition is SQL-stateable.
+@query(
+    "x3_bitext_mine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    a AS (SELECT vec_id AS sa, v FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS tb, v FROM e WHERE vec_id % 2 = 1),
+    p AS (
+      SELECT a.sa, b.tb,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM a CROSS JOIN b
+    ),
+    fwd AS (SELECT *, row_number() OVER (PARTITION BY sa ORDER BY cos DESC, tb) AS rk FROM p),
+    fa AS (SELECT sa, avg(cos) AS fa FROM fwd WHERE rk <= 4 GROUP BY sa),
+    bwd AS (SELECT *, row_number() OVER (PARTITION BY tb ORDER BY cos DESC, sa) AS rk FROM p),
+    ba AS (SELECT tb, avg(cos) AS ba FROM bwd WHERE rk <= 4 GROUP BY tb),
+    fm AS (
+      SELECT f.sa, f.tb, f.cos,
+             round(f.cos / ((fa.fa + ba.ba) / 2), 6) AS margin
+      FROM fwd f JOIN fa USING (sa) JOIN ba USING (tb) WHERE f.rk <= 4
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sa ORDER BY margin DESC, tb) AS brk
+        FROM fm
+      ) WHERE brk = 1
+    ),
+    bm AS (
+      SELECT w.tb, w.sa,
+             round(w.cos / ((fa.fa + ba.ba) / 2), 6) AS margin
+      FROM bwd w JOIN ba USING (tb) JOIN fa USING (sa) WHERE w.rk <= 4
+    ),
+    bbest AS (
+      SELECT tb, sa FROM (
+        SELECT *, row_number() OVER (PARTITION BY tb ORDER BY margin DESC, sa) AS brk
+        FROM bm
+      ) WHERE brk = 1
+    )
+    SELECT best.sa AS src_id, best.tb AS tgt_id, best.cos AS cosine,
+           best.margin, best.margin > 1.05 AS accepted,
+           coalesce(bbest.sa = best.sa, FALSE) AS mutual
+    FROM best LEFT JOIN bbest ON bbest.tb = best.tb
+    """,
+    doc="[EXT] X3 — margin-based bitext mining (Artetxe & Schwenk "
+    "2019 ratio margin): per source the best target by cosine over "
+    "the mean of both sides' 4-NN neighborhoods, accepted at margin "
+    "> 1.05, mutual-best flagged; two exhaustive-probe cogrouped "
+    "knn_joins (neither side broadcast), pinned pools, key-grouped "
+    "neighborhood aggregates (operators/similarity.bitext_mine).",
+)
+def x3_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.bitext_mine(
+        src, tgt, id_col="vec_id", vec_col="embedding", k=4,
+        margin_threshold=1.05, n_cells=8,
+    )

@@ -290,3 +290,48 @@ def test_hard_negatives_distributed_pool_bound_is_honest(spark):
         vecs, q, "vec_id", "embedding", "label",
         m=1, k_pool=4, n_cells=2, n_probe=2, n_assign=1).collect()
     assert [(r["cand_id"], r["hn_rank"]) for r in full] == [(4, 1)]
+
+
+def test_bitext_mine_planted_pair_and_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.similarity import bitext_mine
+
+    # plant one true translation pair (s0 <-> t1) in noise: s0 and t1
+    # are near-identical, everything else points elsewhere
+    src_rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.9, 0.1]),
+        (6, [0.1, 0.8, 0.2]),
+    ]
+    tgt_rows = [
+        (1, [0.99, 0.01, 0.0]),   # the planted counterpart of s0
+        (3, [0.0, 0.7, 0.3]),
+        (5, [0.0, 0.6, 0.4]),
+        (7, [0.2, 0.5, 0.5]),
+    ]
+    src = spark.createDataFrame(src_rows, "vec_id bigint, v array<double>")
+    tgt = spark.createDataFrame(tgt_rows, "vec_id bigint, v array<double>")
+    out = {
+        r["src_id"]: r
+        for r in bitext_mine(
+            src, tgt, id_col="vec_id", vec_col="v", k=2, n_cells=2
+        ).collect()
+    }
+    assert len(out) == 4
+    planted = out[0]
+    assert planted["tgt_id"] == 1
+    assert planted["accepted"] and planted["mutual"]
+    # margins normalize hubness: every source got exactly one best row
+    a = sorted(map(tuple, out.values()))
+    b = sorted(
+        map(
+            tuple,
+            bitext_mine(
+                src.repartition(3), tgt.repartition(5),
+                id_col="vec_id", vec_col="v", k=2, n_cells=2,
+            ).collect(),
+        )
+    )
+    assert a == b
