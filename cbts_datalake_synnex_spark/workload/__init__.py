@@ -161,21 +161,47 @@ _ROUND8_FRONT = [
     "x4_unicode_normalize",
 ]
 
-# TODO(round 10): rotate `_ROUND10_FRONT` = the 27 registry entries
-# added after the round-9 window froze (all local-oracle green,
-# hostile-tz probed where timestamped) to close lifetime driver
-# coverage at 219/219 of the round-9 registry:
-#   x2_index_admission, x4_bigram_ppl, t_stream_outer_join,
-#   x3_hard_negatives_distributed, j_copurchase_pagerank,
-#   t_ewma_smooth, lc_salted_join, x3_ann_index_probe,
-#   s_binary_dir_scan, t_stream_ewma, x8_quantile_normalize,
-#   x4_textrank_keywords, dq_control_chart, x6_dpo_pairs,
-#   t_stream_topk, x4_bpe_train, x3_kmeans_refine,
-#   lc_snapshot_vacuum, lc_dpp_join, lc_bloom_join,
-#   dq_embedding_drift, x4_bpe_apply, t_stream_dedup,
-#   j_triangle_count, t_stream_quantile, pipeline_temporal_split,
-#   x3_bitext_mine
-# (23 remaining slots re-certify the r9 then r8 then r7 fronts.)
+# Round 10: the 27 registry entries added after the round-9 window
+# froze (all local-oracle green, hostile-tz probed where timestamped,
+# judge-sim green in VERDICT r9) PLUS `t_sessionize`, whose most
+# recent driver row is still the r03 red (the TIMESTAMP_NTZ vs
+# unix_micros oracle bug was fixed long ago and the query is
+# judge-sim green, but the driver ledger was never overwritten —
+# VERDICT r8 misstated it as re-certified in r07/r08). Green
+# CORRECTNESS_r10 rows close lifetime driver coverage at 220/220
+# query-rows of the round-9 registry and retire the ledger's last
+# red. The remaining 22 window slots re-certify the round-9 then
+# round-8 fronts (first occurrence wins on overlap).
+_ROUND10_FRONT = [
+    "t_sessionize",
+    "x2_index_admission",
+    "x4_bigram_ppl",
+    "t_stream_outer_join",
+    "x3_hard_negatives_distributed",
+    "j_copurchase_pagerank",
+    "t_ewma_smooth",
+    "lc_salted_join",
+    "x3_ann_index_probe",
+    "s_binary_dir_scan",
+    "t_stream_ewma",
+    "x8_quantile_normalize",
+    "x4_textrank_keywords",
+    "dq_control_chart",
+    "x6_dpo_pairs",
+    "t_stream_topk",
+    "x4_bpe_train",
+    "x3_kmeans_refine",
+    "lc_snapshot_vacuum",
+    "lc_dpp_join",
+    "lc_bloom_join",
+    "dq_embedding_drift",
+    "x4_bpe_apply",
+    "t_stream_dedup",
+    "j_triangle_count",
+    "t_stream_quantile",
+    "pipeline_temporal_split",
+    "x3_bitext_mine",
+]
 
 # Round 9: the 12 registry entries added after the round-8 window
 # froze (all local-oracle green). Green CORRECTNESS_r09 rows close
@@ -203,7 +229,8 @@ _ROUND9_FRONT = [
 def _rotate_registry() -> None:
     order = list(
         dict.fromkeys(
-            _ROUND9_FRONT
+            _ROUND10_FRONT
+            + _ROUND9_FRONT
             + _ROUND8_FRONT
             + _ROUND7_FRONT
             + _ROUND6_FRONT
