@@ -230,8 +230,16 @@ def binary_auc(
         )
     except (TypeError, ValueError):
         n_ranges = 32
-    ranged = g.repartitionByRange(n_ranges, F.col("__s")).withColumn(
-        "__pid", F.spark_partition_id()
+    # Pinned: `ranged` feeds TWO branches (`within` and `offsets`)
+    # that are later joined on __pid. Without the pin, correctness
+    # would silently rest on exchange reuse deduplicating the two
+    # range exchanges — if the exchange were evaluated twice, the
+    # sampled range boundaries (and hence __pid assignments) could
+    # differ between branches and the AUC would be wrong (ADVICE r9).
+    ranged = (
+        g.repartitionByRange(n_ranges, F.col("__s"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_in = (
         W.partitionBy("__pid").orderBy("__s").rowsBetween(W.unboundedPreceding, -1)
