@@ -2854,7 +2854,18 @@ def update_ann_index(
     """Append new vectors' postings under the FROZEN centroid set —
     one bucketed append, no retrain, no corpus re-read. Appends use
     the meta-pinned bucket spec so the bucketed-probe property
-    survives every update."""
+    survives every update.
+
+    Incoming ids already present in the postings table are dropped
+    (anti-join on the id column, ADVICE r9): duplicate postings for
+    the same ``cand_id`` would consume slots in the per-cell top-k
+    cut before the final dedup runs, silently pushing a legitimate
+    k-th neighbor out of an exhaustive probe. Scale shape: the
+    corpus-sized postings table is scanned ONCE with the (small,
+    distinct-id) incoming batch broadcast against it to find already-
+    indexed ids; the resulting overlap set is at most batch-sized, so
+    the final anti-join against the batch broadcasts too — the big
+    table is never shuffled."""
     from cbts_datalake_synnex_spark.operators import similarity
 
     spark = engine.spark
@@ -2863,8 +2874,16 @@ def update_ann_index(
         spark.table(engine.qualified(f"{index_name}_cells")).orderBy("cell").collect()
     )
     cents = [list(r["centroid"]) for r in cent_rows]
+    incoming_ids = vectors.select(F.col(id_col)).distinct()
+    dup_ids = (
+        spark.table(engine.qualified(f"{index_name}_postings"))
+        .select(F.col("cand_id").alias(id_col))
+        .join(F.broadcast(incoming_ids), on=id_col, how="left_semi")
+        .distinct()
+    )
+    fresh = vectors.join(F.broadcast(dup_ids), on=id_col, how="left_anti")
     postings = similarity.assign_cells(
-        vectors, id_col, vec_col,
+        fresh, id_col, vec_col,
         similarity._cmat_frame(spark, cents),
         min(int(meta["n_assign"]), len(cents)),
     )
