@@ -523,7 +523,12 @@ def quantile_normalize(
         .filter(F.col("is_g") == 0)
         .select(group_col, F.col("v").alias(value_col), F.col("norm").alias(out_col))
     )
-    return df.join(F.broadcast(norm_map), [group_col, value_col])
+    # LEFT join (ADVICE r9): equi-join keys never match on NULL, so an
+    # inner join would silently DROP rows with a NULL group or value;
+    # left passes them through with a NULL normalized column instead —
+    # no rank is defined for a missing value, so NULL is the honest
+    # result and the caller keeps row-count parity with the input.
+    return df.join(F.broadcast(norm_map), [group_col, value_col], "left")
 
 
 def temporal_split(
