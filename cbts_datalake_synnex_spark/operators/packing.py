@@ -283,9 +283,13 @@ def preference_pairs(
 
     Deterministic extremes: chosen = (max score, tie -> lowest id),
     rejected = (min score, tie -> lowest id), both computed as ONE
-    aggregation pass over struct-ordered ``max``/``min`` (Spark orders
-    structs lexicographically by field, so ``max(struct(score, -id))``
-    is exactly "max score then min id") — no window over the candidate
+    aggregation pass over struct-ordered ``min`` (Spark orders structs
+    lexicographically by field, so ``min(struct(-score, id))`` is
+    exactly "max score then min id" — the NEGATION lands on the score,
+    which is numeric by contract, never on the id, so string/date/any
+    orderable id type works; sign-flip is exact for floats, and
+    ``-0.0`` compares equal to ``0.0`` so the tie still falls to the
+    id) — no window over the candidate
     pool, no join; struct extremes plan as SortAggregate (struct
     min/max is sort-based in Spark), but the partial/final split is
     intact, so map-side combine still does the heavy lifting and the
@@ -299,21 +303,22 @@ def preference_pairs(
     pre-rounded on the caller's grid so the extremes are
     engine-stable.
     """
-    neg_id = (-F.col(id_col)).alias("nid")
     g = df.groupBy(prompt_col).agg(
-        F.max(F.struct(F.col(score_col).alias("s"), neg_id)).alias("__hi"),
+        F.min(
+            F.struct((-F.col(score_col)).alias("ns"), F.col(id_col).alias("pid"))
+        ).alias("__hi"),
         F.min(F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("pid"))).alias(
             "__lo"
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
     )
-    margin = F.round(F.col("__hi.s") - F.col("__lo.s"), 6)
+    margin = F.round((-F.col("__hi.ns")) - F.col("__lo.s"), 6)
     return (
         g.select(
             F.col(prompt_col),
-            (-F.col("__hi.nid")).alias("chosen_id"),
+            F.col("__hi.pid").alias("chosen_id"),
             F.col("__lo.pid").alias("rejected_id"),
-            F.col("__hi.s").alias("chosen_score"),
+            (-F.col("__hi.ns")).alias("chosen_score"),
             F.col("__lo.s").alias("rejected_score"),
             margin.alias("margin"),
             "n_candidates",
