@@ -1874,6 +1874,7 @@ def bitext_mine(
     k: int = 4,
     margin_threshold: float = 1.05,
     n_cells: int = 8,
+    n_probe: int | None = None,
     lloyd_iters: int = 8,
     round_dp: int = 6,
 ) -> DataFrame:
@@ -1886,30 +1887,39 @@ def bitext_mine(
     cancels it. The accepted pairs are the mined bitext a translation
     pipeline trains on.
 
-    Scale shape: two exhaustive-probe `knn_join`s (cogrouped per-cell
-    GEMM, neither side collected or broadcast — both "languages" are
-    corpus-sized), each emitting the |side|·k top-pair frame, both
+    Scale shape: two `knn_join`s (cogrouped per-cell GEMM, neither
+    side collected or broadcast — both "languages" are corpus-sized),
+    each emitting the |side|·k top-pair frame, both
     localCheckpoint-pinned because every downstream branch (both
     neighborhood averages, both argmax passes) reads them; the
     neighborhood averages are key-grouped hash aggs on those compact
     frames, margins a broadcast-free equi-join attach, and the
     per-source / per-target argmaxes are windows over ≤ k rows per
-    key. Exhaustive probing keeps the top-k exact (the ann_index
-    discipline), so the whole composition is SQL-stateable.
+    key.
+
+    ``n_probe`` is the scale lever (the `ivf_topk` discipline).
+    Default ``None`` probes every cell — EXACT top-k pools, so the
+    whole composition is SQL-stateable (the registry oracle's form).
+    At 100 TB exhaustive probing is distributed brute force
+    (O(|src|·|tgt|) GEMM work); set ``n_probe << n_cells`` so each
+    query scores only its nearest cells — per-side work drops to
+    ~(n_probe/n_cells)·|src|·|tgt| at the usual IVF recall trade,
+    gated in tests/test_recall.py against the exhaustive twin.
 
     Returns one row per SOURCE vector: (src_id, tgt_id, cosine,
     margin, accepted — margin > threshold, mutual — the target's own
     best-margin source is this source; mutual pairs are the
     high-precision subset the paper mines with).
     """
+    probe = n_cells if n_probe is None else min(int(n_probe), n_cells)
     fwd = knn_join(
         tgt, src, id_col=id_col, vec_col=vec_col, k=k,
-        n_cells=n_cells, n_probe=n_cells, lloyd_iters=lloyd_iters,
+        n_cells=n_cells, n_probe=probe, lloyd_iters=lloyd_iters,
         round_dp=round_dp, exclude_self=False,
     ).localCheckpoint(eager=True)
     bwd = knn_join(
         src, tgt, id_col=id_col, vec_col=vec_col, k=k,
-        n_cells=n_cells, n_probe=n_cells, lloyd_iters=lloyd_iters,
+        n_cells=n_cells, n_probe=probe, lloyd_iters=lloyd_iters,
         round_dp=round_dp, exclude_self=False,
     ).localCheckpoint(eager=True)
     # neighborhood averages stay RAW: an average of rounded cosines can

@@ -3817,6 +3817,21 @@ def x2_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         # PRE-append decisions (see update_dedup_index's contract)
         d1 = d1.localCheckpoint()
         eng.update_dedup_index("nd", b1, d1, "doc_id", "text")
+        # round 10 (VERDICT r9 #7): a REJECTED batch doc must leave no
+        # trace in the index — silent pollution would bias every later
+        # night's decisions (the append-equals-rebuild oracle can't see
+        # it when the poisoned doc never collides again). RAISES, the
+        # plan-pin discipline: a leak turns this row red at the driver.
+        leaked = (
+            spark.table(eng.qualified("nd_docs"))
+            .select(F.col("doc").alias("doc_id"))
+            .join(d1.filter(~F.col("admitted")).select("doc_id"), "doc_id")
+            .count()
+        )
+        if leaked:
+            raise RuntimeError(
+                f"admission index polluted by {leaked} rejected docs"
+            )
         d2 = eng.admit_against_dedup_index("nd", b2, "doc_id", "text", threshold=0.7)
         out = d1.select(F.lit(1).alias("batch"), "doc_id", "admitted", "blocked_by", "jaccard").unionByName(
             d2.select(F.lit(2).alias("batch"), "doc_id", "admitted", "blocked_by", "jaccard")
@@ -4565,8 +4580,26 @@ def pipeline_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sides' k-NN neighborhood averages (hubness cancellation), with the
 # accepted and mutual-best flags. Exhaustive-probe knn_joins keep the
 # pools exact, so the full composition is SQL-stateable.
+#
+# bench_fn times the PARTIAL-PROBE scale path (n_probe=4 of 8 cells,
+# round 10) — the form a 100 TB run would use (exhaustive probing is
+# O(|src|·|tgt|) GEMM work by construction; ~33 s sf1 at land time).
+# The exhaustive form stays as the certified oracle `fn`; the partial
+# probe's recall vs the exhaustive twin is gated in
+# tests/test_recall.py::test_bitext_mine_partial_probe_recall.
+def _bench_bitext_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.bitext_mine(
+        src, tgt, id_col="vec_id", vec_col="embedding", k=4,
+        margin_threshold=1.05, n_cells=8, n_probe=4,
+    )
+
+
 @query(
     "x3_bitext_mine",
+    bench_fn=_bench_bitext_probe,
     oracle="""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
