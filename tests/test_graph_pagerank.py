@@ -197,3 +197,33 @@ def test_triangle_count_partitioning_invariant(spark):
     a = triangle_count(df).collect()[0]
     b = triangle_count(df.repartition(17)).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_pagerank_bucketed_matches_checkpoint_layout(spark, tmp_path):
+    """Round 10: the bucketed layout must reproduce the checkpoint
+    layout's ranks exactly on the 6dp grid, and its rank-x-edge
+    iteration join must plan exchange-free (the pin raises inside
+    pagerank_bucketed otherwise)."""
+    import shutil
+    import uuid
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+    from cbts_datalake_synnex_spark.operators.graph import pagerank_bucketed
+
+    edges = _edges_df(spark, TRIANGLE_PLUS_HUB)
+    want = {
+        r["node"]: r["rank_scaled"] for r in pagerank(edges).collect()
+    }
+    db = f"prb_{uuid.uuid4().hex[:8]}"
+    root = str(tmp_path / "lake")
+    eng = LakeEngine(spark, root, database=db)
+    try:
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_bucketed(eng, edges, n_buckets=4).collect()
+        }
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(root, ignore_errors=True)
+    assert got == want
