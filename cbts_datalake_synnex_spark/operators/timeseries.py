@@ -49,6 +49,7 @@ def ewma(
     alpha: float = 0.3,
     out_col: str = "ewma",
     round_dp: int = 6,
+    exact: bool = True,
 ) -> DataFrame:
     """Exact adjust-free EWMA per entity, ordered by (ts, *order_cols)
     — pass a unique tiebreak column (an event id) to make the scan
@@ -56,7 +57,28 @@ def ewma(
     input columns plus ``out_col`` rounded to ``round_dp`` (the
     cross-engine comparison grid; the recurrence itself runs in raw
     float64 with the same multiply-add order a SQL recursive CTE
-    uses, so a DuckDB oracle restates it exactly)."""
+    uses, so a DuckDB oracle restates it exactly).
+
+    ``exact=False`` routes each entity RUN through pandas'
+    ``Series.ewm(adjust=False).mean()`` (a C loop) with the
+    cross-batch carry prepended as the seed row. This is NOT
+    bit-identical to the recurrence and therefore not oracle-exact —
+    measured (round 10), pandas' kernel (a) normalizes by
+    ``(1-a)+a``, which is != 1.0 in float64 for many alphas (a=0.9:
+    1.1e-13 drift over 5k rows), and (b) SKIPS the update when the
+    running value equals the input, so even "nice" alphas diverge on
+    equal neighbors (a=0.3, x=[0.1, 0.1]: 0x1.9999999999999p-4 pure
+    vs 0x1.999999999999ap-4 pandas). Ulps the 6dp grid usually
+    absorbs, but half-grid flips are real (the r9 bitext lesson) —
+    use the fast lane for monitoring/feature smoothing where ulp
+    drift is irrelevant, never for certified comparisons; the
+    divergence is pinned by a regression test so nobody silently
+    promotes it (tests/test_ewma.py). The lane is adaptive: the
+    per-run pandas construction only pays off on LONG runs (measured
+    16x faster at 10k rows/run, 25x slower at 13 rows/run), so
+    batches whose mean run length is under ~100 rows take the exact
+    loop — `exact=False` is therefore never slower than the default,
+    and only long-run batches trade ulps for the C kernel."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     a = float(alpha)
@@ -77,16 +99,60 @@ def ewma(
             x = pdf[value_col].to_numpy(dtype=np.float64)
             y = np.empty_like(x)
             le, ly = last_e, last_y
-            for i in range(len(x)):
-                xi = x[i]
-                if e[i] != le:
-                    le = e[i]
-                    ly = xi
-                else:
-                    # same multiply-add order as the oracle's
-                    # recursive CTE: two products, then one sum
-                    ly = a * xi + (1.0 - a) * ly
-                y[i] = ly
+            if exact:
+                for i in range(len(x)):
+                    xi = x[i]
+                    if e[i] != le:
+                        le = e[i]
+                        ly = xi
+                    else:
+                        # same multiply-add order as the oracle's
+                        # recursive CTE: two products, then one sum
+                        ly = a * xi + (1.0 - a) * ly
+                    y[i] = ly
+            elif len(x):
+                # fast lane: C loop per entity run, carry seeded by
+                # prepending the previous value (y_0 = x_0 = carry).
+                # Adaptive: the per-run pandas construction costs ~µs,
+                # so short runs are SLOWER in the C lane (measured
+                # single-thread per 1M rows: 10k-row runs 0.40 s pure
+                # -> 0.025 s ewm; 13-row runs 0.33 s -> 8.1 s). Below
+                # ~100 rows mean run length, take the loop per batch.
+                starts = np.flatnonzero(
+                    np.concatenate(([True], e[1:] != e[:-1]))
+                )
+                if len(x) < 100 * len(starts):
+                    for i in range(len(x)):
+                        xi = x[i]
+                        if e[i] != le:
+                            le = e[i]
+                            ly = xi
+                        else:
+                            ly = a * xi + (1.0 - a) * ly
+                        y[i] = ly
+                    last_e, last_y = le, ly
+                    pdf = pdf.copy()
+                    pdf[out_col] = y
+                    yield pdf[out_cols]
+                    continue
+                ends = np.append(starts[1:], len(x))
+                for s, t in zip(starts, ends):
+                    if e[s] == le:
+                        seg = np.concatenate(([ly], x[s:t]))
+                        y[s:t] = (
+                            pd.Series(seg)
+                            .ewm(alpha=a, adjust=False)
+                            .mean()
+                            .to_numpy()[1:]
+                        )
+                    else:
+                        y[s:t] = (
+                            pd.Series(x[s:t])
+                            .ewm(alpha=a, adjust=False)
+                            .mean()
+                            .to_numpy()
+                        )
+                le, ly = e[-1], y[-1]
             last_e, last_y = le, ly
             pdf = pdf.copy()
             pdf[out_col] = y
