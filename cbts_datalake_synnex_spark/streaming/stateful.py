@@ -423,3 +423,93 @@ def heavy_hitters_stream(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_sec: int = 1800,
+    order_cols=(),
+) -> DataFrame:
+    """T5+ [EXT] — gap-based SESSIONIZATION as a stateful streaming
+    operator (round 10): the streaming twin of the batch
+    `t_sessionize` (lag + gap>threshold + cumulative flag), the
+    canonical custom-stateful shape Structured Streaming's built-in
+    ``session_window`` aggregate cannot express when the caller needs
+    stable per-entity session IDS (ordinals) rather than [start, end)
+    window bounds. Carried state per entity is THREE numbers —
+    (current session ordinal, last event ts, events in the current
+    session) — the boundedness proof.
+
+    Within each micro-batch the entity's rows sort by
+    (ts, *order_cols); ACROSS batches exactness requires
+    event-time-ordered arrival per entity (the `ewma_stream`
+    contract — the certification replay constructs it by splitting
+    the input on time; late data needs a watermarked reorder buffer
+    in front). Emits one row per (entity, session) TOUCHED by the
+    batch with the session's running event count — counts only grow,
+    so in Update mode the final row per (entity, session_id) is
+    ``max(n_events)``, which is how the certification query folds the
+    memory sink.
+    """
+    import numpy as np
+
+    gap_us = int(gap_sec) * 1_000_000
+    order = [ts_col, *order_cols]
+    ent_field = [f for f in df.schema.fields if f.name == entity_col][0]
+    out_schema = StructType(
+        [
+            ent_field,
+            StructField("session_id", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("sid", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts)
+            .sort_values(order, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if state.exists:
+            sid, last_us, n = (int(v) for v in state.get)
+        else:
+            sid, last_us, n = 0, None, 0
+        # ns -> us floor division matches unix_micros/epoch_us exactly
+        ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+        touched: dict[int, int] = {}
+        for t in ts_us:
+            if last_us is None or t - last_us > gap_us:
+                sid += 1
+                n = 1
+            else:
+                n += 1
+            last_us = int(t)
+            touched[sid] = n
+        state.update((sid, last_us, n))
+        yield pd.DataFrame(
+            {
+                entity_col: [key_tuple[0]] * len(touched),
+                "session_id": list(touched),
+                "n_events": [touched[s] for s in touched],
+            }
+        )
+
+    return df.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

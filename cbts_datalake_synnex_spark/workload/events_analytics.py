@@ -1133,3 +1133,122 @@ def t_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — streaming SESSIONIZATION (round 10): the canonical
+# custom-stateful operator (stable per-entity session ordinals, which
+# the built-in session_window aggregate can't emit) driven end-to-end
+# over the t_stream_ewma time-partitioned replay: ts-tercile files,
+# mtime-ordered, maxFilesPerTrigger=1, so every user's events arrive
+# in event-time order across >= 3 micro-batches and sessions genuinely
+# SPAN batches (state: ordinal + last ts + running count, three
+# numbers). Update-mode emissions only grow per (user, session), so
+# max(n_events) folds the memory sink to the final counts — which the
+# batch lag-gap-cumsum oracle (the t_sessionize SQL) states exactly.
+# RAISES unless >= 3 data batches ran.
+@query(
+    "t_stream_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="SURVEY §2.8 [EXT] — applyInPandasWithState sessionization: "
+    "per-user (ordinal, last-ts, count) state carried across three "
+    "real micro-batches of a time-partitioned availableNow replay; "
+    "sessions span batches and the folded updates equal the batch "
+    "lag-gap-cumsum sessionization, stated by the same SQL oracle as "
+    "t_sessionize (streaming/stateful.sessionize_stream). Raises "
+    "unless cross-batch state was actually exercised.",
+)
+def t_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    scratch = tempfile.mkdtemp(prefix="ssess_")
+    qn = f"ssess_{uuid.uuid4().hex[:8]}"
+    try:
+        cuts = ev.select(
+            F.percentile_approx(
+                F.unix_micros("ts"), F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)),
+                F.lit(100000),
+            ).alias("c")
+        ).first()["c"]
+        us = F.unix_micros("ts")
+        parts = [
+            ev.filter(us <= cuts[0]),
+            ev.filter((us > cuts[0]) & (us <= cuts[1])),
+            ev.filter(us > cuts[1]),
+        ]
+        for k, p in enumerate(parts):
+            p.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/in/d{k}")
+            d = f"{scratch}/in/d{k}"
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        sess = sessionize_stream(
+            src, entity_col="user_id", ts_col="ts", gap_sec=1800,
+            order_cols=["event_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                sess.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream sessionize replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; time-partitioned "
+                        "staging failed — cross-batch state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = (
+            spark.table(qn)
+            .groupBy("user_id", "session_id")
+            .agg(F.max("n_events").alias("n_events"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

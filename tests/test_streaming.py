@@ -874,3 +874,59 @@ def test_drop_duplicates_within_watermark_evicts_and_readmits(spark, tmp_path):
     assert short.count() > short.select("k").distinct().count()  # re-emissions
     long = replay("30 days", "dd_long")
     assert long.count() == long.select("k").distinct().count() == 40
+
+
+def test_sessionize_stream_session_spans_batches(spark, tmp_path):
+    """Round 10 golden: a session that provably SPANS micro-batches —
+    batch 1 holds three events 10 min apart, batch 2 continues the
+    same session 25 min later then opens a new one 2 h later. The
+    folded updates (max n_events per session) must show session 1
+    with all four events and session 2 with one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.streaming.stateful import sessionize_stream
+
+    base = 1_700_000_000  # epoch seconds
+    b1 = [(1, base + 0), (2, base + 600), (3, base + 1200)]
+    b2 = [(4, base + 1200 + 1500), (5, base + 1200 + 1500 + 7200)]
+    for k, rows in enumerate((b1, b2)):
+        df = spark.createDataFrame(
+            [(eid, 7, ts) for eid, ts in rows],
+            "event_id bigint, user_id bigint, epoch bigint",
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_seconds(F.col("epoch")).alias("ts"),
+        )
+        d = str(tmp_path / "in" / f"d{k}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (1000 * (k + 1), 1000 * (k + 1)))
+    src = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    out = sessionize_stream(src, "user_id", "ts", gap_sec=1800, order_cols=["event_id"])
+    q = (
+        out.writeStream.format("memory").queryName("sessstreamtest")
+        .trigger(availableNow=True).outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "_ckpt")).start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in spark.table("sessstreamtest")
+        .groupBy("user_id", "session_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    assert got == {(7, 1): 4, (7, 2): 1}
+    # the spanning session was emitted in BOTH batches (3 then 4)
+    updates = sorted(
+        r["n_events"]
+        for r in spark.table("sessstreamtest").filter("session_id = 1").collect()
+    )
+    assert updates == [3, 4]
