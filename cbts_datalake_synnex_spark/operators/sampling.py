@@ -302,6 +302,69 @@ def temperature_mixture_weights(
     )
 
 
+def curriculum_schedule(
+    df: DataFrame,
+    strata_col: str,
+    n_epochs: int = 4,
+    alpha_start: float = 1.0,
+    alpha_end: float = 0.3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """X8 [EXT] — curriculum ANNEALING schedule (round 10): the
+    per-epoch generalization of `temperature_mixture_weights`. Staged
+    pretraining (curriculum learning, Bengio et al. 2009; the
+    mid-training re-weighting recipe of modern data-mixture work)
+    starts near the corpus's natural distribution and anneals toward
+    a flattened one, so early epochs see data "as it is" and late
+    epochs up-weight low-resource strata: per epoch ``e`` the
+    exponent interpolates linearly,
+
+        alpha_e = alpha_start + (alpha_end - alpha_start) * e/(E-1)
+        target_i(e) ∝ actual_i ^ alpha_e   (the XLM-R/mT5 rule per stage)
+
+    Scale shape: ONE hash aggregate over the corpus produces the
+    |strata|-row count table; the epoch grid (E rows) cross-joins it
+    broadcast, and every pow/normalize runs on the |strata|×E frame —
+    per-epoch windows over that bounded table, nothing corpus-sized
+    after the first agg. Feed each epoch's ``weight`` to the sampler
+    (`stratified_hash_sample` rates or epoch-repeat factors) the way
+    the single-temperature operator's output is fed.
+
+    Exact and engine-replicable: counts are integers, the anneal
+    fraction is ``e * 1.0 / (E-1)`` in both engines, normalization
+    divides RAW sums (rounding only the emitted values — the
+    bitext-mine discipline). Returns (epoch, strata_col, n_rows,
+    alpha, actual_frac, target_frac, weight).
+    """
+    e_cnt = int(n_epochs)
+    denom = float(max(e_cnt - 1, 1))
+    delta = float(alpha_end) - float(alpha_start)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    epochs = (
+        df.sparkSession.range(e_cnt)
+        .select(F.col("id").cast("int").alias("epoch"))
+        .withColumn(
+            "__alpha",
+            F.lit(float(alpha_start))
+            + F.lit(delta) * (F.col("epoch") * F.lit(1.0) / F.lit(denom)),
+        )
+    )
+    g = counts.crossJoin(F.broadcast(epochs))
+    wt = W.partitionBy("epoch")
+    actual = F.col("n_rows") / F.sum("n_rows").over(wt)
+    powed = F.pow(actual, F.col("__alpha"))
+    target = powed / F.sum(powed).over(wt)
+    return g.select(
+        "epoch",
+        strata_col,
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("__alpha"), round_dp).alias("alpha"),
+        F.round(actual, round_dp).alias("actual_frac"),
+        F.round(target, round_dp).alias("target_frac"),
+        F.round(target / actual, round_dp).alias("weight"),
+    )
+
+
 def dsir_log_ratio(
     raw: DataFrame,
     target: DataFrame,

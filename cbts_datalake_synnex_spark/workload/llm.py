@@ -4660,3 +4660,47 @@ def x3_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, tgt, id_col="vec_id", vec_col="embedding", k=4,
         margin_threshold=1.05, n_cells=8,
     )
+
+
+# ----------------------------------------------------------------------
+# X8 — curriculum annealing schedule (round 10): staged pretraining's
+# per-epoch mixture plan — epoch 0 samples near the natural language
+# distribution, the exponent anneals linearly to the flattened 0.3 by
+# the last epoch (the XLM-R temperature rule applied per stage).
+# DuckDB re-derives the whole grid: counts, the anneal fraction, the
+# per-epoch pow/normalize — all on the |strata|x|epochs| table.
+@query(
+    "x8_curriculum_schedule",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+    e AS (
+      SELECT CAST(range AS INT) AS epoch,
+             1.0 + (-0.7) * (range * 1.0 / 3) AS alpha_raw
+      FROM range(0, 4)
+    ),
+    t AS (
+      SELECT e.epoch, e.alpha_raw, c.lang, c.n_rows,
+             c.n_rows * 1.0 / sum(c.n_rows) OVER (PARTITION BY e.epoch) AS actual,
+             pow(c.n_rows * 1.0 / sum(c.n_rows) OVER (PARTITION BY e.epoch),
+                 e.alpha_raw) AS p
+      FROM c CROSS JOIN e
+    )
+    SELECT epoch, lang,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(alpha_raw, 6) AS alpha,
+           round(actual, 6) AS actual_frac,
+           round(p / sum(p) OVER (PARTITION BY epoch), 6) AS target_frac,
+           round((p / sum(p) OVER (PARTITION BY epoch)) / actual, 6) AS weight
+    FROM t
+    """,
+    doc="[EXT] X8 — curriculum annealing schedule: per-epoch mixture "
+    "targets with the exponent interpolated 1.0 -> 0.3 across 4 "
+    "epochs (natural distribution early, flattened late); one corpus "
+    "hash agg, then pow/normalize per epoch on the |strata|x4 grid "
+    "(operators/sampling.curriculum_schedule).",
+)
+def x8_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.curriculum_schedule(
+        docs, "lang", n_epochs=4, alpha_start=1.0, alpha_end=0.3
+    )
