@@ -235,6 +235,63 @@ def pagerank_bucketed(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """§2.6 [EXT] — synchronous min-label propagation (round 10): the
+    fixed-round, deterministic form of label propagation (Raghavan et
+    al. 2007's LPA made order-free by taking the MIN neighbor label —
+    the classic Pregel/Bulk-Synchronous hello-world, which converges
+    to connected components; a bounded round budget yields the
+    radius-k partial components a curation pipeline uses to cluster
+    sparse similarity graphs without running to fixpoint):
+
+        l_0(v)     = v
+        l_{t+1}(v) = min(l_t(v), min over edges u->v of l_t(u))
+
+    ``edges`` must be SYMMETRIC (src, dst) — symmetrize directed
+    graphs first (`copurchase_edges` already is).
+
+    Scale shape — the `pagerank` discipline: edges deduped, explicitly
+    partitioned on ``src`` and localCheckpoint-pinned ONCE (the huge
+    pair-construction upstream runs once); each synchronous round
+    joins the N-row label frame against the motionless edge frame
+    (AQE broadcasts the label side while it fits; at the 100 TB tier
+    use the `pagerank_bucketed` bucketed-table layout — same recipe,
+    min() instead of sum()), aggregates min labels on ``dst`` with
+    map-side combine, and folds with ``least``. Monotone and exactly
+    SQL-unrollable round by round — integer labels, no float anywhere.
+    Returns (node, label) after ``iterations`` rounds.
+    """
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(n_part, "src")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(iterations)):
+        inc = (
+            labels.join(e, labels["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = labels.join(inc, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
+            ).alias("label"),
+        )
+    return labels
+
+
 def copurchase_edges(
     lineitem: DataFrame,
     order_col: str = "l_orderkey",

@@ -1469,3 +1469,67 @@ def j_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return triangle_count(copurchase_edges(li))
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — synchronous min-label propagation (round 10): the
+# deterministic Pregel-style BSP shape beside the pagerank fixpoint —
+# three unrolled rounds over the SPARSE co-purchase graph (pairs
+# co-ordered at least twice, so real multi-component structure
+# survives). Integer labels, no floats: the oracle restates every
+# round bit-for-bit.
+@query(
+    "j_label_propagation",
+    oracle="""
+    WITH e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e0),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS (
+      SELECT l.node, least(l.label, coalesce(m.nbr, l.label)) AS label
+      FROM l0 l LEFT JOIN (
+        SELECT e0.dst AS node, min(l0.label) AS nbr
+        FROM l0 JOIN e0 ON e0.src = l0.node GROUP BY e0.dst
+      ) m ON m.node = l.node
+    ),
+    l2 AS (
+      SELECT l.node, least(l.label, coalesce(m.nbr, l.label)) AS label
+      FROM l1 l LEFT JOIN (
+        SELECT e0.dst AS node, min(l1.label) AS nbr
+        FROM l1 JOIN e0 ON e0.src = l1.node GROUP BY e0.dst
+      ) m ON m.node = l.node
+    ),
+    l3 AS (
+      SELECT l.node, least(l.label, coalesce(m.nbr, l.label)) AS label
+      FROM l2 l LEFT JOIN (
+        SELECT e0.dst AS node, min(l2.label) AS nbr
+        FROM l2 JOIN e0 ON e0.src = l2.node GROUP BY e0.dst
+      ) m ON m.node = l.node
+    )
+    SELECT CAST(node AS BIGINT) AS part, CAST(label AS BIGINT) AS label
+    FROM l3
+    """,
+    doc="SURVEY §2.6 [EXT] — synchronous min-label propagation "
+    "(3 BSP rounds) over the weight>=2 co-purchase graph: edge frame "
+    "pinned once, each round one N-row label join + min-on-dst agg; "
+    "integer-exact, round-by-round SQL-unrolled "
+    "(operators/graph.label_propagation).",
+)
+def j_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li).filter(F.col("weight") >= 2)
+    lab = label_propagation(edges, iterations=3)
+    return lab.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("label").cast("bigint").alias("label"),
+    )

@@ -227,3 +227,26 @@ def test_pagerank_bucketed_matches_checkpoint_layout(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(root, ignore_errors=True)
     assert got == want
+
+
+def test_label_propagation_converges_to_components(spark):
+    """Two components {1,2,3} and {10,11}: after enough rounds every
+    node carries its component's min id; after ONE round the far end
+    of the path has not yet heard from node 1 (locality golden)."""
+    from cbts_datalake_synnex_spark.operators.graph import label_propagation
+
+    # path 1-2-3 (symmetric) and pair 10-11
+    edges = _edges_df(
+        spark,
+        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1), (10, 11, 1), (11, 10, 1)],
+    )
+    full = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert full == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    one = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert one == {1: 1, 2: 1, 3: 2, 10: 10, 11: 10}
