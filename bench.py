@@ -317,8 +317,14 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     # round 9: one GK aggregate + codegen projection
     "pipeline_temporal_split",
     # round 9: exhaustive-probe certification path — brute-force by
-    # design, sf1 recorded at land time only
+    # design, sf1 recorded at land time only. Round 10: the bench row
+    # now times the n_probe=4 scale path (bench_fn).
     "x3_bitext_mine",
+    # round 10: |strata|x4 grid after one corpus agg — scan-bound
+    "x8_curriculum_schedule",
+    # round 10: 3 BSP rounds over the sparse (weight>=2) co-purchase
+    # graph — the pagerank class, sf0.1 keeps regression cover
+    "j_label_propagation",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
@@ -328,6 +334,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # `admission_index_probe` row in the dedup_skew block. Same for
 # x3_ann_index_probe (build + append + exhaustive probe — the probe
 # alone is the knn_join cogroup core, already benched as x3_knn_join).
+# Streaming replays (t_stream_* incl. round-10 t_stream_sessionize,
+# j_pagerank_bucketed's scratch-table lifecycle) are likewise
+# fixed-overhead certification paths, not wall-time signals.
 
 
 def main() -> None:
