@@ -127,3 +127,52 @@ def banded_interval_join(
         F.col(point_col).between(F.col(lo_col), F.col(hi_col))
     )
     return joined.drop("__band")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    band_width: int,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (round 10) — the two-sided
+    sibling of :func:`banded_interval_join`, same rewrite: Spark plans
+    the keyless ``l_lo <= r_hi AND r_lo <= l_hi`` predicate as a
+    nested-loop join; discretizing both sides into bands turns it
+    into a hash equi-join on the band id.
+
+    Dedup-free by construction: a qualifying pair shares EVERY band
+    the overlap spans, so pairs are kept only in the band containing
+    the overlap's start ``greatest(l_lo, r_lo)`` — that band belongs
+    to both explosions (the overlap start lies inside both
+    intervals), so each pair survives in exactly one band and no
+    distinct/dropDuplicates pass is needed (the same
+    attribute-to-a-canonical-copy trick the point join gets for free).
+
+    Cost: each side explodes by (len/band_width + 1); pick
+    ``band_width`` ≈ the typical interval length for a ≈2× blow-up.
+    Closed-interval semantics on numeric columns (cast timestamps to
+    epoch first); column names must be disjoint across sides.
+    """
+    def bands(lo: str, hi: str) -> F.Column:
+        return F.sequence(
+            F.floor(F.col(lo) / band_width), F.floor(F.col(hi) / band_width)
+        )
+
+    a = left.withColumn("__band", F.explode(bands(l_lo, l_hi)))
+    b = right.withColumn("__band", F.explode(bands(r_lo, r_hi)))
+    return (
+        a.join(b, "__band")
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (
+                F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / band_width)
+                == F.col("__band")
+            )
+        )
+        .drop("__band")
+    )

@@ -859,3 +859,68 @@ def j5_banded_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = joins.banded_interval_join(pts, iv, "t", "lo", "hi", band_width=600)
     return joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_windows"))
+
+
+# ----------------------------------------------------------------------
+# J5c — interval × interval OVERLAP join (round 10): purchase windows
+# vs error windows ([ts, ts+30min] each), the keyless two-sided range
+# predicate rewritten to a hash join on band ids with dedup-free
+# meet-band attribution (each qualifying pair kept only in the band
+# holding the overlap's start). Day bins and overlap durations are
+# pure integer µs arithmetic — tz-free, bit-exact in both engines.
+@query(
+    "j5_interval_overlap_join",
+    oracle="""
+    WITH p AS (
+      SELECT epoch_us(ts) AS p_lo, epoch_us(ts) + 1800000000 AS p_hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT epoch_us(ts) AS e_lo, epoch_us(ts) + 1800000000 AS e_hi
+      FROM events WHERE event_type = 'error'
+    ),
+    j AS (
+      SELECT greatest(p_lo, e_lo) AS ostart,
+             least(p_hi, e_hi) - greatest(p_lo, e_lo) AS odur
+      FROM p JOIN e ON p_lo <= e_hi AND e_lo <= p_hi
+    )
+    SELECT CAST(floor(ostart / 86400000000) AS BIGINT) AS day_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(odur) AS BIGINT) AS total_overlap_us
+    FROM j GROUP BY 1
+    """,
+    doc="SURVEY §2.5 J5c — interval-overlap join via the banded "
+    "rewrite (operators/joins.interval_overlap_join): both sides "
+    "explode to band ids, hash equi-join, exact residual + meet-band "
+    "attribution (no dedup pass); per-day pair counts and exact "
+    "integer overlap durations.",
+)
+def j5_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import joins
+
+    e = load_table(spark, sf_dir, "events")
+    win = 1_800_000_000  # 30 min in µs
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("p_lo"),
+        (F.unix_micros("ts") + win).alias("p_hi"),
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        F.unix_micros("ts").alias("e_lo"),
+        (F.unix_micros("ts") + win).alias("e_hi"),
+    )
+    joined = joins.interval_overlap_join(
+        p, r, "p_lo", "p_hi", "e_lo", "e_hi", band_width=win
+    )
+    ostart = F.greatest(F.col("p_lo"), F.col("e_lo"))
+    odur = F.least(F.col("p_hi"), F.col("e_hi")) - ostart
+    return (
+        joined.select(
+            F.floor(ostart / F.lit(86_400_000_000)).cast("bigint").alias("day_bin"),
+            odur.alias("odur"),
+        )
+        .groupBy("day_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("odur").cast("bigint").alias("total_overlap_us"),
+        )
+    )

@@ -1280,3 +1280,52 @@ def test_perplexity_buckets_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_interval_overlap_join_exactness_and_no_dups(spark):
+    """Round 10: every overlapping (left, right) interval pair appears
+    EXACTLY once (meet-band attribution, no dedup pass), including
+    pairs overlapping across several bands and touching at a single
+    point; disjoint pairs never appear."""
+    from cbts_datalake_synnex_spark.operators.joins import interval_overlap_join
+
+    lv = {1: (0, 9), 2: (5, 25), 3: (30, 30), 4: (90, 120)}
+    rv = {10: (9, 9), 20: (8, 35), 30: (26, 29), 40: (121, 130), 50: (40, 85)}
+    left = spark.createDataFrame(
+        [(k, lo, hi) for k, (lo, hi) in lv.items()], "lid bigint, l_lo bigint, l_hi bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, lo, hi) for k, (lo, hi) in rv.items()], "rid bigint, r_lo bigint, r_hi bigint"
+    )
+    rows = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", band_width=10
+    ).collect()
+    got = [(r["lid"], r["rid"]) for r in rows]
+    expect = {
+        (l, r)
+        for l, (llo, lhi) in lv.items()
+        for r, (rlo, rhi) in rv.items()
+        if llo <= rhi and rlo <= lhi
+    }
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == expect
+    # spot-check the tricky members: single-point touch (1,10), wide
+    # spanning interval (4 overlaps 20? no — disjoint), (2,20) multi-band
+    assert (1, 10) in expect and (2, 20) in expect and (4, 40) not in expect
+
+
+def test_interval_overlap_join_avoids_nested_loop(spark):
+    from cbts_datalake_synnex_spark.operators.joins import interval_overlap_join
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    left = spark.range(100).select(
+        (F.col("id") * 10).alias("l_lo"), (F.col("id") * 10 + 15).alias("l_hi")
+    )
+    right = spark.range(100).select(
+        (F.col("id") * 7).alias("r_lo"), (F.col("id") * 7 + 12).alias("r_hi")
+    )
+    plan = explain_str(
+        interval_overlap_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", 16),
+        "simple",
+    )
+    assert "NestedLoop" not in plan, plan
