@@ -1,0 +1,87 @@
+"""Mergeable frequency sketches (SURVEY §2.10 [EXT] sketch tier).
+
+The engine's sketch family so far: HLL (built-in `approx_count_distinct`
++ the `hll_sketch_agg` incremental MV lane), Misra-Gries heavy hitters
+and GK quantiles (streaming state, `streaming/stateful.py`). This
+module adds the remaining classic: the COUNT-MIN sketch (Cormode &
+Muthukrishnan 2005, 'An improved data stream summary: the count-min
+sketch and its applications', public) — the fixed-size frequency table
+a 100 TB pipeline keeps per shard/day and merges counter-wise, where
+exact per-item counts would be another corpus-sized table.
+
+Scale shape: the BUILD is one ``explode(depth)`` projection over the
+corpus followed by ONE hash aggregate onto (row, bucket) — map-side
+combine does the heavy lifting and the result is depth×width rows
+(KB-sized), a broadcast. ESTIMATES join the probe items against the
+broadcast sketch and take the min over rows. Merging two sketches is
+counter-wise addition (CMS is linear), which is what makes per-shard
+sketches unionable without re-reading data — the mergeable-summaries
+property the MG/GK operators already certify for their families.
+
+Determinism: bucket hashing is the engine's md5 idiom
+(``conv(substr(md5(salt:row:item),1,8),16,10) % width``), so a SQL
+oracle re-derives the ENTIRE sketch and every estimate bit-for-bit —
+no probabilistic claim is left unverified (estimates are exact
+functions of the input; only their ERROR vs true counts is what the
+published ε/δ analysis bounds, and ``est >= exact`` always holds by
+construction — the one-sided guarantee the registry query asserts
+per item).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(row: F.Column, item: F.Column, width: int, salt: str) -> F.Column:
+    h = F.md5(F.concat_ws(":", F.lit(salt), row.cast("string"), item.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(int(width))
+
+
+def count_min_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the depth×width counter table: one exploded projection +
+    one hash aggregate. Returns (d, bucket, cnt) — at most depth×width
+    rows regardless of corpus size."""
+    d = F.explode(F.array(*[F.lit(i) for i in range(int(depth))])).alias("d")
+    rows = df.select(F.col(item_col).alias("__item")).select("__item", d)
+    return (
+        rows.select(
+            "d", _bucket(F.col("d"), F.col("__item"), width, salt).alias("bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items`` (distinct
+    probe frame): est = min over the depth rows of the item's
+    counters. The sketch (≤ depth×width rows) broadcasts; the probe
+    side shuffles nothing but its own hash agg. Returns
+    (item_col, cms_est)."""
+    d = F.explode(F.array(*[F.lit(i) for i in range(int(depth))])).alias("d")
+    probes = items.select(F.col(item_col)).distinct().select(item_col, d)
+    keyed = probes.select(
+        item_col,
+        "d",
+        _bucket(F.col("d"), F.col(item_col), width, salt).alias("bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

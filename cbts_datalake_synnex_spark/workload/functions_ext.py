@@ -305,3 +305,70 @@ def f_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").cast("double").alias("hi"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Count-min sketch (round 10): the remaining classic mergeable sketch
+# beside HLL / Misra-Gries / GK — the fixed-size frequency table a
+# shard/day pipeline merges counter-wise. Bucket hashing is the md5
+# idiom, so DuckDB re-derives the ENTIRE depth×width sketch and every
+# point estimate bit-for-bit; the published one-sided guarantee
+# (never undercounts) is emitted per item and asserted by the oracle.
+# Item domain event_type:user_id (~750) vs width 256 forces REAL
+# collisions, so the overcount column is non-trivially exercised.
+@query(
+    "f_count_min_sketch",
+    oracle="""
+    WITH it AS (
+      SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS item FROM events
+    ),
+    cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt FROM it GROUP BY item),
+    ds AS (SELECT range AS d FROM range(0, 4)),
+    sk AS (
+      SELECT d,
+             CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM it CROSS JOIN ds GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT c.item, ds.d,
+             CAST(('0x' || substr(md5('cms:' || CAST(ds.d AS VARCHAR) || ':' || c.item), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM cnt c CROSS JOIN ds
+    ),
+    est AS (
+      SELECT probe.item, min(sk.cnt) AS cms_est
+      FROM probe JOIN sk USING (d, bucket) GROUP BY probe.item
+    )
+    SELECT cnt.item, cnt.exact_cnt,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(est.cms_est - cnt.exact_cnt AS BIGINT) AS overcount,
+           est.cms_est >= cnt.exact_cnt AS never_under
+    FROM cnt JOIN est USING (item)
+    """,
+    doc="[EXT] sketch tier — count-min sketch (Cormode 2005): "
+    "depth=4 x width=256 counter table built in one exploded hash "
+    "agg (KB-sized, broadcast, counter-wise mergeable); per-item "
+    "point estimates = min over rows, one-sided never-undercount "
+    "guarantee asserted per item "
+    "(operators/sketches.count_min_build/count_min_estimate).",
+)
+def f_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat_ws(
+            ":", F.col("event_type"), F.col("user_id").cast("string")
+        ).alias("item")
+    )
+    sk = sketches.count_min_build(ev, "item", depth=4, width=256)
+    est = sketches.count_min_estimate(sk, ev, "item", depth=4, width=256)
+    exact = ev.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return exact.join(est, "item").select(
+        "item",
+        "exact_cnt",
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_under"),
+    )
