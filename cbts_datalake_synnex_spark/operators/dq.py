@@ -301,3 +301,55 @@ def embedding_drift_report(
         F.round(F.max(F.abs(d)), round_dp).alias("max_dim_shift"),
         F.count(F.lit(1)).cast("bigint").alias("n_dims"),
     )
+
+
+def column_profile(
+    df: DataFrame, round_dp: int = 6, exact_distinct: bool = True
+) -> DataFrame:
+    """DQ [EXT] — per-column completeness/cardinality profile
+    (round 10): the table-shaped sibling of the corpus-level dataset
+    card — the first report a pipeline runs on an unfamiliar landing
+    table (which columns are sparse, which are constant, which are
+    key-like). ONE scan: every per-column aggregate folds into a
+    single ``agg`` (the count-distincts share the pass via Expand —
+    the dataset-card discipline; the Expand multiplier is |cols|+1,
+    so at the 100 TB tier pass ``exact_distinct=False`` to swap in
+    ``approx_count_distinct`` — HLL partials aggregate map-side with
+    no Expand, the error contract `a3_approx_count_distinct`
+    certifies), then the one-row result explodes into the |cols|-row
+    report — driver-side nothing.
+
+    Returns (column_name, n_rows, n_nulls, null_frac, n_distinct);
+    ``n_distinct`` ignores NULLs (SQL count-distinct semantics).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs.append(
+            F.sum(c.isNull().cast("bigint")).cast("bigint").alias(f"__nn_{f.name}")
+        )
+        nd = (
+            F.count_distinct(c)
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs.append(nd.cast("bigint").alias(f"__nd_{f.name}"))
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("column_name"),
+                F.col(f"__nn_{f.name}").alias("n_nulls"),
+                F.col(f"__nd_{f.name}").alias("n_distinct"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    ex = row.select(F.col("__n").alias("n_rows"), F.explode(per_col).alias("p"))
+    return ex.select(
+        F.col("p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("p.n_nulls").alias("n_nulls"),
+        F.round(F.col("p.n_nulls") / F.col("n_rows"), round_dp).alias("null_frac"),
+        F.col("p.n_distinct").alias("n_distinct"),
+    )

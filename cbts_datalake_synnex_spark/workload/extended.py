@@ -1533,3 +1533,80 @@ def j_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("part"),
         F.col("label").cast("bigint").alias("label"),
     )
+
+
+# ----------------------------------------------------------------------
+# DQ [EXT] — per-column profile (round 10): completeness + cardinality
+# per column in ONE scan (count-distincts share the pass via Expand;
+# the approx/HLL lane is the 100 TB swap — see
+# operators/dq.column_profile). Testdata carries no NULLs, so the
+# query injects them deterministically (errors lose `value`, every
+# 7th user loses `props`) to exercise the null branch non-trivially;
+# the oracle restates the injection and every per-column aggregate.
+@query(
+    "dq_column_profile",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE props END AS props
+      FROM events
+    )
+    SELECT 'event_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           round(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_frac,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM e
+    UNION ALL
+    SELECT 'ts', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           CAST(count(DISTINCT ts) AS BIGINT)
+    FROM e
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM e
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           CAST(count(DISTINCT event_type) AS BIGINT)
+    FROM e
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           CAST(count(DISTINCT value) AS BIGINT)
+    FROM e
+    UNION ALL
+    SELECT 'props', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+           CAST(count(DISTINCT props) AS BIGINT)
+    FROM e
+    """,
+    doc="DQ [EXT] — per-column completeness/cardinality profile in "
+    "one scan (Expand-shared exact count-distincts; HLL lane for "
+    "100 TB): null counts/fractions and distinct counts over events "
+    "with deterministically injected NULLs "
+    "(operators/dq.column_profile).",
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import column_profile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ).alias("props"),
+    )
+    return column_profile(ev)
