@@ -325,6 +325,13 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     # round 10: 3 BSP rounds over the sparse (weight>=2) co-purchase
     # graph — the pagerank class, sf0.1 keeps regression cover
     "j_label_propagation",
+    # round 10: banded equi-join rewrite of the two-sided range
+    # predicate — the j5 class
+    "j5_interval_overlap_join",
+    # round 10: one exploded hash agg to a KB-sized counter table
+    "f_count_min_sketch",
+    # round 10: one Expand-shared scan to a |cols|-row report
+    "dq_column_profile",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
