@@ -84,3 +84,49 @@ def salted_join(
     )
     out = lsalted.join(rrep, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_profile(df: DataFrame, key_col: str, round_dp: int = 6) -> DataFrame:
+    """§4.2 [EXT] — shuffle-key SKEW profile (round 10): the
+    diagnostic a pipeline runs BEFORE choosing between a plain join,
+    `salted_join`, and AQE skew splitting — how concentrated is the
+    key distribution a groupBy/join on ``key_col`` would shuffle?
+
+    Scale shape: one hash aggregate compacts the corpus to the
+    (key, cnt) table; every statistic below runs on that table —
+    count/max/percentile aggregates (percentile_disc is a partial-
+    aggregating built-in, no global sort task), and the top-10 share
+    uses a TakeOrdered-style sort+limit (k rows to the driver side of
+    the agg, never the key table). Nothing corpus-sized moves twice,
+    no unpartitioned window anywhere (the classifier-eval boundedness
+    discipline).
+
+    Returns ONE row: (n_rows, n_keys, max_cnt, p50_cnt, p90_cnt,
+    p99_cnt, top1_share, top10_share) — shares rounded; a uniform
+    keyspace reads top1_share ≈ 1/n_keys, a hot-key disaster reads
+    ≈ 1.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.percentile(F.col("cnt"), F.lit(0.5), F.lit(1)).alias("__p50"),
+        F.percentile(F.col("cnt"), F.lit(0.9), F.lit(1)).alias("__p90"),
+        F.percentile(F.col("cnt"), F.lit(0.99), F.lit(1)).alias("__p99"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("__top10"))
+    )
+    return stats.crossJoin(F.broadcast(top10)).select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.round(F.col("__p50").cast("double"), round_dp).alias("p50_cnt"),
+        F.round(F.col("__p90").cast("double"), round_dp).alias("p90_cnt"),
+        F.round(F.col("__p99").cast("double"), round_dp).alias("p99_cnt"),
+        F.round(F.col("max_cnt") / F.col("n_rows"), round_dp).alias("top1_share"),
+        F.round(F.col("__top10") / F.col("n_rows"), round_dp).alias("top10_share"),
+    )

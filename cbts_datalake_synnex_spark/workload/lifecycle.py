@@ -1602,3 +1602,94 @@ def lc_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in prev.items():
             spark.conf.set(k, v)
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §4.2 [EXT] — shuffle-key skew profile (round 10): the diagnostic
+# run before choosing plain join vs salted_join vs AQE splitting,
+# profiled on the SAME deliberately hot keyspace lc_salted_join
+# certifies the mitigation for (~75% of lineitem on key 0). All stats
+# on the (key, cnt) table; DuckDB restates the percentiles with
+# quantile_cont and every share on raw sums.
+@query(
+    "dq_skew_profile",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey % 997 END
+               AS hot_key
+      FROM lineitem
+    ),
+    c AS (SELECT hot_key, CAST(count(*) AS BIGINT) AS cnt FROM l GROUP BY hot_key),
+    s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+             round(quantile_cont(cnt, 0.9), 6) AS p90_cnt,
+             round(quantile_cont(cnt, 0.99), 6) AS p99_cnt
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS top10
+      FROM (SELECT cnt FROM c ORDER BY cnt DESC, hot_key ASC LIMIT 10)
+    )
+    SELECT s.n_rows, s.n_keys, s.max_cnt, s.p50_cnt, s.p90_cnt, s.p99_cnt,
+           round(s.max_cnt * 1.0 / s.n_rows, 6) AS top1_share,
+           round(t.top10 * 1.0 / s.n_rows, 6) AS top10_share
+    FROM s CROSS JOIN t
+    """,
+    doc="SURVEY §4.2 [EXT] — shuffle-key skew profile on the "
+    "lc_salted_join hot keyspace: one (key,cnt) hash agg, "
+    "percentile/max/top-k-share statistics on the compact table "
+    "(operators/skew.skew_profile).",
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.skew import skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 997)
+        .cast("bigint")
+        .alias("hot_key")
+    )
+    return skew_profile(li, "hot_key")
+
+
+# ----------------------------------------------------------------------
+# K++ [EXT] — range-sorted table export (round 10): the disjoint-
+# file-range layout downstream range readers prune on, written via
+# repartitionByRange + sortWithinPartitions and verified on the
+# PHYSICAL outcome — write_sorted reads back per-file (min, max)
+# through _metadata and RAISES on any overlap (sampling-based range
+# boundaries make the files, not the plan, the thing to pin). The
+# oracle certifies the roundtrip content: per-price-decile counts and
+# sums recomputed from the read-back table must equal the source.
+@query(
+    "lc_sorted_export",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bin,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+    doc="K++ [EXT] — sorted export: orders written range-partitioned "
+    "+ sorted on o_totalprice, per-file [min,max] disjointness "
+    "verified from _metadata (raises on overlap), content certified "
+    "by the read-back aggregate (engine.write_sorted).",
+)
+def lc_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.engine import write_sorted
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    with _scratch_engine(spark) as eng:
+        write_sorted(
+            spark, o, eng.qualified("orders_sorted"), "o_totalprice", n_ranges=8
+        )
+        back = spark.table(eng.qualified("orders_sorted"))
+        out = back.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("price_bin")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        return _materialize(spark, out)
