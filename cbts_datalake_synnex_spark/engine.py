@@ -2801,6 +2801,105 @@ def update_dedup_index(
 # standard IVF one — recall drifts as the corpus distribution shifts,
 # rebuild cadence is the operator's knob, and an exhaustive probe stays
 # EXACT no matter how stale the centroids are).
+def compact_dedup_index(
+    engine: "LakeEngine",
+    index_name: str,
+) -> None:
+    """Maintenance for the persistent near-dup admission index
+    (round 10 — the index sibling of `lc_snapshot_vacuum`): nightly
+    appends leave the ``_df`` table as document-frequency INCREMENT
+    rows (several per shingle after many nights) and the ``_entries``
+    table as one small file-set per append. Compaction rewrites both
+    under the SAME meta-pinned bucket spec — ``_df`` merged to one
+    row per shingle (readers sum per sh, so pre-merging is
+    semantics-preserving by construction), ``_entries`` rewritten
+    as-is into a fresh bucketed+sorted layout (the append file
+    fragmentation is the thing being fixed). Probe decisions are
+    IDENTICAL before and after — the registry query certifies that
+    equality on a live index.
+
+    Rewrite staging: each table materializes to a ``_compact`` twin
+    first, then swaps via DROP+RENAME, so a failed compaction leaves
+    the live index untouched."""
+    spark = engine.spark
+    meta = spark.table(engine.qualified(f"{index_name}_meta")).first()
+    nb = int(meta["n_buckets"])
+    for tbl, frame in (
+        (
+            f"{index_name}_df",
+            spark.table(engine.qualified(f"{index_name}_df"))
+            .groupBy("sh")
+            .agg(F.sum("df").cast("bigint").alias("df")),
+        ),
+        (f"{index_name}_entries", spark.table(engine.qualified(f"{index_name}_entries"))),
+    ):
+        staged = engine.qualified(f"{tbl}_compact")
+        write_bucketed(spark, frame, staged, ["sh"], nb)
+        # staged twin fully materialized before the live table is
+        # touched; DROP + RENAME swaps catalogs (bucket spec travels
+        # with the table), atomic-enough for a single-writer window
+        spark.sql(f"DROP TABLE {engine.qualified(tbl)}")
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {engine.qualified(tbl)}")
+
+
+def write_sorted(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    sort_col: str,
+    n_ranges: int = 32,
+    verify_disjoint: bool = True,
+) -> None:
+    """Range-partitioned SORTED table export (round 10) — the layout
+    contract downstream range readers prune on: global sort order
+    realized as ``repartitionByRange`` (sampled, balanced boundaries)
+    + ``sortWithinPartitions``, so every output file covers a
+    [min, max] slice of ``sort_col`` DISJOINT from every other file.
+    At 100 TB this is what turns a point/range query on ``sort_col``
+    into an O(files-touched) scan — the single-column cousin of the
+    Z-order compaction the engine already certifies (`lc_zorder`).
+
+    ``verify_disjoint=True`` reads back ONLY per-file (min, max)
+    via the ``_metadata`` column (footer-cheap at any scale: the scan
+    aggregates to |files| rows) and RAISES if any two files overlap —
+    the physical outcome, not the plan, is the pin (sampling-based
+    range boundaries make plan-shape assertions weaker than checking
+    the files themselves).
+    """
+    (
+        df.repartitionByRange(int(n_ranges), F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.format("parquet")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    if not verify_disjoint:
+        return
+    from pyspark.sql import Window
+
+    back = spark.table(table)
+    # _metadata resolves only on the file-source relation: bind it
+    # into a real column immediately (engine discipline)
+    per_file = (
+        back.select(
+            F.col("_metadata.file_path").alias("__f"), F.col(sort_col).alias("__v")
+        )
+        .groupBy("__f")
+        .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+    )
+    w = Window.orderBy("lo", "__f")
+    overlaps = (
+        per_file.withColumn("__prev_hi", F.lag("hi").over(w))
+        .filter(F.col("__prev_hi").isNotNull() & (F.col("__prev_hi") > F.col("lo")))
+        .count()
+    )
+    if overlaps:
+        raise RuntimeError(
+            f"sorted export produced {overlaps} overlapping file ranges on "
+            f"{sort_col} — the disjointness contract is broken"
+        )
+
+
 def build_ann_index(
     engine: "LakeEngine",
     index_name: str,

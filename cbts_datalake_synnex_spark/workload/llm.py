@@ -4704,3 +4704,94 @@ def x8_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.curriculum_schedule(
         docs, "lang", n_epochs=4, alpha_start=1.0, alpha_end=0.3
     )
+
+
+# ----------------------------------------------------------------------
+# K++ [EXT] — admission-index COMPACTION (round 10): nightly appends
+# fragment the index (_df holds increment rows, _entries small file
+# sets); engine.compact_dedup_index rewrites both under the
+# meta-pinned bucket spec via a staged-twin DROP+RENAME swap. The
+# query certifies, on a LIVE index mid-lifecycle: (a) batch-2
+# decisions identical before and after compaction (exceptAll both
+# ways — RAISES on any drift), (b) the _df table actually merged to
+# one row per shingle (RAISES if compaction was a no-op). The oracle
+# is the from-scratch batch-2 derivation (the x2_index_admission d2
+# block), so the driver checks the post-compaction probe end to end.
+@query(
+    "lc_index_compact",
+    oracle=f"""
+    WITH {_EXACT_3GRAM_PAIRS_CTE},
+    oriented AS (
+      SELECT doc1 AS b, doc2 AS p, jaccard FROM pairs
+      UNION ALL
+      SELECT doc2 AS b, doc1 AS p, jaccard FROM pairs
+    ),
+    d1 AS (
+      SELECT d.doc_id, s.p AS blocked_by
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1) d
+      LEFT JOIN (
+        SELECT b, p, row_number() OVER (PARTITION BY b ORDER BY p) AS rn
+        FROM oriented WHERE b % 3 = 1 AND p % 3 = 0
+      ) s ON s.b = d.doc_id AND s.rn = 1
+    ),
+    admitted1 AS (SELECT doc_id FROM d1 WHERE blocked_by IS NULL),
+    d2 AS (
+      SELECT d.doc_id, s.p AS blocked_by, s.jaccard
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d
+      LEFT JOIN (
+        SELECT b, p, jaccard,
+               row_number() OVER (PARTITION BY b ORDER BY p) AS rn
+        FROM oriented
+        WHERE b % 3 = 2
+          AND (p % 3 = 0 OR p IN (SELECT doc_id FROM admitted1))
+      ) s ON s.b = d.doc_id AND s.rn = 1
+    )
+    SELECT doc_id, blocked_by IS NULL AS admitted, blocked_by, jaccard
+    FROM d2
+    """,
+    doc="K++ [EXT] — admission-index compaction "
+    "(engine.compact_dedup_index): _df increments merged to one row "
+    "per shingle, _entries rewritten, both under the meta-pinned "
+    "bucket spec with a staged DROP+RENAME swap; probe decisions "
+    "certified identical pre/post (raises on drift or no-op), oracle "
+    "re-derives the post-compaction batch-2 probe from scratch.",
+)
+def lc_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.engine import compact_dedup_index
+    from cbts_datalake_synnex_spark.workload.lifecycle import (
+        _materialize,
+        _scratch_engine,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    cols = ["doc_id", "admitted", "blocked_by", "jaccard"]
+    with _scratch_engine(spark) as eng:
+        eng.build_dedup_index("nd", corpus, "doc_id", "text")
+        d1 = eng.admit_against_dedup_index("nd", b1, "doc_id", "text").localCheckpoint()
+        eng.update_dedup_index("nd", b1, d1, "doc_id", "text")
+        before = (
+            eng.admit_against_dedup_index("nd", b2, "doc_id", "text")
+            .select(*cols)
+            .localCheckpoint()
+        )
+        df_tbl = eng.qualified("nd_df")
+        pre_rows = spark.table(df_tbl).count()
+        distinct_sh = spark.table(df_tbl).select("sh").distinct().count()
+        if pre_rows <= distinct_sh:
+            raise RuntimeError(
+                "lifecycle staging failed: the _df table carries no "
+                "increment rows, compaction would be vacuous"
+            )
+        compact_dedup_index(eng, "nd")
+        post_rows = spark.table(df_tbl).count()
+        if post_rows != distinct_sh:
+            raise RuntimeError(
+                f"compaction left {post_rows} _df rows, expected {distinct_sh}"
+            )
+        after = eng.admit_against_dedup_index("nd", b2, "doc_id", "text").select(*cols)
+        if after.exceptAll(before).count() or before.exceptAll(after).count():
+            raise RuntimeError("probe decisions drifted across compaction")
+        return _materialize(spark, after)
