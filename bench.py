@@ -332,6 +332,10 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "f_count_min_sketch",
     # round 10: one Expand-shared scan to a |cols|-row report
     "dq_column_profile",
+    # round 10: one (key,cnt) agg + percentile/top-k stats
+    "dq_skew_profile",
+    # round 10: scratch-write lifecycle (range write + footer readback)
+    "lc_sorted_export",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
@@ -343,7 +347,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # alone is the knn_join cogroup core, already benched as x3_knn_join).
 # Streaming replays (t_stream_* incl. round-10 t_stream_sessionize,
 # j_pagerank_bucketed's scratch-table lifecycle) are likewise
-# fixed-overhead certification paths, not wall-time signals.
+# fixed-overhead certification paths, not wall-time signals. Same for
+# lc_index_compact (round 10): a full build+append+compact+two-probe
+# lifecycle — its steady-state cost is the admission_index_probe row.
 
 
 def main() -> None:
