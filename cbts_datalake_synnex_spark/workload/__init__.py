@@ -172,6 +172,15 @@ _ROUND8_FRONT = [
 # query-rows of the round-9 registry and retire the ledger's last
 # red. The remaining 22 window slots re-certify the round-9 then
 # round-8 fronts (first occurrence wins on overlap).
+# TODO(round 11): rotate `_ROUND11_FRONT` = the registry entries added
+# after the round-10 window froze (all local-oracle green, judge-sim
+# green via scripts/check_all.py) to close lifetime driver coverage at
+# the full round-10 registry:
+#   j_pagerank_bucketed, t_stream_sessionize, x8_curriculum_schedule,
+#   j_label_propagation, j5_interval_overlap_join, f_count_min_sketch,
+#   dq_column_profile, dq_skew_profile, lc_sorted_export,
+#   lc_index_compact
+# (remaining slots re-certify the r10 then r9 fronts.)
 _ROUND10_FRONT = [
     "t_sessionize",
     "x2_index_admission",
