@@ -513,3 +513,93 @@ def sessionize_stream(
     return df.groupBy(entity_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def count_min_stream(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """T5+ [EXT] — streaming COUNT-MIN sketch per group (round 10):
+    the streaming twin of `operators/sketches.count_min_build`,
+    completing the sketch family's streaming tier (MG heavy hitters,
+    GK quantiles, now CMS point frequencies). State per group is the
+    flat depth×width counter array (a few KB) — bounded regardless of
+    the all-time item cardinality, the stateful-operator contract.
+
+    CMS is LINEAR (sketch of a union = counter-wise sum), so the
+    per-batch merge is order-independent and the replayed result
+    equals the batch-built sketch exactly — no time partitioning
+    needed (the `t_stream_topk` discipline; files can split on any
+    hash). Bucket hashing is the engine's md5 idiom computed
+    python-side (hashlib) to the SAME value the JVM/DuckDB forms
+    produce, so a SQL oracle re-derives every emitted cell.
+
+    Emits the group's non-zero cells (group, d, bucket, cnt, n_seen)
+    on every batch that touches it, Update mode; counts and n_seen
+    are monotone, so the replay's final sketch is the max-n_seen
+    emission per cell (or max(cnt) per cell — equivalent folds).
+    """
+    import hashlib
+
+    import numpy as np
+
+    dp, w = int(depth), int(width)
+    out_schema = StructType(
+        [
+            df.schema[group_col],
+            StructField("d", LongType()),
+            StructField("bucket", LongType()),
+            StructField("cnt", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("counts", ArrayType(LongType())), StructField("n", LongType())]
+    )
+
+    def _bucket(d: int, item: str) -> int:
+        h = hashlib.md5(f"{salt}:{d}:{item}".encode()).hexdigest()[:8]
+        return int(h, 16) % w
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        inc = np.zeros(dp * w, dtype=np.int64)
+        n_batch = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[item_col].astype(str).value_counts()
+            n_batch += int(vc.sum())
+            for item, c in vc.items():
+                for d in range(dp):
+                    inc[d * w + _bucket(d, item)] += int(c)
+        if not n_batch:
+            return
+        if state.exists:
+            counts, n = state.get
+            arr = np.asarray(counts, dtype=np.int64) + inc
+            n = int(n) + n_batch
+        else:
+            arr, n = inc, n_batch
+        state.update(([int(v) for v in arr], int(n)))
+        nz = np.flatnonzero(arr)
+        yield pd.DataFrame(
+            {
+                group_col: [key_tuple[0]] * len(nz),
+                "d": (nz // w).astype("int64"),
+                "bucket": (nz % w).astype("int64"),
+                "cnt": arr[nz],
+                "n_seen": [int(n)] * len(nz),
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1252,3 +1252,103 @@ def t_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — streaming count-min sketch (round 10): the sketch
+# family's streaming tier completed (MG heavy hitters, GK quantiles,
+# now CMS point frequencies). CMS linearity makes the per-batch merge
+# order-independent — the replayed sketch equals the batch-built one
+# exactly, so files split on event_id % 3 (no time partitioning, the
+# t_stream_topk discipline) and the oracle re-derives EVERY non-zero
+# cell of the per-group sketch from the corpus. RAISES unless >= 3
+# data batches ran.
+@query(
+    "t_stream_cms",
+    oracle="""
+    WITH it AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events
+    ),
+    ds AS (SELECT range AS d FROM range(0, 4))
+    SELECT event_type, CAST(d AS BIGINT) AS d,
+           CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 256 AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM it CROSS JOIN ds
+    GROUP BY 1, 2, 3
+    """,
+    doc="SURVEY §2.8 [EXT] — applyInPandasWithState count-min sketch "
+    "per event_type: depth=4 x width=256 counter array carried in the "
+    "state store across three micro-batches; linearity makes the "
+    "replay equal the batch sketch cell-for-cell, re-derived by the "
+    "oracle via the shared md5 bucket idiom "
+    "(streaming/stateful.count_min_stream). Raises unless cross-batch "
+    "state was exercised.",
+)
+def t_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import count_min_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    scratch = tempfile.mkdtemp(prefix="scms_")
+    qn = f"scms_{uuid.uuid4().hex[:8]}"
+    try:
+        for k in range(3):
+            d = f"{scratch}/in/d{k}"
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, event_type string, item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        cms = count_min_stream(
+            src, group_col="event_type", item_col="item", depth=4, width=256
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                cms.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream cms replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; cross-batch "
+                        "state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = (
+            spark.table(qn)
+            .groupBy("event_type", "d", "bucket")
+            .agg(F.max("cnt").alias("cnt"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
