@@ -4795,3 +4795,83 @@ def lc_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         if after.exceptAll(before).count() or before.exceptAll(after).count():
             raise RuntimeError("probe decisions drifted across compaction")
         return _materialize(spark, after)
+
+
+# ----------------------------------------------------------------------
+# X8 — curriculum epoch sampling (round 10): the composition that
+# makes the annealing schedule ACTIONABLE — the last epoch's (most
+# flattened) weights become deterministic md5 hash-gate rates applied
+# to the corpus in the same plan, and the certified surface is the
+# realized per-language sample counts. Rates derive from the ROUNDED
+# 6dp weight (the published output), so both engines floor the same
+# integer threshold; the oracle re-derives schedule, gate, and counts.
+@query(
+    "pipeline_curriculum_sample",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+    t AS (
+      SELECT lang, n_rows,
+             n_rows * 1.0 / sum(n_rows) OVER () AS actual,
+             pow(n_rows * 1.0 / sum(n_rows) OVER (),
+                 1.0 + (-0.7) * (3 * 1.0 / 3)) AS p
+      FROM c
+    ),
+    w AS (
+      SELECT lang, n_rows,
+             round((p / sum(p) OVER ()) / actual, 6) AS weight
+      FROM t
+    ),
+    r AS (SELECT lang, n_rows, least(weight, 1.0) AS rate FROM w),
+    g AS (
+      SELECT d.lang, count(*) AS n_sampled
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'cur3'), 1, 8)) AS BIGINT) % 1000000
+            < CAST(floor(r.rate * 1000000) AS BIGINT)
+      GROUP BY d.lang
+    )
+    SELECT r.lang, CAST(r.n_rows AS BIGINT) AS n_rows,
+           CAST(coalesce(g.n_sampled, 0) AS BIGINT) AS n_sampled,
+           round(r.rate, 6) AS rate,
+           round(coalesce(g.n_sampled, 0) * 1.0 / r.n_rows, 6) AS realized_frac
+    FROM r LEFT JOIN g USING (lang)
+    """,
+    doc="[EXT] X8 — curriculum epoch sampling: the epoch-3 (flattest) "
+    "annealed weights applied as md5 hash-gate rates in one plan — "
+    "|strata|-row rate table broadcast onto the corpus, selection "
+    "hash-keyed (partitioning-independent, idempotent); realized "
+    "per-language counts certified "
+    "(operators/sampling.curriculum_schedule + the hash_sample gate).",
+)
+def pipeline_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sched = sampling.curriculum_schedule(
+        docs, "lang", n_epochs=4, alpha_start=1.0, alpha_end=0.3
+    ).filter(F.col("epoch") == 3)
+    rates = sched.select(
+        "lang", "n_rows", F.least(F.col("weight"), F.lit(1.0)).alias("rate")
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cur3"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(gate < F.floor(F.col("rate") * 1_000_000).cast("bigint"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        F.round(F.col("rate"), 6).alias("rate"),
+        F.round(
+            F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_rows"), 6
+        ).alias("realized_frac"),
+    )
