@@ -336,6 +336,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "dq_skew_profile",
     # round 10: scratch-write lifecycle (range write + footer readback)
     "lc_sorted_export",
+    # round 10: schedule + hash gate + count, scan-bound
+    "pipeline_curriculum_sample",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
