@@ -85,3 +85,31 @@ def count_min_estimate(
         .groupBy(item_col)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
+    """Join-size estimation from two count-min sketches (Cormode &
+    Muthukrishnan 2005 §4.2, the inner-product query): for sketches of
+    the two join columns built with the SAME (depth, width, salt),
+
+        est = min over rows d of  Σ_bucket  cntA[d,b] · cntB[d,b]
+
+    — an upper bound on the true equi-join cardinality
+    Σ_k fA(k)·fB(k) (collisions only ADD cross terms, so ``est >=
+    true`` always; the published analysis bounds the excess by
+    ε·|A|·|B| per row w.h.p.). At 100 TB this answers "how big is this
+    join going to be" from two KB-sized summaries kept per
+    table/partition — no scan of either side at planning time.
+
+    Inputs are (d, bucket, cnt) frames from :func:`count_min_build`.
+    The arithmetic is depth×width-bounded: one equi-join of two tiny
+    frames, one sum per row, one min. Returns one row (est_join_size).
+    """
+    prod = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.d") == F.col("b.d")) & (F.col("a.bucket") == F.col("b.bucket")),
+    )
+    per_row = prod.groupBy(F.col("a.d").alias("d")).agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip")
+    )
+    return per_row.agg(F.min("ip").cast("bigint").alias("est_join_size"))

@@ -372,3 +372,75 @@ def f_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_under"),
     )
+
+
+# ----------------------------------------------------------------------
+# CMS inner-product join-size estimate (round 10): the published
+# count-min application a planner actually uses — "how big is this
+# equi-join" answered from two KB-sized sketches without scanning
+# either side. Width 64 << 150 keys forces real collision cross-terms,
+# so the one-sided bound (est >= true, asserted) is non-trivially
+# exercised; DuckDB re-derives both sketches, the inner product, AND
+# the exact join size.
+@query(
+    "f_cms_join_estimate",
+    oracle="""
+    WITH ea AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    eb AS (SELECT CAST(o_custkey % 150 AS VARCHAR) AS item FROM orders),
+    ds AS (SELECT range AS d FROM range(0, 4)),
+    sa AS (
+      SELECT d,
+             CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ea CROSS JOIN ds GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT d,
+             CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM eb CROSS JOIN ds GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT sa.d, sum(sa.cnt * sb.cnt) AS ip
+      FROM sa JOIN sb USING (d, bucket) GROUP BY sa.d
+    ),
+    est AS (SELECT min(ip) AS e FROM ip),
+    tru AS (
+      SELECT sum(ca.c * cb.c) AS t
+      FROM (SELECT item, count(*) AS c FROM ea GROUP BY item) ca
+      JOIN (SELECT item, count(*) AS c FROM eb GROUP BY item) cb USING (item)
+    )
+    SELECT CAST(est.e AS BIGINT) AS est_join_size,
+           CAST(tru.t AS BIGINT) AS true_join_size,
+           est.e >= tru.t AS never_under
+    FROM est CROSS JOIN tru
+    """,
+    doc="[EXT] sketch tier — CMS inner-product join-cardinality "
+    "estimate (Cormode 2005 §4.2): est = min_d sum_b cntA*cntB over "
+    "two width-64 sketches of events.user_id and orders.o_custkey%150; "
+    "one-sided est >= true asserted, exact join size re-derived "
+    "(operators/sketches.cms_inner_product).",
+)
+def f_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import sketches
+
+    ea = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    eb = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).cast("string").alias("item")
+    )
+    sa = sketches.count_min_build(ea, "item", depth=4, width=64)
+    sb = sketches.count_min_build(eb, "item", depth=4, width=64)
+    est = sketches.cms_inner_product(sa, sb)
+    ca = ea.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    cb = eb.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    tru = (
+        ca.join(cb, "item")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(tru)).select(
+        "est_join_size",
+        "true_join_size",
+        (F.col("est_join_size") >= F.col("true_join_size")).alias("never_under"),
+    )
