@@ -1340,3 +1340,62 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 3) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """X2/X4 [EXT] — CONTENT-DEFINED chunking (round 10): split each
+    document at token positions whose local k-gram hash ≡ 0 mod
+    ``divisor`` (the rolling-hash boundary rule of LBFS/rsync-style
+    chunking, Muthitacharoen et al. 2001, public). Fixed-stride
+    chunking (`chunk_text`) mis-aligns every chunk after an insertion;
+    CDC boundaries depend ONLY on local content, so chunks re-align
+    right after an edit and chunk-hash dedup catches shifted
+    near-copies — the span-dedup upgrade for versioned/boilerplate
+    corpora (mean chunk length ≈ ``divisor`` tokens).
+
+    Pure projection: gram hashes, the boundary filter, and the
+    consecutive-boundary slicing are all higher-order functions over
+    the token array — no join, no shuffle, scan-bound at any scale
+    (the `winnow_fingerprint` discipline, same engine-portable md5
+    gram hash). Emits (id_col, chunk_id, start_tok, n_toks,
+    chunk_sha) — one row per chunk; group on ``chunk_sha`` for
+    cross-document span dedup.
+    """
+    base = df.select(F.col(id_col), _toks(text_col).alias("toks"))
+    n = F.size(F.col("toks"))
+    gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    ng = F.greatest(n - k + 1, F.lit(1))
+    bounds = F.filter(
+        F.sequence(F.lit(1), ng),
+        lambda i: gram_hash(F.concat_ws(" ", F.slice(F.col("toks"), i, k)))
+        % divisor
+        == 0,
+    )
+    starts = F.array_distinct(F.concat(F.array(F.lit(1)), bounds))
+    ends = F.concat(F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))), F.array(n + 1))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.cast("bigint").alias("start_tok"),
+            (e - s).cast("bigint").alias("n_toks"),
+            F.sha2(F.array_join(F.slice(F.col("toks"), s, e - s), " "), 256).alias(
+                "chunk_sha"
+            ),
+        ),
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_toks").alias("n_toks"),
+        F.col("c.chunk_sha").alias("chunk_sha"),
+    )

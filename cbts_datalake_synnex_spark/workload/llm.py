@@ -4875,3 +4875,63 @@ def pipeline_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_rows"), 6
         ).alias("realized_frac"),
     )
+
+
+# ----------------------------------------------------------------------
+# X2/X4 — content-defined chunking (round 10): rolling-hash boundary
+# chunking (the LBFS/rsync rule) as a pure projection — the
+# span-dedup upgrade robust to insertions, where fixed-stride chunks
+# mis-align. DuckDB replicates every higher-order step (gram hashes,
+# boundary filter, consecutive-boundary slicing, per-chunk sha) with
+# list_* functions — note list_slice's INCLUSIVE end vs Spark
+# slice's length argument.
+@query(
+    "x2_cdc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks, n,
+        list_sort(list_distinct(list_prepend(CAST(1 AS BIGINT),
+          list_filter(generate_series(CAST(1 AS BIGINT), CAST(greatest(n - 2, 1) AS BIGINT)),
+            i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 8)) AS BIGINT) % 8 = 0
+          )))) AS starts
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks, starts,
+             list_append(list_slice(starts, 2, len(starts)),
+                         CAST(n + 1 AS BIGINT)) AS ends
+      FROM b
+    ),
+    x AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(starts)),
+               j -> struct_pack(
+                      cid := j - 1,
+                      start_tok := starts[j],
+                      n_toks := ends[j] - starts[j],
+                      chunk_sha := sha256(array_to_string(
+                        list_slice(toks, starts[j], ends[j] - 1), ' '))
+                    ))) AS ch
+      FROM c
+    )
+    SELECT doc_id, CAST(ch.cid AS INT) AS chunk_id,
+           CAST(ch.start_tok AS BIGINT) AS start_tok,
+           CAST(ch.n_toks AS BIGINT) AS n_toks,
+           ch.chunk_sha
+    FROM x
+    """,
+    doc="[EXT] X2 — content-defined chunking (k=3 gram hash % 8 = 0 "
+    "boundaries, mean chunk ~8 tokens): pure-projection rolling-hash "
+    "splitter whose chunks re-align after edits, enabling shift-"
+    "robust chunk-hash span dedup (operators/text.cdc_chunks).",
+)
+def x2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, "doc_id", "text", k=3, divisor=8)

@@ -1329,3 +1329,39 @@ def test_interval_overlap_join_avoids_nested_loop(spark):
         "simple",
     )
     assert "NestedLoop" not in plan, plan
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The content-defined property: prepending tokens shifts every
+    position, yet most chunk hashes survive (boundaries are local);
+    fixed-stride chunking loses essentially all of them. Also checks
+    the chunk partition is exact: chunks tile the doc."""
+    from cbts_datalake_synnex_spark.operators.text import cdc_chunks, chunk_text
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    edited = "zz1 zz2 zz3 " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id bigint, text string"
+    )
+    rows = cdc_chunks(df, "doc_id", "text", k=3, divisor=8).collect()
+    by_doc: dict = {1: [], 2: []}
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    # exact tiling: starts/lengths partition [1, n]
+    for doc, text in ((1, base), (2, edited)):
+        n = len(text.split(" "))
+        chs = sorted(by_doc[doc], key=lambda r: r["start_tok"])
+        assert chs[0]["start_tok"] == 1
+        assert sum(c["n_toks"] for c in chs) == n
+        for a, b in zip(chs, chs[1:]):
+            assert a["start_tok"] + a["n_toks"] == b["start_tok"]
+    sha1 = {r["chunk_sha"] for r in by_doc[1]}
+    sha2 = {r["chunk_sha"] for r in by_doc[2]}
+    cdc_overlap = len(sha1 & sha2) / len(sha1)
+    assert cdc_overlap >= 0.8, f"CDC chunk survival {cdc_overlap:.2f}"
+    # fixed-stride baseline on the same pair: alignment destroyed
+    fx = chunk_text(df, "doc_id", "text", chunk_tokens=8, stride=8).collect()
+    f1 = {r["chunk"] for r in fx if r["doc_id"] == 1}
+    f2 = {r["chunk"] for r in fx if r["doc_id"] == 2}
+    fixed_overlap = len(f1 & f2) / len(f1)
+    assert fixed_overlap < 0.2, f"fixed-stride survived {fixed_overlap:.2f}?"
