@@ -338,6 +338,10 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "lc_sorted_export",
     # round 10: schedule + hash gate + count, scan-bound
     "pipeline_curriculum_sample",
+    # round 10: two KB sketches + a depth-row reduce
+    "f_cms_join_estimate",
+    # round 10: pure-projection rolling-hash splitter
+    "x2_cdc_chunks",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

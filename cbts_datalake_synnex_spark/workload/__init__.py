@@ -179,7 +179,8 @@ _ROUND8_FRONT = [
 #   j_pagerank_bucketed, t_stream_sessionize, x8_curriculum_schedule,
 #   j_label_propagation, j5_interval_overlap_join, f_count_min_sketch,
 #   dq_column_profile, dq_skew_profile, lc_sorted_export,
-#   lc_index_compact, t_stream_cms, pipeline_curriculum_sample
+#   lc_index_compact, t_stream_cms, pipeline_curriculum_sample,
+#   f_cms_join_estimate, x2_cdc_chunks
 # (remaining slots re-certify the r10 then r9 fronts.)
 _ROUND10_FRONT = [
     "t_sessionize",
