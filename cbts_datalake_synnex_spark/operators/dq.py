@@ -10,7 +10,7 @@ rule costs an expression, never another pass.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -352,4 +352,71 @@ def column_profile(
         F.col("p.n_nulls").alias("n_nulls"),
         F.round(F.col("p.n_nulls") / F.col("n_rows"), round_dp).alias("null_frac"),
         F.col("p.n_distinct").alias("n_distinct"),
+    )
+
+
+def ks_test_report(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    round_values_dp: int = 2,
+    round_dp: int = 6,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """DQ [EXT] — exact two-sample Kolmogorov-Smirnov drift test
+    (round 10): KS = sup_v |F_a(v) - F_b(v)|, the distribution-shape
+    complement of the binned PSI report (PSI sees mass shifts between
+    fixed bins; KS sees any CDF divergence, bin-free). Decision at
+    the classic large-sample critical value ``c(alpha)·sqrt((n1+n2)/
+    (n1·n2))`` (c = 1.358 ⇒ alpha ≈ 0.05).
+
+    Scale shape — the distribution-table discipline: values are
+    rounded to ``round_values_dp`` FIRST (bounding the distinct-value
+    table by the rounding grid — the documented contract; raw doubles
+    would make "distinct values" corpus-sized), each side collapses
+    to a (v, cnt) hash aggregate, the two tables full-outer join on
+    v, and ONE window over the grid-bounded union computes both
+    running CDFs. The sup and the decision are a final one-row
+    aggregate. Exact and engine-replicable: counts are integers, CDFs
+    divide raw sums, only the emitted statistic is rounded.
+
+    Returns one row (n_a, n_b, ks_stat, ks_crit, drifted).
+    """
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.round(F.col(value_col), round_values_dp).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    da = dist(a, "ca")
+    db = dist(b, "cb")
+    u = da.join(db, "v", "full").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wa = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cdf = u.select(
+        (F.sum("ca").over(w) / F.sum("ca").over(wa)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wa)).alias("fb"),
+        F.sum("ca").over(wa).alias("n_a"),
+        F.sum("cb").over(wa).alias("n_b"),
+    )
+    crit = F.lit(float(alpha_c)) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+    )
+    return cdf.groupBy("n_a", "n_b").agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), round_dp).alias("ks_stat")
+    ).select(
+        "n_a",
+        "n_b",
+        "ks_stat",
+        F.round(crit, round_dp).alias("ks_crit"),
+        (
+            F.round(F.col("ks_stat"), round_dp) > F.round(crit, round_dp)
+        ).alias("drifted"),
     )

@@ -1610,3 +1610,55 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("props"),
     )
     return column_profile(ev)
+
+
+# ----------------------------------------------------------------------
+# DQ [EXT] — exact two-sample KS drift test (round 10): the bin-free
+# complement of dq_psi_drift, on the purchase-vs-click value
+# distributions. Values round to 2dp FIRST (bounding the distinct
+# table by the grid — the distribution-table contract), then one
+# full-outer join + one window over the grid computes both CDFs; the
+# decision uses the classic alpha=0.05 critical value. DuckDB
+# restates every step.
+@query(
+    "dq_ks_test",
+    oracle="""
+    WITH a AS (SELECT round(value, 2) AS v FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT round(value, 2) AS v FROM events WHERE event_type = 'click'),
+    ca AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY v),
+    cb AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+    u AS (
+      SELECT coalesce(ca.v, cb.v) AS v,
+             coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+      FROM ca FULL JOIN cb ON ca.v = cb.v
+    ),
+    cdf AS (
+      SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+               / sum(ca) OVER () AS fa,
+             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+               / sum(cb) OVER () AS fb,
+             sum(ca) OVER () AS n_a,
+             sum(cb) OVER () AS n_b
+      FROM u
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(max(abs(fa - fb)), 6) AS ks_stat,
+           round(1.358 * sqrt((n_a + n_b) * 1.0 / (n_a * n_b)), 6) AS ks_crit,
+           round(max(abs(fa - fb)), 6)
+             > round(1.358 * sqrt((n_a + n_b) * 1.0 / (n_a * n_b)), 6) AS drifted
+    FROM cdf GROUP BY n_a, n_b
+    """,
+    doc="DQ [EXT] — exact two-sample Kolmogorov-Smirnov test on "
+    "2dp-rounded value distributions (purchase vs click): grid-bounded "
+    "(v, cnt) tables, one full-outer join + one window for both CDFs, "
+    "alpha=0.05 critical value (operators/dq.ks_test_report).",
+)
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import ks_test_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_test_report(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        "value",
+    )
