@@ -635,3 +635,53 @@ def temporal_split(
         )
         .drop("__c")
     )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: DataFrame,
+    salt: str = "rep",
+) -> DataFrame:
+    """X8 [EXT] — OVERSAMPLING as epoch-repeat factors (round 10):
+    the half `mixture_resample` deliberately leaves out ("weight >= 1
+    keeps the whole stratum — oversampling is an epoch-repeat
+    concern, not a filter's"), now implemented: per document,
+
+        n_repeats = floor(w) + [hash_gate(id, salt) < frac(w)]
+
+    so a stratum with weight 2.3 emits every doc twice and a
+    deterministic md5-chosen 30% a third time — expectation exactly
+    w per doc, zero RNG, idempotent on re-run (the engine's
+    hash-gate discipline). ``weights`` is the (strata_col, weight)
+    frame from `temperature_mixture_weights`/`curriculum_schedule`
+    (weights pre-rounded on their 6dp grid, so both engines floor the
+    same thresholds).
+
+    Scale shape: the |strata|-row weight table broadcasts onto the
+    corpus, n_repeats is a codegen projection, and the instance blow-up
+    is an ``explode(sequence(1, n))`` bounded by ceil(max weight) —
+    the epoch materialization a training loader consumes, with
+    ``copy_idx`` distinguishing repeats for shuffle-key derivation.
+    Returns the input columns + (n_repeats, copy_idx), one row per
+    INSTANCE (docs with n_repeats = 0 drop).
+    """
+    w_floor = F.floor(F.col("weight")).cast("bigint")
+    frac_thresh = F.floor((F.col("weight") - w_floor) * 1_000_000).cast("bigint")
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    n_rep = (w_floor + F.when(gate < frac_thresh, 1).otherwise(0)).alias("n_repeats")
+    base = df.join(F.broadcast(weights.select(strata_col, "weight")), strata_col)
+    reps = base.select("*", n_rep).filter(F.col("n_repeats") > 0)
+    return reps.select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("n_repeats"))).alias("copy_idx")
+    ).drop("weight")

@@ -4935,3 +4935,56 @@ def x2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs, "doc_id", "text", k=3, divisor=8)
+
+
+# ----------------------------------------------------------------------
+# X8 — epoch-repeat oversampling (round 10): the half
+# mixture_resample leaves to "an epoch-repeat concern", implemented —
+# weight 2.3 emits every doc twice and an md5-chosen 30% a third
+# time (expectation exactly w, zero RNG, idempotent). Weights are the
+# temperature-flattened 0.3 mixture, so rare languages genuinely
+# oversample (w > 1) and the dominant one fractionally downsamples.
+# DuckDB re-derives the weights, every per-doc repeat count, and the
+# per-language instance totals.
+@query(
+    "pipeline_epoch_repeat",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+    t AS (
+      SELECT lang, n_rows,
+             n_rows * 1.0 / sum(n_rows) OVER () AS actual,
+             pow(n_rows * 1.0 / sum(n_rows) OVER (), 0.3) AS p
+      FROM c
+    ),
+    w AS (SELECT lang, round((p / sum(p) OVER ()) / actual, 6) AS weight FROM t),
+    d AS (
+      SELECT doc_id, documents.lang,
+             CAST(floor(weight) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'rep'), 1, 8)) AS BIGINT) % 1000000
+                     < CAST(floor((weight - floor(weight)) * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_repeats
+      FROM documents JOIN w USING (lang)
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE n_repeats > 0) AS BIGINT) AS n_docs_repeated,
+           CAST(sum(n_repeats) AS BIGINT) AS n_instances,
+           CAST(max(n_repeats) AS BIGINT) AS max_copy
+    FROM d GROUP BY lang
+    HAVING sum(n_repeats) > 0
+    """,
+    doc="[EXT] X8 — epoch-repeat oversampling: temperature-0.3 "
+    "mixture weights applied as floor(w) + md5-gated fractional "
+    "repeats, exploded to epoch instances with copy_idx; per-language "
+    "instance totals certified (operators/sampling.epoch_repeat).",
+)
+def pipeline_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = sampling.temperature_mixture_weights(docs, "lang", alpha=0.3).select(
+        "lang", "weight"
+    )
+    inst = sampling.epoch_repeat(docs, "doc_id", "lang", w, salt="rep")
+    return inst.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs_repeated"),
+        F.count(F.lit(1)).cast("bigint").alias("n_instances"),
+        F.max("copy_idx").cast("bigint").alias("max_copy"),
+    )
