@@ -342,6 +342,10 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "f_cms_join_estimate",
     # round 10: pure-projection rolling-hash splitter
     "x2_cdc_chunks",
+    # round 10: grid-bounded CDF window + one-row decision
+    "dq_ks_test",
+    # round 10: broadcast weights + bounded explode
+    "pipeline_epoch_repeat",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -180,7 +180,8 @@ _ROUND8_FRONT = [
 #   j_label_propagation, j5_interval_overlap_join, f_count_min_sketch,
 #   dq_column_profile, dq_skew_profile, lc_sorted_export,
 #   lc_index_compact, t_stream_cms, pipeline_curriculum_sample,
-#   f_cms_join_estimate, x2_cdc_chunks
+#   f_cms_join_estimate, x2_cdc_chunks, dq_ks_test,
+#   pipeline_epoch_repeat
 # (remaining slots re-certify the r10 then r9 fronts.)
 _ROUND10_FRONT = [
     "t_sessionize",
