@@ -88,6 +88,91 @@ def asof_join(
     return carried.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS)
 
 
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    tiebreak: str,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """As-of join, NEAREST direction (round 10) — pandas
+    ``merge_asof(direction='nearest')``, which neither Spark nor the
+    ``<=``-only :func:`asof_join` expresses: for each left row, the
+    right row minimizing ``|left_ts - right_ts|`` within the key
+    group, optionally within ``tolerance`` (same units as the ts
+    columns), ties broken toward the EARLIER right row (backward
+    wins), then by ``tiebreak`` (backward candidate = max
+    (ts, tiebreak) at-or-before; forward = min (ts, tiebreak)
+    at-or-after — fully deterministic).
+
+    Same linear shape as :func:`asof_join` — tag, union, ONE shuffle
+    on the key, one sort — but TWO window passes over the same sorted
+    partition (last-preceding and first-following right row), then a
+    codegen pick of the nearer side. No candidate join, no
+    O(|L|·|R|/keys) fan-out. Timestamp columns must be numeric (cast
+    to epoch first). Returns the left rows + (``value_col``,
+    ``matched_ts``, ``matched_dir`` ∈ {'b','f', NULL}).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    left_cols = list(left.columns)
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__rv"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__rtb"),
+    )
+    r = right.select(
+        *keys,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in keys
+        ],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.col(value_col).alias("__rv"),
+        F.col(tiebreak).alias("__rtb"),
+    ).select(*left_cols, _TS, _SIDE, "__rv", "__rtb")
+    u = l.unionByName(r)
+    order = [F.asc(_TS), F.asc(_SIDE), F.asc_nulls_last("__rtb")]
+    wb = (
+        W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy(*keys).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    )
+    right_only = lambda c: F.when(F.col(_SIDE) == 0, F.col(c))  # noqa: E731
+    carried = u.select(
+        *left_cols,
+        _TS,
+        _SIDE,
+        F.last(right_only("__rv"), ignorenulls=True).over(wb).alias("__bv"),
+        F.last(right_only(_TS), ignorenulls=True).over(wb).alias("__bt"),
+        F.first(right_only("__rv"), ignorenulls=True).over(wf).alias("__fv"),
+        F.first(right_only(_TS), ignorenulls=True).over(wf).alias("__ft"),
+    ).filter(F.col(_SIDE) == 1)
+    bd = F.col(_TS) - F.col("__bt")
+    fd = F.col("__ft") - F.col(_TS)
+    if tolerance is not None:
+        b_ok = F.col("__bt").isNotNull() & (bd <= F.lit(int(tolerance)))
+        f_ok = F.col("__ft").isNotNull() & (fd <= F.lit(int(tolerance)))
+    else:
+        b_ok = F.col("__bt").isNotNull()
+        f_ok = F.col("__ft").isNotNull()
+    use_b = b_ok & (~f_ok | (bd <= fd))
+    use_f = f_ok & ~use_b
+    return carried.select(
+        *left_cols,
+        F.when(use_b, F.col("__bv")).when(use_f, F.col("__fv")).alias(value_col),
+        F.when(use_b, F.col("__bt")).when(use_f, F.col("__ft")).alias("matched_ts"),
+        F.when(use_b, F.lit("b")).when(use_f, F.lit("f")).alias("matched_dir"),
+    )
+
+
 def banded_interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -924,3 +924,76 @@ def j5_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("odur").cast("bigint").alias("total_overlap_us"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# J6b — as-of join, NEAREST direction (round 10): pandas
+# merge_asof(direction='nearest') — each error event matched to the
+# temporally closest purchase by the same user within 10 minutes,
+# backward winning ties. One union + one key shuffle + two window
+# passes (no candidate join); the oracle states both directional
+# candidates and the pick explicitly.
+@query(
+    "j6_asof_nearest",
+    oracle="""
+    WITH l AS (
+      SELECT event_id AS lid, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT event_id AS rid, user_id, epoch_us(ts) AS t, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT lid, value, t FROM (
+        SELECT l.lid, r.value, r.t,
+               row_number() OVER (PARTITION BY l.lid ORDER BY r.t DESC, r.rid DESC) AS rn
+        FROM l JOIN r ON l.user_id = r.user_id AND r.t <= l.t
+      ) WHERE rn = 1
+    ),
+    f AS (
+      SELECT lid, value, t FROM (
+        SELECT l.lid, r.value, r.t,
+               row_number() OVER (PARTITION BY l.lid ORDER BY r.t ASC, r.rid ASC) AS rn
+        FROM l JOIN r ON l.user_id = r.user_id AND r.t > l.t
+      ) WHERE rn = 1
+    ),
+    j AS (
+      SELECT l.lid, l.user_id, l.t,
+             b.value AS bv, b.t AS bt, f.value AS fv, f.t AS ft,
+             (b.t IS NOT NULL AND l.t - b.t <= 600000000) AS b_ok,
+             (f.t IS NOT NULL AND f.t - l.t <= 600000000) AS f_ok
+      FROM l LEFT JOIN b ON b.lid = l.lid LEFT JOIN f ON f.lid = l.lid
+    )
+    SELECT lid AS event_id, user_id,
+           CASE WHEN b_ok AND (NOT f_ok OR t - bt <= ft - t) THEN bv
+                WHEN f_ok THEN fv END AS value,
+           CAST(CASE WHEN b_ok AND (NOT f_ok OR t - bt <= ft - t) THEN bt
+                     WHEN f_ok THEN ft END AS BIGINT) AS matched_ts,
+           CASE WHEN b_ok AND (NOT f_ok OR t - bt <= ft - t) THEN 'b'
+                WHEN f_ok THEN 'f' END AS matched_dir
+    FROM j
+    """,
+    doc="SURVEY §2.5 J6b — nearest-direction as-of join (pandas "
+    "merge_asof direction='nearest', 10-minute tolerance, backward "
+    "tie): union + one key shuffle + two window passes, no candidate "
+    "join (operators/joins.asof_nearest).",
+)
+def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import joins
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        F.unix_micros("ts").alias("rt"),
+        "value",
+    )
+    out = joins.asof_nearest(
+        left, right, on="user_id", left_ts="t", right_ts="rt",
+        value_col="value", tiebreak="rid", tolerance=600_000_000,
+    )
+    return out.select("event_id", "user_id", "value", "matched_ts", "matched_dir")
