@@ -2804,6 +2804,7 @@ def update_dedup_index(
 def compact_dedup_index(
     engine: "LakeEngine",
     index_name: str,
+    parallelism: int = 1,
 ) -> None:
     """Maintenance for the persistent near-dup admission index
     (round 10 — the index sibling of `lc_snapshot_vacuum`): nightly
@@ -2834,12 +2835,54 @@ def compact_dedup_index(
         (f"{index_name}_entries", spark.table(engine.qualified(f"{index_name}_entries"))),
     ):
         staged = engine.qualified(f"{tbl}_compact")
-        write_bucketed(spark, frame, staged, ["sh"], nb)
+        # one file per non-empty bucket at parallelism=1
+        # (see compact_ann_index's file-count note)
+        write_bucketed(
+            spark, frame.repartition(int(parallelism)), staged, ["sh"], nb
+        )
         # staged twin fully materialized before the live table is
         # touched; DROP + RENAME swaps catalogs (bucket spec travels
         # with the table), atomic-enough for a single-writer window
         spark.sql(f"DROP TABLE {engine.qualified(tbl)}")
         spark.sql(f"ALTER TABLE {staged} RENAME TO {engine.qualified(tbl)}")
+
+
+def compact_ann_index(
+    engine: "LakeEngine",
+    index_name: str,
+    parallelism: int = 1,
+) -> None:
+    """Maintenance for the persistent IVF ANN index — the similarity
+    sibling of :func:`compact_dedup_index` (round 10): every
+    frozen-centroid append (`update_ann_index`) adds a file set to the
+    postings table; after many nights the bucketed scan reads many
+    small files per bucket. Compaction rewrites the postings ONCE
+    under the meta-pinned bucket spec via the same staged DROP+RENAME
+    swap — contents identical (probe equality is certified by the
+    registry query), file set fresh, the bucketed-motionless probe
+    property preserved (the post-compaction probe re-runs the
+    zero-exchange plan pin)."""
+    spark = engine.spark
+    meta = spark.table(engine.qualified(f"{index_name}_meta")).first()
+    nb = int(meta["n_buckets"])
+    tbl = f"{index_name}_postings"
+    staged = engine.qualified(f"{tbl}_compact")
+    # the bucketed writer emits one file per (task, bucket), so output
+    # file count = parallelism × buckets-touched-per-task (measured:
+    # key-hash repartitioning does NOT align tasks with bucket ids).
+    # parallelism=1 gives exactly one file per non-empty bucket — the
+    # full defrag; raise it when one task can't hold the table and
+    # accept `parallelism` files per bucket, still a collapse from
+    # nights × tasks after a year of appends.
+    write_bucketed(
+        spark,
+        spark.table(engine.qualified(tbl)).repartition(int(parallelism)),
+        staged,
+        ["cell"],
+        nb,
+    )
+    spark.sql(f"DROP TABLE {engine.qualified(tbl)}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {engine.qualified(tbl)}")
 
 
 def write_sorted(

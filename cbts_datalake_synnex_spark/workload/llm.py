@@ -4988,3 +4988,99 @@ def pipeline_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_instances"),
         F.max("copy_idx").cast("bigint").alias("max_copy"),
     )
+
+
+# ----------------------------------------------------------------------
+# K++ [EXT] — ANN-index compaction (round 10): the IVF sibling of
+# lc_index_compact — nightly frozen-centroid appends fragment the
+# postings file set; engine.compact_ann_index rewrites it once under
+# the meta-pinned bucket spec (staged DROP+RENAME). Certified on a
+# live index: file count strictly shrinks, the post-compaction probe
+# still plans as a motionless bucketed read (the x3_ann_index_probe
+# pin re-asserted), and probe results are IDENTICAL pre/post —
+# stated end-to-end by the exact exhaustive top-5 oracle.
+@query(
+    "lc_ann_compact",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM q JOIN e ON e.vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="K++ [EXT] — ANN postings compaction "
+    "(engine.compact_ann_index): fragmented append file sets "
+    "rewritten once under the meta-pinned bucket spec; file count "
+    "shrinks, the motionless-bucketed-probe pin re-asserted, probe "
+    "results certified identical pre/post via the exhaustive top-5 "
+    "oracle.",
+)
+def lc_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from cbts_datalake_synnex_spark.engine import compact_ann_index
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+    from cbts_datalake_synnex_spark.workload.lifecycle import (
+        _materialize,
+        _scratch_engine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    night1 = emb.filter(F.col("vec_id") % 3 != 0)
+    night2 = emb.filter(F.col("vec_id") % 3 == 0)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    with _scratch_engine(spark) as eng:
+        eng.build_ann_index("vix", night1, "vec_id", "embedding", n_cells=8, n_assign=1)
+        eng.update_ann_index("vix", night2, "vec_id", "embedding")
+
+        def n_files() -> int:
+            return (
+                spark.table(eng.qualified("vix_postings"))
+                .select(F.col("_metadata.file_path").alias("__f"))
+                .distinct()
+                .count()
+            )
+
+        before = eng.query_ann_index(
+            "vix", q, "vec_id", "embedding", k=5, n_probe=8, exclude_self=True
+        ).localCheckpoint()
+        pre_files = n_files()
+        compact_ann_index(eng, "vix")
+        post_files = n_files()
+        if post_files >= pre_files:
+            raise RuntimeError(
+                f"compaction did not shrink the postings file set "
+                f"({pre_files} -> {post_files})"
+            )
+        after = eng.query_ann_index(
+            "vix", q, "vec_id", "embedding", k=5, n_probe=8, exclude_self=True
+        )
+        plan = explain_str(after, "formatted")
+        cell_ex = len(re.findall(r"hashpartitioning\(cell", plan))
+        if "Bucketed: true" not in plan or cell_ex != 1:
+            raise RuntimeError(
+                f"post-compaction probe is not a motionless bucketed read "
+                f"(cell exchanges={cell_ex}):\n{plan}"
+            )
+        # bounded comparison (|queries|·k rows): exceptAll over the live
+        # cogrouped plan trips a Catalyst bind bug, and both frames are
+        # report-sized anyway
+        after_m = _materialize(spark, after)
+        if sorted(map(tuple, after_m.collect())) != sorted(
+            map(tuple, before.collect())
+        ):
+            raise RuntimeError("probe results drifted across compaction")
+        return after_m
