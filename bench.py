@@ -346,6 +346,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "dq_ks_test",
     # round 10: broadcast weights + bounded explode
     "pipeline_epoch_repeat",
+    # round 10: one key shuffle + two window passes
+    "j6_asof_nearest",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
@@ -358,8 +360,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # Streaming replays (t_stream_* incl. round-10 t_stream_sessionize,
 # j_pagerank_bucketed's scratch-table lifecycle) are likewise
 # fixed-overhead certification paths, not wall-time signals. Same for
-# lc_index_compact (round 10): a full build+append+compact+two-probe
-# lifecycle — its steady-state cost is the admission_index_probe row.
+# lc_index_compact / lc_ann_compact (round 10): full
+# build+append+compact+two-probe lifecycles — their steady-state
+# costs are the admission_index_probe / x3_knn_join rows.
 
 
 def main() -> None:

@@ -181,7 +181,7 @@ _ROUND8_FRONT = [
 #   dq_column_profile, dq_skew_profile, lc_sorted_export,
 #   lc_index_compact, t_stream_cms, pipeline_curriculum_sample,
 #   f_cms_join_estimate, x2_cdc_chunks, dq_ks_test,
-#   pipeline_epoch_repeat
+#   pipeline_epoch_repeat, j6_asof_nearest, lc_ann_compact
 # (remaining slots re-certify the r10 then r9 fronts.)
 _ROUND10_FRONT = [
     "t_sessionize",
