@@ -2820,8 +2820,13 @@ def compact_dedup_index(
     equality on a live index.
 
     Rewrite staging: each table materializes to a ``_compact`` twin
-    first, then swaps via DROP+RENAME, so a failed compaction leaves
-    the live index untouched."""
+    first, then swaps via rename-aside (live → ``_old``, staged →
+    live, drop ``_old`` — :func:`_swap_staged_table`), so no point in
+    the swap has dropped data that isn't already fully staged: a
+    failure mid-swap leaves BOTH complete tables on disk and repair
+    is a single RENAME, never a rebuild (ADVICE r10 — the previous
+    DROP-then-RENAME order had a window where the only copy lived
+    under the staged name)."""
     spark = engine.spark
     meta = spark.table(engine.qualified(f"{index_name}_meta")).first()
     nb = int(meta["n_buckets"])
@@ -2840,11 +2845,7 @@ def compact_dedup_index(
         write_bucketed(
             spark, frame.repartition(int(parallelism)), staged, ["sh"], nb
         )
-        # staged twin fully materialized before the live table is
-        # touched; DROP + RENAME swaps catalogs (bucket spec travels
-        # with the table), atomic-enough for a single-writer window
-        spark.sql(f"DROP TABLE {engine.qualified(tbl)}")
-        spark.sql(f"ALTER TABLE {staged} RENAME TO {engine.qualified(tbl)}")
+        _swap_staged_table(engine, staged, engine.qualified(tbl))
 
 
 def compact_ann_index(
@@ -2881,8 +2882,25 @@ def compact_ann_index(
         ["cell"],
         nb,
     )
-    spark.sql(f"DROP TABLE {engine.qualified(tbl)}")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {engine.qualified(tbl)}")
+    _swap_staged_table(engine, staged, engine.qualified(tbl))
+
+
+def _swap_staged_table(engine: "LakeEngine", staged: str, live: str) -> None:
+    """Swap a fully-materialized staged table into the live name
+    WITHOUT a window where the only complete copy sits under a
+    non-live name (ADVICE r10): live renames aside to ``_old``, the
+    staged twin renames to live, and only then does ``_old`` drop.
+    A crash after step 1 leaves the data complete under ``_old``
+    (repair = one RENAME back); after step 2 the live name already
+    resolves to the new table and ``_old`` is garbage. Bucket specs
+    travel with the table through RENAME. A stale ``_old`` twin from
+    a previous crashed swap is dropped up front."""
+    spark = engine.spark
+    old = f"{live}_old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {live} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {live}")
+    spark.sql(f"DROP TABLE {old}")
 
 
 def write_sorted(
@@ -3016,7 +3034,17 @@ def update_ann_index(
         spark.table(engine.qualified(f"{index_name}_cells")).orderBy("cell").collect()
     )
     cents = [list(r["centroid"]) for r in cent_rows]
-    incoming_ids = vectors.select(F.col(id_col)).distinct()
+    # Dedup WITHIN the incoming batch first (ADVICE r10): duplicate ids
+    # inside one batch would insert duplicate postings just like ids
+    # already indexed, re-creating the per-cell top-k slot-poisoning
+    # the existing-id guard prevents. One row per id, deterministic
+    # pick (min by vector) so repeated calls stay idempotent.
+    vectors = (
+        vectors.groupBy(id_col)
+        .agg(F.min(F.struct(F.col(vec_col).alias("v"))).alias("__one"))
+        .select(F.col(id_col), F.col("__one.v").alias(vec_col))
+    )
+    incoming_ids = vectors.select(F.col(id_col))
     dup_ids = (
         spark.table(engine.qualified(f"{index_name}_postings"))
         .select(F.col("cand_id").alias(id_col))

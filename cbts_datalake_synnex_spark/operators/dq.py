@@ -380,11 +380,19 @@ def ks_test_report(
     aggregate. Exact and engine-replicable: counts are integers, CDFs
     divide raw sums, only the emitted statistic is rounded.
 
+    NULLs are excluded before grouping (ADVICE r10): a NULL value is
+    not a point on either CDF — kept, each side's NULL bucket would
+    never meet in the full-outer join (two separate rows) and engines
+    disagree on NULL's window sort position (Spark first, DuckDB
+    last), making the statistic engine-dependent and statistically
+    meaningless. n_a/n_b therefore count non-NULL observations.
+
     Returns one row (n_a, n_b, ks_stat, ks_crit, drifted).
     """
     def dist(df: DataFrame, name: str) -> DataFrame:
         return (
-            df.select(F.round(F.col(value_col), round_values_dp).alias("v"))
+            df.filter(F.col(value_col).isNotNull())
+            .select(F.round(F.col(value_col), round_values_dp).alias("v"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).cast("bigint").alias(name))
         )

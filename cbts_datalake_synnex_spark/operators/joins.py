@@ -145,16 +145,29 @@ def asof_nearest(
     wf = (
         W.partitionBy(*keys).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
     )
-    right_only = lambda c: F.when(F.col(_SIDE) == 0, F.col(c))  # noqa: E731
-    carried = u.select(
-        *left_cols,
-        _TS,
-        _SIDE,
-        F.last(right_only("__rv"), ignorenulls=True).over(wb).alias("__bv"),
-        F.last(right_only(_TS), ignorenulls=True).over(wb).alias("__bt"),
-        F.first(right_only("__rv"), ignorenulls=True).over(wf).alias("__fv"),
-        F.first(right_only(_TS), ignorenulls=True).over(wf).alias("__ft"),
-    ).filter(F.col(_SIDE) == 1)
+    # Carry ONE struct per direction so the emitted value and its
+    # matched_ts always come from the SAME right row — separate
+    # ignorenulls carries would skip a NULL-valued right row for the
+    # value but not the timestamp (ADVICE r10, medium).
+    right_row = F.when(F.col(_SIDE) == 0, F.struct(F.col(_TS).alias("t"), F.col("__rv").alias("v")))
+    carried = (
+        u.select(
+            *left_cols,
+            _TS,
+            _SIDE,
+            F.last(right_row, ignorenulls=True).over(wb).alias("__b"),
+            F.first(right_row, ignorenulls=True).over(wf).alias("__f"),
+        )
+        .filter(F.col(_SIDE) == 1)
+        .select(
+            *left_cols,
+            _TS,
+            F.col("__b.v").alias("__bv"),
+            F.col("__b.t").alias("__bt"),
+            F.col("__f.v").alias("__fv"),
+            F.col("__f.t").alias("__ft"),
+        )
+    )
     bd = F.col(_TS) - F.col("__bt")
     fd = F.col("__ft") - F.col(_TS)
     if tolerance is not None:

@@ -302,7 +302,15 @@ def preference_pairs(
     rejected_score, margin, n_candidates). Scores should arrive
     pre-rounded on the caller's grid so the extremes are
     engine-stable.
+
+    NULL scores carry no preference signal and are excluded up front
+    (ADVICE r10): NULL struct fields sort FIRST in Spark's struct
+    ordering, so an unfiltered NULL-score candidate would win the
+    ``min(struct(-score, id))`` extreme and emit NULL
+    chosen_score/margin. ``n_candidates`` counts scored candidates
+    only.
     """
+    df = df.filter(F.col(score_col).isNotNull())
     g = df.groupBy(prompt_col).agg(
         F.min(
             F.struct((-F.col(score_col)).alias("ns"), F.col(id_col).alias("pid"))

@@ -172,17 +172,39 @@ _ROUND8_FRONT = [
 # query-rows of the round-9 registry and retire the ledger's last
 # red. The remaining 22 window slots re-certify the round-9 then
 # round-8 fronts (first occurrence wins on overlap).
-# TODO(round 11): rotate `_ROUND11_FRONT` = the registry entries added
-# after the round-10 window froze (all local-oracle green, judge-sim
-# green via scripts/check_all.py) to close lifetime driver coverage at
-# the full round-10 registry:
-#   j_pagerank_bucketed, t_stream_sessionize, x8_curriculum_schedule,
-#   j_label_propagation, j5_interval_overlap_join, f_count_min_sketch,
-#   dq_column_profile, dq_skew_profile, lc_sorted_export,
-#   lc_index_compact, t_stream_cms, pipeline_curriculum_sample,
-#   f_cms_join_estimate, x2_cdc_chunks, dq_ks_test,
-#   pipeline_epoch_repeat, j6_asof_nearest, lc_ann_compact
-# (remaining slots re-certify the r10 then r9 fronts.)
+# Round 11: the 18 registry entries added after the round-10 window
+# froze (all local-oracle green, judge-sim green via
+# scripts/check_all.py in VERDICT r10). Green CORRECTNESS_r11 rows
+# close lifetime driver coverage at the full round-10 registry
+# (237/237). The remaining 32 window slots re-certify the round-10
+# then round-9 fronts (first occurrence wins on overlap); round-11-new
+# queries appended after this list stay local-oracle-only until the
+# round-12 rotation.
+# TODO(round 12): rotate `_ROUND12_FRONT` = the registry entries added
+# after the round-11 window froze (see git log for this round's
+# additions, e.g. j_lpa_bucketed, x2_weighted_minhash_pairs,
+# t_stream_heartbeat, f_join_size_estimate, j6_asof_nearest_strict).
+_ROUND11_FRONT = [
+    "j_pagerank_bucketed",
+    "t_stream_sessionize",
+    "x8_curriculum_schedule",
+    "j_label_propagation",
+    "j5_interval_overlap_join",
+    "f_count_min_sketch",
+    "dq_column_profile",
+    "dq_skew_profile",
+    "lc_sorted_export",
+    "lc_index_compact",
+    "t_stream_cms",
+    "pipeline_curriculum_sample",
+    "f_cms_join_estimate",
+    "x2_cdc_chunks",
+    "dq_ks_test",
+    "pipeline_epoch_repeat",
+    "j6_asof_nearest",
+    "lc_ann_compact",
+]
+
 _ROUND10_FRONT = [
     "t_sessionize",
     "x2_index_admission",
@@ -240,7 +262,8 @@ _ROUND9_FRONT = [
 def _rotate_registry() -> None:
     order = list(
         dict.fromkeys(
-            _ROUND10_FRONT
+            _ROUND11_FRONT
+            + _ROUND10_FRONT
             + _ROUND9_FRONT
             + _ROUND8_FRONT
             + _ROUND7_FRONT
