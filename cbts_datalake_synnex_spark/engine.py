@@ -1095,6 +1095,89 @@ class LakeEngine:
         }
 
     # ------------------------------------------------------------------
+    # Join-size pre-flight (round 11) — the sketch-backed sibling of
+    # the scan budget (plans/budget.py): ANALYZE keeps Catalyst's CBO
+    # honest, but "how many rows will THIS equi-join emit" needs a
+    # frequency profile, not just NDV. A count-min sketch per join
+    # column (Cormode & Muthukrishnan 2005 §4.2) answers it from two
+    # KB-sized tables — no scan of either side at planning time, the
+    # only posture that works when each side is tens of TB.
+    def analyze_join_column(
+        self,
+        table: str,
+        column: str,
+        depth: int = 4,
+        width: int = 1024,
+        salt: str = "cms",
+    ) -> None:
+        """Build (or rebuild) the persisted count-min sketch for
+        ``table.column`` — the `analyze_table` discipline applied to
+        join-size estimation: run after each curate batch; ONE scan of
+        the column, a depth×width (KB-sized) result table
+        ``{table}_cms_{column}``. Values hash as strings (the md5
+        bucket idiom), so cross-type joins estimate correctly iff both
+        sides store the same string forms. Every sketch row carries
+        its (depth, width, salt) so :func:`estimate_join_size` can
+        refuse incompatible pairs."""
+        from cbts_datalake_synnex_spark.operators import sketches
+
+        # NULL keys never match in an equi-join — excluding them keeps
+        # the (still one-sided) estimate tight
+        src = (
+            self.spark.table(self.qualified(table))
+            .filter(F.col(column).isNotNull())
+            .select(F.col(column).cast("string").alias("__item"))
+        )
+        sk = sketches.count_min_build(
+            src, "__item", depth=int(depth), width=int(width), salt=salt
+        ).select(
+            "d",
+            "bucket",
+            "cnt",
+            F.lit(int(depth)).alias("depth"),
+            F.lit(int(width)).alias("width"),
+            F.lit(salt).alias("salt"),
+        )
+        sk.write.format("parquet").mode("overwrite").saveAsTable(
+            self.qualified(f"{table}_cms_{column}")
+        )
+
+    def estimate_join_size(self, t1: str, c1: str, t2: str, c2: str) -> int:
+        """Pre-flight equi-join cardinality: the count-min
+        inner-product estimate (one-sided — NEVER an underestimate)
+        computed from the two persisted column sketches. Raises if
+        either sketch is missing (`analyze_join_column` first) or the
+        two were built with different (depth, width, salt) — the
+        inner product is only meaningful on aligned bucket grids.
+        Cost: one equi-join of two ≤depth×width frames; neither data
+        table is touched."""
+        from cbts_datalake_synnex_spark.operators import sketches
+
+        frames, metas = [], []
+        for table, column in ((t1, c1), (t2, c2)):
+            name = self.qualified(f"{table}_cms_{column}")
+            if not self.spark.catalog.tableExists(name):
+                raise ValueError(
+                    f"no join-column sketch for {table}.{column}; run "
+                    f"analyze_join_column({table!r}, {column!r}) first"
+                )
+            sk = self.spark.table(name)
+            meta = sk.select("depth", "width", "salt").first()
+            if meta is None:  # empty source column -> empty sketch
+                return 0
+            frames.append(sk.select("d", "bucket", "cnt"))
+            metas.append((int(meta["depth"]), int(meta["width"]), meta["salt"]))
+        if metas[0] != metas[1]:
+            raise ValueError(
+                f"sketch spec mismatch: {t1}.{c1} has (depth,width,salt)="
+                f"{metas[0]} but {t2}.{c2} has {metas[1]}; rebuild one side"
+            )
+        row = sketches.cms_inner_product(
+            frames[0], frames[1], depth=metas[0][0]
+        ).first()
+        return int(row["est_join_size"])
+
+    # ------------------------------------------------------------------
     # Materialized views — the precomputed-result tier Athena-based
     # stacks bolt on with CTAS (the reference's Athena workgroup serves
     # plain views only, src/purchase_orders.py:22). A recurring

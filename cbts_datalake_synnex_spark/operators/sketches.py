@@ -112,4 +112,13 @@ def cms_inner_product(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
     per_row = prod.groupBy(F.col("a.d").alias("d")).agg(
         F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip")
     )
-    return per_row.agg(F.min("ip").cast("bigint").alias("est_join_size"))
+    # a depth-row with NO colliding buckets has true inner product 0 —
+    # it must drive the min to 0, not silently drop out of the
+    # aggregate (matters for disjoint/empty inputs; impossible when
+    # every row collides somewhere, the common case)
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) == int(depth), F.min("ip"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("est_join_size")
+    )

@@ -1693,3 +1693,84 @@ def lc_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Round 11 — join-size pre-flight through the PERSISTED sketch path
+# (VERDICT r10 #5): f_cms_join_estimate certifies the inner-product
+# math on in-flight frames; this certifies the engine wiring — tables
+# curated into the lake, analyze_join_column persisting the KB-sized
+# sketch TABLES (the analyze_table cadence), estimate_join_size
+# answering from those tables without touching either data table.
+# Same md5 bucket idiom, so DuckDB re-derives both persisted sketches,
+# the inner product, and the exact join size bit-for-bit.
+@query(
+    "lc_join_estimate",
+    oracle="""
+    WITH ea AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    eb AS (SELECT CAST(o_custkey % 150 AS VARCHAR) AS item FROM orders),
+    ds AS (SELECT range AS d FROM range(0, 4)),
+    sa AS (
+      SELECT d,
+             CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ea CROSS JOIN ds GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT d,
+             CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM eb CROSS JOIN ds GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT sa.d, sum(sa.cnt * sb.cnt) AS ip
+      FROM sa JOIN sb USING (d, bucket) GROUP BY sa.d
+    ),
+    est AS (SELECT min(ip) AS e FROM ip),
+    tru AS (
+      SELECT sum(ca.c * cb.c) AS t
+      FROM (SELECT item, count(*) AS c FROM ea GROUP BY item) ca
+      JOIN (SELECT item, count(*) AS c FROM eb GROUP BY item) cb USING (item)
+    )
+    SELECT CAST(est.e AS BIGINT) AS est_join_size,
+           CAST(tru.t AS BIGINT) AS true_join_size,
+           est.e >= tru.t AS never_under
+    FROM est CROSS JOIN tru
+    """,
+    doc="K++ [EXT] — persisted join-size pre-flight: both key columns "
+    "curated as engine tables, analyze_join_column persists depth-4 x "
+    "width-64 CMS sketch tables, estimate_join_size answers the "
+    "equi-join cardinality from the two KB summaries alone; one-sided "
+    "est >= true asserted against the exact join size "
+    "(engine.analyze_join_column / engine.estimate_join_size).",
+)
+def lc_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).cast("string").alias("item")
+    )
+    with _scratch_engine(spark) as eng:
+        ev.write.saveAsTable(eng.qualified("ev_keys"))
+        od.write.saveAsTable(eng.qualified("ord_keys"))
+        for t in ("ev_keys", "ord_keys"):
+            eng.analyze_join_column(t, "item", depth=4, width=64)
+        est = eng.estimate_join_size("ev_keys", "item", "ord_keys", "item")
+        tru = (
+            spark.table(eng.qualified("ev_keys"))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("ca"))
+            .join(
+                spark.table(eng.qualified("ord_keys"))
+                .groupBy("item")
+                .agg(F.count(F.lit(1)).alias("cb")),
+                "item",
+            )
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("t"))
+            .first()["t"]
+        )
+    return spark.createDataFrame(
+        [(int(est), int(tru), bool(est >= tru))],
+        "est_join_size bigint, true_join_size bigint, never_under boolean",
+    )

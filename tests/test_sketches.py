@@ -43,3 +43,64 @@ def test_cms_never_undercounts_and_collisions_overcount(spark, sf_dir):
     assert any(r["cms_est"] > r["exact_cnt"] for r in rows), (
         "no collision overcount at width 64 — test corpus too small?"
     )
+
+
+def test_engine_estimate_join_size_bounds_exact(spark, sf_dir):
+    """Round 11: the persisted-sketch planning path —
+    analyze_join_column builds KB-sized sketch tables, and
+    estimate_join_size's inner product is (a) never an underestimate
+    of the exact equi-join cardinality on real driver tables, and
+    (b) EXACT when the width dwarfs the key space (no collisions:
+    every cross term is a true term)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+
+    root = tempfile.mkdtemp(prefix="jsz_")
+    db = f"jsz_{uuid.uuid4().hex[:8]}"
+    eng = LakeEngine(spark, root, database=db)
+    try:
+        for t in ("orders", "customer"):
+            load_table(spark, sf_dir, t).write.saveAsTable(eng.qualified(t))
+        exact = (
+            spark.table(eng.qualified("orders"))
+            .join(
+                spark.table(eng.qualified("customer")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        # narrow width -> collisions -> strict upper bound
+        for t, c in (("orders", "o_custkey"), ("customer", "c_custkey")):
+            eng.analyze_join_column(t, c, depth=4, width=32)
+        est_narrow = eng.estimate_join_size(
+            "orders", "o_custkey", "customer", "c_custkey"
+        )
+        assert est_narrow >= exact
+        # wide sketch -> collision-free at sf0.001/0.01 key counts -> exact
+        for t, c in (("orders", "o_custkey"), ("customer", "c_custkey")):
+            eng.analyze_join_column(t, c, depth=4, width=1 << 16)
+        est_wide = eng.estimate_join_size(
+            "orders", "o_custkey", "customer", "c_custkey"
+        )
+        assert est_narrow >= est_wide >= exact
+
+        # spec mismatch refused
+        eng.analyze_join_column("orders", "o_custkey", depth=4, width=64)
+        try:
+            eng.estimate_join_size("orders", "o_custkey", "customer", "c_custkey")
+            raise AssertionError("mismatched sketch specs must raise")
+        except ValueError:
+            pass
+        # missing sketch refused
+        try:
+            eng.estimate_join_size("orders", "o_orderkey", "customer", "c_custkey")
+            raise AssertionError("missing sketch must raise")
+        except ValueError:
+            pass
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(root, ignore_errors=True)
