@@ -5084,3 +5084,85 @@ def lc_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             raise RuntimeError("probe results drifted across compaction")
         return after_m
+
+
+# ----------------------------------------------------------------------
+# X2++ — WEIGHTED MinHash near-dup pairs (round 11, ICWS — Ioffe 2010):
+# the Jaccard tier's tf-weighted upgrade. Distinct-shingle MinHash
+# cannot tell "contains the template once" from "is 50 copies of the
+# template"; weighted Jaccard Σmin/Σmax over term frequencies can, and
+# ICWS is the published sampler whose per-permutation collision
+# probability is exactly that ratio. Same report discipline as
+# x2_minhash_lsh_pairs: the LSH path is deterministic (seeded hashes),
+# candidates are verified with EXACT weighted Jaccard (no false
+# positives, scores identical to the exact twin), so the registry
+# entry emits the in-plan verification report and DuckDB restates the
+# exact-twin pair count (tf table -> inverted-index self-join ->
+# Σmin/(tot1+tot2-Σmin)); the constants certify the contract held.
+@query(
+    "x2_weighted_minhash_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id AS doc,
+             CASE WHEN len(toks) < 3 THEN [text]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+             END AS shs
+      FROM t
+    ),
+    tf AS (
+      SELECT doc, sh, CAST(count(*) AS DOUBLE) AS w
+      FROM (SELECT doc, unnest(shs) AS sh FROM s) GROUP BY doc, sh
+    ),
+    tot AS (SELECT doc, sum(w) AS tot FROM tf GROUP BY doc),
+    smin AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, sum(least(a.w, b.w)) AS smin
+      FROM tf a JOIN tf b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2
+      FROM smin JOIN tot ta ON ta.doc = doc1 JOIN tot tb ON tb.doc = doc2
+      WHERE round(smin / (ta.tot + tb.tot - smin), 6) >= 0.7
+    )
+    SELECT count(*) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_false_positives,
+           TRUE AS recall_ge_080,
+           TRUE AS scores_match_exact
+    FROM pairs
+    """,
+    doc="SURVEY §2.10 X2++ — ICWS weighted MinHash (16 perms, 8 "
+    "bands) near-dup pairs over tf-weighted 3-gram shingles; "
+    "candidates banded on (s*, t*) samples, verified with exact "
+    "weighted Jaccard (no false positives). Emits the in-plan "
+    "verification report vs the exact weighted-Jaccard twin "
+    "(operators/dedup.weighted_minhash_pairs / "
+    "weighted_jaccard_pairs).",
+)
+def x2_weighted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = dedup.weighted_minhash_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7,
+        num_perm=16, bands=8, shingle_size=3,
+    )
+    exact = dedup.weighted_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=3
+    )
+    j = exact.select("doc1", "doc2", F.col("wjaccard").alias("j_exact")).join(
+        lsh.select("doc1", "doc2", F.col("wjaccard").alias("j_lsh")),
+        ["doc1", "doc2"],
+        "full_outer",
+    )
+    n_hit = F.count(
+        F.when(F.col("j_exact").isNotNull() & F.col("j_lsh").isNotNull(), 1)
+    )
+    return j.agg(
+        F.count("j_exact").alias("n_exact_pairs"),
+        F.count(F.when(F.col("j_exact").isNull(), 1)).alias("n_false_positives"),
+        (n_hit * 100 >= F.count("j_exact") * 80).alias("recall_ge_080"),
+        (
+            F.coalesce(F.max(F.abs(F.col("j_exact") - F.col("j_lsh"))), F.lit(0.0))
+            == 0.0
+        ).alias("scores_match_exact"),
+    )

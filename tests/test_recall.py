@@ -281,3 +281,47 @@ def test_bitext_mine_partial_probe_recall(spark, sf_dir):
         }
         mined_recall = len(got & mined) / len(mined)
         assert mined_recall >= 0.55, f"bitext mined-pair recall {mined_recall:.3f}"
+
+
+def test_weighted_minhash_recall_vs_exact(spark, sf_dir):
+    """Round 11 (ICWS): no false positives (exact-verified), recall
+    gated vs the exact weighted-Jaccard twin at the same threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.weighted_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=3
+    )
+    approx = dedup.weighted_minhash_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7,
+        num_perm=16, bands=8, shingle_size=3,
+    )
+    truth = {(r["doc1"], r["doc2"]) for r in exact.collect()}
+    found = {(r["doc1"], r["doc2"]) for r in approx.collect()}
+    assert truth, "testdata must contain weighted near-duplicate documents"
+    assert found <= truth
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"weighted-MinHash recall {recall:.3f} below gate"
+
+
+def test_weighted_jaccard_sees_repetition_set_jaccard_misses(spark):
+    """The reason the weighted tier exists: a doc that repeats a
+    template heavily vs one containing it once — IDENTICAL under
+    distinct-shingle (set) Jaccard, far apart under tf-weighted
+    Jaccard."""
+    from pyspark.sql import functions as F
+
+    once = "alpha beta gamma delta epsilon zeta"
+    many = " ".join(["alpha beta gamma delta epsilon zeta"] * 20)
+    df = spark.createDataFrame(
+        [(1, once), (2, many)], "doc_id bigint, text string"
+    )
+    setj = dedup.ngram_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.0, shingle_size=3
+    ).first()
+    wj = dedup.weighted_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.0, shingle_size=3
+    ).first()
+    # sets nearly identical (only the 2 wrap-around boundary shingles
+    # differ: 4 shared / 6 distinct)
+    assert setj["jaccard"] >= 0.6
+    assert wj["wjaccard"] < 0.1  # weights expose the 20x repetition
+    assert setj["jaccard"] - wj["wjaccard"] > 0.5
