@@ -609,3 +609,109 @@ def count_min_stream(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def heartbeat_stream(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    threshold_sec: int = 3600,
+    order_cols=(),
+    emit_timeouts: bool = False,
+) -> DataFrame:
+    """T5+ [EXT] — per-entity GAP / heartbeat detector (round 11): the
+    monitoring twin of :func:`sessionize_stream`. State per entity is
+    ONE number — the last event timestamp (µs). Two emission lanes:
+
+    * **resume lane** (always on, deterministic): when an entity's
+      next event arrives more than ``threshold_sec`` after its
+      previous one, emit (entity, last_seen_us, resumed_us,
+      silent_us). Pure integer event-time arithmetic — a batch lag-gap
+      SQL states these rows EXACTLY, which is what the registry query
+      certifies.
+    * **timeout lane** (``emit_timeouts=True``): entities that go
+      silent and never come back. Requires an event-time watermark on
+      ``df`` (``withWatermark``); the state registers an event-time
+      timeout at ``last_us + threshold``, and when the watermark
+      passes it with no new data the detector emits the row with
+      ``resumed_us`` NULL and evicts the state (bounding state by
+      ACTIVE entities — the 100 TB requirement). Timeout firing
+      depends on watermark pacing across micro-batches, so this lane
+      is certified semantically in pytest, not by the exact-replay
+      oracle.
+
+    Within a batch rows sort by (ts, *order_cols); across batches the
+    ewma/sessionize event-time-ordered arrival contract applies. The
+    batch diff is vectorized (integer µs, bit-exact).
+    """
+    import numpy as np
+
+    thr_us = int(threshold_sec) * 1_000_000
+    order = [ts_col, *order_cols]
+    ent_field = [f for f in df.schema.fields if f.name == entity_col][0]
+    out_schema = StructType(
+        [
+            ent_field,
+            StructField("last_seen_us", LongType()),
+            StructField("resumed_us", LongType()),
+            StructField("silent_us", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_us", LongType())])
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (last_us,) = (int(v) for v in state.get)
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    entity_col: [key_tuple[0]],
+                    "last_seen_us": [last_us],
+                    "resumed_us": [None],
+                    "silent_us": [wm_us - last_us],
+                }
+            )
+            return
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts)
+            .sort_values(order, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        last_us = int(state.get[0]) if state.exists else None
+        ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+        # first element diffs against carried state; with no state the
+        # self-diff is 0, never a gap
+        prev = np.concatenate(
+            ([ts_us[0] if last_us is None else last_us], ts_us[:-1])
+        )
+        silent = ts_us - prev
+        hit = silent > thr_us
+        state.update((int(ts_us[-1]),))
+        if emit_timeouts:
+            state.setTimeoutTimestamp(int(ts_us[-1]) // 1000 + thr_us // 1000)
+        if hit.any():
+            yield pd.DataFrame(
+                {
+                    entity_col: [key_tuple[0]] * int(hit.sum()),
+                    "last_seen_us": prev[hit].astype("int64"),
+                    "resumed_us": ts_us[hit].astype("int64"),
+                    "silent_us": silent[hit].astype("int64"),
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if emit_timeouts
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

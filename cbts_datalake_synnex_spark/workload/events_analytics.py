@@ -1352,3 +1352,114 @@ def t_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — streaming GAP / heartbeat detector (round 11): the
+# monitoring twin of t_stream_sessionize — per user, emit a row when
+# the next event arrives more than an hour after the previous one
+# (entity resumed after silence). State is ONE number (last event µs);
+# the same ts-tercile time-partitioned replay makes gaps genuinely
+# span micro-batches, and the batch lag-gap SQL states every emitted
+# row EXACTLY (integer event-time arithmetic, no timers involved —
+# the watermark-timeout "never came back" lane is certified
+# semantically in tests/test_streaming.py instead). RAISES unless
+# >= 3 data batches ran.
+@query(
+    "t_stream_heartbeat",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(lag(ts) OVER w) AS last_seen_us,
+             epoch_us(ts) AS resumed_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, last_seen_us, resumed_us,
+           resumed_us - last_seen_us AS silent_us
+    FROM g
+    WHERE last_seen_us IS NOT NULL
+      AND resumed_us - last_seen_us > 3600000000
+    """,
+    doc="SURVEY §2.8 [EXT] — applyInPandasWithState heartbeat/gap "
+    "detector: one-number state (last event µs) per user across three "
+    "real micro-batches of a time-partitioned availableNow replay; "
+    "emits (last_seen, resumed, silent) on each >1h silence, stated "
+    "exactly by the batch lag-gap SQL "
+    "(streaming/stateful.heartbeat_stream).",
+)
+def t_stream_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import heartbeat_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    scratch = tempfile.mkdtemp(prefix="shb_")
+    qn = f"shb_{uuid.uuid4().hex[:8]}"
+    try:
+        cuts = ev.select(
+            F.percentile_approx(
+                F.unix_micros("ts"), F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)),
+                F.lit(100000),
+            ).alias("c")
+        ).first()["c"]
+        us = F.unix_micros("ts")
+        parts = [
+            ev.filter(us <= cuts[0]),
+            ev.filter((us > cuts[0]) & (us <= cuts[1])),
+            ev.filter(us > cuts[1]),
+        ]
+        for k, p in enumerate(parts):
+            d = f"{scratch}/in/d{k}"
+            p.coalesce(1).write.mode("overwrite").parquet(d)
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        hb = heartbeat_stream(
+            src, entity_col="user_id", ts_col="ts", threshold_sec=3600,
+            order_cols=["event_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                hb.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream heartbeat replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; time-partitioned "
+                        "staging failed — cross-batch state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.table(qn).select(
+            "user_id", "last_seen_us", "resumed_us", "silent_us"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -930,3 +930,111 @@ def test_sessionize_stream_session_spans_batches(spark, tmp_path):
         for r in spark.table("sessstreamtest").filter("session_id = 1").collect()
     )
     assert updates == [3, 4]
+
+
+def test_heartbeat_stream_resume_rows_span_batches(spark, tmp_path):
+    """Round 11: the resume lane is exact across batch boundaries —
+    a >threshold gap whose two endpoints land in DIFFERENT micro-
+    batches must still emit exactly one (last_seen, resumed) row."""
+    from cbts_datalake_synnex_spark.streaming.stateful import heartbeat_stream
+
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_file(
+        src, "b1.json",
+        [
+            {"event_id": "e1", "user_id": "u1", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "e2", "user_id": "u2", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+        ],
+        now - 30,
+    )
+    _write_file(
+        src, "b2.json",
+        [  # u1 resumes 2h later (gap), u2 30min later (no gap)
+            {"event_id": "e3", "user_id": "u1", "ts": "2024-01-01T12:00:00.000Z", "value": 1.0},
+            {"event_id": "e4", "user_id": "u2", "ts": "2024-01-01T10:30:00.000Z", "value": 1.0},
+        ],
+        now - 20,
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        heartbeat_stream(stream, "user_id", "ts", threshold_sec=3600)
+        .writeStream.format("memory")
+        .queryName("hb_resume")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hb_resume").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    base = int(datetime(2024, 1, 1, 10, 0, 0, tzinfo=timezone.utc).timestamp()) * 1_000_000
+    assert r["user_id"] == "u1"
+    assert r["last_seen_us"] == base
+    assert r["resumed_us"] == base + 7_200_000_000
+    assert r["silent_us"] == 7_200_000_000
+
+
+def test_heartbeat_stream_timeout_lane_evicts_silent_entity(spark, tmp_path):
+    """Round 11: with emit_timeouts=True on a watermarked stream, an
+    entity that goes silent past the threshold emits one terminal row
+    (resumed_us NULL, silent_us > threshold) once the watermark passes
+    its timer — and active entities emit none."""
+    from cbts_datalake_synnex_spark.streaming.stateful import heartbeat_stream
+
+    src = str(tmp_path / "src")
+    now = time.time()
+    _write_file(
+        src, "b1.json",
+        [
+            {"event_id": "e1", "user_id": "quiet", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+            {"event_id": "e2", "user_id": "chatty", "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+        ],
+        now - 30,
+    )
+    _write_file(
+        src, "b2.json",
+        [{"event_id": "e3", "user_id": "chatty", "ts": "2024-01-01T13:00:00.000Z", "value": 1.0}],
+        now - 20,
+    )
+    _write_file(
+        src, "b3.json",
+        [{"event_id": "e4", "user_id": "chatty", "ts": "2024-01-01T16:00:00.000Z", "value": 1.0}],
+        now - 10,
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        heartbeat_stream(
+            stream, "user_id", "ts", threshold_sec=3600, emit_timeouts=True
+        )
+        .writeStream.format("memory")
+        .queryName("hb_timeout")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hb_timeout").collect()
+    base = int(datetime(2024, 1, 1, 10, 0, 0, tzinfo=timezone.utc).timestamp()) * 1_000_000
+    terminal = [r for r in rows if r["resumed_us"] is None]
+    assert len(terminal) == 1
+    t = terminal[0]
+    assert t["user_id"] == "quiet"
+    assert t["last_seen_us"] == base
+    assert t["silent_us"] > 3600_000_000
+    # chatty's 3h gaps surface as resume rows, never terminal ones
+    resumes = [r for r in rows if r["resumed_us"] is not None]
+    assert {r["user_id"] for r in resumes} == {"chatty"}
+    assert all(r["silent_us"] == 10_800_000_000 for r in resumes)
