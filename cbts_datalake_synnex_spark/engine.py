@@ -1141,6 +1141,54 @@ class LakeEngine:
         sk.write.format("parquet").mode("overwrite").saveAsTable(
             self.qualified(f"{table}_cms_{column}")
         )
+        # the distinct-key companion: one DataSketches HLL per column
+        # (KB-sized binary; the hll_sketch_agg the incremental-MV tier
+        # already certifies) — answers "how many keys overlap", the
+        # question CMS's Σ fA·fB inner product does NOT separate from
+        # per-key frequency
+        src.agg(
+            F.hll_sketch_agg("__item").alias("hll"),
+            F.count_distinct("__item").cast("bigint").alias("n_exact"),
+        ).write.format("parquet").mode("overwrite").saveAsTable(
+            self.qualified(f"{table}_hll_{column}")
+        )
+
+    def estimate_join_keys(self, t1: str, c1: str, t2: str, c2: str) -> dict:
+        """Pre-flight distinct-key overlap: from the two persisted HLL
+        sketches, |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) by
+        inclusion-exclusion (union = lossless HLL merge — the
+        mergeable-summaries property), clamped at 0. Returns
+        {"keys_a", "keys_b", "keys_union", "keys_overlap"} — all
+        estimates; pair with :func:`estimate_join_size` (CMS) to
+        separate "many keys overlap a little" from "few keys with
+        huge frequencies". Raises if a sketch is missing."""
+        frames = []
+        for table, column in ((t1, c1), (t2, c2)):
+            name = self.qualified(f"{table}_hll_{column}")
+            if not self.spark.catalog.tableExists(name):
+                raise ValueError(
+                    f"no HLL sketch for {table}.{column}; run "
+                    f"analyze_join_column({table!r}, {column!r}) first"
+                )
+            frames.append(self.spark.table(name).select("hll"))
+        a = frames[0].select(F.col("hll").alias("ha"))
+        b = frames[1].select(F.col("hll").alias("hb"))
+        row = (
+            a.crossJoin(b)
+            .select(
+                F.hll_sketch_estimate("ha").alias("ka"),
+                F.hll_sketch_estimate("hb").alias("kb"),
+                F.hll_sketch_estimate(F.hll_union("ha", "hb")).alias("ku"),
+            )
+            .first()
+        )
+        ka, kb, ku = int(row["ka"]), int(row["kb"]), int(row["ku"])
+        return {
+            "keys_a": ka,
+            "keys_b": kb,
+            "keys_union": ku,
+            "keys_overlap": max(0, ka + kb - ku),
+        }
 
     def estimate_join_size(self, t1: str, c1: str, t2: str, c2: str) -> int:
         """Pre-flight equi-join cardinality: the count-min

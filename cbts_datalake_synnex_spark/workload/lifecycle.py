@@ -1774,3 +1774,67 @@ def lc_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(est), int(tru), bool(est >= tru))],
         "est_join_size bigint, true_join_size bigint, never_under boolean",
     )
+
+
+# ----------------------------------------------------------------------
+# Round 11 — distinct-key overlap pre-flight (the HLL companion of
+# lc_join_estimate): CMS's inner product cannot separate "many keys
+# overlap a little" from "few keys with huge frequencies"; the
+# per-column HLL sketches analyze_join_column now persists answer the
+# key-overlap half by inclusion-exclusion over a lossless HLL merge.
+# HLL values are sketch-impl-specific (no DuckDB equivalent), so the
+# report emits the EXACT key counts (both engines restate them) plus
+# the accuracy claims as booleans — the x2_simhash report discipline.
+@query(
+    "lc_join_key_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+    b AS (SELECT DISTINCT CAST(o_custkey % 150 AS VARCHAR) AS k FROM orders)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_keys_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_keys_b,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT k FROM a UNION SELECT k FROM b)) AS n_keys_union,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_keys_overlap,
+           TRUE AS hll_within_5pct,
+           TRUE AS overlap_within_5pct_of_union
+    """,
+    doc="K++ [EXT] — persisted distinct-key overlap pre-flight: "
+    "analyze_join_column's HLL companions merged by inclusion-"
+    "exclusion answer |A∩B| from two KB sketches; exact key counts "
+    "restated by both engines, HLL accuracy (±5%) and overlap "
+    "accuracy (±5% of union) asserted as claims "
+    "(engine.estimate_join_keys).",
+)
+def lc_join_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).cast("string").alias("item")
+    )
+    with _scratch_engine(spark) as eng:
+        ev.write.saveAsTable(eng.qualified("ev_keys"))
+        od.write.saveAsTable(eng.qualified("ord_keys"))
+        for t in ("ev_keys", "ord_keys"):
+            eng.analyze_join_column(t, "item", depth=4, width=64)
+        est = eng.estimate_join_keys("ev_keys", "item", "ord_keys", "item")
+        ta = spark.table(eng.qualified("ev_keys"))
+        tb = spark.table(eng.qualified("ord_keys"))
+        na = ta.select("item").distinct().count()
+        nb = tb.select("item").distinct().count()
+        nu = ta.select("item").union(tb.select("item")).distinct().count()
+        nov = na + nb - nu
+    within = lambda e, x, tol: abs(e - x) <= tol  # noqa: E731
+    hll_ok = (
+        within(est["keys_a"], na, 0.05 * na)
+        and within(est["keys_b"], nb, 0.05 * nb)
+        and within(est["keys_union"], nu, 0.05 * nu)
+    )
+    ov_ok = within(est["keys_overlap"], nov, 0.05 * nu)
+    return spark.createDataFrame(
+        [(na, nb, nu, nov, bool(hll_ok), bool(ov_ok))],
+        "n_keys_a bigint, n_keys_b bigint, n_keys_union bigint, "
+        "n_keys_overlap bigint, hll_within_5pct boolean, "
+        "overlap_within_5pct_of_union boolean",
+    )

@@ -104,3 +104,48 @@ def test_engine_estimate_join_size_bounds_exact(spark, sf_dir):
         spark.catalog.setCurrentDatabase("default")
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_engine_estimate_join_keys_overlap(spark, sf_dir):
+    """Round 11: the HLL key-overlap companion — estimates within 5%
+    of exact distinct counts at driver scale, overlap by inclusion-
+    exclusion, missing sketch refused."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+
+    root = tempfile.mkdtemp(prefix="jko_")
+    db = f"jko_{uuid.uuid4().hex[:8]}"
+    eng = LakeEngine(spark, root, database=db)
+    try:
+        for t in ("orders", "customer"):
+            load_table(spark, sf_dir, t).write.saveAsTable(eng.qualified(t))
+        for t, c in (("orders", "o_custkey"), ("customer", "c_custkey")):
+            eng.analyze_join_column(t, c)
+        est = eng.estimate_join_keys("orders", "o_custkey", "customer", "c_custkey")
+        na = spark.table(eng.qualified("orders")).select("o_custkey").distinct().count()
+        nb = spark.table(eng.qualified("customer")).select("c_custkey").distinct().count()
+        ov = (
+            spark.table(eng.qualified("orders"))
+            .select(F.col("o_custkey").alias("k"))
+            .intersect(
+                spark.table(eng.qualified("customer")).select(
+                    F.col("c_custkey").cast("bigint").alias("k")
+                )
+            )
+            .count()
+        )
+        assert abs(est["keys_a"] - na) <= 0.05 * na
+        assert abs(est["keys_b"] - nb) <= 0.05 * nb
+        assert abs(est["keys_overlap"] - ov) <= 0.05 * est["keys_union"] + 1
+        try:
+            eng.estimate_join_keys("orders", "o_orderkey", "customer", "c_custkey")
+            raise AssertionError("missing HLL sketch must raise")
+        except ValueError:
+            pass
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(root, ignore_errors=True)
