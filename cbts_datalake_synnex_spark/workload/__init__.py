@@ -181,9 +181,9 @@ _ROUND8_FRONT = [
 # queries appended after this list stay local-oracle-only until the
 # round-12 rotation.
 # TODO(round 12): rotate `_ROUND12_FRONT` = the registry entries added
-# after the round-11 window froze (see git log for this round's
-# additions, e.g. j_lpa_bucketed, x2_weighted_minhash_pairs,
-# t_stream_heartbeat, f_join_size_estimate, j6_asof_nearest_strict).
+# after the round-11 window froze — at minimum: j_lpa_bucketed,
+# x2_weighted_minhash_pairs, t_stream_heartbeat, lc_join_estimate,
+# lc_join_key_overlap (check git log for later round-11 additions).
 _ROUND11_FRONT = [
     "j_pagerank_bucketed",
     "t_stream_sessionize",
