@@ -277,3 +277,91 @@ def binary_auc(
         "n_pos",
         "n_neg",
     )
+
+
+# ----------------------------------------------------------------------
+# Logistic regression by full-batch gradient descent (round 11) — the
+# GRADIENT half of the classifier tier NB's counting form cannot
+# cover: numeric feature vectors (quality scores, length stats,
+# embedding projections) rather than token counts. Full-batch GD with
+# a fixed unrolled step budget is the deterministic, SQL-unrollable
+# form (the pagerank/LPA fixpoint discipline applied to optimization):
+# each step is ONE corpus scan + one d+1-component aggregate; the
+# weight vector (a one-row frame) broadcasts back into the next step's
+# plan. Nothing is collected; d+1 doubles of state.
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 3,
+    lr: float = 1.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Train w for P(y=1|x) = sigmoid(w·[x, 1]) by ``steps`` unrolled
+    full-batch GD steps from w_0 = 0:
+
+        w_{t+1} = round(w_t − lr/N · Σ_i (sigmoid(w_t·x_i) − y_i)·x_i, dp)
+
+    The per-step ROUNDING is the cross-engine contract (the nb_score /
+    ks_test discipline): both engines accumulate ≤1-ulp exp noise over
+    the corpus sum, and rounding each weight component to the declared
+    grid before it enters the next step stops drift from compounding —
+    a SQL oracle restates every step bit-for-bit on the grid.
+
+    Scale shape: one scan + one (d+1)-column aggregate per step (map-
+    side combined; the shuffle carries d+1 doubles per partition), the
+    w frame is one row crossJoin-broadcast into the next step — the
+    whole ``steps``-deep recurrence is ONE lazy plan, no driver round
+    trips. Full-batch, not SGD, by design: determinism and engine
+    parity outrank convergence speed at a fixed small step budget;
+    callers wanting more steps pass ``steps`` (lineage is linear).
+
+    Returns one row: (w_<feature>..., w_bias, train_acc, n) with
+    accuracy computed at the final weights (prediction = rounded
+    sigmoid > 0.5, so boundary noise cannot flip it either).
+    """
+    feats = [*feature_cols, "__one"]
+    x = df.select(
+        *[F.col(c).cast("double") for c in feature_cols],
+        F.lit(1.0).alias("__one"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    n_feat = len(feats)
+    w = [F.lit(0.0) for _ in range(n_feat)]
+
+    def margin(wc):
+        z = F.lit(0.0)
+        for c, wi in zip(feats, wc):
+            z = z + wi * F.col(c)
+        return z
+
+    sig = lambda z: F.lit(1.0) / (F.lit(1.0) + F.exp(-z))  # noqa: E731
+    for _ in range(int(steps)):
+        err = sig(margin(w)) - F.col("__y")
+        g = x.agg(
+            *[F.avg(err * F.col(c)).alias(f"g{i}") for i, c in enumerate(feats)],
+        )
+        # one-row gradient frame broadcast back into the weight update
+        w = [
+            F.round(wi - F.lit(float(lr)) * F.col(f"g{i}"), round_dp)
+            for i, wi in enumerate(w)
+        ]
+        x = x.crossJoin(F.broadcast(g)).select(
+            *[w[i].alias(f"__w{i}") for i in range(n_feat)],
+            *feats[:-1],
+            "__one",
+            "__y",
+        )
+        w = [F.col(f"__w{i}") for i in range(n_feat)]
+    pred = F.round(sig(margin(w)), round_dp) > 0.5
+    out = x.agg(
+        *[F.round(F.max(F.col(f"__w{i}")), round_dp).alias(
+            f"w_{feats[i]}" if feats[i] != "__one" else "w_bias"
+        ) for i in range(n_feat)],
+        F.round(
+            F.avg(F.when(pred == (F.col("__y") > 0.5), 1.0).otherwise(0.0)),
+            round_dp,
+        ).alias("train_acc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return out

@@ -5166,3 +5166,65 @@ def x2_weighted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0.0
         ).alias("scores_match_exact"),
     )
+
+
+# ----------------------------------------------------------------------
+# X4++ — logistic-regression training by unrolled full-batch GD
+# (round 11): the gradient half of the classifier tier (NB covers
+# counting; quality filters a la GPT-3/CCNet score NUMERIC features).
+# Three GD steps from w=0 at lr=1 over (scaled purchase value, time of
+# day, bias) predicting event_type='purchase'; each step rounds the
+# weight vector to the 6dp grid in BOTH engines (the cross-engine
+# drift-stopping contract — ≤1-ulp exp noise per row cannot compound
+# across steps), so DuckDB restates every step bit-for-bit.
+@query(
+    "x4_logreg_train",
+    oracle="""
+    WITH x AS (
+      SELECT coalesce(value, 0) / 100.0 AS x1,
+             (epoch_us(ts) % 86400000000) / 86400000000.0 AS x2,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ),
+    s1 AS (
+      SELECT round(-avg((0.5 - y) * x1), 6) AS w1,
+             round(-avg((0.5 - y) * x2), 6) AS w2,
+             round(-avg(0.5 - y), 6) AS w3
+      FROM x
+    ),
+    s2 AS (
+      SELECT round(w1 - avg((1/(1+exp(-(w1*x1 + w2*x2 + w3))) - y) * x1), 6) AS w1,
+             round(w2 - avg((1/(1+exp(-(w1*x1 + w2*x2 + w3))) - y) * x2), 6) AS w2,
+             round(w3 - avg( 1/(1+exp(-(w1*x1 + w2*x2 + w3))) - y), 6) AS w3
+      FROM x CROSS JOIN s1 GROUP BY w1, w2, w3
+    ),
+    s3 AS (
+      SELECT round(w1 - avg((1/(1+exp(-(w1*x1 + w2*x2 + w3))) - y) * x1), 6) AS w1,
+             round(w2 - avg((1/(1+exp(-(w1*x1 + w2*x2 + w3))) - y) * x2), 6) AS w2,
+             round(w3 - avg( 1/(1+exp(-(w1*x1 + w2*x2 + w3))) - y), 6) AS w3
+      FROM x CROSS JOIN s2 GROUP BY w1, w2, w3
+    )
+    SELECT w1 AS w_x1, w2 AS w_x2, w3 AS w_bias,
+           (SELECT round(avg(CASE WHEN (round(1/(1+exp(-(s3.w1*x1 + s3.w2*x2 + s3.w3))), 6) > 0.5)
+                                      = (y > 0.5)
+                                  THEN 1.0 ELSE 0.0 END), 6) FROM x) AS train_acc,
+           (SELECT CAST(count(*) AS BIGINT) FROM x) AS n
+    FROM s3
+    """,
+    doc="SURVEY §2.10 X4++ — logistic regression trained in-engine by "
+    "3 unrolled full-batch GD steps (one scan + one 3-component "
+    "aggregate per step, weights broadcast back as a one-row frame, "
+    "per-step 6dp weight rounding as the cross-engine contract); "
+    "final weights + training accuracy restated step-by-step by the "
+    "oracle (operators/classify.logreg_train).",
+)
+def x4_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.classify import logreg_train
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        (F.coalesce(F.col("value"), F.lit(0.0)) / 100.0).alias("x1"),
+        ((F.unix_micros("ts") % 86_400_000_000) / 86_400_000_000.0).alias("x2"),
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    return logreg_train(x, ["x1", "x2"], "y", steps=3, lr=1.0)

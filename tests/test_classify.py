@@ -206,3 +206,30 @@ def test_binary_auc_matches_python(spark, pairs):
     want = _py_auc(pairs)
     assert row["auc"] == want
     assert row["n_pos"] == sum(y for _, y in pairs) or want is None
+
+
+def test_logreg_train_partition_invariant_and_learns_separable(spark):
+    """Round 11: (a) per-step weight rounding makes the GD trajectory
+    partitioning-invariant; (b) on a linearly separable set the
+    3-step trajectory already classifies perfectly."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.classify import logreg_train
+
+    rows = [(float(i), 1.0 if i >= 50 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double").select(
+        (F.col("x") / 50.0 - 1.0).alias("x"), "y"
+    )
+    out = logreg_train(df, ["x"], "y", steps=3, lr=4.0)
+    row = out.first()
+    assert row["n"] == 100
+    assert row["w_x"] > 0  # positive slope toward y=1
+    assert row["train_acc"] >= 0.95
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            logreg_train(df.repartition(13), ["x"], "y", steps=3, lr=4.0).collect(),
+        )
+    )
+    assert a == b
