@@ -5228,3 +5228,85 @@ def x4_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("double").alias("y"),
     )
     return logreg_train(x, ["x1", "x2"], "y", steps=3, lr=1.0)
+
+
+# ----------------------------------------------------------------------
+# X3++ — SQ8 scalar-quantization recall (round 11): the 4× compression
+# lever certified the x3 way — per-query overlap between the exact
+# float cosine top-5 and the top-5 computed over DEQUANTIZED int8-grid
+# vectors. Everything is deterministic (affine grid round-trip is
+# exact arithmetic, rounded-cosine + id tiebreak ranking), so the
+# oracle restates quantization, both rankings, and the per-query
+# recall bit-for-bit — recall is a VALUE here, not a boolean claim.
+@query(
+    "x3_sq8_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    qz AS (
+      SELECT vec_id, v, list_min(v) AS zero,
+             CASE WHEN list_max(v) > list_min(v)
+                  THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+      FROM e
+    ),
+    dq AS (
+      SELECT vec_id,
+             list_transform(v, x -> zero + round((x - zero) / scale) * scale) AS dv
+      FROM qz
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    fr AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, e.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                 e.vec_id) AS rank
+        FROM q JOIN e ON e.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ),
+    dqq AS (SELECT vec_id AS query_id, dv AS qv FROM dq WHERE vec_id < 8),
+    qr AS (
+      SELECT query_id, cand_id FROM (
+        SELECT dqq.query_id, dq.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY dqq.query_id
+                 ORDER BY round(list_dot_product(dqq.qv, dq.dv)
+                       / (sqrt(list_dot_product(dqq.qv, dqq.qv)) * sqrt(list_dot_product(dq.dv, dq.dv))), 6) DESC,
+                 dq.vec_id) AS rank
+        FROM dqq JOIN dq ON dq.vec_id <> dqq.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT fr.query_id,
+           CAST(count(qr.cand_id) AS BIGINT) AS n_overlap,
+           round(count(qr.cand_id) / 5.0, 6) AS recall
+    FROM fr LEFT JOIN qr ON qr.query_id = fr.query_id AND qr.cand_id = fr.cand_id
+    GROUP BY fr.query_id
+    """,
+    doc="SURVEY §2.10 X3++ — SQ8 scalar quantization recall@5 vs the "
+    "exact float cosine top-5 (8 queries): per-vector 0..255 affine "
+    "grid, dequantized cosine with the same 6dp+id deterministic "
+    "ranking; per-query overlap and recall restated exactly by the "
+    "oracle (operators/similarity.scalar_quantize / sq_dequantized).",
+)
+def x3_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = similarity.scalar_quantize(emb, "vec_id", "embedding")
+    deq = similarity.sq_dequantized(quant, "vec_id")
+    fq = emb.filter(F.col("vec_id") < 8)
+    float_top = similarity.cosine_topk(
+        emb, fq, id_col="vec_id", vec_col="embedding", k=5, engine="jvm"
+    ).select("query_id", "cand_id")
+    dq_q = deq.filter(F.col("vec_id") < 8)
+    sq_top = similarity.cosine_topk(
+        deq, dq_q, id_col="vec_id", vec_col="dqvec", k=5, engine="jvm"
+    ).select(F.col("query_id").alias("q2"), F.col("cand_id").alias("c2"))
+    j = float_top.join(
+        sq_top,
+        (F.col("query_id") == F.col("q2")) & (F.col("cand_id") == F.col("c2")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("c2").cast("bigint").alias("n_overlap"),
+        F.round(F.count("c2") / 5.0, 6).alias("recall"),
+    )

@@ -325,3 +325,44 @@ def test_weighted_jaccard_sees_repetition_set_jaccard_misses(spark):
     assert setj["jaccard"] >= 0.6
     assert wj["wjaccard"] < 0.1  # weights expose the 20x repetition
     assert setj["jaccard"] - wj["wjaccard"] > 0.5
+
+
+def test_sq8_roundtrip_error_bounded_and_recall(spark, sf_dir):
+    """Round 11 (SQ8): reconstruction error is <= scale/2 per
+    component by construction, constant vectors roundtrip exactly,
+    and quantized-cosine recall@5 vs float stays high on the driver
+    embeddings."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = similarity.scalar_quantize(emb, "vec_id", "embedding")
+    deq = similarity.sq_dequantized(quant, "vec_id")
+    err = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(deq, "vec_id")
+        .join(quant.select("vec_id", "scale"), "vec_id")
+        .select(
+            (
+                F.array_max(
+                    F.zip_with("v", "dqvec", lambda a, b: F.abs(a - b))
+                )
+                <= F.col("scale") / 2 + 1e-12
+            ).alias("ok")
+        )
+    )
+    assert err.filter(~F.col("ok")).count() == 0
+    const = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5])], "vec_id bigint, embedding array<double>"
+    )
+    row = similarity.sq_dequantized(
+        similarity.scalar_quantize(const, "vec_id", "embedding"), "vec_id"
+    ).first()
+    assert row["dqvec"] == [2.5, 2.5, 2.5]
+
+    fq = emb.filter(F.col("vec_id") < 8)
+    ft = similarity.cosine_topk(emb, fq, "vec_id", "embedding", k=5, engine="jvm")
+    dq_q = deq.filter(F.col("vec_id") < 8)
+    st = similarity.cosine_topk(deq, dq_q, "vec_id", "dqvec", k=5, engine="jvm")
+    truth = {(r["query_id"], r["cand_id"]) for r in ft.collect()}
+    got = {(r["query_id"], r["cand_id"]) for r in st.collect()}
+    assert len(got & truth) / len(truth) >= 0.8
