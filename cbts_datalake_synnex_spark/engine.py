@@ -2687,10 +2687,12 @@ class LakeEngine:
     # Persistent ANN (IVF) index (round 9) — same thin-delegate shape.
     def build_ann_index(self, index_name, vectors, id_col, vec_col,
                         n_cells: int = 16, n_assign: int = 1,
-                        lloyd_iters: int = 8, n_buckets: int = 32) -> None:
+                        lloyd_iters: int = 8, n_buckets: int = 32,
+                        storage: str = "float") -> None:
         build_ann_index(self, index_name, vectors, id_col, vec_col,
                         n_cells=n_cells, n_assign=n_assign,
-                        lloyd_iters=lloyd_iters, n_buckets=n_buckets)
+                        lloyd_iters=lloyd_iters, n_buckets=n_buckets,
+                        storage=storage)
 
     def update_ann_index(self, index_name, vectors, id_col, vec_col) -> None:
         update_ann_index(self, index_name, vectors, id_col, vec_col)
@@ -3092,6 +3094,40 @@ def write_sorted(
         )
 
 
+def _quantize_postings(postings: DataFrame) -> DataFrame:
+    """(cell, cand_id, cv) → (cell, cand_id, zero, scale, qv): the SQ8
+    storage form — per-vector 0..255 affine grid (the
+    `similarity.scalar_quantize` arithmetic with the cell column kept),
+    4× smaller postings IO at the documented ~0.98 recall."""
+    v = F.col("cv")
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
+    return postings.select(
+        "cell",
+        "cand_id",
+        mn.alias("zero"),
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round((x - mn) / scale, 0).cast("int")).alias("qv"),
+    )
+
+
+def _postings_cv(postings: DataFrame, storage: str) -> DataFrame:
+    """Present a postings table as (cell, cand_id, cv) regardless of
+    storage form — SQ8 dequantizes as a pure projection over the
+    bucketed scan (no exchange added; the motionless-probe plan pin
+    still holds)."""
+    if storage == "sq8":
+        return postings.select(
+            "cell",
+            "cand_id",
+            F.transform(
+                F.col("qv"),
+                lambda q: F.col("zero") + q.cast("double") * F.col("scale"),
+            ).alias("cv"),
+        )
+    return postings.select("cell", "cand_id", "cv")
+
+
 def build_ann_index(
     engine: "LakeEngine",
     index_name: str,
@@ -3102,14 +3138,24 @@ def build_ann_index(
     n_assign: int = 1,
     lloyd_iters: int = 8,
     n_buckets: int = 32,
+    storage: str = "float",
 ) -> None:
     """Write ``{index_name}_cells`` (cell, centroid), the postings
-    table ``{index_name}_postings`` (cell, cand_id, cv) bucketed+sorted
-    by cell, and a one-row ``{index_name}_meta`` pinning
-    (n_cells, n_assign, n_buckets) so probes and appends can't drift
-    from the build."""
+    table ``{index_name}_postings`` bucketed+sorted by cell, and a
+    one-row ``{index_name}_meta`` pinning
+    (n_cells, n_assign, n_buckets, storage) so probes and appends
+    can't drift from the build.
+
+    ``storage``: ``"float"`` stores raw double vectors — exhaustive
+    probes are EXACT (the registry-certified contract); ``"sq8"``
+    stores the 0..255 affine grid (round 11) — 4× smaller postings,
+    probes dequantize in the scan projection, ranking follows the
+    quantized cosine (recall-gated in tests, NOT exact: keep float
+    where the exhaustive-equals-brute-force contract matters)."""
     from cbts_datalake_synnex_spark.operators import similarity
 
+    if storage not in ("float", "sq8"):
+        raise ValueError(f"storage: {storage!r}")
     spark = engine.spark
     cents = similarity.train_cells_list(vectors, id_col, vec_col, n_cells, lloyd_iters)
     if cents is None:
@@ -3123,13 +3169,18 @@ def build_ann_index(
         vectors, id_col, vec_col,
         similarity._cmat_frame(spark, cents), min(n_assign, len(cents)),
     )
+    stored = (
+        _quantize_postings(postings)
+        if storage == "sq8"
+        else postings.select("cell", "cand_id", "cv")
+    )
     write_bucketed(
-        spark, postings.select("cell", "cand_id", "cv"),
+        spark, stored,
         engine.qualified(f"{index_name}_postings"), ["cell"], n_buckets,
     )
     spark.createDataFrame(
-        [(len(cents), int(n_assign), int(n_buckets))],
-        "n_cells int, n_assign int, n_buckets int",
+        [(len(cents), int(n_assign), int(n_buckets), storage)],
+        "n_cells int, n_assign int, n_buckets int, storage string",
     ).write.format("parquet").mode("overwrite").saveAsTable(
         engine.qualified(f"{index_name}_meta")
     )
@@ -3188,11 +3239,26 @@ def update_ann_index(
         similarity._cmat_frame(spark, cents),
         min(int(meta["n_assign"]), len(cents)),
     )
-    postings.select("cell", "cand_id", "cv").write.format("parquet").mode(
+    storage = _index_storage(meta)
+    stored = (
+        _quantize_postings(postings)
+        if storage == "sq8"
+        else postings.select("cell", "cand_id", "cv")
+    )
+    stored.write.format("parquet").mode(
         "append"
     ).bucketBy(int(meta["n_buckets"]), "cell").sortBy("cell").saveAsTable(
         engine.qualified(f"{index_name}_postings")
     )
+
+
+def _index_storage(meta) -> str:
+    """Storage form from a meta row — 'float' for indexes built before
+    the column existed."""
+    try:
+        return meta["storage"] or "float"
+    except (KeyError, ValueError):
+        return "float"
 
 
 def query_ann_index(
@@ -3218,8 +3284,12 @@ def query_ann_index(
         spark.table(engine.qualified(f"{index_name}_cells")).orderBy("cell").collect()
     )
     cents = [list(r["centroid"]) for r in cent_rows]
+    meta = spark.table(engine.qualified(f"{index_name}_meta")).first()
     return similarity.ann_probe(
-        spark.table(engine.qualified(f"{index_name}_postings")),
+        _postings_cv(
+            spark.table(engine.qualified(f"{index_name}_postings")),
+            _index_storage(meta),
+        ),
         cents,
         queries,
         id_col,

@@ -112,3 +112,36 @@ def test_build_on_empty_corpus_raises(spark, eng):
     empty = _vecs(spark).filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="empty corpus"):
         eng.build_ann_index("e", empty, "vec_id", "embedding")
+
+
+def test_sq8_index_probe_recall_and_append_schema(spark, eng):
+    """Round 11: storage='sq8' — postings carry the 0..255 grid, the
+    probe dequantizes in the scan projection, exhaustive-probe recall
+    vs the float index stays high, and frozen-centroid appends respect
+    the storage form."""
+    vecs = _vecs(spark)
+    q = vecs.filter(F.col("vec_id") % 10 == 0)
+    eng.build_ann_index("fl", vecs, "vec_id", "embedding", n_cells=4, n_assign=1)
+    eng.build_ann_index(
+        "q8", vecs, "vec_id", "embedding", n_cells=4, n_assign=1, storage="sq8"
+    )
+    cols = set(spark.table(eng.qualified("q8_postings")).columns)
+    assert cols == {"cell", "cand_id", "zero", "scale", "qv"}
+    truth, got = {}, {}
+    for r in eng.query_ann_index("fl", q, "vec_id", "embedding", k=3, n_probe=4).collect():
+        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+    for r in eng.query_ann_index("q8", q, "vec_id", "embedding", k=3, n_probe=4).collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [len(got.get(k_, set()) & c) / len(c) for k_, c in truth.items()]
+    assert sum(recalls) / len(recalls) >= 0.8
+    # append keeps the quantized schema and the new ids probe-visible
+    eng.update_ann_index("q8", _vecs(spark, n=90).filter(F.col("vec_id") >= 80),
+                         "vec_id", "embedding")
+    post = spark.table(eng.qualified("q8_postings"))
+    assert set(post.columns) == {"cell", "cand_id", "zero", "scale", "qv"}
+    assert post.filter(F.col("cand_id") >= 80).count() == 10
+    probed = eng.query_ann_index(
+        "q8", _vecs(spark, n=90).filter(F.col("vec_id") == 85),
+        "vec_id", "embedding", k=3, n_probe=4,
+    )
+    assert probed.count() == 3
