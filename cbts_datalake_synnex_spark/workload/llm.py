@@ -5310,3 +5310,136 @@ def x3_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c2").cast("bigint").alias("n_overlap"),
         F.round(F.count("c2") / 5.0, 6).alias("recall"),
     )
+
+
+# ----------------------------------------------------------------------
+# X4++ — BM25 lexical retrieval (round 11): the retrieval tier's
+# lexical half (the dense half is cosine/IVF/knn_join). Robertson
+# BM25 with Lucene's non-negative idf; three fixed keyword queries
+# over the documents corpus; scores rounded 6dp before ranking, doc
+# id tiebreak — DuckDB restates tf/df/dl/avgdl and every score.
+_BM25_QUERY_TERMS = [
+    ("q1", ["hash", "join", "sort"]),
+    ("q2", ["scan", "filter"]),
+    ("q3", ["window", "merge", "batch"]),
+]
+
+_BM25_CTES = """
+    d AS (SELECT doc_id AS doc, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+    dl AS (SELECT doc, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+    tf AS (SELECT doc, t AS term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc, unnest(toks) AS t FROM d) GROUP BY doc, t),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+    q AS (SELECT * FROM (VALUES
+          ('q1','hash'),('q1','join'),('q1','sort'),
+          ('q2','scan'),('q2','filter'),
+          ('q3','window'),('q3','merge'),('q3','batch')) AS v(query_id, term)),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+              WHERE term IN (SELECT term FROM q) GROUP BY term),
+    bm_sc AS (
+      SELECT q.query_id, tf.doc,
+             round(sum(ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+              JOIN dl USING (doc) CROSS JOIN st
+      GROUP BY q.query_id, tf.doc
+    ),
+    bm AS (
+      SELECT query_id, doc, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc) AS INTEGER) AS rank
+      FROM bm_sc QUALIFY rank <= 5
+    )
+"""
+
+
+def _bm25_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _BM25_QUERY_TERMS, "query_id string, terms array<string>"
+    )
+
+
+@query(
+    "x4_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT query_id, CAST(doc AS BIGINT) AS doc, score, rank FROM bm
+    """,
+    doc="SURVEY §2.10 X4++ — BM25 top-5 per keyword query (k1=1.2, "
+    "b=0.75, Lucene idf): query terms broadcast into the (doc, term, "
+    "tf) table, one-row (N, avgdl) stats, 6dp-rounded scores with doc "
+    "tiebreak; every score restated by the oracle "
+    "(operators/retrieval.bm25_topk).",
+)
+def x4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = retrieval.bm25_topk(
+        docs, _bm25_queries_df(spark), id_col="doc_id", text_col="text", k=5
+    )
+    return out.select("query_id", F.col("doc").cast("bigint").alias("doc"), "score", "rank")
+
+
+# ----------------------------------------------------------------------
+# X3/X4 bridge — reciprocal-rank fusion (round 11): merge the BM25
+# ranking with a token-set Jaccard ranking via 1/(60+rank) sums — the
+# published score-scale-free fusion (Cormack et al. 2009). The fusion
+# itself touches only the two top-5 outputs; DuckDB restates both
+# rankers AND the fused ranking end to end.
+@query(
+    "pipeline_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    nd AS (SELECT doc, CAST(count(*) AS DOUBLE) AS nd FROM tf GROUP BY doc),
+    nq AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS nq FROM q GROUP BY query_id),
+    jc_sc AS (
+      SELECT q.query_id, tf.doc,
+             round(CAST(count(*) AS DOUBLE)
+                   / (any_value(nd.nd) + any_value(nq.nq) - count(*)), 6) AS score
+      FROM tf JOIN q USING (term) JOIN nd USING (doc) JOIN nq ON nq.query_id = q.query_id
+      GROUP BY q.query_id, tf.doc
+    ),
+    jc AS (
+      SELECT query_id, doc, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc) AS INTEGER) AS rank
+      FROM jc_sc QUALIFY rank <= 5
+    ),
+    u AS (
+      SELECT query_id, doc, 1.0 / (60 + rank) AS c FROM bm
+      UNION ALL
+      SELECT query_id, doc, 1.0 / (60 + rank) AS c FROM jc
+    ),
+    f AS (
+      SELECT query_id, doc, round(sum(c), 6) AS rrf_score FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(doc AS BIGINT) AS doc, rrf_score,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT query_id, doc, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc) AS rank
+      FROM f
+    ) WHERE rank <= 5
+    """,
+    doc="SURVEY §2.10 X3/X4 bridge — reciprocal-rank fusion of the "
+    "BM25 and token-Jaccard top-5 rankings (1/(60+rank) sums, no "
+    "score normalization); both rankers and the fused top-5 restated "
+    "by the oracle (operators/retrieval.rrf_fuse).",
+)
+def pipeline_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = _bm25_queries_df(spark)
+    bm = retrieval.bm25_topk(docs, qdf, id_col="doc_id", text_col="text", k=5)
+    jc = retrieval.term_jaccard_topk(
+        docs, qdf, id_col="doc_id", text_col="text", k=5
+    )
+    fused = retrieval.rrf_fuse([bm, jc], k_const=60, topk=5)
+    return fused.select(
+        "query_id", F.col("doc").cast("bigint").alias("doc"), "rrf_score", "rank"
+    )
