@@ -428,3 +428,44 @@ def ks_test_report(
             F.round(F.col("ks_stat"), round_dp) > F.round(crit, round_dp)
         ).alias("drifted"),
     )
+
+
+def file_profile(
+    spark,
+    table: str,
+    small_bytes: int = 16 * 1024 * 1024,
+    round_dp: int = 6,
+) -> "DataFrame":
+    """DQ [EXT] — physical FILE-LAYOUT profile (round 11): the
+    detector that decides when the engine's compaction operators
+    (`compact_ann_index`, `lc_zorder_compact`, snapshot vacuum) are
+    worth running. Nightly appends accumulate small files; a 100 TB
+    scan over millions of KB-files is task-scheduling-bound, not
+    IO-bound — the standing lakehouse failure mode.
+
+    Metadata-only: reads ``_metadata.file_path / file_size`` through
+    the normal scan (column pruning drops every data column, so the
+    "scan" moves file footers, not data), one distinct + one
+    aggregate. Returns one row: (n_files, total_bytes, avg_bytes,
+    min_bytes, max_bytes, small_file_share) where small_file_share is
+    the fraction of files under ``small_bytes``.
+    """
+    files = (
+        spark.table(table)
+        .select(
+            F.col("_metadata.file_path").alias("p"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .distinct()
+    )
+    return files.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("sz").cast("bigint").alias("total_bytes"),
+        F.round(F.avg("sz"), round_dp).alias("avg_bytes"),
+        F.min("sz").cast("bigint").alias("min_bytes"),
+        F.max("sz").cast("bigint").alias("max_bytes"),
+        F.round(
+            F.avg(F.when(F.col("sz") < int(small_bytes), 1.0).otherwise(0.0)),
+            round_dp,
+        ).alias("small_file_share"),
+    )

@@ -1838,3 +1838,63 @@ def lc_join_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys_overlap bigint, hll_within_5pct boolean, "
         "overlap_within_5pct_of_union boolean",
     )
+
+
+# ----------------------------------------------------------------------
+# Round 11 — small-file fragmentation detector (dq.file_profile): the
+# metadata-only gauge that decides WHEN the engine's compaction
+# operators are worth running. The query certifies the full loop:
+# three bucketed appends fragment a scratch table (>= 3x the per-write
+# file count), the profile detects it (every file under the small-file
+# threshold), a staged-swap rewrite compacts to one file, and the
+# re-profile + row counts certify the defrag preserved content. File
+# sizes are environment-facts (not restatable from parquet by DuckDB),
+# so the report emits restatable row counts + boolean claims — the
+# x2_simhash report discipline.
+@query(
+    "dq_file_profile",
+    oracle="""
+    SELECT CAST(3 * count(*) AS BIGINT) AS n_rows,
+           TRUE AS fragmented_before,
+           TRUE AS all_small_before,
+           TRUE AS single_file_after,
+           TRUE AS rows_preserved
+    FROM orders
+    """,
+    doc="DQ [EXT] — physical file-layout profile (_metadata-only, no "
+    "data read): detects append fragmentation (file count + small-"
+    "file share), certified around a staged-swap compaction that "
+    "collapses the table to one file with rows preserved "
+    "(operators/dq.file_profile, engine._swap_staged_table).",
+)
+def dq_file_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.engine import _swap_staged_table
+    from cbts_datalake_synnex_spark.operators.dq import file_profile
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    with _scratch_engine(spark) as eng:
+        for _ in range(3):
+            o.repartition(16, "o_orderkey").write.mode("append").saveAsTable(
+                eng.qualified("frag")
+            )
+        before = file_profile(spark, eng.qualified("frag")).first()
+        n_before = spark.table(eng.qualified("frag")).count()
+        spark.table(eng.qualified("frag")).repartition(1).write.saveAsTable(
+            eng.qualified("frag_compact")
+        )
+        _swap_staged_table(eng, eng.qualified("frag_compact"), eng.qualified("frag"))
+        after = file_profile(spark, eng.qualified("frag")).first()
+        n_after = spark.table(eng.qualified("frag")).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_before),
+                bool(before["n_files"] >= 3 * 16 and after["n_files"] < before["n_files"]),
+                bool(before["small_file_share"] == 1.0),
+                bool(after["n_files"] == 1),
+                bool(n_after == n_before),
+            )
+        ],
+        "n_rows bigint, fragmented_before boolean, all_small_before boolean, "
+        "single_file_after boolean, rows_preserved boolean",
+    )

@@ -135,3 +135,35 @@ def test_unicode_normalize_lane_equivalence(spark):
             .collect()
         )
         assert digest(a) == digest(j), form
+
+
+def test_file_profile_detects_fragmentation(spark, tmp_path):
+    """Round 11: metadata-only layout profile — counts files, flags
+    100% small-file share on a fragmented table, single file after a
+    compacting rewrite."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.dq import file_profile
+
+    db = f"fp_{uuid.uuid4().hex[:8]}"
+    root = str(tmp_path / "lake")
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        for _ in range(2):
+            df.repartition(4, "id").write.mode("append").saveAsTable(f"{db}.t")
+        p = file_profile(spark, f"{db}.t").first()
+        assert p["n_files"] == 8
+        assert p["small_file_share"] == 1.0
+        assert p["total_bytes"] > 0 and p["min_bytes"] <= p["max_bytes"]
+        spark.table(f"{db}.t").repartition(1).write.mode("overwrite").saveAsTable(
+            f"{db}.c"
+        )
+        assert file_profile(spark, f"{db}.c").first()["n_files"] == 1
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(root, ignore_errors=True)
