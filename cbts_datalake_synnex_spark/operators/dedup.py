@@ -539,6 +539,7 @@ def weighted_minhash_pairs(
     bands: int = 8,
     shingle_size: int = 3,
     max_bucket_width: int = 64,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """X2 — weighted-MinHash-LSH near-duplicate pairs: ICWS signatures
     banded exactly like :func:`minhash_lsh_pairs` (collision
@@ -549,11 +550,20 @@ def weighted_minhash_pairs(
     :func:`weighted_jaccard_pairs`; recall is the LSH curve (gated vs
     the exact twin in tests/test_recall.py). The tf table shuffles
     once; the signature and band projection are scan-bound; the verify
-    join broadcasts the candidate pairs. Returns
+    join broadcasts the candidate pairs.
+
+    ``tf``: override the default term-frequency weights with ANY
+    (doc, sh, w) table of STRICTLY POSITIVE weights — e.g. tf·idf
+    with smoothed idf (ICWS samples ln(w), so a zero weight must be
+    filtered or floored by the caller; Ioffe 2010 covers arbitrary
+    w > 0). Pass the SAME frame to :func:`weighted_jaccard_pairs` so
+    the exact twin scores on the same weights. Caller-supplied frames
+    are trusted to be pinned (the ``shingles=`` contract). Returns
     (doc1, doc2, wjaccard)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    tf = weighted_shingle_tf(df, id_col, text_col, shingle_size).localCheckpoint()
+    if tf is None:
+        tf = weighted_shingle_tf(df, id_col, text_col, shingle_size).localCheckpoint()
     sig = weighted_minhash_signatures(
         df, id_col, text_col, num_perm, shingle_size, tf=tf
     )

@@ -366,3 +366,48 @@ def test_sq8_roundtrip_error_bounded_and_recall(spark, sf_dir):
     truth = {(r["query_id"], r["cand_id"]) for r in ft.collect()}
     got = {(r["query_id"], r["cand_id"]) for r in st.collect()}
     assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_weighted_minhash_tfidf_weight_hook(spark):
+    """The tf= hook: smoothed-idf-weighted shingles flow through both
+    the LSH path and the exact twin, with LSH ⊆ exact and agreeing
+    scores (no false positives under ANY positive weight table)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),
+        (3, "a b c a b c a b c a b c d e f"),
+        (4, "q r s t u v w x y z"),
+        (5, "a b c a b c a b c a b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = dedup.weighted_shingle_tf(df, "doc_id", "text", 3)
+    n_docs = df.count()
+    idf = base.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = (
+        base.join(idf, "sh")
+        .select(
+            "doc",
+            "sh",
+            (F.col("w") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 0.5))).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint()
+    )
+    exact = {
+        (r["doc1"], r["doc2"]): r["wjaccard"]
+        for r in dedup.weighted_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, tf=tfidf
+        ).collect()
+    }
+    lsh = {
+        (r["doc1"], r["doc2"]): r["wjaccard"]
+        for r in dedup.weighted_minhash_pairs(
+            df, "doc_id", "text", threshold=0.5, num_perm=16, bands=8, tf=tfidf
+        ).collect()
+    }
+    assert exact and set(lsh) <= set(exact)
+    assert {(1, 2), (3, 5)} <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
