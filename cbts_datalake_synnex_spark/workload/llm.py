@@ -5177,10 +5177,10 @@ def x2_weighted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weight vector to the 6dp grid in BOTH engines (the cross-engine
 # drift-stopping contract — ≤1-ulp exp noise per row cannot compound
 # across steps), so DuckDB restates every step bit-for-bit.
-@query(
-    "x4_logreg_train",
-    oracle="""
-    WITH x AS (
+# shared by x4_logreg_train / x4_logreg_calibration: the exact 3-step
+# GD trajectory (w rounded to the 6dp grid per step in BOTH engines).
+_LOGREG_GD_CTES = """
+    x AS (
       SELECT coalesce(value, 0) / 100.0 AS x1,
              (epoch_us(ts) % 86400000000) / 86400000000.0 AS x2,
              CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
@@ -5204,6 +5204,13 @@ def x2_weighted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(w3 - avg( 1/(1+exp(-(w1*x1 + w2*x2 + w3))) - y), 6) AS w3
       FROM x CROSS JOIN s2 GROUP BY w1, w2, w3
     )
+"""
+
+
+@query(
+    "x4_logreg_train",
+    oracle=f"""
+    WITH {_LOGREG_GD_CTES}
     SELECT w1 AS w_x1, w2 AS w_x2, w3 AS w_bias,
            (SELECT round(avg(CASE WHEN (round(1/(1+exp(-(s3.w1*x1 + s3.w2*x2 + s3.w3))), 6) > 0.5)
                                       = (y > 0.5)
@@ -5442,4 +5449,67 @@ def pipeline_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = retrieval.rrf_fuse([bm, jc], k_const=60, topk=5)
     return fused.select(
         "query_id", F.col("doc").cast("bigint").alias("doc"), "rrf_score", "rank"
+    )
+
+
+# ----------------------------------------------------------------------
+# X4++ — classifier CALIBRATION report (round 11): the eval companion
+# to x4_logreg_train / pipeline_classifier_eval (AUC ranks; calibration
+# asks whether the probabilities themselves are honest — the
+# reliability-diagram data plus the per-bin Brier decomposition a
+# quality-filter threshold is actually set from). Predictions use the
+# same grid-rounded 3-step GD trajectory, p rounded 6dp before binning
+# (both engines bin identical values), decile bins with the top edge
+# folded into bin 9.
+@query(
+    "x4_logreg_calibration",
+    oracle=f"""
+    WITH {_LOGREG_GD_CTES},
+    scored AS (
+      SELECT round(1/(1+exp(-(s3.w1*x.x1 + s3.w2*x.x2 + s3.w3))), 6) AS p, x.y
+      FROM x CROSS JOIN s3
+    )
+    SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) AS mean_pred,
+           round(avg(y), 6) AS frac_pos,
+           round(avg((p - y) * (p - y)), 6) AS bin_brier
+    FROM scored GROUP BY 1
+    """,
+    doc="SURVEY §2.10 X4++ — calibration/reliability report for the "
+    "in-engine logistic classifier: 6dp-rounded predicted "
+    "probabilities binned into deciles, per-bin count / mean "
+    "prediction / empirical positive rate / Brier contribution; the "
+    "whole trajectory-plus-binning restated by the oracle "
+    "(operators/classify.logreg_train composed with one scoring "
+    "projection).",
+)
+def x4_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.classify import logreg_train
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        (F.coalesce(F.col("value"), F.lit(0.0)) / 100.0).alias("x1"),
+        ((F.unix_micros("ts") % 86_400_000_000) / 86_400_000_000.0).alias("x2"),
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    w = logreg_train(x, ["x1", "x2"], "y", steps=3, lr=1.0).select(
+        "w_x1", "w_x2", "w_bias"
+    )
+    z = (
+        F.col("w_x1") * F.col("x1")
+        + F.col("w_x2") * F.col("x2")
+        + F.col("w_bias")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = x.crossJoin(F.broadcast(w)).select(p.alias("p"), "y")
+    return scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_pred"),
+        F.round(F.avg("y"), 6).alias("frac_pos"),
+        F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6).alias(
+            "bin_brier"
+        ),
     )
