@@ -348,6 +348,17 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "pipeline_epoch_repeat",
     # round 10: one key shuffle + two window passes
     "j6_asof_nearest",
+    # round 11: tf inverted index + ICWS projection + map verify —
+    # the minhash class with a tf aggregate in front
+    "x2_weighted_minhash_pairs",
+    # round 11: candidate-bounded lexical scorer + top-k-only fusion
+    "x4_bm25_topk",
+    "pipeline_rrf_fusion",
+    # round 11: 3 scans + (d+1)-double aggregates in one plan
+    "x4_logreg_train",
+    # round 11: quantize/dequantize projections around two cosine
+    # top-k passes (8-query broadcast contract)
+    "x3_sq8_recall",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
@@ -357,12 +368,17 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # `admission_index_probe` row in the dedup_skew block. Same for
 # x3_ann_index_probe (build + append + exhaustive probe — the probe
 # alone is the knn_join cogroup core, already benched as x3_knn_join).
-# Streaming replays (t_stream_* incl. round-10 t_stream_sessionize,
-# j_pagerank_bucketed's scratch-table lifecycle) are likewise
+# Streaming replays (t_stream_* incl. round-10 t_stream_sessionize
+# and round-11 t_stream_heartbeat, j_pagerank_bucketed's and
+# j_lpa_bucketed's scratch-table lifecycles) are likewise
 # fixed-overhead certification paths, not wall-time signals. Same for
 # lc_index_compact / lc_ann_compact (round 10): full
 # build+append+compact+two-probe lifecycles — their steady-state
-# costs are the admission_index_probe / x3_knn_join rows.
+# costs are the admission_index_probe / x3_knn_join rows — and the
+# round-11 scratch-lifecycle certifications (lc_join_estimate,
+# lc_join_key_overlap, dq_file_profile: table writes dominate) and
+# x4_logreg_calibration (sf1 coverage via x4_logreg_train's shared
+# trajectory).
 
 
 def main() -> None:

@@ -421,17 +421,19 @@ def _icws_unit(seed: int, s) -> F.Column:
 
 
 def _icws_pick(k: int, pair) -> F.Column:
-    """One ICWS sample for permutation ``k`` over a (s, w) struct:
-    r, c ~ Gamma(2,1) (= −ln(u·u')), β ~ U(0,1), all keyed on (k, s);
-    t = ⌊ln w / r + β⌋, ln a = ln c − r·(t + 1 − β). Returns
+    """One ICWS sample for permutation ``k`` over a (s, lw = ln w)
+    struct: r, c ~ Gamma(2,1) (= −ln(u·u')), β ~ U(0,1), all keyed on
+    (k, s); t = ⌊ln w / r + β⌋, ln a = ln c − r·(t + 1 − β). Returns
     struct(lna, s, t) — array_min over these IS the argmin, and the
     winning (s*, t*) pair is the sample whose collision probability
-    across two weighted sets is J_w."""
-    s, w = pair["s"], pair["w"]
+    across two weighted sets is J_w. ``ln w`` arrives precomputed
+    (perm-independent — hoisting it out of the num_perm transforms
+    drops a quarter of the transcendental work, the ICWS hot cost)."""
+    s, lw = pair["s"], pair["lw"]
     r = -F.log(_icws_unit(5 * k, s) * _icws_unit(5 * k + 1, s))
     c = -F.log(_icws_unit(5 * k + 2, s) * _icws_unit(5 * k + 3, s))
     beta = _icws_unit(5 * k + 4, s)
-    t = F.floor(F.log(w) / r + beta)
+    t = F.floor(lw / r + beta)
     lna = F.log(c) - r * (t.cast("double") + 1.0 - beta)
     return F.struct(lna.alias("lna"), s.alias("s"), t.cast("long").alias("t"))
 
@@ -470,9 +472,9 @@ def weighted_minhash_signatures(
     permutation."""
     tf = tf if tf is not None else weighted_shingle_tf(df, id_col, text_col, shingle_size)
     docs = tf.groupBy("doc").agg(
-        F.collect_list(F.struct(F.col("sh").alias("s"), F.col("w").alias("w"))).alias(
-            "sw"
-        )
+        F.collect_list(
+            F.struct(F.col("sh").alias("s"), F.log("w").alias("lw"))
+        ).alias("sw")
     )
     def _picker(k: int):
         # NB: a two-arg lambda in F.transform means (element, index) —

@@ -5099,8 +5099,21 @@ def lc_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry emits the in-plan verification report and DuckDB restates the
 # exact-twin pair count (tf table -> inverted-index self-join ->
 # Σmin/(tot1+tot2-Σmin)); the constants certify the contract held.
+# The BENCH times the raw weighted-LSH operator (the
+# x2_minhash_lsh_pairs discipline): the registry report deliberately
+# runs LSH + the exact weighted twin + the compare in one plan (~3x
+# the work), which is a certification artifact, not the operator cost.
+def _bench_weighted_minhash_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.weighted_minhash_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.7,
+        num_perm=16, bands=8, shingle_size=3,
+    )
+
+
 @query(
     "x2_weighted_minhash_pairs",
+    bench_fn=_bench_weighted_minhash_raw,
     oracle="""
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
     s AS (
