@@ -469,3 +469,51 @@ def file_profile(
             round_dp,
         ).alias("small_file_share"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DQ [EXT] — k-anonymity audit (Sweeney 2002, public): group rows
+    by their quasi-identifier combination; any equivalence class
+    smaller than ``k`` re-identifies its members by linkage. The
+    privacy gate a training-data release runs AFTER PII redaction
+    (`text.pii_report` finds direct identifiers; this measures the
+    indirect ones).
+
+    Scale shape: ONE hash aggregate keyed on the quasi-identifier
+    tuple (map-side combined), then a class-size histogram over the
+    class table (≤ |distinct tuples| rows — the corpus never moves
+    twice). NULL quasi-values form their own class per SQL grouping,
+    the conservative reading (an all-NULL tuple is still a linkable
+    signature).
+
+    Returns one row per class-size bucket (size_bucket: '1', '2-4',
+    '5-9', '10+' for the default k=5 — buckets derive from k as
+    [1, 2..k-1, k..2k-1, 2k+]): (size_bucket, n_classes, n_rows,
+    row_share, violates_k).
+    """
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    bucket = (
+        F.when(F.col("sz") == 1, F.lit("1"))
+        .when(F.col("sz") < int(k), F.lit(f"2-{k - 1}"))
+        .when(F.col("sz") < 2 * int(k), F.lit(f"{k}-{2 * k - 1}"))
+        .otherwise(F.lit(f"{2 * k}+"))
+    )
+    hist = classes.groupBy(bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )
+    total = hist.agg(F.sum("n_rows").alias("t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "size_bucket",
+        "n_classes",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("t"), round_dp).alias("row_share"),
+        F.col("size_bucket").isin("1", f"2-{k - 1}").alias("violates_k"),
+    )

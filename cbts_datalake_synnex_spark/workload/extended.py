@@ -1711,3 +1711,51 @@ def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         "value",
     )
+
+
+# ----------------------------------------------------------------------
+# DQ [EXT] — k-anonymity audit (round 11): the linkage-privacy
+# complement of the PII tier (x4_pii_report finds direct identifiers;
+# this measures whether quasi-identifier combinations re-identify).
+# Quasi-identifiers here: (event_type, value decile, hour of day) —
+# coarse enough that most classes pass k=5, fine enough that some
+# don't, so both branches carry rows. One hash agg on the tuple + a
+# class-size histogram; DuckDB restates every bucket.
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH cls AS (
+      SELECT event_type,
+             CAST(floor(coalesce(value, 0) / 10) AS BIGINT) AS vdec,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM events GROUP BY 1, 2, 3
+    ),
+    hist AS (
+      SELECT CASE WHEN sz = 1 THEN '1'
+                  WHEN sz < 5 THEN '2-4'
+                  WHEN sz < 10 THEN '5-9'
+                  ELSE '10+' END AS size_bucket,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(sz) AS BIGINT) AS n_rows
+      FROM cls GROUP BY 1
+    )
+    SELECT size_bucket, n_classes, n_rows,
+           round(n_rows * 1.0 / (SELECT sum(n_rows) FROM hist), 6) AS row_share,
+           size_bucket IN ('1', '2-4') AS violates_k
+    FROM hist
+    """,
+    doc="DQ [EXT] — k-anonymity audit over (event_type, value decile, "
+    "hour) quasi-identifiers at k=5: one hash agg on the tuple, "
+    "class-size histogram, per-bucket row share and violation flag "
+    "(operators/dq.k_anonymity_report).",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import k_anonymity_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / 10).cast("bigint").alias("vdec"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    return k_anonymity_report(ev, ["event_type", "vdec", "hr"], k=5)

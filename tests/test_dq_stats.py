@@ -167,3 +167,23 @@ def test_file_profile_detects_fragmentation(spark, tmp_path):
         spark.catalog.setCurrentDatabase("default")
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_k_anonymity_buckets_and_violations(spark):
+    """Round 11: constructed classes of sizes 1, 3, 6, 12 land in the
+    right k=5 buckets with correct shares and violation flags."""
+    from cbts_datalake_synnex_spark.operators.dq import k_anonymity_report
+
+    rows = (
+        [("a", 1)] * 1 + [("b", 1)] * 3 + [("c", 1)] * 6 + [("d", 1)] * 12
+    )
+    df = spark.createDataFrame(rows, "qa string, qb int")
+    out = {r["size_bucket"]: r for r in k_anonymity_report(df, ["qa", "qb"], k=5).collect()}
+    assert set(out) == {"1", "2-4", "5-9", "10+"}
+    assert out["1"]["n_classes"] == 1 and out["1"]["n_rows"] == 1
+    assert out["2-4"]["n_rows"] == 3 and out["2-4"]["violates_k"]
+    assert out["5-9"]["n_rows"] == 6 and not out["5-9"]["violates_k"]
+    assert out["10+"]["n_rows"] == 12 and not out["10+"]["violates_k"]
+    # shares are rounded 6dp individually; the sum lands within the
+    # rounding budget (4 buckets x 5e-7)
+    assert abs(sum(r["row_share"] for r in out.values()) - 1.0) <= 2e-6
