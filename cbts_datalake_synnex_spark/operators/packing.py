@@ -333,3 +333,91 @@ def preference_pairs(
         )
         .filter(F.col("margin") > 0)
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: int = 8,
+    span_len: int = 3,
+    rate_pct: int = 30,
+    salt: str = "t5",
+    round_dp: int = 6,
+) -> DataFrame:
+    """X6 — T5-style SPAN CORRUPTION example construction (Raffel et
+    al. 2020, arXiv:1910.10683 §3.1.4 — denoising objectives train on
+    (corrupted input with sentinels, target of masked spans)): the
+    remaining classic beside FIM (`fim_split`) and the chat/preference
+    assemblers.
+
+    Deterministic blockwise variant: tokens partition into fixed
+    ``block``-sized blocks; block ``j`` masks its first ``span_len``
+    tokens iff the md5 gate ``hash(salt:doc:j) % 100 < rate_pct`` fires
+    and the span fits (``j·block + span_len ≤ n``) — spans are
+    non-overlapping BY CONSTRUCTION, which is what makes the whole
+    op a pure projection (T5's sampled span starts need a sequential
+    overlap scan). Sentinels carry the BLOCK ORDINAL
+    (``<extra_id_j>`` — sparse but unique and order-preserving; dense
+    renumbering is a trivial post-map), so no prefix count is needed
+    anywhere. Masking is expectation ``rate_pct/100 · span_len/block``
+    of tokens, zero RNG, idempotent, and every output character is
+    restatable in ANSI SQL (the md5 idiom).
+
+    Returns (id, corrupted, target, n_spans, masked_share):
+    ``corrupted`` replaces each masked span with its sentinel;
+    ``target`` is ``<extra_id_j> span tokens ...`` per masked block in
+    document order, closed with ``<extra_id_end>`` (empty when no
+    span fired). Lossless: original = corrupted with each sentinel
+    substituted by its target span (golden-tested).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    doc = F.col(id_col)
+
+    def gate(j):
+        h = F.md5(F.concat_ws(":", F.lit(salt), doc.cast("string"), j.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100 < F.lit(
+            int(rate_pct)
+        )
+
+    def masked(j):
+        return gate(j) & (j * block + span_len <= n)
+
+    def sentinel(j):
+        return F.concat(F.lit("<extra_id_"), j.cast("string"), F.lit(">"))
+
+    def tok_expr(t, i):
+        j = F.floor(i / block).cast("bigint")
+        in_span = masked(j) & (i - j * block < span_len)
+        start = in_span & (i == j * block)
+        return F.when(start, sentinel(j)).when(in_span, F.lit(None)).otherwise(t)
+
+    ct = F.transform(toks, lambda t, i: tok_expr(t, i.cast("bigint")))
+    corrupted = F.array_join(F.filter(ct, lambda x: x.isNotNull()), " ")
+    nb = F.ceil(n / F.lit(block)).cast("bigint")
+    masked_js = F.filter(
+        F.sequence(F.lit(0).cast("bigint"), nb - 1), lambda j: masked(j)
+    )
+    tparts = F.transform(
+        masked_js,
+        lambda j: F.concat(
+            sentinel(j),
+            F.lit(" "),
+            F.array_join(F.slice(toks, (j * block + 1).cast("int"), span_len), " "),
+        ),
+    )
+    n_spans = F.size(masked_js)
+    target = F.when(
+        n_spans > 0,
+        F.concat(F.array_join(tparts, " "), F.lit(" <extra_id_end>")),
+    ).otherwise(F.lit(""))
+    return df.select(
+        doc,
+        corrupted.alias("corrupted"),
+        target.alias("target"),
+        n_spans.cast("bigint").alias("n_spans"),
+        F.round(n_spans * span_len / F.greatest(n, F.lit(1)), round_dp).alias(
+            "masked_share"
+        ),
+    )

@@ -5526,3 +5526,65 @@ def x4_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_brier"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# X6++ — T5 span-corruption example construction (round 11): the
+# denoising objective beside FIM — (corrupted input with sentinels,
+# target of masked spans). Deterministic blockwise variant (md5-gated
+# non-overlapping spans, block-ordinal sentinels — see
+# operators/packing.span_corrupt); DuckDB restates every output
+# character per document.
+@query(
+    "x6_span_corrupt",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    g AS (
+      SELECT doc_id, toks, n,
+        list_filter(
+          generate_series(0, CAST(ceil(n / 8.0) AS BIGINT) - 1),
+          j -> CAST(('0x' || substr(md5('t5:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 30
+               AND j * 8 + 3 <= n
+        ) AS mjs
+      FROM base
+    ),
+    built AS (
+      SELECT doc_id, n, mjs,
+        array_to_string(
+          list_filter(
+            list_transform(generate_series(0, n - 1), i ->
+              CASE WHEN list_contains(mjs, i // 8) AND i - (i // 8) * 8 < 3
+                   THEN CASE WHEN i = (i // 8) * 8
+                             THEN '<extra_id_' || CAST(i // 8 AS VARCHAR) || '>'
+                             ELSE NULL END
+                   ELSE toks[i + 1] END),
+            x -> x IS NOT NULL),
+          ' ') AS corrupted,
+        CASE WHEN len(mjs) > 0
+             THEN array_to_string(
+                    list_transform(mjs, j ->
+                      '<extra_id_' || CAST(j AS VARCHAR) || '> '
+                      || array_to_string(toks[j * 8 + 1 : j * 8 + 3], ' ')),
+                    ' ') || ' <extra_id_end>'
+             ELSE '' END AS target
+      FROM g
+    )
+    SELECT doc_id, corrupted, target,
+           CAST(len(mjs) AS BIGINT) AS n_spans,
+           round(len(mjs) * 3.0 / greatest(n, 1), 6) AS masked_share
+    FROM built
+    """,
+    doc="SURVEY §2.10 X6++ — T5-style span corruption (blockwise "
+    "deterministic: md5-gated non-overlapping spans, block-ordinal "
+    "sentinels, closing <extra_id_end>): corrupted input + masked-span "
+    "target per document, every character restated by the oracle "
+    "(operators/packing.span_corrupt).",
+)
+def x6_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.packing import span_corrupt
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corrupt(
+        docs, "doc_id", "text", block=8, span_len=3, rate_pct=30, salt="t5"
+    )

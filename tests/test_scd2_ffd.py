@@ -212,3 +212,49 @@ def test_preference_pairs_partitioning_invariant(spark):
         map(tuple, preference_pairs(df.repartition(13), "p", "i", "score").collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_span_corrupt_lossless_and_partition_invariant(spark):
+    """Round 11: substituting each sentinel in `corrupted` with its
+    span from `target` reconstructs the original text exactly; output
+    is partitioning-invariant; rate 0 passes text through."""
+    import re
+
+    from cbts_datalake_synnex_spark.operators.packing import span_corrupt
+
+    docs = [
+        (i, " ".join(f"w{i}_{k}" for k in range((i * 7) % 40 + 1)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in span_corrupt(
+        df, "doc_id", "text", block=8, span_len=3, rate_pct=60
+    ).collect()}
+    assert any(r["n_spans"] > 0 for r in out.values())
+    for i, text in docs:
+        r = out[i]
+        spans = {}
+        if r["target"]:
+            body = r["target"].removesuffix(" <extra_id_end>")
+            for part in re.split(r"(?=<extra_id_\d+>)", body):
+                if not part:
+                    continue
+                sid, toks = part.strip().split(">", 1)
+                spans[sid + ">"] = toks.strip()
+        rebuilt = " ".join(
+            spans.get(tok, tok) for tok in r["corrupted"].split(" ") if tok != ""
+        )
+        assert rebuilt == text, (i, r["corrupted"], r["target"])
+        assert r["n_spans"] == len(spans)
+    a = sorted(map(tuple, span_corrupt(df, "doc_id", "text", rate_pct=60).collect()))
+    b = sorted(
+        map(
+            tuple,
+            span_corrupt(df.repartition(7), "doc_id", "text", rate_pct=60).collect(),
+        )
+    )
+    assert a == b
+    zero = span_corrupt(df, "doc_id", "text", rate_pct=0).collect()
+    assert all(r["n_spans"] == 0 and r["target"] == "" for r in zero)
+    got = {r["doc_id"]: r["corrupted"] for r in zero}
+    assert all(got[i] == t for i, t in docs)
