@@ -365,3 +365,45 @@ def logreg_train(
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     return out
+
+
+def hashing_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 4,
+    salt: str = "hf",
+    scale: float = 1.0,
+) -> DataFrame:
+    """X4 — the feature-HASHING trick (Weinberger et al. 2009,
+    'Feature Hashing for Large Scale Multitask Learning' — public):
+    token counts folded into a FIXED n_features-dimensional vector by
+    hashing, the vocab-free featurizer linear models use at corpus
+    scale — no vocabulary table, no fit pass, no vocabulary growth
+    between batches (the property that matters when yesterday's model
+    must score today's data).
+
+    Scale shape: one explode + ONE hash aggregate keyed on the doc id
+    whose values are the n_features conditional counts (map-side
+    combined; the shuffle carries n_features numbers per doc). Bucket
+    assignment is the md5 idiom, so an oracle re-derives every cell.
+    Returns (id, f0..f{n-1}) as doubles divided by ``scale`` (set it
+    near the expected count magnitude so downstream GD margins stay in
+    sigmoid's linear range).
+    """
+    tok = _tokens(df.select(F.col(id_col), F.col(text_col)), text_col, id_col)
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col("token")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % int(n_features)
+    return (
+        tok.select(id_col, bucket.alias("__b"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                (
+                    F.sum(F.when(F.col("__b") == i, 1).otherwise(0))
+                    / F.lit(float(scale))
+                ).alias(f"f{i}")
+                for i in range(int(n_features))
+            ]
+        )
+    )

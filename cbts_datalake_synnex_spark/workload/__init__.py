@@ -185,8 +185,8 @@ _ROUND8_FRONT = [
 # x2_weighted_minhash_pairs, t_stream_heartbeat, lc_join_estimate,
 # lc_join_key_overlap, x4_logreg_train, x3_sq8_recall, x4_bm25_topk,
 # pipeline_rrf_fusion, dq_file_profile, x4_logreg_calibration,
-# dq_k_anonymity, x6_span_corrupt (check git log for later round-11
-# additions).
+# dq_k_anonymity, x6_span_corrupt, x4_hashed_logreg (check git log
+# for later round-11 additions).
 _ROUND11_FRONT = [
     "j_pagerank_bucketed",
     "t_stream_sessionize",

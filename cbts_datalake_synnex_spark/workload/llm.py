@@ -5588,3 +5588,83 @@ def x6_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corrupt(
         docs, "doc_id", "text", block=8, span_len=3, rate_pct=30, salt="t5"
     )
+
+
+# ----------------------------------------------------------------------
+# X4++ — feature hashing + GD classifier, end to end (round 11): the
+# vocab-free text-classifier pipeline (Weinberger 2009 hashing trick
+# feeding the unrolled-GD logistic trainer) — text → 4 hashed count
+# features (md5 buckets, one explode + one agg) → 3 grid-rounded GD
+# steps predicting lang='en'. DuckDB restates the featurizer AND the
+# full trajectory.
+@query(
+    "x4_hashed_logreg",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      ) WHERE t <> ''
+    ),
+    fx AS (
+      SELECT doc_id,
+        sum(CASE WHEN CAST(('0x' || substr(md5('hf:' || t), 1, 8)) AS BIGINT) % 4 = 0 THEN 1 ELSE 0 END) / 50.0 AS f0,
+        sum(CASE WHEN CAST(('0x' || substr(md5('hf:' || t), 1, 8)) AS BIGINT) % 4 = 1 THEN 1 ELSE 0 END) / 50.0 AS f1,
+        sum(CASE WHEN CAST(('0x' || substr(md5('hf:' || t), 1, 8)) AS BIGINT) % 4 = 2 THEN 1 ELSE 0 END) / 50.0 AS f2,
+        sum(CASE WHEN CAST(('0x' || substr(md5('hf:' || t), 1, 8)) AS BIGINT) % 4 = 3 THEN 1 ELSE 0 END) / 50.0 AS f3
+      FROM tok GROUP BY doc_id
+    ),
+    x AS (
+      SELECT fx.f0, fx.f1, fx.f2, fx.f3,
+             CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM fx JOIN documents d USING (doc_id)
+    ),
+    s1 AS (
+      SELECT round(-avg((0.5 - y) * f0), 6) AS w0,
+             round(-avg((0.5 - y) * f1), 6) AS w1,
+             round(-avg((0.5 - y) * f2), 6) AS w2,
+             round(-avg((0.5 - y) * f3), 6) AS w3,
+             round(-avg(0.5 - y), 6) AS wb
+      FROM x
+    ),
+    s2 AS (
+      SELECT round(w0 - avg((1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y) * f0), 6) AS w0,
+             round(w1 - avg((1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y) * f1), 6) AS w1,
+             round(w2 - avg((1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y) * f2), 6) AS w2,
+             round(w3 - avg((1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y) * f3), 6) AS w3,
+             round(wb - avg( 1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y), 6) AS wb
+      FROM x CROSS JOIN s1 GROUP BY w0, w1, w2, w3, wb
+    ),
+    s3 AS (
+      SELECT round(w0 - avg((1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y) * f0), 6) AS w0,
+             round(w1 - avg((1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y) * f1), 6) AS w1,
+             round(w2 - avg((1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y) * f2), 6) AS w2,
+             round(w3 - avg((1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y) * f3), 6) AS w3,
+             round(wb - avg( 1/(1+exp(-(w0*f0+w1*f1+w2*f2+w3*f3+wb))) - y), 6) AS wb
+      FROM x CROSS JOIN s2 GROUP BY w0, w1, w2, w3, wb
+    )
+    SELECT w0 AS w_f0, w1 AS w_f1, w2 AS w_f2, w3 AS w_f3, wb AS w_bias,
+           (SELECT round(avg(CASE WHEN (round(1/(1+exp(-(s3.w0*f0+s3.w1*f1+s3.w2*f2+s3.w3*f3+s3.wb))), 6) > 0.5)
+                                      = (y > 0.5)
+                                  THEN 1.0 ELSE 0.0 END), 6) FROM x) AS train_acc,
+           (SELECT CAST(count(*) AS BIGINT) FROM x) AS n
+    FROM s3
+    """,
+    doc="SURVEY §2.10 X4++ — vocab-free text classifier end to end: "
+    "feature hashing (4 md5 buckets, one explode + one agg) into the "
+    "unrolled-GD logistic trainer (3 grid-rounded steps, lang='en' "
+    "label); featurizer and full trajectory restated by the oracle "
+    "(operators/classify.hashing_features + logreg_train).",
+)
+def x4_hashed_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.classify import (
+        hashing_features,
+        logreg_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashing_features(docs, "doc_id", "text", n_features=4, scale=50.0)
+    x = feats.join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("double").alias("y")),
+        "doc_id",
+    )
+    return logreg_train(x, ["f0", "f1", "f2", "f3"], "y", steps=3, lr=1.0)

@@ -233,3 +233,38 @@ def test_logreg_train_partition_invariant_and_learns_separable(spark):
         )
     )
     assert a == b
+
+
+def test_hashing_features_counts_and_determinism(spark):
+    """Round 11: bucket counts per doc are exact token-count folds;
+    the featurizer is vocabulary-free (unseen tokens still land in
+    [0, n_features)) and partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.classify import hashing_features
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in hashing_features(
+        df, "doc_id", "text", n_features=4, scale=1.0
+    ).collect()}
+    # empty doc has no tokens -> no feature row (joins drop it)
+    assert set(out) == {1, 2}
+    for r in out.values():
+        vals = [r[f"f{i}"] for i in range(4)]
+        assert all(v >= 0 for v in vals)
+    assert sum(out[1][f"f{i}"] for i in range(4)) == 3.0
+    assert sum(out[2][f"f{i}"] for i in range(4)) == 2.0
+    # same token always lands in the same bucket: doc1's 'a' count is
+    # double doc2's in whichever bucket 'a' hashes to
+    diffs = [out[1][f"f{i}"] - out[2][f"f{i}"] for i in range(4)]
+    assert sorted(diffs) == [-1.0, 0.0, 0.0, 2.0] or sorted(diffs) == [-1.0, 0.0, 2.0] + [0.0]
+    a = sorted(map(tuple, hashing_features(df, "doc_id", "text", 4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            hashing_features(df.repartition(5), "doc_id", "text", 4).collect(),
+        )
+    )
+    assert a == b
