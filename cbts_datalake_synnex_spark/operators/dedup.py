@@ -503,18 +503,30 @@ def weighted_jaccard_pairs(
     inverted-index self-join on sh + one (doc1, doc2) aggregate, the
     ngram_jaccard_pairs shuffle shape with weights along for the ride.
     ``max_doc_freq`` is the same skew guard (drops stop-shingles whose
-    fan-out would square); exact when unset. Returns
+    fan-out would square); exact when unset.
+
+    LOSSLESS total-weight filter (the weighted generalization of the
+    AllPairs length filter): J_w ≥ t forces Σmin ≥ t·Σmax ≥
+    t·max(totA, totB) while Σmin ≤ min(totA, totB), so any qualifying
+    pair satisfies ``t·totA ≤ totB ≤ totA/t`` — the self-join carries
+    each side's total weight and prunes mismatched-mass pairs BEFORE
+    the per-pair aggregate, at zero recall cost. Returns
     (doc1, doc2, wjaccard)."""
     tf = tf if tf is not None else weighted_shingle_tf(df, id_col, text_col, shingle_size)
     if max_doc_freq is not None:
         dfreq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         tf = tf.join(dfreq.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
     tot = tf.groupBy("doc").agg(F.sum("w").alias("tot"))
-    a, b = tf.alias("a"), tf.alias("b")
+    tft = tf.join(tot, "doc")
+    t_lit = F.lit(float(threshold))
+    a, b = tft.alias("a"), tft.alias("b")
     summin = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.tot") >= t_lit * F.col("a.tot"))
+            & (F.col("a.tot") >= t_lit * F.col("b.tot")),
         )
         .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .agg(F.sum(F.least(F.col("a.w"), F.col("b.w"))).alias("smin"))
