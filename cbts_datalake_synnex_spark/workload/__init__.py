@@ -180,13 +180,34 @@ _ROUND8_FRONT = [
 # then round-9 fronts (first occurrence wins on overlap); round-11-new
 # queries appended after this list stay local-oracle-only until the
 # round-12 rotation.
-# TODO(round 12): rotate `_ROUND12_FRONT` = the registry entries added
-# after the round-11 window froze — at minimum: j_lpa_bucketed,
-# x2_weighted_minhash_pairs, t_stream_heartbeat, lc_join_estimate,
-# lc_join_key_overlap, x4_logreg_train, x3_sq8_recall, x4_bm25_topk,
-# pipeline_rrf_fusion, dq_file_profile, x4_logreg_calibration,
-# dq_k_anonymity, x6_span_corrupt, x4_hashed_logreg (check git log
-# for later round-11 additions).
+# Round 12: the 14 registry entries added after the round-11 window
+# froze (verified: exactly the registry-minus-lifetime-driver-coverage
+# set over CORRECTNESS_r01..r11). Green CORRECTNESS_r12 rows close
+# lifetime driver coverage at 251/251 of the round-11 registry. The
+# remaining 36 window slots re-certify the round-11 then round-10
+# fronts (first occurrence wins on overlap); round-12-new queries
+# appended after this list stay local-oracle-only until the round-13
+# rotation.
+# TODO(round 13): rotate `_ROUND13_FRONT` = the registry entries added
+# after the round-12 window froze (diff REGISTRY against the union of
+# CORRECTNESS_r01..r12 keys, as round 12 did).
+_ROUND12_FRONT = [
+    "j_lpa_bucketed",
+    "x2_weighted_minhash_pairs",
+    "t_stream_heartbeat",
+    "lc_join_estimate",
+    "lc_join_key_overlap",
+    "x4_logreg_train",
+    "x4_logreg_calibration",
+    "x3_sq8_recall",
+    "x4_bm25_topk",
+    "pipeline_rrf_fusion",
+    "dq_file_profile",
+    "dq_k_anonymity",
+    "x6_span_corrupt",
+    "x4_hashed_logreg",
+]
+
 _ROUND11_FRONT = [
     "j_pagerank_bucketed",
     "t_stream_sessionize",
@@ -265,7 +286,8 @@ _ROUND9_FRONT = [
 def _rotate_registry() -> None:
     order = list(
         dict.fromkeys(
-            _ROUND11_FRONT
+            _ROUND12_FRONT
+            + _ROUND11_FRONT
             + _ROUND10_FRONT
             + _ROUND9_FRONT
             + _ROUND8_FRONT
