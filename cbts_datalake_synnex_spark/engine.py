@@ -3220,9 +3220,14 @@ def update_ann_index(
     # inside one batch would insert duplicate postings just like ids
     # already indexed, re-creating the per-cell top-k slot-poisoning
     # the existing-id guard prevents. One row per id, deterministic
-    # pick (min by vector) so repeated calls stay idempotent.
+    # pick (min by vector) so repeated calls stay idempotent. NULL
+    # vectors are dropped BEFORE the extreme (ADVICE r11): Spark
+    # struct ordering sorts NULL fields first, so a duplicated id with
+    # one NULL-vector row would deterministically keep the NULL and
+    # discard the real vector, appending a useless posting.
     vectors = (
-        vectors.groupBy(id_col)
+        vectors.filter(F.col(vec_col).isNotNull())
+        .groupBy(id_col)
         .agg(F.min(F.struct(F.col(vec_col).alias("v"))).alias("__one"))
         .select(F.col(id_col), F.col("__one.v").alias(vec_col))
     )

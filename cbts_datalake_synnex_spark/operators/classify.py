@@ -327,7 +327,17 @@ def logreg_train(
         F.col(label_col).cast("double").alias("__y"),
     )
     n_feat = len(feats)
-    w = [F.lit(0.0) for _ in range(n_feat)]
+    # materialize w_0 = 0 as literal columns BEFORE the step loop
+    # (ADVICE r11): the final aggregate reads __w{i}, which previously
+    # only existed once the loop body's select ran, so steps=0 raised
+    # instead of returning the zero weight vector.
+    x = x.select(
+        *[F.lit(0.0).alias(f"__w{i}") for i in range(n_feat)],
+        *feats[:-1],
+        "__one",
+        "__y",
+    )
+    w = [F.col(f"__w{i}") for i in range(n_feat)]
 
     def margin(wc):
         z = F.lit(0.0)

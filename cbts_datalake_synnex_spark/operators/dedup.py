@@ -510,7 +510,12 @@ def weighted_jaccard_pairs(
     t·max(totA, totB) while Σmin ≤ min(totA, totB), so any qualifying
     pair satisfies ``t·totA ≤ totB ≤ totA/t`` — the self-join carries
     each side's total weight and prunes mismatched-mass pairs BEFORE
-    the per-pair aggregate, at zero recall cost. Returns
+    the per-pair aggregate, at zero recall cost. The prune runs at a
+    half-grid-slackened threshold (t − 0.5·10⁻⁶, ADVICE r11): the
+    final filter accepts pairs whose 6dp-ROUNDED score ≥ t, which
+    admits true scores down to t − 5e-7, so the mass bound must admit
+    them too or boundary pairs kept by the oracle and the LSH twin
+    (which has no mass prune) would be pruned here. Returns
     (doc1, doc2, wjaccard)."""
     tf = tf if tf is not None else weighted_shingle_tf(df, id_col, text_col, shingle_size)
     if max_doc_freq is not None:
@@ -518,7 +523,7 @@ def weighted_jaccard_pairs(
         tf = tf.join(dfreq.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
     tot = tf.groupBy("doc").agg(F.sum("w").alias("tot"))
     tft = tf.join(tot, "doc")
-    t_lit = F.lit(float(threshold))
+    t_lit = F.lit(float(threshold) - 5e-7)
     a, b = tft.alias("a"), tft.alias("b")
     summin = (
         a.join(

@@ -634,11 +634,19 @@ def heartbeat_stream(
       ``df`` (``withWatermark``); the state registers an event-time
       timeout at ``last_us + threshold``, and when the watermark
       passes it with no new data the detector emits the row with
-      ``resumed_us`` NULL and evicts the state (bounding state by
-      ACTIVE entities — the 100 TB requirement). Timeout firing
-      depends on watermark pacing across micro-batches, so this lane
-      is certified semantically in pytest, not by the exact-replay
-      oracle.
+      ``resumed_us`` NULL. The timeout does NOT discard ``last_us``
+      (ADVICE r11): the state is re-seeded with an ``evicted`` marker
+      so that if the entity later returns, its first event still
+      diffs against the real last timestamp and the resume-lane row
+      for that gap is emitted — the resume lane stays deterministic
+      and oracle-statable with timeouts on. A marked state holds one
+      long + one flag and registers no further timer, so it cannot
+      re-fire; state is bounded by distinct entities ever seen — the
+      same bound the always-on resume lane already implies (the
+      NoTimeout lane never evicts either). Timeout firing depends on
+      watermark pacing across micro-batches; with sentinel-paced
+      watermarks (the ``t_stream_outer_join`` trick) the lane is
+      exactly replayable.
 
     Within a batch rows sort by (ts, *order_cols); across batches the
     ewma/sessionize event-time-ordered arrival contract applies. The
@@ -657,7 +665,9 @@ def heartbeat_stream(
             StructField("silent_us", LongType()),
         ]
     )
-    state_schema = StructType([StructField("last_us", LongType())])
+    state_schema = StructType(
+        [StructField("last_us", LongType()), StructField("evicted", LongType())]
+    )
 
     def update(
         key_tuple: Tuple,
@@ -665,9 +675,12 @@ def heartbeat_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            (last_us,) = (int(v) for v in state.get)
+            last_us = int(state.get[0])
             wm_us = state.getCurrentWatermarkMs() * 1000
-            state.remove()
+            # re-seed, don't remove (ADVICE r11): keep last_us so a
+            # post-eviction comeback still diffs against the real
+            # previous timestamp; no new timer, so no re-fire.
+            state.update((last_us, 1))
             yield pd.DataFrame(
                 {
                     entity_col: [key_tuple[0]],
@@ -694,7 +707,7 @@ def heartbeat_stream(
         )
         silent = ts_us - prev
         hit = silent > thr_us
-        state.update((int(ts_us[-1]),))
+        state.update((int(ts_us[-1]), 0))
         if emit_timeouts:
             state.setTimeoutTimestamp(int(ts_us[-1]) // 1000 + thr_us // 1000)
         if hit.any():
