@@ -91,3 +91,42 @@ def test_bm25_partition_invariant(spark, sf_dir):
         )
     )
     assert a == b and len(a) == 5
+
+
+def test_bm25_max_doc_freq_drops_stop_terms_and_preserves_rankings(spark):
+    """VERDICT r11 #2: the stop-term cap is a parameter, not prose.
+    'spark' appears in all 4 docs (df = N); with max_doc_freq=0.5
+    (the df > N/2 rule) it must contribute nothing, and rankings
+    driven by the informative terms must be unchanged."""
+    docs = _docs(spark)
+    q = _q(spark, "q", ["spark", "join", "unicorn"])
+    uncapped = retrieval.bm25_topk(docs, q, "doc_id", "text", k=5)
+    capped = retrieval.bm25_topk(
+        docs, q, "doc_id", "text", k=5, max_doc_freq=0.5
+    )
+    order_un = [r["doc"] for r in uncapped.orderBy("rank").collect()]
+    rows_cap = capped.orderBy("rank").collect()
+    order_cap = [r["doc"] for r in rows_cap]
+    # doc 3 matches ONLY the stop term: it drops out entirely under
+    # the cap; the informative-term ranking order is preserved
+    assert 3 in order_un and 3 not in order_cap
+    assert order_cap == [d for d in order_un if d != 3]
+    # capped scores equal a run whose queries never contained the
+    # stop term at all — the cap IS term removal, nothing else
+    no_stop = retrieval.bm25_topk(
+        docs, _q(spark, "q", ["join", "unicorn"]), "doc_id", "text", k=5
+    )
+    assert sorted(map(tuple, rows_cap)) == sorted(
+        map(tuple, no_stop.collect())
+    )
+
+
+def test_bm25_max_doc_freq_absolute_int_cap(spark):
+    docs = _docs(spark)
+    q = _q(spark, "q", ["spark", "unicorn"])
+    capped = retrieval.bm25_topk(
+        docs, q, "doc_id", "text", k=5, max_doc_freq=1
+    )
+    rows = capped.collect()
+    # only 'unicorn' (df=1) survives an absolute cap of 1
+    assert {r["doc"] for r in rows} == {4}
