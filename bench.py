@@ -368,8 +368,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # `admission_index_probe` row in the dedup_skew block. Same for
 # x3_ann_index_probe (build + append + exhaustive probe — the probe
 # alone is the knn_join cogroup core, already benched as x3_knn_join).
-# Streaming replays (t_stream_* incl. round-10 t_stream_sessionize
-# and round-11 t_stream_heartbeat, j_pagerank_bucketed's and
+# Streaming replays (t_stream_* incl. round-10 t_stream_sessionize,
+# round-11 t_stream_heartbeat and round-12 t_stream_heartbeat_timeout,
+# j_pagerank_bucketed's and
 # j_lpa_bucketed's scratch-table lifecycles) are likewise
 # fixed-overhead certification paths, not wall-time signals. Same for
 # lc_index_compact / lc_ann_compact (round 10): full

@@ -1463,3 +1463,151 @@ def t_stream_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — heartbeat TIMEOUT lane, driver-certified (round 12,
+# VERDICT r11 #3): the "never came back" terminal rows fire on
+# event-time timers, which depend on watermark pacing — a batch
+# oracle can state them ONLY if every watermark a timer can observe
+# is pinned by the replay. The t_stream_outer_join sentinel trick
+# pins them: ONE data file (all events), then two far-future sentinel
+# files on a disjoint negative key, maxFilesPerTrigger=1. Watermarks
+# are then exactly two: wm1 = floor(max_data_us/1000) ms after the
+# data batch, and s1_ms (the first sentinel, built on a whole-second
+# grid) after it. A user's timer (last_ms + thr_ms) fires in the
+# first batch whose watermark exceeds it, so
+#   silent_us = wm1_ms*1000 − last_us   if last_ms + thr_ms < wm1_ms
+#             = s1_ms*1000  − last_us   otherwise
+# — a closed-form batch expression. The first sentinel sits
+# thr + 2h past the data max, so every remaining timer fires during
+# the second sentinel batch with watermark = s1; the resume lane
+# (intra-batch vectorized diff) equals the lag-gap SQL as in
+# t_stream_heartbeat. The ADVICE-r11 re-seed (timeout keeps last_us)
+# guarantees exactly ONE terminal row per user even though timers
+# fire across two different batches.
+@query(
+    "t_stream_heartbeat_timeout",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(lag(ts) OVER w) AS last_seen_us,
+             epoch_us(ts) AS resumed_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    resume AS (
+      SELECT user_id, last_seen_us, resumed_us,
+             resumed_us - last_seen_us AS silent_us
+      FROM g
+      WHERE last_seen_us IS NOT NULL
+        AND resumed_us - last_seen_us > 3600000000
+    ),
+    consts AS (
+      SELECT max(epoch_us(ts)) // 1000 AS wm1_ms,
+             ((max(epoch_us(ts)) // 1000000 + 1) * 1000000
+              + 3600000000 + 7200000000) // 1000 AS s1_ms
+      FROM events
+    ),
+    lastev AS (
+      SELECT user_id, max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    term AS (
+      SELECT l.user_id,
+             l.last_us AS last_seen_us,
+             CAST(NULL AS BIGINT) AS resumed_us,
+             CASE WHEN l.last_us // 1000 + 3600000 < c.wm1_ms
+                  THEN c.wm1_ms * 1000 - l.last_us
+                  ELSE c.s1_ms * 1000 - l.last_us END AS silent_us
+      FROM lastev l, consts c
+    )
+    SELECT * FROM resume UNION ALL SELECT * FROM term
+    """,
+    doc="SURVEY §2.8 [EXT] — heartbeat_stream(emit_timeouts=True) "
+    "terminal rows driven end-to-end and stated EXACTLY by a batch "
+    "oracle: sentinel batches pin the only two watermarks a timer "
+    "can observe, so each user's silent_us is a closed-form "
+    "expression over (last event, data max, sentinel grid). Covers "
+    "the eviction path t_stream_heartbeat's resume-only replay "
+    "cannot (streaming/stateful.heartbeat_stream).",
+)
+def t_stream_heartbeat_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import heartbeat_stream
+
+    thr_us = 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    scratch = tempfile.mkdtemp(prefix="shbt_")
+    qn = f"shbt_{uuid.uuid4().hex[:8]}"
+    try:
+        m_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"]
+        # whole-second grid → sentinel watermark is ms-exact
+        s1_us = (m_us // 1_000_000 + 1) * 1_000_000 + thr_us + 7_200_000_000
+        s2_us = s1_us + 3_600_000_000
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/in/d0")
+        for k, s in ((1, s1_us), (2, s2_us)):
+            spark.createDataFrame(
+                [(-1, -1, s)], "event_id bigint, user_id bigint, us bigint"
+            ).select(
+                "event_id", "user_id", F.timestamp_micros("us").alias("ts")
+            ).coalesce(1).write.mode("overwrite").parquet(f"{scratch}/in/d{k}")
+        for k in range(3):
+            d = f"{scratch}/in/d{k}"
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+            .withWatermark("ts", "0 seconds")
+        )
+        hb = heartbeat_stream(
+            src, entity_col="user_id", ts_col="ts", threshold_sec=3600,
+            order_cols=["event_id"], emit_timeouts=True,
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                hb.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError(
+                        "stream heartbeat-timeout replay did not finish in 300s"
+                    )
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; sentinel "
+                        "staging failed — the watermark pin is void"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = (
+            spark.table(qn)
+            .filter(F.col("user_id") >= 0)  # drop the sentinel key
+            .select("user_id", "last_seen_us", "resumed_us", "silent_us")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
