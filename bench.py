@@ -376,8 +376,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # lc_index_compact / lc_ann_compact (round 10): full
 # build+append+compact+two-probe lifecycles — their steady-state
 # costs are the admission_index_probe / x3_knn_join rows — and the
-# round-11 scratch-lifecycle certifications (lc_join_estimate,
-# lc_join_key_overlap, dq_file_profile: table writes dominate) and
+# round-11/12 scratch-lifecycle certifications (lc_join_estimate,
+# lc_join_key_overlap, lc_preflight_join, dq_file_profile: table
+# writes dominate) and
 # x4_logreg_calibration (sf1 coverage via x4_logreg_train's shared
 # trajectory).
 

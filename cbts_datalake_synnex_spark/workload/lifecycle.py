@@ -1898,3 +1898,131 @@ def dq_file_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, fragmented_before boolean, all_small_before boolean, "
         "single_file_after boolean, rows_preserved boolean",
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — the composed join pre-flight (VERDICT r11 #4): one API
+# call answers "how big is this join, do the keys overlap, is it
+# skewed, and what join strategy follows" from the persisted KB
+# sketches + a metadata file listing — NEITHER data table is scanned.
+# The new third leg is the sketch-only hot-key bound: the hottest
+# key's frequency is <= its CMS bucket count in EVERY depth row, so
+# min_d(max_b cnt) is a one-sided upper bound on max key frequency —
+# skew_profile's question without skew_profile's corpus scan. DuckDB
+# re-derives both sketches, the inner product, both hot bounds, and
+# the decision rule bit-for-bit; HLL legs and byte legs are certified
+# by lc_join_key_overlap / the budget goldens and excluded here.
+@query(
+    "lc_preflight_join",
+    oracle="""
+    WITH ea AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    eb AS (SELECT CAST(o_custkey % 150 AS VARCHAR) AS item FROM orders),
+    ds AS (SELECT range AS d FROM range(0, 4)),
+    sa AS (
+      SELECT d,
+             CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ea CROSS JOIN ds GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT d,
+             CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || item), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM eb CROSS JOIN ds GROUP BY 1, 2
+    ),
+    pa AS (SELECT max(tot) AS rows_, min(mx) AS hot FROM (
+      SELECT d, sum(cnt) AS tot, max(cnt) AS mx FROM sa GROUP BY d)),
+    pb AS (SELECT max(tot) AS rows_, min(mx) AS hot FROM (
+      SELECT d, sum(cnt) AS tot, max(cnt) AS mx FROM sb GROUP BY d)),
+    ip AS (
+      SELECT sa.d, sum(sa.cnt * sb.cnt) AS ip
+      FROM sa JOIN sb USING (d, bucket) GROUP BY sa.d
+    ),
+    est AS (SELECT min(ip) AS e FROM ip),
+    tru AS (
+      SELECT sum(ca.c * cb.c) AS t
+      FROM (SELECT item, count(*) AS c FROM ea GROUP BY item) ca
+      JOIN (SELECT item, count(*) AS c FROM eb GROUP BY item) cb USING (item)
+    ),
+    hta AS (SELECT max(c) AS h FROM (SELECT item, count(*) AS c FROM ea GROUP BY item)),
+    htb AS (SELECT max(c) AS h FROM (SELECT item, count(*) AS c FROM eb GROUP BY item))
+    SELECT CAST(pa.rows_ AS BIGINT) AS rows_a,
+           CAST(pb.rows_ AS BIGINT) AS rows_b,
+           CAST(est.e AS BIGINT) AS est_join_rows,
+           CAST(tru.t AS BIGINT) AS true_join_rows,
+           est.e >= tru.t AS join_never_under,
+           CAST(pa.hot AS BIGINT) AS hot_bound_a,
+           CAST(pb.hot AS BIGINT) AS hot_bound_b,
+           pa.hot >= hta.h AS hot_never_under_a,
+           pb.hot >= htb.h AS hot_never_under_b,
+           CASE WHEN greatest(round(pa.hot / pa.rows_, 6),
+                              round(pb.hot / pb.rows_, 6)) > 0.01
+                THEN 'salt' ELSE 'shuffle' END AS recommendation
+    FROM pa, pb, est, tru, hta, htb
+    """,
+    doc="K++ [EXT] — composed join pre-flight (engine.preflight_join): "
+    "scan bytes + CMS join cardinality + HLL key overlap + a NEW "
+    "sketch-only hot-key bound (min over depths of max bucket count, "
+    "one-sided) feed one deterministic broadcast/salt/shuffle "
+    "recommendation; neither data table is scanned. DuckDB re-derives "
+    "the sketches, both hot bounds, and the decision rule exactly.",
+)
+def lc_preflight_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).cast("string").alias("item")
+    )
+    with _scratch_engine(spark) as eng:
+        ev.write.saveAsTable(eng.qualified("ev_keys"))
+        od.write.saveAsTable(eng.qualified("ord_keys"))
+        for t in ("ev_keys", "ord_keys"):
+            eng.analyze_join_column(t, "item", depth=4, width=64)
+        rep = eng.preflight_join(
+            "ev_keys", "item", "ord_keys", "item",
+            broadcast_bytes=0, skew_share=0.01,
+        )
+        tru = (
+            spark.table(eng.qualified("ev_keys"))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("ca"))
+            .join(
+                spark.table(eng.qualified("ord_keys"))
+                .groupBy("item")
+                .agg(F.count(F.lit(1)).alias("cb")),
+                "item",
+            )
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("t"))
+            .first()["t"]
+        )
+        hot_true = {}
+        for side, t in (("a", "ev_keys"), ("b", "ord_keys")):
+            hot_true[side] = (
+                spark.table(eng.qualified(t))
+                .groupBy("item")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").cast("bigint").alias("m"))
+                .first()["m"]
+            )
+    return spark.createDataFrame(
+        [
+            (
+                rep["rows_a"],
+                rep["rows_b"],
+                rep["est_join_rows"],
+                int(tru),
+                bool(rep["est_join_rows"] >= tru),
+                rep["hot_key_bound_a"],
+                rep["hot_key_bound_b"],
+                bool(rep["hot_key_bound_a"] >= hot_true["a"]),
+                bool(rep["hot_key_bound_b"] >= hot_true["b"]),
+                rep["recommendation"],
+            )
+        ],
+        "rows_a bigint, rows_b bigint, est_join_rows bigint, "
+        "true_join_rows bigint, join_never_under boolean, "
+        "hot_bound_a bigint, hot_bound_b bigint, "
+        "hot_never_under_a boolean, hot_never_under_b boolean, "
+        "recommendation string",
+    )

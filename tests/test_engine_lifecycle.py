@@ -909,3 +909,59 @@ def test_generated_columns_materialize_and_verify(engine, spark):
     engine.compact_table("gen")
     assert engine.generated_columns("gen") == {"event_month": "substring(event_date, 1, 7)"}
     assert spark.table(engine.qualified("gen")).count() == 4
+
+
+def test_preflight_join_report_and_recommendations(spark, engine):
+    """Round 12 (VERDICT r11 #4): the composed pre-flight — exact row
+    totals and one-sided hot-key bounds from the persisted CMS, join
+    cardinality never under, and each branch of the deterministic
+    broadcast/salt/shuffle rule."""
+    from pyspark.sql import functions as F
+
+    # skewed side: one hot key holding half the rows
+    skewed = spark.range(0, 400).select(
+        F.when(F.col("id") < 200, F.lit("hot"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("k")
+    )
+    uniform = spark.range(0, 300).select((F.col("id") % 100).cast("string").alias("k"))
+    skewed.write.saveAsTable(engine.qualified("skewed"))
+    uniform.write.saveAsTable(engine.qualified("uniform"))
+    for t in ("skewed", "uniform"):
+        engine.analyze_join_column(t, "k", depth=4, width=64)
+
+    rep = engine.preflight_join(
+        "skewed", "k", "uniform", "k", broadcast_bytes=0, skew_share=0.2,
+        budget_bytes=10**12,
+    )
+    assert rep["rows_a"] == 400 and rep["rows_b"] == 300
+    # hot bound is one-sided: >= the true hottest frequency (200)
+    assert rep["hot_key_bound_a"] >= 200
+    assert rep["hot_share_bound_a"] >= 0.5
+    # join size never under the true inner-join cardinality
+    true_rows = (
+        spark.table(engine.qualified("skewed"))
+        .join(spark.table(engine.qualified("uniform")), "k")
+        .count()
+    )
+    assert rep["est_join_rows"] >= true_rows
+    assert rep["keys_a"] > 0 and rep["keys_overlap"] >= 0
+    assert rep["bytes_a"] > 0 and rep["bytes_within_budget"]
+    # salt leg: hot share ~0.5 over the 0.2 threshold, broadcast off
+    assert rep["recommendation"] == "salt"
+
+    # broadcast leg beats salt: tiny tables fit any real threshold
+    rep2 = engine.preflight_join(
+        "skewed", "k", "uniform", "k", broadcast_bytes=10 * 1024**2,
+    )
+    assert rep2["recommendation"] in ("broadcast_a", "broadcast_b")
+
+    # shuffle leg: no hot key, broadcast disabled
+    rep3 = engine.preflight_join(
+        "uniform", "k", "uniform", "k", broadcast_bytes=0, skew_share=0.2,
+    )
+    assert rep3["recommendation"] == "shuffle"
+
+    # missing sketch refused
+    with pytest.raises(ValueError, match="analyze_join_column"):
+        engine.preflight_join("skewed", "k", "skewed", "nope")
