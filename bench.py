@@ -283,6 +283,10 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "s_orc_roundtrip",
     "cdc_scd2_apply",
     "x4_unicode_normalize",
+    # round 12: pure regex projections / one hash agg + broadcast
+    # gate — scan-bound, sf0.1 keeps regression cover
+    "x4_url_normalize",
+    "pipeline_domain_cap",
     "x3_random_projection",
     "x6_fim_split",
     "x6_chat_assembly",

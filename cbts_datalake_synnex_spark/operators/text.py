@@ -1399,3 +1399,55 @@ def cdc_chunks(
         F.col("c.n_toks").alias("n_toks"),
         F.col("c.chunk_sha").alias("chunk_sha"),
     )
+
+
+# ----------------------------------------------------------------------
+# URL normalization (round 12, VERDICT r11 #5 — the RefinedWeb /
+# CommonCrawl pre-dedup discipline, Penedo et al. 2023): content dedup
+# (X1) catches mirrored text, but a crawl pipeline FIRST canonicalizes
+# URLs so the same page fetched as HTTPS://WWW.Site.com/a/?utm_source=x
+# and https://site.com/a collapses before any text is compared. Both
+# helpers are pure column expressions (no UDF, no shuffle) built only
+# from regex/string ops BOTH engines implement identically — no
+# backreferences (Java `$1` vs RE2 `\1` dialects diverge), no
+# parse_url (DuckDB lacks it).
+
+_TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def normalize_url(col) -> F.Column:
+    """Canonical URL form: strip the fragment, drop tracking query
+    params (utm_*, gclid, fbclid, ref), lowercase the scheme and
+    authority (ONLY — paths are case-sensitive per RFC 3986), strip a
+    leading ``www.``, and trim trailing slashes from the path.
+    Scheme-less strings pass through the path/query logic unchanged.
+    Pure projection — safe inside any scan at any scale."""
+    col = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    base = F.regexp_replace(u, "\\?.*$", "")
+    q = F.regexp_extract(u, "\\?(.*)$", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_RE),
+    )
+    qs = F.array_join(kept, "&")
+    prefix = F.regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0)
+    rest = F.regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    authority = F.regexp_replace(F.lower(prefix), "://www\\.", "://")
+    path = F.regexp_replace(rest, "/+$", "")
+    return F.concat(
+        authority,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_domain(col) -> F.Column:
+    """Lower-cased host of a URL, ``www.`` stripped, port/path/query
+    excluded — the per-domain key for frequency capping. Empty string
+    for scheme-less input. Pure projection."""
+    col = F.col(col) if isinstance(col, str) else col
+    host = F.lower(
+        F.regexp_extract(F.trim(col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    return F.regexp_replace(host, "^www\\.", "")

@@ -5668,3 +5668,165 @@ def x4_hashed_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return logreg_train(x, ["f0", "f1", "f2", "f3"], "y", steps=3, lr=1.0)
+
+
+# ----------------------------------------------------------------------
+# X4++ — URL canonicalization (round 12, VERDICT r11 #5): the
+# RefinedWeb pre-dedup step — the same page fetched as
+# HTTPS://WWW.Site.com/a/?utm_source=x and https://site.com/a must
+# collapse BEFORE any text is compared. documents.source seeds four
+# deterministic URL shapes (tracking params, fragments, mixed-case
+# scheme/host, trailing slashes, bare domains); normalize_url +
+# url_domain are pure regex/string projections both engines restate
+# exactly (no backreferences, no parse_url — the dialect-safe subset).
+@query(
+    "x4_url_normalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/A/b/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#frag'
+          WHEN 1 THEN 'http://' || source || '.example.com/a/b?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=zz'
+          WHEN 2 THEN 'https://Sub.' || source || '.EXAMPLE.com/Path/'
+          ELSE 'https://' || source || '.example.com'
+        END AS url
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, url,
+             regexp_replace(trim(url), '#.*$', '', 'g') AS u1
+      FROM u
+    ),
+    p AS (
+      SELECT doc_id, url, u1,
+             regexp_replace(u1, '\\?.*$', '', 'g') AS base,
+             regexp_extract(u1, '\\?(.*)$', 1) AS q
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, url, base,
+             array_to_string(
+               list_filter(string_split(q, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)=')),
+               '&') AS qs,
+             regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*') AS prefix,
+             regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '', 'g') AS rest
+      FROM p
+    )
+    SELECT doc_id,
+           regexp_replace(lower(prefix), '://www\\.', '://', 'g')
+             || regexp_replace(rest, '/+$', '', 'g')
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS norm_url,
+           regexp_replace(
+             lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+             '^www\\.', '', 'g') AS domain
+    FROM r
+    """,
+    doc="SURVEY §2.10 X4++ — URL canonicalization (RefinedWeb "
+    "discipline): fragment strip, tracking-param filter, scheme/"
+    "authority lowercase, www strip, trailing-slash trim, plus the "
+    "per-domain key — all pure projections, restated byte-for-byte "
+    "(operators/text.normalize_url / url_domain).",
+)
+def x4_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.text import normalize_url, url_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.COM/A/b/?utm_source=feed&id="),
+            F.col("doc_id").cast("string"), F.lit("#frag"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/a/b?id="),
+            F.col("doc_id").cast("string"), F.lit("&fbclid=zz"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit("https://Sub."), F.col("source"), F.lit(".EXAMPLE.com/Path/"),
+        ))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com")))
+    )
+    return docs.select(
+        "doc_id",
+        normalize_url(url).alias("norm_url"),
+        url_domain(url).alias("domain"),
+    )
+
+
+# ----------------------------------------------------------------------
+# X8++/X4++ — per-domain frequency capping (round 12, VERDICT r11 #5,
+# Penedo et al. 2023): after URL canonicalization, no single domain
+# may dominate the corpus. Even doc_ids all land on one hot domain
+# (~50% share); domain_cap(max_share=0.1) hash-gates it down to an
+# expected 10% of the pre-cap total while the long tail keeps every
+# document. The gate is a pure projection after one |domains|-row
+# broadcast — no window, no per-domain sort (the hot-domain shape
+# row_number cannot survive) — and the declared threshold arithmetic
+# lets DuckDB restate kept-counts EXACTLY, not statistically.
+@query(
+    "pipeline_domain_cap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'big.example.com'
+                  ELSE source || '.example.com' END AS domain
+      FROM documents
+    ),
+    c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_before FROM d GROUP BY domain),
+    t AS (SELECT count(*) AS n_tot FROM d),
+    thr AS (
+      SELECT c.domain,
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+                              CAST(0.1 AS DOUBLE) * t.n_tot / c.n_before)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS thr
+      FROM c, t
+    ),
+    kept AS (
+      SELECT d.domain, CAST(count(*) AS BIGINT) AS n_kept
+      FROM d JOIN thr USING (domain)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'dc'), 1, 8)) AS BIGINT)
+              % 1000000 < thr
+      GROUP BY d.domain
+    )
+    SELECT c.domain, c.n_before,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.n_kept, 0) < c.n_before AS was_capped
+    FROM c LEFT JOIN kept k USING (domain)
+    """,
+    doc="SURVEY §2.10 X8++ — RefinedWeb per-domain frequency cap: one "
+    "hot domain holding ~half the corpus is md5-hash-gated to an "
+    "expected 10% share while tail domains keep everything; gate "
+    "thresholds and kept rows restated exactly by the oracle "
+    "(operators/sampling.domain_cap).",
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.sampling import domain_cap
+    from cbts_datalake_synnex_spark.operators.text import url_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    dom = F.when(F.col("doc_id") % 2 == 0, F.lit("big.example.com")).otherwise(
+        F.concat(F.col("source"), F.lit(".example.com"))
+    )
+    # round-trip the domain through a URL so the cap composes with
+    # the canonicalizer it follows in a real crawl pipeline
+    d = docs.select(
+        "doc_id",
+        url_domain(F.concat(F.lit("https://www."), dom, F.lit("/p/"),
+                            F.col("doc_id").cast("string"))).alias("domain"),
+    )
+    before = d.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    after = (
+        domain_cap(d, "domain", "doc_id", max_share=0.1, salt="dc")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return before.join(after, "domain", "left").select(
+        "domain",
+        "n_before",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.coalesce(F.col("n_kept"), F.lit(0)) < F.col("n_before")).alias("was_capped"),
+    )

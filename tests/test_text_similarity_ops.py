@@ -1365,3 +1365,60 @@ def test_cdc_chunks_realign_after_insertion(spark):
     f2 = {r["chunk"] for r in fx if r["doc_id"] == 2}
     fixed_overlap = len(f1 & f2) / len(f1)
     assert fixed_overlap < 0.2, f"fixed-stride survived {fixed_overlap:.2f}?"
+
+
+def test_normalize_url_hand_goldens(spark):
+    from cbts_datalake_synnex_spark.operators.text import normalize_url, url_domain
+
+    cases = [
+        # (input, normalized, domain)
+        ("HTTPS://WWW.Site.COM/A/b/?utm_source=x&id=7#frag",
+         "https://site.com/A/b?id=7", "site.com"),
+        ("http://site.com/a/b?id=7&fbclid=zz&q=1",
+         "http://site.com/a/b?id=7&q=1", "site.com"),
+        ("https://Sub.SITE.com/Path/", "https://sub.site.com/Path", "sub.site.com"),
+        ("https://site.com", "https://site.com", "site.com"),
+        ("https://www.site.com/?utm_medium=a&utm_term=b",
+         "https://site.com", "site.com"),
+        ("https://site.com:8080/x?ref=rss", "https://site.com:8080/x", "site.com"),
+        ("  https://site.com/x  ", "https://site.com/x", "site.com"),
+        # scheme-less input: path logic only, empty domain
+        ("site.com/a/", "site.com/a", ""),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _, _) in enumerate(cases)],
+                               "i int, url string")
+    rows = {r["i"]: r for r in df.select(
+        "i",
+        normalize_url("url").alias("n"),
+        url_domain("url").alias("d"),
+    ).collect()}
+    for i, (u, want_n, want_d) in enumerate(cases):
+        assert rows[i]["n"] == want_n, (u, rows[i]["n"], want_n)
+        assert rows[i]["d"] == want_d, (u, rows[i]["d"], want_d)
+
+
+def test_domain_cap_share_and_tail_preservation(spark):
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.sampling import domain_cap
+
+    # hot domain: 5000 of 10000 rows; tail: 50 domains x 100
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5000, F.lit("hot.com"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 50).cast("string")))
+        .alias("dom"),
+    )
+    out = domain_cap(df, "dom", "doc_id", max_share=0.1, salt="s")
+    counts = {r["dom"]: r["c"] for r in
+              out.groupBy("dom").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # tail domains are under the cap: every row kept
+    assert all(counts[f"d{i}"] == 100 for i in range(50))
+    # hot domain gated to an expected 1000 rows (binomial, n=5000,
+    # p=0.2 -> 5 sigma ~ 141)
+    assert 850 <= counts["hot.com"] <= 1150
+    # idempotent: re-running the cap on its own output keeps all rows
+    # (every domain is now under the cap against the ORIGINAL total,
+    # and the gate is deterministic)
+    again = domain_cap(out, "dom", "doc_id", max_share=0.2, salt="s")
+    assert again.count() == out.count()
