@@ -2779,11 +2779,12 @@ class LakeEngine:
     def build_ann_index(self, index_name, vectors, id_col, vec_col,
                         n_cells: int = 16, n_assign: int = 1,
                         lloyd_iters: int = 8, n_buckets: int = 32,
-                        storage: str = "float") -> None:
+                        storage: str = "float",
+                        pq_m: int = 8, pq_codes: int = 16) -> None:
         build_ann_index(self, index_name, vectors, id_col, vec_col,
                         n_cells=n_cells, n_assign=n_assign,
                         lloyd_iters=lloyd_iters, n_buckets=n_buckets,
-                        storage=storage)
+                        storage=storage, pq_m=pq_m, pq_codes=pq_codes)
 
     def update_ann_index(self, index_name, vectors, id_col, vec_col) -> None:
         update_ann_index(self, index_name, vectors, id_col, vec_col)
@@ -3202,11 +3203,16 @@ def _quantize_postings(postings: DataFrame) -> DataFrame:
     )
 
 
-def _postings_cv(postings: DataFrame, storage: str) -> DataFrame:
+def _postings_cv(
+    postings: DataFrame, storage: str, book_df: DataFrame | None = None
+) -> DataFrame:
     """Present a postings table as (cell, cand_id, cv) regardless of
     storage form — SQ8 dequantizes as a pure projection over the
-    bucketed scan (no exchange added; the motionless-probe plan pin
-    still holds)."""
+    bucketed scan; PQ decodes by concatenating coded centroids from
+    the ONE-ROW broadcast codebook tensor (a BroadcastNestedLoopJoin
+    preserves the streamed side's bucketed distribution, so neither
+    form adds a cell exchange and the motionless-probe plan pin still
+    holds)."""
     if storage == "sq8":
         return postings.select(
             "cell",
@@ -3216,7 +3222,54 @@ def _postings_cv(postings: DataFrame, storage: str) -> DataFrame:
                 lambda q: F.col("zero") + q.cast("double") * F.col("scale"),
             ).alias("cv"),
         )
+    if storage == "pq":
+        from cbts_datalake_synnex_spark.operators import similarity
+
+        assert book_df is not None, "pq storage needs the codebook frame"
+        return postings.crossJoin(F.broadcast(book_df)).select(
+            "cell",
+            "cand_id",
+            similarity.pq_decode_cv(F.col("codes")).alias("cv"),
+        )
     return postings.select("cell", "cand_id", "cv")
+
+
+def _pq_books_from_table(spark, name: str):
+    """Rebuild the nested codebook list (and subdim) from the persisted
+    ``{index}_pq`` table — KB-sized (m × n_codes rows), the centroid-
+    collect posture."""
+    rows = spark.table(name).orderBy("sub", "code").collect()
+    m = max(r["sub"] for r in rows) + 1
+    books = [[] for _ in range(m)]
+    for r in rows:
+        books[r["sub"]].append(list(r["centroid"]))
+    return books, len(books[0][0])
+
+
+def _encode_pq_postings(
+    postings: DataFrame, book_df: DataFrame, sd: int
+) -> DataFrame:
+    """(cell, cand_id, cv) → (cell, cand_id, codes): unit-normalize
+    (norm materialized BEFORE the lambda — no CSE inside HOFs), then
+    the shared nearest-centroid encoder. m small ints per vector —
+    32×+ less postings IO than raw doubles at dim=256, m=8."""
+    from cbts_datalake_synnex_spark.operators import similarity
+
+    v = F.col("cv")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        postings.select(
+            "cell", "cand_id", "cv", F.greatest(norm, F.lit(1e-12)).alias("__cn")
+        )
+        .crossJoin(F.broadcast(book_df))
+        .select(
+            "cell",
+            "cand_id",
+            similarity.pq_encode_codes(
+                F.transform(v, lambda x: x.cast("double") / F.col("__cn")), sd
+            ).alias("codes"),
+        )
+    )
 
 
 def build_ann_index(
@@ -3230,6 +3283,8 @@ def build_ann_index(
     lloyd_iters: int = 8,
     n_buckets: int = 32,
     storage: str = "float",
+    pq_m: int = 8,
+    pq_codes: int = 16,
 ) -> None:
     """Write ``{index_name}_cells`` (cell, centroid), the postings
     table ``{index_name}_postings`` bucketed+sorted by cell, and a
@@ -3242,10 +3297,16 @@ def build_ann_index(
     stores the 0..255 affine grid (round 11) — 4× smaller postings,
     probes dequantize in the scan projection, ranking follows the
     quantized cosine (recall-gated in tests, NOT exact: keep float
-    where the exhaustive-equals-brute-force contract matters)."""
+    where the exhaustive-equals-brute-force contract matters);
+    ``"pq"`` (round 12, VERDICT r11 #6) stores ``pq_m`` small-int
+    codes per vector against a trained ``{index_name}_pq`` codebook
+    table — 32×+ postings compression at dim=256/m=8 where a trained
+    codebook is affordable; probes decode coded centroids from the
+    one-row broadcast tensor inside the bucketed scan projection
+    (recall-gated in tests; the coarsest/cheapest storage tier)."""
     from cbts_datalake_synnex_spark.operators import similarity
 
-    if storage not in ("float", "sq8"):
+    if storage not in ("float", "sq8", "pq"):
         raise ValueError(f"storage: {storage!r}")
     spark = engine.spark
     cents = similarity.train_cells_list(vectors, id_col, vec_col, n_cells, lloyd_iters)
@@ -3260,11 +3321,29 @@ def build_ann_index(
         vectors, id_col, vec_col,
         similarity._cmat_frame(spark, cents), min(n_assign, len(cents)),
     )
-    stored = (
-        _quantize_postings(postings)
-        if storage == "sq8"
-        else postings.select("cell", "cand_id", "cv")
-    )
+    if storage == "pq":
+        trained = similarity.train_pq_books(
+            vectors, id_col, vec_col, int(pq_m), int(pq_codes)
+        )
+        assert trained is not None  # non-empty: train_cells_list passed
+        books, sd = trained
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in cent])
+                for j, book in enumerate(books)
+                for c, cent in enumerate(book)
+            ],
+            "sub int, code int, centroid array<double>",
+        ).write.format("parquet").mode("overwrite").saveAsTable(
+            engine.qualified(f"{index_name}_pq")
+        )
+        stored = _encode_pq_postings(
+            postings, similarity.pq_book_df(spark, books), sd
+        )
+    elif storage == "sq8":
+        stored = _quantize_postings(postings)
+    else:
+        stored = postings.select("cell", "cand_id", "cv")
     write_bucketed(
         spark, stored,
         engine.qualified(f"{index_name}_postings"), ["cell"], n_buckets,
@@ -3336,11 +3415,19 @@ def update_ann_index(
         min(int(meta["n_assign"]), len(cents)),
     )
     storage = _index_storage(meta)
-    stored = (
-        _quantize_postings(postings)
-        if storage == "sq8"
-        else postings.select("cell", "cand_id", "cv")
-    )
+    if storage == "pq":
+        # encode with the FROZEN persisted codebook — same posture as
+        # the frozen centroid set: appends never retrain
+        books, sd = _pq_books_from_table(
+            spark, engine.qualified(f"{index_name}_pq")
+        )
+        stored = _encode_pq_postings(
+            postings, similarity.pq_book_df(spark, books), sd
+        )
+    elif storage == "sq8":
+        stored = _quantize_postings(postings)
+    else:
+        stored = postings.select("cell", "cand_id", "cv")
     stored.write.format("parquet").mode(
         "append"
     ).bucketBy(int(meta["n_buckets"]), "cell").sortBy("cell").saveAsTable(
@@ -3381,10 +3468,18 @@ def query_ann_index(
     )
     cents = [list(r["centroid"]) for r in cent_rows]
     meta = spark.table(engine.qualified(f"{index_name}_meta")).first()
+    storage = _index_storage(meta)
+    book_df = None
+    if storage == "pq":
+        books, _sd = _pq_books_from_table(
+            spark, engine.qualified(f"{index_name}_pq")
+        )
+        book_df = similarity.pq_book_df(spark, books)
     return similarity.ann_probe(
         _postings_cv(
             spark.table(engine.qualified(f"{index_name}_postings")),
-            _index_storage(meta),
+            storage,
+            book_df,
         ),
         cents,
         queries,

@@ -703,6 +703,107 @@ def normalize_quantize(
 # its nearest codebook centroid (trained per-subspace). Approximate
 # query-candidate dot products then need only a (query × subspace ×
 # code) lookup table — the corpus is never re-read at full width.
+def train_pq_books(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    lloyd_iters: int = 2,
+):
+    """Train per-subspace PQ codebooks on a bounded, deterministic
+    driver-side sample (round 12: factored out of `pq_topk` verbatim
+    so `engine.build_ann_index(storage='pq')` trains the same way).
+    md5(id) order: deterministic (oracle-stable) but UNBIASED — raw-id
+    order correlates with content when ids follow crawl order, skewing
+    codebooks toward the earliest documents. Trains on UNIT vectors so
+    decoded/ADC products approximate cosine (the ranking target), not
+    the norm-confounded raw dot. Returns (books, sd) — ``books[j]`` is
+    an (n_codes, sd) array — or None for an empty corpus."""
+    import numpy as np
+
+    dim_row = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return None
+    dim = dim_row["d"]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sd = dim // m
+    seed_rows = (
+        candidates.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(max(n_codes * 32, 512))
+        .collect()
+    )
+    sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n_codes = min(n_codes, len(sample))  # clamp: fewer vectors than codes
+    books = []  # books[j] : (n_codes, sd)
+    for j in range(m):
+        sub = sample[:, j * sd : (j + 1) * sd]
+        cents = sub[:n_codes].copy()
+        for _ in range(lloyd_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return books, sd
+
+
+def pq_book_df(spark, books) -> DataFrame:
+    """Codebooks as BROADCAST DATA — a one-row m × n_codes × sd tensor
+    crossJoined onto each side, not F.lit plan literals: plan size
+    stays O(1) in m · n_codes · sd (see ivf_topk's cent_df note)."""
+    return spark.createDataFrame(
+        [([[[float(x) for x in c] for c in b] for b in books],)],
+        "__bmat: array<array<array<double>>>",
+    )
+
+
+def _pq_l2(a: F.Column, cent: F.Column) -> F.Column:
+    diff = F.zip_with(
+        a, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode_codes(vec: F.Column, sd: int) -> F.Column:
+    """array<int> of m nearest-centroid codes against the in-scope
+    ``__bmat`` tensor (argmin via array_min over (dist, code) structs —
+    deterministic tiebreak on code). ``vec`` should be unit-normalized
+    by the caller (materialize the norm as a column FIRST — expressions
+    inside higher-order lambdas are re-evaluated per element)."""
+    return F.transform(
+        F.col("__bmat"),
+        lambda book, j: F.array_min(
+            F.transform(
+                book,
+                lambda cent, c: F.struct(
+                    _pq_l2(F.slice(vec, j * sd + 1, sd), cent).alias("d"),
+                    c.alias("c"),
+                ),
+            )
+        )["c"],
+    )
+
+
+def pq_decode_cv(codes: F.Column) -> F.Column:
+    """Reconstruct the (approximate, unit-ish) vector from PQ codes by
+    concatenating the coded centroids of the in-scope ``__bmat`` —
+    a pure projection (the two-arg transform's second lambda parameter
+    IS the 0-based subspace index)."""
+    return F.flatten(
+        F.transform(
+            codes,
+            lambda c, j: F.element_at(
+                F.element_at(F.col("__bmat"), j + F.lit(1)), c + F.lit(1)
+            ),
+        )
+    )
+
+
 def pq_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -735,71 +836,17 @@ def pq_topk(
     over ~|Q|·k·refine_factor candidates. Returns
     (query_id, cand_id, cosine, rank).
     """
-    import numpy as np
-
-    dim_row = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
+    trained = train_pq_books(candidates, id_col, vec_col, m, n_codes, lloyd_iters)
+    if trained is None:
         return candidates.sparkSession.createDataFrame(
             [], "query_id long, cand_id long, cosine double, rank int"
         )
-    dim = dim_row["d"]
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    sd = dim // m
-
-    # --- train (driver-side on a bounded sample; deterministic) -------
-    # md5(id) order: still deterministic (oracle-stable) but UNBIASED —
-    # raw-id order correlates with content when ids follow crawl order,
-    # skewing centroids/codebooks toward the earliest documents.
-    seed_rows = (
-        candidates.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
-        .limit(max(n_codes * 32, 512))
-        .collect()
-    )
-    sample = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
-    # Train and encode on UNIT vectors: ADC then approximates cosine
-    # directly (the ranking target), not the norm-confounded raw dot.
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    n_codes = min(n_codes, len(sample))  # clamp: fewer vectors than codes
-    books = []  # books[j] : (n_codes, sd)
-    for j in range(m):
-        sub = sample[:, j * sd : (j + 1) * sd]
-        cents = sub[:n_codes].copy()
-        for _ in range(lloyd_iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books.append(cents)
-
-    # Codebooks travel as BROADCAST DATA (one-row m × n_codes × sd
-    # tensor joined onto each side), not F.lit plan literals — plan
-    # size stays O(1) in m · n_codes · sd (see ivf_topk's cent_df note).
-    book_df = candidates.sparkSession.createDataFrame(
-        [([[[float(x) for x in c] for c in b] for b in books],)],
-        "__bmat: array<array<array<double>>>",
-    )
-
-    def _l2(a: F.Column, cent: F.Column) -> F.Column:
-        diff = F.zip_with(a, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    books, sd = trained
+    n_codes = len(books[0])
+    book_df = pq_book_df(candidates.sparkSession, books)
 
     def _encode(vec: F.Column) -> F.Column:
-        """array<int> of m nearest-centroid codes (argmin via array_min
-        over (dist, code) structs — deterministic tiebreak on code)."""
-        return F.transform(
-            F.col("__bmat"),
-            lambda book, j: F.array_min(
-                F.transform(
-                    book,
-                    lambda cent, c: F.struct(
-                        _l2(F.slice(vec, j * sd + 1, sd), cent).alias("d"), c.alias("c")
-                    ),
-                )
-            )["c"],
-        )
+        return pq_encode_codes(vec, sd)
 
     # Norm materialized as a column BEFORE the lambda (expressions inside
     # higher-order lambdas are re-evaluated per element — no CSE).

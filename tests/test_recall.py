@@ -411,3 +411,50 @@ def test_weighted_minhash_tfidf_weight_hook(spark):
     assert {(1, 2), (3, 5)} <= set(exact)
     for k, v in lsh.items():
         assert abs(v - exact[k]) < 1e-9
+
+
+def test_pq_index_storage_recall_on_driver_embeddings(spark, sf_dir):
+    """Round 12 (PQ postings storage): exhaustive probes of a
+    storage='pq' index (dim 64 -> 16 int codes per vector, ~8x less
+    postings IO than raw doubles before parquet dictionary coding)
+    keep recall@5 vs the float index acceptable on the driver
+    embeddings — the sq8 certification discipline applied to the
+    coarsest storage tier. Near-random embeddings are PQ's worst
+    case (no subspace structure to exploit), hence the finer m=16 /
+    64-code setting and the 0.6 gate; real text embeddings cluster
+    and do better."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    root = tempfile.mkdtemp(prefix="pqrec_")
+    db = f"pqrec_{uuid.uuid4().hex[:8]}"
+    eng = LakeEngine(spark, root, database=db)
+    try:
+        eng.build_ann_index("fl", emb, "vec_id", "embedding",
+                            n_cells=8, n_assign=1)
+        eng.build_ann_index("pq", emb, "vec_id", "embedding",
+                            n_cells=8, n_assign=1, storage="pq",
+                            pq_m=16, pq_codes=64)
+        truth, got = {}, {}
+        for r in eng.query_ann_index("fl", q, "vec_id", "embedding",
+                                     k=5, n_probe=8).collect():
+            truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+        for r in eng.query_ann_index("pq", q, "vec_id", "embedding",
+                                     k=5, n_probe=8).collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        recalls = [len(got.get(k_, set()) & c) / len(c) for k_, c in truth.items()]
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= 0.6, f"PQ recall@5 {mean_recall:.3f} below gate"
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(root, ignore_errors=True)
