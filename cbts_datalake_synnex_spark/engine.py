@@ -466,6 +466,67 @@ class LakeEngine:
         times, then served by `read_snapshot`)."""
         return self.read_snapshot(table, self.version_at(table, timestamp))
 
+    def table_changes(
+        self,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        key_cols: Sequence[str] = (),
+    ) -> DataFrame:
+        """Row-level change feed between two journaled snapshots — the
+        Delta CDF (``table_changes``) role (round 12): what a
+        downstream incremental consumer replays instead of re-reading
+        the whole table. Classifies by ``key_cols`` (must identify a
+        row uniquely within each snapshot):
+
+        * key only in ``to``   → one ``insert`` row
+        * key only in ``from`` → one ``delete`` row (pre-image values)
+        * key in both, any non-key column changed (null-safe struct
+          compare) → ``update_preimage`` + ``update_postimage`` rows
+
+        Returns all table columns plus ``_change_type``. Plan: ONE
+        full-outer key join of the two snapshot reads (each side
+        shuffles once on the key); unchanged keys drop on the
+        null-safe struct equality before the explode, so the output
+        is change-sized, not table-sized — the property that makes
+        CDF cheaper than diffing at 100 TB."""
+        if not key_cols:
+            raise ValueError("table_changes requires key_cols")
+        old = self.read_snapshot(table, from_version)
+        new = self.read_snapshot(table, to_version)
+        cols = new.columns
+        if old.columns != cols:
+            raise ValueError(
+                f"snapshot schemas differ: {old.columns} vs {cols}"
+            )
+        keys = list(key_cols)
+        nonkey = [c for c in cols if c not in keys]
+        o = old.select(*keys, F.struct(*nonkey).alias("__ov"))
+        n = new.select(*keys, F.struct(*nonkey).alias("__nv"))
+        j = o.join(n, keys, "full_outer")
+        entry = lambda t, v: F.struct(  # noqa: E731
+            F.lit(t).alias("t"), v.alias("v")
+        )
+        ov, nv = F.col("__ov"), F.col("__nv")
+        changes = (
+            F.when(ov.isNull() & nv.isNotNull(), F.array(entry("insert", nv)))
+            .when(ov.isNotNull() & nv.isNull(), F.array(entry("delete", ov)))
+            .when(
+                ~ov.eqNullSafe(nv),
+                F.array(
+                    entry("update_preimage", ov), entry("update_postimage", nv)
+                ),
+            )
+            # unchanged keys: no otherwise → NULL array, and explode
+            # of NULL emits nothing — the change-sized-output property
+        )
+        exploded = j.select(*keys, F.explode(changes).alias("__e"))
+        return exploded.select(
+            *keys,
+            *[F.col(f"__e.v.{c}").alias(c) for c in nonkey],
+            F.col("__e.t").alias("_change_type"),
+        )
+
     def vacuum_snapshots(self, table: str, keep_last: int = 2) -> int:
         """Reclaim retention storage for all but the newest
         ``keep_last`` snapshots (Delta VACUUM semantics: history older

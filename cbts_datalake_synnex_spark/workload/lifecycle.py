@@ -2026,3 +2026,71 @@ def lc_preflight_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hot_never_under_a boolean, hot_never_under_b boolean, "
         "recommendation string",
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — snapshot change feed (the Delta CDF / table_changes
+# role): a batch rewrite lands as snapshot v2; the change feed
+# between v1 and v2 is what an incremental consumer replays instead
+# of re-reading the table. One full-outer key join of the two
+# snapshot reads; unchanged keys drop on a null-safe struct compare
+# BEFORE the explode, so output is change-sized. The oracle
+# recomputes both versions from the base table and restates the
+# classification row-for-row.
+@query(
+    "lc_table_changes",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey <= 3000
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 5 <> 2 AND o_orderkey <= 4000
+    ),
+    j AS (
+      SELECT COALESCE(v1.k, v2.k) AS k,
+             v1.price AS p1, v1.status AS s1, v1.k IS NOT NULL AS in1,
+             v2.price AS p2, v2.status AS s2, v2.k IS NOT NULL AS in2
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT k, p2 AS price, s2 AS status, 'insert' AS _change_type
+      FROM j WHERE NOT in1 AND in2
+    UNION ALL
+    SELECT k, p1, s1, 'delete' FROM j WHERE in1 AND NOT in2
+    UNION ALL
+    SELECT k, p1, s1, 'update_preimage' FROM j
+     WHERE in1 AND in2 AND (p1 IS DISTINCT FROM p2 OR s1 IS DISTINCT FROM s2)
+    UNION ALL
+    SELECT k, p2, s2, 'update_postimage' FROM j
+     WHERE in1 AND in2 AND (p1 IS DISTINCT FROM p2 OR s1 IS DISTINCT FROM s2)
+    """,
+    doc="K++ [EXT] — snapshot change feed (Delta CDF semantics): "
+    "insert / delete / update_preimage / update_postimage rows "
+    "between two journaled snapshot versions, computed as ONE "
+    "full-outer key join with a null-safe struct compare dropping "
+    "unchanged keys before the explode (engine.table_changes over "
+    "the write_curated snapshot journal).",
+)
+def lc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v1 = o.filter((F.col("k") % 7 != 3) & (F.col("k") <= 3000))
+    v2 = o.filter((F.col("k") % 5 != 2) & (F.col("k") <= 4000)).select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.round(F.col("price") * 2, 2))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "status",
+    )
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("cf", v1, mode="overwrite", partition_cols=[])
+        eng.write_curated("cf", v2, mode="overwrite", partition_cols=[])
+        out = eng.table_changes("cf", 1, 2, key_cols=["k"])
+        return spark.createDataFrame(out.collect(), out.schema)

@@ -965,3 +965,39 @@ def test_preflight_join_report_and_recommendations(spark, engine):
     # missing sketch refused
     with pytest.raises(ValueError, match="analyze_join_column"):
         engine.preflight_join("skewed", "k", "skewed", "nope")
+
+
+def test_table_changes_classification_and_null_safety(spark, engine):
+    """Round 12 CDF: insert/delete/update pre+post classification,
+    NULL-valued columns compared null-safely (NULL→NULL is UNCHANGED,
+    NULL→value is an update), unchanged keys emit nothing."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    v1 = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, None), (4, 40.0, "d")],
+        "k bigint, price double, status string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, 10.0, "a"),        # unchanged
+         (2, None, "b"),        # unchanged (NULL == NULL null-safely)
+         (3, 30.0, "now"),      # NULL -> value: update
+         (5, 50.0, "e")],       # insert; 4 deleted
+        "k bigint, price double, status string",
+    )
+    engine.write_curated("cdf", v1, mode="overwrite", partition_cols=[])
+    engine.write_curated("cdf", v2, mode="overwrite", partition_cols=[])
+    rows = engine.table_changes("cdf", 1, 2, key_cols=["k"]).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {r["k"] for r in by_type["insert"]} == {5}
+    assert {r["k"] for r in by_type["delete"]} == {4}
+    assert by_type["delete"][0]["price"] == 40.0  # pre-image values
+    assert {r["k"] for r in by_type["update_preimage"]} == {3}
+    assert by_type["update_preimage"][0]["status"] is None
+    assert by_type["update_postimage"][0]["status"] == "now"
+    assert len(rows) == 4  # keys 1 and 2 emit nothing
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key_cols"):
+        engine.table_changes("cdf", 1, 2)
