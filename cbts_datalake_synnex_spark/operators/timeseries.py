@@ -163,3 +163,45 @@ def ewma(
     )
     out = ordered.mapInPandas(scan, schema=out_schema)
     return out.withColumn(out_col, F.round(F.col(out_col), round_dp))
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    decay_per_sec: float = 3.2e-5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed event counts per key (round 12) —
+    the recency-weighted heavy-hitters score (the exponential-decay
+    model of Cormode et al. 2009, "Forward decay", public):
+
+        score(key) = Σ_events exp(−λ · (T_ref − t_i))      [seconds]
+
+    with ``T_ref`` = the corpus max event time, so "one event now"
+    counts 1 and history fades with half-life ln(2)/λ (~6 h at the
+    default). λ is declared as an exact decimal literal — the
+    cross-engine contract: both engines parse the same double, exp
+    underflow on ancient events hits IEEE 0.0 identically, and the
+    ≤1-ulp-per-term sum noise sits ~7 orders below the 6dp output
+    grid. One (key) hash aggregate after a one-row T_ref broadcast —
+    corpus moves once. Returns (key, last_us, decayed) rounded.
+    """
+    tref = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__tref"))
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        df.crossJoin(F.broadcast(tref))
+        .groupBy(key_col)
+        .agg(
+            F.max(us).cast("bigint").alias("last_us"),
+            F.round(
+                F.sum(
+                    F.exp(
+                        -F.lit(float(decay_per_sec))
+                        * ((F.col("__tref") - us).cast("double") / F.lit(1_000_000.0))
+                    )
+                ),
+                round_dp,
+            ).alias("decayed"),
+        )
+    )

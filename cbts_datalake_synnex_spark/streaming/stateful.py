@@ -728,3 +728,73 @@ def heartbeat_stream(
     return df.groupBy(entity_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def decayed_count_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    decay_per_sec: float = 3.2e-5,
+    order_cols=(),
+) -> DataFrame:
+    """Per-key exponentially time-decayed event count (round 12) —
+    the streaming twin of `timeseries.decayed_counts`. State is TWO
+    numbers per key (last event µs, decayed count AT that event); a
+    batch of events t_1..t_m folds in closed form
+
+        s_new = Σ_i exp(−λ(t_m − t_i)) + s_prev · exp(−λ(t_m − t_prev))
+
+    — one vectorized pass, numerically stable (all exponents ≤ 0, so
+    ancient history underflows to IEEE 0.0 instead of overflowing an
+    exp(+λt) prefactor). Each batch emits the key's refreshed
+    (last_us, decayed); a consumer re-references any two keys to a
+    common read time T by multiplying exp(−λ(T − last_us)) — which is
+    how the registry query states the whole stream as ONE batch SQL
+    aggregate. Event-time-ordered arrival per key across batches (the
+    ewma/sessionize contract); within a batch rows sort by
+    (ts, *order_cols)."""
+    import numpy as np
+
+    lam = float(decay_per_sec)
+    order = [ts_col, *order_cols]
+    key_field = [f for f in df.schema.fields if f.name == key_col][0]
+    out_schema = StructType(
+        [
+            key_field,
+            StructField("last_us", LongType()),
+            StructField("decayed", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_us", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts)
+            .sort_values(order, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+        t_last = int(ts_us[-1])
+        s = float(np.exp(-lam * (t_last - ts_us).astype("float64") / 1e6).sum())
+        if state.exists:
+            prev_us, prev_s = state.get
+            s += float(prev_s) * float(
+                np.exp(-lam * (t_last - int(prev_us)) / 1e6)
+            )
+        state.update((t_last, s))
+        yield pd.DataFrame(
+            {key_col: [key_tuple[0]], "last_us": [t_last], "decayed": [s]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1611,3 +1611,138 @@ def t_stream_heartbeat_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — exponentially time-decayed heavy hitters (round 12):
+# the recency-weighted complement of t_stream_topk's all-time MG
+# counts — "who is hot NOW", history fading with a declared
+# half-life (forward/backward decay, Cormode et al. 2009). Streaming
+# state is TWO numbers per key; each batch folds in closed form
+# (exponents all ≤ 0, so ancient history underflows to IEEE 0.0 —
+# never an exp(+λt) overflow). The key identity the oracle rides:
+# the per-key state (last_us, decayed-at-last) re-references to any
+# common read time T by one multiply, so the whole replay equals ONE
+# batch aggregate Σ exp(−λ(T_ref − t_i)) per key. λ is an exact
+# decimal literal (both engines parse the same double); recurrence-
+# vs-direct-sum float noise is ~1e-13, seven orders under the 6dp
+# grid. RAISES unless >= 3 data batches ran.
+@query(
+    "t_stream_decay_topk",
+    oracle="""
+    WITH c AS (SELECT max(epoch_us(ts)) AS tref FROM events),
+    s AS (
+      SELECT user_id,
+             round(sum(exp(-0.000032 * (c.tref - epoch_us(ts)) / 1000000.0)), 6)
+               AS decayed
+      FROM events, c GROUP BY user_id, c.tref
+    )
+    SELECT user_id, decayed,
+           CAST(row_number() OVER (ORDER BY decayed DESC, user_id) AS INT) AS rank
+    FROM s
+    QUALIFY rank <= 20
+    """,
+    doc="SURVEY §2.8 [EXT] — streaming exponentially-decayed heavy "
+    "hitters: two-number state per key, closed-form batch fold, "
+    "re-referenced to the corpus max event time and certified equal "
+    "to the one-aggregate batch statement of the same decay model "
+    "(streaming/stateful.decayed_count_stream, "
+    "operators/timeseries.decayed_counts).",
+)
+def t_stream_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import decayed_count_stream
+
+    lam = 0.000032
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    scratch = tempfile.mkdtemp(prefix="sdk_")
+    qn = f"sdk_{uuid.uuid4().hex[:8]}"
+    try:
+        cuts = ev.select(
+            F.percentile_approx(
+                F.unix_micros("ts"), F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)),
+                F.lit(100000),
+            ).alias("c")
+        ).first()["c"]
+        us = F.unix_micros("ts")
+        parts = [
+            ev.filter(us <= cuts[0]),
+            ev.filter((us > cuts[0]) & (us <= cuts[1])),
+            ev.filter(us > cuts[1]),
+        ]
+        for k, p in enumerate(parts):
+            d = f"{scratch}/in/d{k}"
+            p.coalesce(1).write.mode("overwrite").parquet(d)
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        dk = decayed_count_stream(
+            src, key_col="user_id", ts_col="ts", decay_per_sec=lam,
+            order_cols=["event_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                dk.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("decay-topk replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; time-partitioned "
+                        "staging failed — cross-batch state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        tref = ev.agg(F.max(F.unix_micros("ts")).alias("t")).first()["t"]
+        last = (
+            spark.table(qn)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("last_us", "decayed")).alias("s"))
+            .select(
+                "user_id",
+                F.round(
+                    F.col("s.decayed")
+                    * F.exp(
+                        -F.lit(lam)
+                        * (F.lit(tref) - F.col("s.last_us")).cast("double")
+                        / F.lit(1_000_000.0)
+                    ),
+                    6,
+                ).alias("decayed"),
+            )
+        )
+        w = W.partitionBy().orderBy(F.desc("decayed"), F.asc("user_id"))
+        out = (
+            last.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 20)
+            .select("user_id", "decayed", "rank")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

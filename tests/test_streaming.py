@@ -1038,3 +1038,74 @@ def test_heartbeat_stream_timeout_lane_evicts_silent_entity(spark, tmp_path):
     resumes = [r for r in rows if r["resumed_us"] is not None]
     assert {r["user_id"] for r in resumes} == {"chatty"}
     assert all(r["silent_us"] == 10_800_000_000 for r in resumes)
+
+
+def test_decayed_counts_batch_hand_golden(spark):
+    """Round 12: Σ exp(−λ(T_ref − t)) — hand values, recency beats
+    bulk history beyond a few half-lives."""
+    import math
+
+    from cbts_datalake_synnex_spark.operators.timeseries import decayed_counts
+
+    base = 1_700_000_000_000_000  # µs
+    hour = 3_600_000_000
+    rows = (
+        # 'old': 10 events 10 days ago; 'fresh': 2 events at T_ref
+        [(1, base - 240 * hour + i) for i in range(10)]
+        + [(2, base - hour), (2, base)]
+    )
+    df = spark.createDataFrame(
+        [(k, u) for k, u in rows], "user_id bigint, us bigint"
+    ).select("user_id", F.timestamp_micros("us").alias("ts"))
+    out = {r["user_id"]: r for r in
+           decayed_counts(df, "user_id", "ts", decay_per_sec=3.2e-5).collect()}
+    lam = 3.2e-5
+    want_fresh = round(math.exp(-lam * 3600) + 1.0, 6)
+    assert abs(out[2]["decayed"] - want_fresh) < 1e-9
+    assert out[2]["last_us"] == base
+    # 10 events 240 h old at ~6 h half-life: decayed to ~nothing
+    assert out[1]["decayed"] < 1e-6 * 10
+    assert out[2]["decayed"] > out[1]["decayed"]
+
+
+def test_decayed_count_stream_recurrence_matches_batch_sum(spark, tmp_path):
+    """The closed-form batch fold across 3 micro-batches equals the
+    direct Σ exp(−λ(t_last − t_i)) over all events (to float noise
+    far below 6dp)."""
+    import math
+
+    from cbts_datalake_synnex_spark.streaming.stateful import decayed_count_stream
+
+    src = str(tmp_path / "src")
+    now = time.time()
+    hh = "2024-01-01T{:02d}:00:00.000Z"
+    for k, hours in enumerate(([9, 10], [11], [13])):
+        _write_file(
+            src, f"b{k}.json",
+            [{"event_id": f"e{h}", "user_id": "u1", "ts": hh.format(h), "value": 1.0}
+             for h in hours],
+            now - 30 + 10 * k,
+        )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        decayed_count_stream(stream, "user_id", "ts", decay_per_sec=3.2e-5)
+        .writeStream.format("memory")
+        .queryName("dk_rec")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.sql("SELECT * FROM dk_rec").collect(), key=lambda r: r["last_us"]
+    )
+    assert len(rows) == 3  # one emission per batch
+    lam = 3.2e-5
+    # final state vs direct sum over event hours 9,10,11,13 at t=13:00
+    want = sum(math.exp(-lam * 3600 * (13 - h)) for h in (9, 10, 11, 13))
+    assert abs(rows[-1]["decayed"] - want) < 1e-9
