@@ -336,6 +336,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "f_count_min_sketch",
     # round 10: one Expand-shared scan to a |cols|-row report
     "dq_column_profile",
+    # round 12: one hash agg to a |groups|-row summary (three
+    # fingerprint passes in the registry row; scan-bound)
+    "dq_table_fingerprint",
     # round 10: one (key,cnt) agg + percentile/top-k stats
     "dq_skew_profile",
     # round 10: scratch-write lifecycle (range write + footer readback)

@@ -517,3 +517,39 @@ def k_anonymity_report(
         F.round(F.col("n_rows") / F.col("t"), round_dp).alias("row_share"),
         F.col("size_bucket").isin("1", f"2-{k - 1}").alias("violates_k"),
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive content fingerprint (round 12) — the
+    anti-entropy primitive: two replicas of a table compare by
+    exchanging a KB-sized summary instead of rows. Per row,
+    ``h = bigint(first 8 md5 hex nibbles)`` of the canonical string
+    (columns joined by the U+001F unit separator, NULL -> U+2400 so
+    NULL never collides with ''); per group, the summary is
+    (n_rows, sum of h) — commutative, so partitioning, file order
+    and merge order cannot change it, and any single-row difference
+    changes the sum with probability 1 - 2^-32.
+
+    Cross-engine discipline: the canonical string casts each column
+    with the engine's string form — identical for ints/strings/
+    booleans, NOT guaranteed for floats/timestamps (shortest-repr
+    and tz rendering differ); canonicalize those FIRST
+    (``F.format_number``/``date_format``) as the caller — the same
+    rule the driver's own value-hash compare applies. One hash
+    aggregate; corpus moves once (not at all if already partitioned
+    by ``group_cols``)."""
+    sep, null = "\u001f", "\u2400"
+    canon = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit(null)) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    keys = list(group_cols or [])
+    gb = df.groupBy(*keys) if keys else df.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("content_sum"),
+    )

@@ -1759,3 +1759,80 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("bigint").alias("hr"),
     )
     return k_anonymity_report(ev, ["event_type", "vdec", "hr"], k=5)
+
+
+# ----------------------------------------------------------------------
+# Round 12 — anti-entropy table fingerprint (dq.table_fingerprint):
+# two replicas of a 100 TB table compare by exchanging a KB-sized
+# per-group (n_rows, content-hash sum) summary — commutative, so
+# partitioning/file order cannot change it. The query certifies the
+# arithmetic AND the detection contract: a bit-identical replica
+# (repartitioned 64-way) matches every group; a single perturbed row
+# flips EXACTLY its own group's sum and no other. Non-float columns
+# only (the declared cross-engine canonical-string discipline).
+@query(
+    "dq_table_fingerprint",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pr
+      FROM orders
+    ),
+    mn AS (SELECT min(k) AS mk FROM base),
+    f AS (
+      SELECT pr, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substr(md5(
+               CAST(k AS VARCHAR) || chr(31) || st || chr(31) || pr), 1, 8))
+               AS BIGINT)) AS BIGINT) AS content_sum
+      FROM base GROUP BY pr
+    ),
+    p AS (
+      SELECT pr, CAST(sum(CAST(('0x' || substr(md5(
+               CAST(k AS VARCHAR) || chr(31)
+               || CASE WHEN k = mn.mk THEN 'Z' ELSE st END
+               || chr(31) || pr), 1, 8)) AS BIGINT)) AS BIGINT) AS pert_sum
+      FROM base, mn GROUP BY pr
+    )
+    SELECT f.pr AS o_orderpriority, f.n_rows, f.content_sum,
+           TRUE AS replica_matches,
+           f.content_sum = p.pert_sum AS perturbed_matches
+    FROM f JOIN p USING (pr)
+    """,
+    doc="DQ [EXT] — order-insensitive content fingerprint for replica "
+    "anti-entropy: per-group (n_rows, md5-sum) summaries, bit-equal "
+    "across a 64-way repartitioned replica, and a single perturbed "
+    "row flips exactly its own group (operators/dq.table_fingerprint).",
+)
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import table_fingerprint
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    cols = ["k", "st", "pr"]
+    f = table_fingerprint(base, cols, ["pr"])
+    replica = table_fingerprint(base.repartition(64), cols, ["pr"]).select(
+        "pr", F.col("content_sum").alias("rep_sum")
+    )
+    mk = base.agg(F.min("k").alias("mk")).first()["mk"]
+    pert = table_fingerprint(
+        base.select(
+            "k",
+            F.when(F.col("k") == mk, F.lit("Z")).otherwise(F.col("st")).alias("st"),
+            "pr",
+        ),
+        cols,
+        ["pr"],
+    ).select("pr", F.col("content_sum").alias("pert_sum"))
+    return (
+        f.join(replica, "pr")
+        .join(pert, "pr")
+        .select(
+            F.col("pr").alias("o_orderpriority"),
+            "n_rows",
+            "content_sum",
+            (F.col("content_sum") == F.col("rep_sum")).alias("replica_matches"),
+            (F.col("content_sum") == F.col("pert_sum")).alias("perturbed_matches"),
+        )
+    )

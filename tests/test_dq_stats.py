@@ -187,3 +187,30 @@ def test_k_anonymity_buckets_and_violations(spark):
     # shares are rounded 6dp individually; the sum lands within the
     # rounding budget (4 buckets x 5e-7)
     assert abs(sum(r["row_share"] for r in out.values()) - 1.0) <= 2e-6
+
+
+def test_table_fingerprint_order_insensitive_and_null_distinct(spark):
+    """Round 12: fingerprints ignore row order/partitioning; NULL and
+    '' canonicalize differently; any one-row change flips the sum."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.dq import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "")], "k bigint, v string"
+    )
+    a = table_fingerprint(df, ["k", "v"]).first()
+    b = table_fingerprint(df.repartition(8).orderBy(F.desc("k")), ["k", "v"]).first()
+    assert (a["n_rows"], a["content_sum"]) == (b["n_rows"], b["content_sum"])
+    # NULL vs '' must not collide
+    swapped = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, None)], "k bigint, v string"
+    )
+    c = table_fingerprint(swapped, ["k", "v"]).first()
+    assert c["content_sum"] != a["content_sum"]
+    # single-row perturbation detected
+    pert = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "x")], "k bigint, v string"
+    )
+    d = table_fingerprint(pert, ["k", "v"]).first()
+    assert d["content_sum"] != a["content_sum"]
