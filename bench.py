@@ -287,6 +287,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     # gate — scan-bound, sf0.1 keeps regression cover
     "x4_url_normalize",
     "pipeline_domain_cap",
+    # round 12: parse-once VARIANT projection — codegen-bound
+    "f_variant_extract",
     "x3_random_projection",
     "x6_fim_split",
     "x6_chat_assembly",

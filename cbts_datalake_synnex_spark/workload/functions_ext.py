@@ -444,3 +444,72 @@ def f_cms_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_join_size",
         (F.col("est_join_size") >= F.col("true_join_size")).alias("never_under"),
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — VARIANT semi-structured lane (Spark 4): the modern form
+# of the reference's dynamic-JSON ingest (utils.py json_normalize →
+# string-first columns). JSON records built deterministically from
+# orders (heterogeneous: the 'extra' key exists only on even keys, a
+# variable-length array, a nested object) parse ONCE to VARIANT;
+# typed fields project via try_variant_get (missing path → NULL, the
+# one-poisoned-record-must-not-fail-the-batch rule); per-row
+# schema_of_variant states the dynamic schema. The oracle states
+# ground truth directly from the base columns — the JSON roundtrip
+# is exactly what the Spark side must invert.
+@query(
+    "f_variant_extract",
+    oracle="""
+    SELECT o_orderkey AS k,
+           o_orderkey AS po_num,
+           o_orderstatus AS po_status,
+           CAST(o_orderkey % 3 + 1 AS INT) AS n_lines,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'rush' END AS extra,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN 'OBJECT<extra: STRING, lines: ARRAY<BIGINT>, po: OBJECT<num: BIGINT, status: STRING>>'
+                ELSE 'OBJECT<lines: ARRAY<BIGINT>, po: OBJECT<num: BIGINT, status: STRING>>'
+           END AS vschema
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="SURVEY §2.3/§2.7 [EXT] — Spark 4 VARIANT ingest: parse-once "
+    "semi-structured records, lazy typed extraction with "
+    "try_variant_get (missing key → NULL), per-row dynamic schema via "
+    "schema_of_variant (functions/ingest_policy.variant_fields).",
+)
+def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.functions.ingest_policy import variant_fields
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    js = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("o_orderkey").alias("num"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("po"),
+            F.sequence(F.lit(1), (F.col("o_orderkey") % 3 + 1).cast("int"))
+            .cast("array<bigint>")
+            .alias("lines"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("rush")).alias("extra"),
+        )
+    )
+    recs = o.select(F.col("o_orderkey").alias("k"), js.alias("rec"))
+    out = variant_fields(
+        recs,
+        "rec",
+        {
+            "po_num": ("$.po.num", "bigint"),
+            "po_status": ("$.po.status", "string"),
+            "lines": ("$.lines", "array<bigint>"),
+            "extra": ("$.extra", "string"),
+        },
+        keep=["k"],
+        variant_out="v",
+    )
+    return out.select(
+        "k",
+        "po_num",
+        "po_status",
+        F.size("lines").alias("n_lines"),
+        "extra",
+        F.schema_of_variant(F.col("v")).alias("vschema"),
+    )
