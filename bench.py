@@ -289,6 +289,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "pipeline_domain_cap",
     # round 12: parse-once VARIANT projection — codegen-bound
     "f_variant_extract",
+    # round 12: split-once posexplode projection — scan-bound
+    "x6_sliding_chunks",
     "x3_random_projection",
     "x6_fim_split",
     "x6_chat_assembly",

@@ -1451,3 +1451,51 @@ def url_domain(col) -> F.Column:
         F.regexp_extract(F.trim(col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
     )
     return F.regexp_replace(host, "^www\\.", "")
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_toks: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Overlapping sliding-window chunking (round 12) — the
+    long-context training-example constructor: fixed ``window_toks``
+    windows every ``stride`` tokens, so each token appears in
+    ~window/stride chunks and no context boundary is ever unseen (the
+    overlap-vs-CDC tradeoff: `cdc_chunks` re-aligns after edits,
+    sliding windows guarantee boundary coverage). The LAST window is
+    the final ``window_toks`` tokens (never truncated, may overlap the
+    previous one more than ``stride``); short docs yield one whole-doc
+    chunk.
+
+    Pure projection: split once, starts = 1, 1+stride, … plus the
+    tail start max(n−window+1, 1) deduplicated while preserving
+    order; one posexplode. No shuffle, no state — scan-bound at any
+    corpus size. Returns (id, chunk_id, start_tok, n_toks, chunk)."""
+    assert window_toks >= 1 and 1 <= stride
+    base = df.select(F.col(id_col), _toks(text_col).alias("toks"))
+    n = F.size(F.col("toks"))
+    w, s = F.lit(int(window_toks)), F.lit(int(stride))
+    last_start = F.greatest(n - w + F.lit(1), F.lit(1))
+    starts = F.array_distinct(
+        F.concat(F.sequence(F.lit(1), last_start, s), F.array(last_start))
+    )
+    chunks = F.transform(
+        starts,
+        lambda st: F.struct(
+            st.cast("bigint").alias("start_tok"),
+            F.least(w.cast("bigint"), (n - st + 1).cast("bigint")).alias("n_toks"),
+            F.array_join(F.slice(F.col("toks"), st, w), " ").alias("chunk"),
+        ),
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_toks").alias("n_toks"),
+        F.col("c.chunk").alias("chunk"),
+    )

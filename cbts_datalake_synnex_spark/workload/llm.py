@@ -5830,3 +5830,61 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         (F.coalesce(F.col("n_kept"), F.lit(0)) < F.col("n_before")).alias("was_capped"),
     )
+
+
+# ----------------------------------------------------------------------
+# X6 — overlapping sliding-window chunking (round 12): the
+# long-context example constructor beside the content-defined
+# splitter — fixed windows every `stride` tokens guarantee every
+# context boundary is seen (cdc_chunks instead guarantees edit
+# re-alignment); the tail window is the final `window` tokens, never
+# truncated. Pure projection (split once, one posexplode). DuckDB
+# replicates the start grid, tail dedup and inclusive list_slice.
+@query(
+    "x6_sliding_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             CAST(greatest(n - 32 + 1, 1) AS BIGINT) AS ls
+      FROM t
+    ),
+    st AS (
+      SELECT doc_id, toks, n,
+             list_sort(list_distinct(list_append(
+               generate_series(CAST(1 AS BIGINT), ls, CAST(16 AS BIGINT)), ls
+             ))) AS starts
+      FROM s
+    ),
+    x AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(starts)),
+               j -> struct_pack(
+                      cid := j - 1,
+                      start_tok := starts[j],
+                      n_toks := least(CAST(32 AS BIGINT), n - starts[j] + 1),
+                      chunk := array_to_string(
+                        list_slice(toks, starts[j], starts[j] + 31), ' ')
+                    ))) AS ch
+      FROM st
+    )
+    SELECT doc_id, CAST(ch.cid AS INT) AS chunk_id,
+           CAST(ch.start_tok AS BIGINT) AS start_tok,
+           CAST(ch.n_toks AS BIGINT) AS n_toks,
+           ch.chunk
+    FROM x
+    """,
+    doc="SURVEY §2.10 X6 — sliding-window chunking (window 32, stride "
+    "16): overlapping long-context windows with an untruncated tail, "
+    "pure projection, every output byte restated "
+    "(operators/text.sliding_chunks).",
+)
+def x6_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.text import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(docs, "doc_id", "text", window_toks=32, stride=16)

@@ -1422,3 +1422,32 @@ def test_domain_cap_share_and_tail_preservation(spark):
     # and the gate is deterministic)
     again = domain_cap(out, "dom", "doc_id", max_share=0.2, salt="s")
     assert again.count() == out.count()
+
+
+def test_sliding_chunks_coverage_and_tail(spark):
+    """Round 12: every token covered, stride grid respected, tail
+    window untruncated, short docs yield one whole-doc chunk."""
+    from cbts_datalake_synnex_spark.operators.text import sliding_chunks
+
+    text = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c")], "doc_id bigint, text string"
+    )
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in
+            sliding_chunks(df, "doc_id", "text", window_toks=4, stride=3).collect()}
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    # starts: 1, 4, 7 (grid), tail start = 10-4+1 = 7 (dedup with grid)
+    assert d1 == [0, 1, 2]
+    assert rows[(1, 0)]["chunk"] == "t1 t2 t3 t4"
+    assert rows[(1, 2)]["start_tok"] == 7 and rows[(1, 2)]["n_toks"] == 4
+    assert rows[(1, 2)]["chunk"] == "t7 t8 t9 t10"  # untruncated tail
+    # short doc: one whole-doc chunk
+    d2 = [k for k in rows if k[0] == 2]
+    assert d2 == [(2, 0)]
+    assert rows[(2, 0)]["chunk"] == "a b c" and rows[(2, 0)]["n_toks"] == 3
+    # coverage: union of [start, start+n) spans all 10 tokens
+    covered = set()
+    for k, r in rows.items():
+        if k[0] == 1:
+            covered |= set(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
+    assert covered == set(range(1, 11))
