@@ -390,7 +390,7 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # costs are the admission_index_probe / x3_knn_join rows — and the
 # round-11/12 scratch-lifecycle certifications (lc_join_estimate,
 # lc_join_key_overlap, lc_preflight_join, lc_table_changes,
-# dq_file_profile: table writes dominate) and
+# lc_partial_compact, dq_file_profile: table writes dominate) and
 # x4_logreg_calibration (sf1 coverage via x4_logreg_train's shared
 # trajectory).
 

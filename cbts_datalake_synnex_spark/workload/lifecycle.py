@@ -2094,3 +2094,99 @@ def lc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.write_curated("cf", v2, mode="overwrite", partition_cols=[])
         out = eng.table_changes("cf", 1, 2, key_cols=["k"])
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ----------------------------------------------------------------------
+# Round 12 — partition-scoped compaction (Delta OPTIMIZE ... WHERE):
+# three fragmented appends across four month partitions, then compact
+# ONLY month 02 — its file count collapses while every other
+# partition's file list stays byte-identical (asserted on exact
+# paths), and a data-column predicate is refused. File facts are
+# environment claims (booleans); row counts restate exactly.
+@query(
+    "lc_partial_compact",
+    oracle="""
+    WITH m AS (
+      SELECT lpad(CAST(o_orderkey % 4 + 1 AS VARCHAR), 2, '0') AS month,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(3 * n AS BIGINT) AS n_rows,
+           month = '02' AS compacted,
+           TRUE AS files_shrank_or_untouched,
+           TRUE AS untouched_paths_identical,
+           TRUE AS data_predicate_refused
+    FROM m
+    """,
+    doc="K++ [EXT] — partition-scoped compaction (OPTIMIZE WHERE "
+    "parity): only the selected partition's files rewrite (dynamic "
+    "partition overwrite off a scratch stage), all other partitions' "
+    "file lists stay byte-identical, data-column predicates refused "
+    "(engine.compact_partitions).",
+)
+def lc_partial_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lpad((F.col("o_orderkey") % 4 + 1).cast("string"), 2, "0").alias(
+            "processed_month"
+        ),
+    )
+    with _scratch_engine(spark) as eng:
+        for _ in range(3):
+            eng.write_curated(
+                "pc", o, mode="append", partition_cols=["processed_month"]
+            )
+        tbl = eng.qualified("pc")
+
+        def files_by_month():
+            out: dict[str, set] = {}
+            for f in spark.table(tbl).inputFiles():
+                key = f.split("processed_month=")[1].split("/")[0]
+                out.setdefault(key, set()).add(f)
+            return out
+
+        before = files_by_month()
+        n_before = spark.table(tbl).count()
+        try:
+            eng.compact_partitions("pc", "o_totalprice > 0")
+            refused = False
+        except ValueError:
+            refused = True
+        eng.compact_partitions("pc", "processed_month = '02'")
+        after = files_by_month()
+        n_after = spark.table(tbl).count()
+        months = sorted(before)
+        rows = []
+        per_month = {
+            r["processed_month"]: r["n"]
+            for r in spark.table(tbl)
+            .groupBy("processed_month")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for m in months:
+            compacted = m == "02"
+            if compacted:
+                ok_files = len(after[m]) < len(before[m])
+                untouched = True  # not applicable; claim holds vacuously
+            else:
+                ok_files = after[m] == before[m]
+                untouched = after[m] == before[m]
+            rows.append(
+                (
+                    m,
+                    int(per_month[m]),
+                    compacted,
+                    bool(ok_files and n_after == n_before),
+                    bool(untouched),
+                    bool(refused),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "month string, n_rows bigint, compacted boolean, "
+        "files_shrank_or_untouched boolean, untouched_paths_identical boolean, "
+        "data_predicate_refused boolean",
+    )
