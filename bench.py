@@ -291,6 +291,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "f_variant_extract",
     # round 12: split-once posexplode projection — scan-bound
     "x6_sliding_chunks",
+    # round 12: the composed crawl-curation plan — gate + two aggs
+    "pipeline_crawl_curation",
     "x3_random_projection",
     "x6_fim_split",
     "x6_chat_assembly",

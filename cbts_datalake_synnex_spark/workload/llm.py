@@ -5888,3 +5888,98 @@ def x6_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sliding_chunks(docs, "doc_id", "text", window_toks=32, stride=16)
+
+
+# ----------------------------------------------------------------------
+# Composite (round 12) — the RefinedWeb crawl-curation order, stitched
+# end-to-end: URL canonicalization → per-domain frequency cap → exact
+# content dedup, reported as one-row stage counts. The ORDER is the
+# point (Penedo 2023): domain capping runs before content dedup so a
+# mirrored hot domain cannot dominate the near-dup budget. One lazy
+# plan: pure projections + one (domain) agg + the broadcast gate +
+# one content-hash agg.
+@query(
+    "pipeline_crawl_curation",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               lower(regexp_extract(
+                 'https://www.' || CASE WHEN doc_id % 2 = 0 THEN 'big.example.com'
+                                        ELSE source || '.example.com' END
+                 || '/p/' || CAST(doc_id AS VARCHAR) || '?utm_source=x',
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+               '^www\\.', '', 'g') AS domain
+      FROM documents
+    ),
+    c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY domain),
+    t AS (SELECT count(*) AS n_tot FROM d),
+    thr AS (
+      SELECT c.domain,
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+                              CAST(0.1 AS DOUBLE) * t.n_tot / c.n)
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS thr
+      FROM c, t
+    ),
+    capped AS (
+      SELECT d.doc_id, d.text, d.domain
+      FROM d JOIN thr USING (domain)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'cc'), 1, 8)) AS BIGINT)
+              % 1000000 < thr
+    ),
+    dedup AS (
+      SELECT min(doc_id) AS keeper FROM capped GROUP BY md5(text)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM capped) AS n_after_cap,
+           (SELECT CAST(count(*) AS BIGINT) FROM dedup) AS n_after_dedup,
+           (SELECT CAST(count(*) AS BIGINT) FROM capped
+             WHERE domain = 'big.example.com') AS n_hot_kept,
+           (SELECT round(CAST(sum(CASE WHEN domain = 'big.example.com' THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) FROM capped) AS hot_share_after
+    """,
+    doc="[EXT] composite — RefinedWeb crawl-curation order end-to-end: "
+    "URL canonicalization (url_domain) → per-domain frequency cap "
+    "(domain_cap, hot domain ~50% → expected 10%) → exact content "
+    "dedup (min-id keeper per md5), one-row stage counts, every stage "
+    "restated (operators/text + sampling + dedup composition).",
+)
+def pipeline_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.sampling import domain_cap
+    from cbts_datalake_synnex_spark.operators.text import url_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    dom = F.when(F.col("doc_id") % 2 == 0, F.lit("big.example.com")).otherwise(
+        F.concat(F.col("source"), F.lit(".example.com"))
+    )
+    url = F.concat(
+        F.lit("https://www."), dom, F.lit("/p/"),
+        F.col("doc_id").cast("string"), F.lit("?utm_source=x"),
+    )
+    d = docs.select("doc_id", "text", url_domain(url).alias("domain"))
+    capped = domain_cap(d, "domain", "doc_id", max_share=0.1, salt="cc")
+    dedup = capped.groupBy(F.md5("text")).agg(F.min("doc_id").alias("keeper"))
+    hot = capped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_cap"),
+        F.sum((F.col("domain") == "big.example.com").cast("int"))
+        .cast("bigint")
+        .alias("n_hot"),
+    )
+    return (
+        d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(hot))
+        .crossJoin(
+            F.broadcast(
+                dedup.agg(F.count(F.lit(1)).cast("bigint").alias("n_after_dedup"))
+            )
+        )
+        .select(
+            "n_docs",
+            "n_after_cap",
+            "n_after_dedup",
+            F.col("n_hot").alias("n_hot_kept"),
+            F.round(F.col("n_hot").cast("double") / F.col("n_after_cap"), 6).alias(
+                "hot_share_after"
+            ),
+        )
+    )
