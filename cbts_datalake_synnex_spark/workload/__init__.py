@@ -190,7 +190,12 @@ _ROUND8_FRONT = [
 # rotation.
 # TODO(round 13): rotate `_ROUND13_FRONT` = the registry entries added
 # after the round-12 window froze (diff REGISTRY against the union of
-# CORRECTNESS_r01..r12 keys, as round 12 did).
+# CORRECTNESS_r01..r12 keys, as round 12 did). Round-12 additions so
+# far: t_stream_heartbeat_timeout, lc_preflight_join,
+# x4_url_normalize, pipeline_domain_cap, lc_table_changes,
+# t_stream_decay_topk, dq_table_fingerprint, f_variant_extract,
+# x6_sliding_chunks, lc_partial_compact, pipeline_crawl_curation
+# (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",
