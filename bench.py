@@ -293,6 +293,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "x6_sliding_chunks",
     # round 12: the composed crawl-curation plan — gate + two aggs
     "pipeline_crawl_curation",
+    # round 12: one user_id shuffle, two window passes
+    "t_funnel3_ordered",
     "x3_random_projection",
     "x6_fim_split",
     "x6_chat_assembly",

@@ -1746,3 +1746,82 @@ def t_stream_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — 3-step ORDERED funnel (round 12): view → click →
+# purchase, each step within 1h of the previous — the sequence-
+# analytics shape (MATCH_RECOGNIZE-lite) the 2-step funnel can't
+# express: a click only counts if IT was itself preceded by a view.
+# Two window passes over ONE shuffle on user_id (same partitioning,
+# Catalyst reuses the exchange): pass 1 annotates clicks with their
+# last view; pass 2 carries the last QUALIFIED click (view→click
+# chain intact) to each purchase.
+@query(
+    "t_funnel3_ordered",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type AS src
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    w1 AS (
+      SELECT user_id, ts, event_id, src,
+             last_value(CASE WHEN src = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, src, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+      FROM u
+    ),
+    w2 AS (
+      SELECT user_id, ts, event_id, src,
+             last_value(CASE WHEN src = 'click' AND last_view_ts IS NOT NULL
+                              AND epoch_us(ts) - epoch_us(last_view_ts) <= 3600000000
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, src, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_qclick_ts
+      FROM w1
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN last_qclick_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(last_qclick_ts) <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM w2 WHERE src = 'purchase'
+    GROUP BY user_id
+    """,
+    doc="SURVEY §2.6 [EXT] — ordered 3-step funnel (view→click→"
+    "purchase, 1h per step): a click qualifies only if itself "
+    "view-preceded; two window passes over one user_id shuffle.",
+)
+def t_funnel3_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("src")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_view = F.last(
+        F.when(F.col("src") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    s1 = u.withColumn("last_view_ts", last_view)
+    qclick = F.when(
+        (F.col("src") == "click")
+        & F.col("last_view_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("last_view_ts") <= 3_600_000_000),
+        F.col("ts"),
+    )
+    s2 = s1.withColumn("last_qclick_ts", F.last(qclick, ignorenulls=True).over(w))
+    full = (
+        F.col("last_qclick_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("last_qclick_ts") <= 3_600_000_000)
+    )
+    return (
+        s2.filter(F.col("src") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(full.cast("int")).cast("bigint").alias("n_full_funnel"),
+        )
+    )
