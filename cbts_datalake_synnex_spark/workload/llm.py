@@ -5983,3 +5983,94 @@ def pipeline_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X3++/K++ — PQ-backed IVF index probe (round 12): the deepest
+# postings-compression tier given a driver row. The codebook is
+# trained driver-side (numpy Lloyd on an md5-ordered sample) — not
+# SQL-restatable — so the report follows the claims discipline
+# (lc_* / x2_simhash): exact restatable counts plus boolean gates.
+# Both indexes probe EXHAUSTIVELY (n_probe = n_cells), so the float
+# side equals brute force and recall isolates pure quantization loss.
+@query(
+    "x3_pq_index_probe",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 50 = 0)
+             AS n_queries,
+           CAST(5 AS INT) AS k,
+           TRUE AS recall_ge_gate,
+           TRUE AS postings_are_codes,
+           TRUE AS codebook_bounded,
+           TRUE AS float_probe_exact
+    """,
+    doc="SURVEY §2.10 X3++/K++ — storage='pq' IVF index end-to-end: "
+    "codes-only postings against the persisted codebook table, "
+    "exhaustive-probe recall@5 vs the float index gated >= 0.6 "
+    "(near-random embeddings are PQ's worst case), float twin equals "
+    "brute force, codebook row count bounded by m x n_codes "
+    "(engine.build_ann_index storage='pq').",
+)
+def x3_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    root = tempfile.mkdtemp(prefix="pqprobe_")
+    db = f"pqprobe_{uuid.uuid4().hex[:8]}"
+    eng = LakeEngine(spark, root, database=db)
+    try:
+        eng.build_ann_index("fl", emb, "vec_id", "embedding", n_cells=8, n_assign=1)
+        eng.build_ann_index(
+            "pq", emb, "vec_id", "embedding", n_cells=8, n_assign=1,
+            storage="pq", pq_m=16, pq_codes=64,
+        )
+        truth, got = {}, {}
+        for r in eng.query_ann_index(
+            "fl", q, "vec_id", "embedding", k=5, n_probe=8
+        ).collect():
+            truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+        for r in eng.query_ann_index(
+            "pq", q, "vec_id", "embedding", k=5, n_probe=8
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        recalls = [
+            len(got.get(k_, set()) & c) / len(c) for k_, c in truth.items()
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        # float exhaustive probe == brute-force cosine top-5
+        brute = similarity.cosine_topk(
+            emb, q, id_col="vec_id", vec_col="embedding", k=5, engine="jvm"
+        )
+        bt = {}
+        for r in brute.collect():
+            bt.setdefault(r["query_id"], set()).add(r["cand_id"])
+        float_exact = bt == truth
+        cols = set(spark.table(eng.qualified("pq_postings")).columns)
+        n_book = spark.table(eng.qualified("pq_pq")).count()
+        n_q = q.count()
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_q),
+                5,
+                bool(mean_recall >= 0.6),
+                bool(cols == {"cell", "cand_id", "codes"}),
+                bool(n_book <= 16 * 64),
+                bool(float_exact),
+            )
+        ],
+        "n_queries bigint, k int, recall_ge_gate boolean, "
+        "postings_are_codes boolean, codebook_bounded boolean, "
+        "float_probe_exact boolean",
+    )
