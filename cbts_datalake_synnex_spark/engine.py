@@ -1286,6 +1286,71 @@ class LakeEngine:
         ).first()
         return int(row["est_join_size"])
 
+    def analyze_column_histogram(
+        self, table: str, column: str, n_buckets: int = 32
+    ) -> None:
+        """Persist an equi-depth histogram for a numeric column — the
+        selectivity half of the `analyze_join_column` pre-flight tier
+        (round 12): one exact-percentile scan lands ``n_buckets + 1``
+        boundaries (6dp-rounded — the cross-engine grid) plus row/NULL
+        counts as the KB-sized ``{table}_hist_{column}`` table. The
+        classic optimizer-statistics object: answers range-predicate
+        selectivity without touching the data again."""
+        src = self.spark.table(self.qualified(table))
+        fr = [i / int(n_buckets) for i in range(int(n_buckets) + 1)]
+        row = src.agg(
+            F.transform(
+                F.percentile(F.col(column), F.array(*[F.lit(f) for f in fr]), F.lit(1)),
+                lambda x: F.round(x, 6),
+            ).alias("bounds"),
+            F.count(F.col(column)).cast("bigint").alias("n_vals"),
+            F.sum(F.col(column).isNull().cast("int")).cast("bigint").alias("n_nulls"),
+        ).first()
+        self.spark.createDataFrame(
+            [(list(row["bounds"] or []), int(row["n_vals"]), int(row["n_nulls"] or 0),
+              int(n_buckets))],
+            "bounds array<double>, n_vals bigint, n_nulls bigint, n_buckets int",
+        ).write.format("parquet").mode("overwrite").saveAsTable(
+            self.qualified(f"{table}_hist_{column}")
+        )
+
+    def estimate_selectivity(
+        self, table: str, column: str, op: str, value: float
+    ) -> float:
+        """Range-predicate selectivity from the persisted equi-depth
+        histogram — ``op`` ∈ {'<=', '<', '>=', '>'} (the < / <= and
+        > / >= pairs coincide under continuous interpolation; exact-
+        boundary mass is sub-bucket). Each bucket holds exactly 1/n of
+        the non-NULL rows BY CONSTRUCTION, so
+        ``sel(col <= v) = Σ_i clamp((v − b_{i−1})/(b_i − b_{i−1}), 0, 1)/n``
+        — linear interpolation inside the straddled bucket, a closed
+        form over the KB boundary list (restated bit-for-bit by the
+        registry oracle). Selectivity is of NON-NULL rows (NULL never
+        passes a range predicate — the SQL rule). Worst-case error is
+        one bucket (1/n) plus intra-bucket non-uniformity; heavy
+        duplicate spikes widen it — pair with `skew_profile` when a
+        column is spike-dominated. Neither data table is touched."""
+        name = self.qualified(f"{table}_hist_{column}")
+        if not self.spark.catalog.tableExists(name):
+            raise ValueError(
+                f"no histogram for {table}.{column}; run "
+                f"analyze_column_histogram({table!r}, {column!r}) first"
+            )
+        if op not in ("<=", "<", ">=", ">"):
+            raise ValueError(f"op: {op!r}")
+        row = self.spark.table(name).first()
+        bounds, n = list(row["bounds"]), int(row["n_buckets"])
+        if not bounds or row["n_vals"] == 0:
+            return 0.0
+        v = float(value)
+        acc = 0.0
+        for i in range(1, n + 1):
+            lo, hi = bounds[i - 1], bounds[i]
+            frac = 1.0 if hi == lo and v >= hi else (v - lo) / (hi - lo) if hi > lo else 0.0
+            acc += min(1.0, max(0.0, frac))
+        le = round(acc / n, 6)
+        return le if op in ("<=", "<") else round(1.0 - le, 6)
+
     def preflight_join(
         self,
         t1: str,

@@ -2190,3 +2190,80 @@ def lc_partial_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_shrank_or_untouched boolean, untouched_paths_identical boolean, "
         "data_predicate_refused boolean",
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — histogram selectivity pre-flight (the third planning
+# leg beside scan bytes and join cardinality): a persisted equi-depth
+# histogram (one exact-percentile scan, 6dp-rounded boundaries)
+# answers range-predicate selectivity by closed-form interpolation
+# over the KB boundary list — no data touched at estimate time.
+# DuckDB re-derives the boundaries (quantile_cont = Spark percentile,
+# the skew_profile-certified parity), restates the interpolation
+# bit-for-bit, and states the exact true selectivities; the
+# |est − true| <= 2/n_buckets gate is asserted as a VALUE comparison.
+@query(
+    "lc_filter_selectivity",
+    oracle="""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                 list_transform(generate_series(0, 32), i -> i / 32.0)),
+               x -> round(x, 6)) AS bounds,
+             count(o_totalprice) AS n_vals
+      FROM orders
+    ),
+    preds AS (
+      SELECT unnest([50000.0, 150000.0, 250000.0]) AS v
+    ),
+    est AS (
+      SELECT v,
+             round(list_sum(list_transform(generate_series(1, 32), i ->
+               least(1.0, greatest(0.0,
+                 CASE WHEN bounds[i+1] = bounds[i] AND v >= bounds[i+1] THEN 1.0
+                      WHEN bounds[i+1] > bounds[i]
+                        THEN (v - bounds[i]) / (bounds[i+1] - bounds[i])
+                      ELSE 0.0 END)))) / 32, 6) AS est_sel
+      FROM preds, b
+    ),
+    tru AS (
+      SELECT p.v,
+             round(CAST(sum(CASE WHEN o.o_totalprice <= p.v THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(o.o_totalprice), 6) AS true_sel
+      FROM preds p, orders o GROUP BY p.v
+    )
+    SELECT est.v AS threshold, est.est_sel, tru.true_sel,
+           round(abs(est.est_sel - tru.true_sel), 6) AS abs_err,
+           abs(est.est_sel - tru.true_sel) <= 2.0 / 32 AS within_bound
+    FROM est JOIN tru USING (v)
+    """,
+    doc="K++ [EXT] — equi-depth histogram selectivity pre-flight: "
+    "persisted 32-bucket exact-percentile boundaries answer "
+    "'price <= v' selectivity by closed-form interpolation without "
+    "touching the data; estimates, exact truths and the 2/n error "
+    "gate all restated (engine.analyze_column_histogram / "
+    "engine.estimate_selectivity).",
+)
+def lc_filter_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price")
+    )
+    thresholds = [50000.0, 150000.0, 250000.0]
+    with _scratch_engine(spark) as eng:
+        o.write.saveAsTable(eng.qualified("ot"))
+        eng.analyze_column_histogram("ot", "price", n_buckets=32)
+        n = o.count()
+        rows = []
+        for v in thresholds:
+            est = eng.estimate_selectivity("ot", "price", "<=", v)
+            true = round(
+                o.filter(F.col("price") <= v).count() / n, 6
+            )
+            rows.append(
+                (v, est, true, round(abs(est - true), 6), abs(est - true) <= 2.0 / 32)
+            )
+    return spark.createDataFrame(
+        rows,
+        "threshold double, est_sel double, true_sel double, "
+        "abs_err double, within_bound boolean",
+    )

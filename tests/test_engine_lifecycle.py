@@ -1001,3 +1001,28 @@ def test_table_changes_classification_and_null_safety(spark, engine):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="key_cols"):
         engine.table_changes("cdf", 1, 2)
+
+
+def test_histogram_selectivity_bounds_and_ops(spark, engine):
+    """Round 12: equi-depth selectivity — uniform data estimates
+    tightly; > is the complement of <=; missing histogram refused;
+    NULLs excluded from the selectivity base."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
+    df = df.unionByName(
+        spark.createDataFrame([(None,)], "x double")
+    )
+    df.write.saveAsTable(engine.qualified("hx"))
+    engine.analyze_column_histogram("hx", "x", n_buckets=20)
+    est = engine.estimate_selectivity("hx", "x", "<=", 250.0)
+    assert abs(est - 0.25) <= 2.0 / 20
+    gt = engine.estimate_selectivity("hx", "x", ">", 250.0)
+    assert abs((est + gt) - 1.0) < 1e-9
+    assert engine.estimate_selectivity("hx", "x", "<=", -5.0) == 0.0
+    assert engine.estimate_selectivity("hx", "x", "<=", 10_000.0) == 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="analyze_column_histogram"):
+        engine.estimate_selectivity("hx", "nope", "<=", 1.0)
+    with _pytest.raises(ValueError, match="op"):
+        engine.estimate_selectivity("hx", "x", "==", 1.0)
