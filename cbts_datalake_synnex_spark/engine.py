@@ -3320,6 +3320,61 @@ def _swap_staged_table(engine: "LakeEngine", staged: str, live: str) -> None:
     spark.sql(f"DROP TABLE {old}")
 
 
+def export_training_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+    salt: str = "sh",
+) -> DataFrame:
+    """Deterministic sharded training export + MANIFEST (round 12) —
+    the artifact a training loader consumes: rows land in
+    ``n_shards`` md5-hash shards (partitioning-independent and
+    idempotent — the epoch_shuffle discipline, so a re-export lands
+    every row in the SAME shard), and the ``{table}_manifest``
+    companion records per shard (n_rows, n_tokens, content_sum) —
+    row/token accounting for the loader's progress math plus the
+    `table_fingerprint` content hash so a consumer can verify a
+    shard it fetched without re-reading the export host's copy.
+
+    The manifest is computed from the WRITTEN table's read-back, not
+    the input plan — it certifies what landed. One partitioned write
+    + one grouped read-back scan; manifest is n_shards rows."""
+    from cbts_datalake_synnex_spark.operators.dq import table_fingerprint
+
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(int(n_shards)),
+    )
+    df.withColumn("shard", shard.cast("int")).write.partitionBy(
+        "shard"
+    ).mode("overwrite").format("parquet").saveAsTable(table)
+    back = spark.table(table)
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit("")))
+    counts = back.groupBy("shard").agg(
+        F.sum(toks).cast("bigint").alias("n_tokens")
+    )
+    manifest = (
+        table_fingerprint(back, [id_col, text_col], ["shard"])
+        .join(counts, "shard")
+        .select(
+            F.col("shard").cast("int"), "n_rows", "n_tokens", "content_sum"
+        )
+    )
+    manifest.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table}_manifest"
+    )
+    return spark.table(f"{table}_manifest")
+
+
 def write_sorted(
     spark: SparkSession,
     df: DataFrame,

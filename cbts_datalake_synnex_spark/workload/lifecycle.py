@@ -2267,3 +2267,42 @@ def lc_filter_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold double, est_sel double, true_sel double, "
         "abs_err double, within_bound boolean",
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — sharded training export + manifest: documents land in 8
+# deterministic md5 shards; the manifest (rows, whitespace tokens,
+# content-hash sum per shard) is computed from the WRITTEN table's
+# read-back, so it certifies what landed. DuckDB re-derives the shard
+# assignment, token counts and fingerprint sums from the base table —
+# export + manifest must agree with it exactly.
+@query(
+    "lc_export_manifest",
+    oracle="""
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sh'), 1, 8)) AS BIGINT)
+                % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+             AS n_tokens,
+           CAST(sum(CAST(('0x' || substr(md5(
+             CAST(doc_id AS VARCHAR) || chr(31) || text), 1, 8)) AS BIGINT)) AS BIGINT)
+             AS content_sum
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="K++ [EXT] — deterministic sharded training export with a "
+    "verifiable manifest: md5 shard assignment (idempotent across "
+    "re-exports), per-shard row/token accounting + table_fingerprint "
+    "content sums computed from the written table's read-back "
+    "(engine.export_training_shards).",
+)
+def lc_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.engine import export_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with _scratch_engine(spark) as eng:
+        manifest = export_training_shards(
+            spark, docs, eng.qualified("train_export"), "doc_id", "text",
+            n_shards=8, salt="sh",
+        )
+        return _materialize(spark, manifest)
