@@ -441,6 +441,34 @@ class LakeEngine:
             reader = reader.option("basePath", entry["base"])
         return reader.load(files)
 
+    def restore_table(self, table: str, version: int) -> int:
+        """Delta ``RESTORE TABLE t TO VERSION AS OF v`` parity
+        (round 12): make snapshot ``version`` the CURRENT table
+        content again — as a NEW snapshot, never by rewinding the
+        journal (history stays append-only, so the pre-restore state
+        remains time-travelable and a bad restore is itself
+        restorable). Implementation: materialize the old version
+        (retention hard-links make this a metadata-cheap read), stage
+        it, and land it as an ordinary overwrite through the
+        journaled write path. Returns the new version number."""
+        snap = self.read_snapshot(table, version)
+        parts = [
+            c.name
+            for c in self.spark.catalog.listColumns(self.qualified(table))
+            if c.isPartition
+        ]
+        # stage through scratch: the snapshot read may resolve to the
+        # live table's own files (latest version), and an overwrite
+        # that reads its own input truncates before reading
+        scratch = os.path.join(
+            self.zones.root, "_restore", f"{table}_{uuid.uuid4().hex[:8]}"
+        )
+        snap.write.parquet(scratch)
+        staged = self.spark.read.parquet(scratch)
+        self.write_curated(table, staged, mode="overwrite", partition_cols=parts)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return self.snapshot_history(table)[-1]["version"]
+
     def version_at(self, table: str, timestamp) -> int:
         """Resolve Delta ``TIMESTAMP AS OF`` semantics: the newest
         snapshot committed at or before ``timestamp`` (a datetime or

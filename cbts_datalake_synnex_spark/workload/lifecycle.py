@@ -2306,3 +2306,63 @@ def lc_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_shards=8, salt="sh",
         )
         return _materialize(spark, manifest)
+
+
+# ----------------------------------------------------------------------
+# Round 12 — RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`):
+# a bad overwrite (half the rows vanish) is undone by restoring v1 —
+# landed as a NEW journaled snapshot, so history stays append-only:
+# the bad v2 remains time-travelable and the restore itself is
+# restorable. Row counts restate exactly; history/readability are
+# environment claims.
+@query(
+    "lc_restore_table",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 3000)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_v1,
+           (SELECT CAST(count(*) AS BIGINT) FROM base WHERE o_orderkey % 2 = 0) AS n_v2,
+           (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_after_restore,
+           CAST(3 AS BIGINT) AS n_versions,
+           TRUE AS restored_equals_v1,
+           TRUE AS bad_version_still_readable
+    """,
+    doc="K++ [EXT] — RESTORE parity: snapshot v1 re-landed as a new "
+    "journaled version after a destructive overwrite; append-only "
+    "history keeps the bad version time-travelable and content "
+    "equality is certified row-for-row (engine.restore_table).",
+)
+def lc_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 3000
+    ).select("o_orderkey", "o_totalprice")
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("rt", base, mode="overwrite", partition_cols=[])
+        bad = base.filter(F.col("o_orderkey") % 2 == 0)
+        eng.write_curated("rt", bad, mode="overwrite", partition_cols=[])
+        new_v = eng.restore_table("rt", 1)
+        cur = spark.table(eng.qualified("rt"))
+        n_v1 = eng.read_snapshot("rt", 1).count()
+        n_v2 = eng.read_snapshot("rt", 2).count()
+        n_cur = cur.count()
+        same = (
+            cur.select("o_orderkey")
+            .exceptAll(eng.read_snapshot("rt", 1).select("o_orderkey"))
+            .count()
+            == 0
+            and n_cur == n_v1
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_v1),
+                    int(n_v2),
+                    int(n_cur),
+                    int(new_v),
+                    bool(same),
+                    bool(n_v2 == eng.read_snapshot("rt", 2).count()),
+                )
+            ],
+            "n_v1 bigint, n_v2 bigint, n_after_restore bigint, "
+            "n_versions bigint, restored_equals_v1 boolean, "
+            "bad_version_still_readable boolean",
+        )
