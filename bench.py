@@ -295,6 +295,10 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "pipeline_crawl_curation",
     # round 12: one user_id shuffle, two window passes
     "t_funnel3_ordered",
+    # round 12: one exchange, two folded windows
+    "w4_window_count_distinct",
+    # round 12: split-once slice-concat projection
+    "x6_needle_insert",
     "x3_random_projection",
     "x6_fim_split",
     "x6_chat_assembly",

@@ -421,3 +421,56 @@ def span_corrupt(
             "masked_share"
         ),
     )
+
+
+def needle_insert(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str = "needle",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Needle-in-a-haystack eval construction (round 12, public
+    long-context eval methodology — Kamradt 2023 / Anthropic &
+    OpenAI long-context reports): plant one uniquely-identifiable
+    sentinel token at an md5-determined depth of each document, so a
+    retrieval probe can later ask "what was the needle in doc X?"
+    with a known ground truth at a known depth. Deterministic (zero
+    RNG: position AND needle id derive from md5(id)), LOSSLESS
+    (dropping the needle token restores the original text exactly —
+    golden-tested), and a pure projection: split once, one slice
+    concat, no shuffle.
+
+    Returns (id, needle, insert_pos 1-based token index,
+    depth_frac ∈ [0,1], out_text)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pos = (h % (n + 1) + 1).cast("int")  # 1..n+1: before token `pos`
+    needle = F.concat(
+        F.lit("NEEDLE-"),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+    )
+    out = F.array_join(
+        F.concat(
+            F.slice(toks, 1, pos - 1),
+            F.array(needle),
+            F.slice(toks, pos, n - pos + 1),
+        ),
+        " ",
+    )
+    return df.select(
+        F.col(id_col),
+        needle.alias("needle"),
+        pos.alias("insert_pos"),
+        F.round((pos - 1).cast("double") / F.greatest(n, F.lit(1)), round_dp).alias(
+            "depth_frac"
+        ),
+        out.alias("out_text"),
+    )

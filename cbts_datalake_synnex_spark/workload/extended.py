@@ -1836,3 +1836,44 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("content_sum") == F.col("pert_sum")).alias("perturbed_matches"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — windowed COUNT(DISTINCT): ANSI SQL allows
+# count(DISTINCT x) OVER (PARTITION BY g); Spark's window operator
+# REFUSES distinct aggregates, so the engine provides the standard
+# rewrite — dense_rank over (g ORDER BY x) then max over g counts
+# distinct values exactly (equal values share a rank; the ordering
+# column here is NULL-free — for nullable columns subtract the
+# any-NULL indicator, since count(DISTINCT) excludes NULL but
+# dense_rank ranks it). Both windows partition on the same key, so
+# Catalyst folds them onto ONE exchange. DuckDB states the native
+# windowed DISTINCT directly — the semantics equality IS the
+# certification.
+@query(
+    "w4_window_count_distinct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS BIGINT)
+             AS n_distinct_suppliers
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    """,
+    doc="SURVEY §2.6 [EXT] — windowed COUNT(DISTINCT) via the "
+    "dense_rank/max rewrite (Spark's window operator refuses "
+    "distinct aggregates); certified against DuckDB's NATIVE "
+    "windowed DISTINCT — the semantics equality is the point.",
+)
+def w4_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 2000
+    ).select("l_orderkey", "l_linenumber", "l_suppkey")
+    w_rank = W.partitionBy("l_orderkey").orderBy("l_suppkey")
+    w_all = W.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.max(F.dense_rank().over(w_rank)).over(w_all)
+        .cast("bigint")
+        .alias("n_distinct_suppliers"),
+    )

@@ -6074,3 +6074,45 @@ def x3_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "postings_are_codes boolean, codebook_bounded boolean, "
         "float_probe_exact boolean",
     )
+
+
+# ----------------------------------------------------------------------
+# X6++ — needle-in-a-haystack construction (round 12): the
+# long-context eval constructor — one md5-positioned, md5-named
+# sentinel token per document with known depth ground truth; zero
+# RNG, lossless (golden: dropping the needle restores the original).
+# DuckDB replicates the hash position, needle id, inclusive slices
+# and every output byte.
+@query(
+    "x6_needle_insert",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, toks, n,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':needle'), 1, 8)) AS BIGINT)
+                  % (n + 1) + 1 AS INT) AS pos,
+             'NEEDLE-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS needle
+      FROM t
+    )
+    SELECT doc_id, needle, pos AS insert_pos,
+           round(CAST(pos - 1 AS DOUBLE) / greatest(n, 1), 6) AS depth_frac,
+           array_to_string(
+             list_concat(list_concat(
+               list_slice(toks, 1, pos - 1), [needle]),
+               list_slice(toks, pos, n)), ' ') AS out_text
+    FROM p
+    """,
+    doc="SURVEY §2.10 X6++ — needle-in-a-haystack eval construction: "
+    "md5-determined depth + needle id per document, lossless, pure "
+    "projection, every output byte restated "
+    "(operators/packing.needle_insert).",
+)
+def x6_needle_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.packing import needle_insert
+
+    docs = load_table(spark, sf_dir, "documents")
+    return needle_insert(docs, "doc_id", "text")

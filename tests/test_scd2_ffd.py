@@ -258,3 +258,38 @@ def test_span_corrupt_lossless_and_partition_invariant(spark):
     assert all(r["n_spans"] == 0 and r["target"] == "" for r in zero)
     got = {r["doc_id"]: r["corrupted"] for r in zero}
     assert all(got[i] == t for i, t in docs)
+
+
+def test_needle_insert_lossless_and_deterministic(spark):
+    """Round 12: dropping the needle token restores the original
+    text; position/needle are pure functions of the id."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.packing import needle_insert
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(1, 8 + i))) for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    out = needle_insert(df, "doc_id", "text")
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, needle_insert(df, "doc_id", "text").collect()))
+    assert a == b  # deterministic
+    joined = out.join(df, "doc_id")
+    restored = joined.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split("out_text", " "), lambda t: ~t.startswith("NEEDLE-")
+            ),
+            " ",
+        ).alias("back"),
+        "text",
+    )
+    assert restored.filter(F.col("back") != F.col("text")).count() == 0
+    # needle present exactly once, at the declared position
+    for r in out.join(df, "doc_id").collect():
+        toks = r["out_text"].split(" ")
+        assert toks.count(r["needle"]) == 1
+        assert toks[r["insert_pos"] - 1] == r["needle"]
+        assert 0.0 <= r["depth_frac"] <= 1.0
