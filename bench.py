@@ -388,7 +388,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # x3_ann_index_probe (build + append + exhaustive probe — the probe
 # alone is the knn_join cogroup core, already benched as x3_knn_join).
 # Streaming replays (t_stream_* incl. round-10 t_stream_sessionize,
-# round-11 t_stream_heartbeat, round-12 t_stream_heartbeat_timeout
+# round-11 t_stream_heartbeat, round-12 t_stream_heartbeat_timeout,
+# t_stream_restart_curate
 # and t_stream_decay_topk,
 # j_pagerank_bucketed's and
 # j_lpa_bucketed's scratch-table lifecycles) are likewise

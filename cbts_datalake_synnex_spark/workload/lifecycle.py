@@ -2366,3 +2366,76 @@ def lc_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_versions bigint, restored_equals_v1 boolean, "
             "bad_version_still_readable boolean",
         )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — checkpointed RESTART/RESUME certification: the
+# registry's other streaming rows each run ONE query to completion;
+# this row starts FOUR separate StreamingQuery instances over the
+# SAME checkpoint (one per staged batch + one idle restart) — the
+# crash/restart lifecycle of the reference's scheduled state machine.
+# Exactly-once across restarts is the claim: the final curated table
+# equals the batch statement of all staged rows, no duplicates from
+# re-started sources, and the idle restart changes nothing.
+@query(
+    "t_stream_restart_curate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_keys,
+           round(sum(o_totalprice), 2) AS total_price,
+           TRUE AS unchanged_after_idle_restart
+    FROM base
+    """,
+    doc="SURVEY §2.8 [EXT] — exactly-once across query RESTARTS: four "
+    "StreamingQuery starts over one checkpoint (three staged batches "
+    "+ one idle restart) land the staging zone exactly once in the "
+    "curated table (streaming/incremental.incremental_curate over "
+    "engine.save_to_staging).",
+)
+def t_stream_restart_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cbts_datalake_synnex_spark.streaming.incremental import incremental_curate
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 3000
+    ).select("o_orderkey", "o_totalprice")
+    with _scratch_engine(spark) as eng:
+        ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+        try:
+            for k in range(3):
+                eng.save_to_staging(
+                    "po", o.filter(F.col("o_orderkey") % 3 == k), incremental=False
+                )
+                q = incremental_curate(eng, "po", ckpt)
+                q.awaitTermination(120)
+            cur = spark.table(eng.qualified("po"))
+            agg = lambda df: df.agg(  # noqa: E731
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count_distinct(F.col("o_orderkey")).cast("bigint").alias("d"),
+                F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("s"),
+            ).first()
+            a1 = agg(cur)
+            # idle restart: same checkpoint, nothing new staged
+            q = incremental_curate(eng, "po", ckpt)
+            q.awaitTermination(120)
+            a2 = agg(spark.table(eng.qualified("po")))
+            return spark.createDataFrame(
+                [
+                    (
+                        a1["n"],
+                        a1["d"],
+                        a1["s"],
+                        bool((a1["n"], a1["d"], a1["s"]) == (a2["n"], a2["d"], a2["s"])),
+                    )
+                ],
+                "n_rows bigint, n_distinct_keys bigint, total_price double, "
+                "unchanged_after_idle_restart boolean",
+            )
+        finally:
+            import shutil as _sh
+
+            _sh.rmtree(ckpt, ignore_errors=True)
