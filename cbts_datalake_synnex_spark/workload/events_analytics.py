@@ -1825,3 +1825,92 @@ def t_funnel3_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(full.cast("int")).cast("bigint").alias("n_full_funnel"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — seasonal (hour-of-day) anomaly profile (round 12): the
+# seasonal complement of dq_control_chart's GLOBAL mean±kσ — traffic
+# at 3am is only anomalous relative to OTHER 3am's. Dense (day ×
+# hour) grid (zero-filled — absent hours are data, not missing
+# data), per-hour-of-day mean/σ across the days, |cnt − mean| > 2σ
+# flags on the 6dp-rounded profile (no division — σ=0 hours flag
+# nothing). Hour derives from integer epoch arithmetic, never the
+# session calendar — the hostile-tz rule.
+@query(
+    "t_seasonal_anomalies",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             (epoch_us(ts) // 3600000000) % 24 AS hod
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM e),
+    hours AS (SELECT range AS hod FROM range(0, 24)),
+    grid AS (
+      SELECT d.day, h.hod, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM days d CROSS JOIN hours h
+      LEFT JOIN (SELECT day, hod, count(*) AS cnt FROM e GROUP BY day, hod) c
+        USING (day, hod)
+    ),
+    prof AS (
+      SELECT hod,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(avg(cnt), 6) AS mean_cnt,
+             round(stddev_samp(cnt), 6) AS sd_cnt
+      FROM grid GROUP BY hod
+    )
+    SELECT p.hod AS hour_of_day, p.n_days, p.mean_cnt, p.sd_cnt,
+           CAST(sum(CASE WHEN p.sd_cnt > 0
+                          AND abs(g.cnt - p.mean_cnt) > 2 * p.sd_cnt
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM grid g JOIN prof p USING (hod)
+    GROUP BY p.hod, p.n_days, p.mean_cnt, p.sd_cnt
+    """,
+    doc="SURVEY §2.6 [EXT] — hour-of-day seasonal anomaly profile: "
+    "dense zero-filled (day × hour) grid, per-hour mean/σ across "
+    "days, 2σ flags on the rounded profile; integer epoch hour "
+    "derivation (tz-free).",
+)
+def t_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    e = ev.select(
+        F.floor(us / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        (F.floor(us / F.lit(3_600_000_000)) % 24).cast("bigint").alias("hod"),
+    )
+    days = e.select("day").distinct()
+    hours = spark.range(0, 24).select(F.col("id").cast("bigint").alias("hod"))
+    counts = e.groupBy("day", "hod").agg(F.count(F.lit(1)).alias("cnt"))
+    grid = (
+        days.crossJoin(F.broadcast(hours))
+        .join(counts, ["day", "hod"], "left")
+        .select(
+            "day", "hod", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")
+        )
+    )
+    prof = grid.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("cnt"), 6).alias("mean_cnt"),
+        F.round(F.stddev_samp("cnt"), 6).alias("sd_cnt"),
+    )
+    return (
+        grid.join(prof, "hod")
+        .groupBy("hod", "n_days", "mean_cnt", "sd_cnt")
+        .agg(
+            F.sum(
+                (
+                    (F.col("sd_cnt") > 0)
+                    & (F.abs(F.col("cnt") - F.col("mean_cnt")) > 2 * F.col("sd_cnt"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+        .select(
+            F.col("hod").alias("hour_of_day"),
+            "n_days",
+            "mean_cnt",
+            "sd_cnt",
+            "n_anomalies",
+        )
+    )
