@@ -2679,6 +2679,64 @@ class LakeEngine:
             table, condition, _drop_matches, validate=False
         )
 
+    def delete_rows_mor(self, table: str, condition, key_cols: Sequence[str]) -> int:
+        """Merge-on-read DELETE (round 12 — Delta deletion-vector /
+        Iceberg MoR semantics): record the matching rows' KEYS in the
+        ``{table}__dv`` side table instead of rewriting any data file
+        — a delete of 10 rows from a 100 TB table writes KB, not the
+        table (`delete_rows` is the copy-on-write twin; use it when
+        read amplification matters more than write amplification).
+        Readers go through `read_mor`; `apply_deletion_vectors`
+        eventually folds the vector into a real rewrite. Idempotent:
+        keys already recorded are not re-counted or re-appended.
+        Returns the number of NEWLY deleted rows."""
+        qtable = self.qualified(table)
+        dv = self.qualified(f"{table}__dv")
+        matches = self.spark.table(qtable).filter(condition).select(
+            *[F.col(c) for c in key_cols]
+        ).distinct()
+        if self.spark.catalog.tableExists(dv):
+            matches = matches.join(self.spark.table(dv), list(key_cols), "left_anti")
+        n_new = matches.count()
+        if n_new:
+            matches.write.format("parquet").mode("append").saveAsTable(dv)
+        return int(n_new)
+
+    def read_mor(self, table: str) -> DataFrame:
+        """Read a table through its deletion vector: base rows
+        anti-joined on the ``{table}__dv`` keys (key columns inferred
+        from the vector's schema — they ARE its columns). Without a
+        vector this is a plain read. One key-join; Catalyst
+        broadcasts the (typically KB-sized) vector."""
+        qtable = self.qualified(table)
+        base = self.spark.table(qtable)
+        dv = self.qualified(f"{table}__dv")
+        if not self.spark.catalog.tableExists(dv):
+            return base
+        vec = self.spark.table(dv)
+        return base.join(vec, vec.columns, "left_anti")
+
+    def apply_deletion_vectors(self, table: str) -> int:
+        """Fold the deletion vector into a physical rewrite (the
+        compaction moment — when enough deletes accumulate that read
+        amplification outweighs one rewrite): stage `read_mor` through
+        scratch, overwrite, drop the vector. Returns the surviving
+        row count."""
+        qtable = self.qualified(table)
+        dv = self.qualified(f"{table}__dv")
+        parts = [
+            c.name for c in self.spark.catalog.listColumns(qtable) if c.isPartition
+        ]
+        scratch = os.path.join(
+            self.zones.root, "_mor", f"{table}_{uuid.uuid4().hex[:8]}"
+        )
+        self.read_mor(table).write.parquet(scratch)
+        staged = self.spark.read.parquet(scratch)
+        self.write_curated(table, staged, mode="overwrite", partition_cols=parts)
+        shutil.rmtree(scratch, ignore_errors=True)
+        self.spark.sql(f"DROP TABLE IF EXISTS {dv}")
+        return self.spark.table(qtable).count()
+
     def update_rows(self, table: str, condition, set_exprs: dict[str, Any]) -> int:
         """``UPDATE table SET col = expr, ... WHERE condition``.
         ``set_exprs`` maps column name → Column or SQL expression

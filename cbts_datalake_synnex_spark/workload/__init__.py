@@ -197,8 +197,8 @@ _ROUND8_FRONT = [
 # x6_sliding_chunks, lc_partial_compact, pipeline_crawl_curation,
 # t_funnel3_ordered, x3_pq_index_probe, lc_filter_selectivity,
 # lc_export_manifest, lc_restore_table, w4_window_count_distinct,
-# x6_needle_insert, t_stream_restart_curate, t_seasonal_anomalies
-# (check git log for later ones).
+# x6_needle_insert, t_stream_restart_curate, t_seasonal_anomalies,
+# lc_mor_delete (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",

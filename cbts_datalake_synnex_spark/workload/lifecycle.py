@@ -2439,3 +2439,60 @@ def t_stream_restart_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil as _sh
 
             _sh.rmtree(ckpt, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# Round 12 — merge-on-read deletes (deletion vectors): a delete
+# records keys in a KB side table and touches NO data file (file list
+# asserted byte-identical), reads anti-join the vector, a repeat
+# delete is a no-op, and applying the vector folds it into one
+# rewrite and drops it. The copy-on-write twin (lc_predicate_dml)
+# certifies the other end of the write-amplification tradeoff.
+@query(
+    "lc_mor_delete",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 4000)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM base WHERE o_orderkey % 10 = 3)
+             AS n_deleted,
+           (SELECT CAST(count(*) AS BIGINT) FROM base WHERE o_orderkey % 10 <> 3)
+             AS n_after_read,
+           CAST(0 AS BIGINT) AS n_second_delete,
+           TRUE AS files_unchanged_before_apply,
+           TRUE AS vector_dropped_after_apply
+    """,
+    doc="K++ [EXT] — deletion-vector (merge-on-read) DELETE: keys "
+    "land in a KB side table with zero data-file writes (file list "
+    "asserted identical), reads anti-join the vector, repeat delete "
+    "is a no-op, apply folds to one rewrite and drops the vector "
+    "(engine.delete_rows_mor / read_mor / apply_deletion_vectors).",
+)
+def lc_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 4000
+    ).select("o_orderkey", "o_totalprice")
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("mor", o, mode="overwrite", partition_cols=[])
+        n_before = spark.table(eng.qualified("mor")).count()
+        files_before = sorted(spark.table(eng.qualified("mor")).inputFiles())
+        n_del = eng.delete_rows_mor("mor", "o_orderkey % 10 = 3", ["o_orderkey"])
+        n_read = eng.read_mor("mor").count()
+        n_again = eng.delete_rows_mor("mor", "o_orderkey % 10 = 3", ["o_orderkey"])
+        files_mid = sorted(spark.table(eng.qualified("mor")).inputFiles())
+        n_applied = eng.apply_deletion_vectors("mor")
+        dv_gone = not spark.catalog.tableExists(eng.qualified("mor__dv"))
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_before),
+                    int(n_del),
+                    int(n_read),
+                    int(n_again),
+                    bool(files_mid == files_before and n_applied == n_read),
+                    bool(dv_gone and eng.read_mor("mor").count() == n_read),
+                )
+            ],
+            "n_before bigint, n_deleted bigint, n_after_read bigint, "
+            "n_second_delete bigint, files_unchanged_before_apply boolean, "
+            "vector_dropped_after_apply boolean",
+        )
