@@ -299,6 +299,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "w4_window_count_distinct",
     # round 12: grid-bounded (days x 24) profile aggs
     "t_seasonal_anomalies",
+    # round 12: union + two windows on one shuffle
+    "t_resample_interpolate",
     # round 12: split-once slice-concat projection
     "x6_needle_insert",
     "x3_random_projection",

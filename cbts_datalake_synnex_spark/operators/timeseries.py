@@ -36,7 +36,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -204,4 +204,88 @@ def decayed_counts(
                 round_dp,
             ).alias("decayed"),
         )
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    step_sec: int = 86400,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Resample irregular observations onto a regular grid with
+    LINEAR interpolation (round 12) — the analytic complement of the
+    last-value `gap_fill` (forward-fill answers "what was the state";
+    interpolation answers "what was the trajectory"). Per entity, the
+    grid is every ``step_sec`` tick inside [min(ts), max(ts)], and
+
+        v(g) = v_prev + (v_next − v_prev) · (g − t_prev)/(t_next − t_prev)
+
+    with (t_prev, v_prev) the latest observation ≤ g and
+    (t_next, v_next) the earliest ≥ g — exact at observation ticks
+    (the formula degenerates to v_prev), no extrapolation (the grid
+    never leaves the observed span).
+
+    Plan: one per-entity min/max agg explodes to the grid (span/step
+    rows per entity — the caller's knob), then the union+two-window
+    trick (the as-of join shape, `joins.asof_nearest`): ONE shuffle
+    on the entity key, a forward pass carrying the last observation
+    struct and a reverse pass carrying the next; same-tick ties put
+    observations before grid points in BOTH passes so an on-grid
+    observation is its own neighbor. Returns
+    (entity, grid_us, value) rounded."""
+    e, t, v = F.col(entity_col), F.unix_micros(F.col(ts_col)), F.col(value_col)
+    step_us = int(step_sec) * 1_000_000
+    obs = df.select(
+        e.alias("__e"), t.alias("__t"), v.cast("double").alias("__v"),
+        F.lit(1).alias("__is_obs"),
+    )
+    span = obs.groupBy("__e").agg(
+        F.min("__t").alias("__lo"), F.max("__t").alias("__hi")
+    )
+    grid = span.select(
+        "__e",
+        F.explode(
+            F.sequence(
+                (F.ceil(F.col("__lo") / step_us) * step_us).cast("bigint"),
+                F.col("__hi"),
+                F.lit(step_us),
+            )
+        ).alias("__t"),
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(0).alias("__is_obs"),
+    )
+    u = obs.unionByName(grid)
+    fwd = (
+        W.partitionBy("__e")
+        .orderBy(F.asc("__t"), F.desc("__is_obs"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rev = (
+        W.partitionBy("__e")
+        .orderBy(F.desc("__t"), F.desc("__is_obs"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_s = F.last(
+        F.when(F.col("__is_obs") == 1, F.struct(F.col("__t").alias("t"), F.col("__v").alias("v"))),
+        ignorenulls=True,
+    ).over(fwd)
+    next_s = F.last(
+        F.when(F.col("__is_obs") == 1, F.struct(F.col("__t").alias("t"), F.col("__v").alias("v"))),
+        ignorenulls=True,
+    ).over(rev)
+    g = u.withColumn("__p", prev_s).withColumn("__n", next_s).filter(
+        F.col("__is_obs") == 0
+    )
+    pt, pv = F.col("__p.t"), F.col("__p.v")
+    nt, nv = F.col("__n.t"), F.col("__n.v")
+    interp = F.when(nt == pt, pv).otherwise(
+        pv + (nv - pv) * (F.col("__t") - pt).cast("double") / (nt - pt).cast("double")
+    )
+    return g.select(
+        F.col("__e").alias(entity_col),
+        F.col("__t").alias("grid_us"),
+        F.round(interp, round_dp).alias("value"),
     )

@@ -1914,3 +1914,70 @@ def t_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalies",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — regular-grid resampling with LINEAR interpolation
+# (round 12): t_gap_fill's forward-fill answers "what was the state";
+# interpolation answers "what was the trajectory" — the feature-
+# engineering resample for irregular sensors. Duplicate (user, µs)
+# observations collapse to their min first (determinism contract);
+# the operator is the union+two-window as-of shape on ONE user_id
+# shuffle, exact at observation ticks, no extrapolation. DuckDB
+# restates the grid, both neighbor windows and the interpolation
+# arithmetic.
+@query(
+    "t_resample_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS t, min(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(
+               CAST(ceil(lo / 86400000000.0) * 86400000000 AS BIGINT),
+               hi, CAST(86400000000 AS BIGINT))) AS t
+      FROM span
+    ),
+    u AS (
+      SELECT user_id, t, v, 1 AS is_obs FROM obs
+      UNION ALL
+      SELECT user_id, t, NULL AS v, 0 AS is_obs FROM grid
+    ),
+    w AS (
+      SELECT user_id, t, is_obs,
+             last_value(CASE WHEN is_obs = 1 THEN struct_pack(t := t, v := v) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, is_obs DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             last_value(CASE WHEN is_obs = 1 THEN struct_pack(t := t, v := v) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t DESC, is_obs DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      FROM u
+    )
+    SELECT user_id, t AS grid_us,
+           round(CASE WHEN n.t = p.t THEN p.v
+                      ELSE p.v + (n.v - p.v) * (t - p.t) / (n.t - p.t) END, 6)
+             AS value
+    FROM w WHERE is_obs = 0
+    """,
+    doc="SURVEY §2.6 [EXT] — per-user daily-grid resample with linear "
+    "interpolation between surrounding observations: union + two "
+    "neighbor windows on one shuffle, exact at observation ticks, "
+    "no extrapolation (operators/timeseries.resample_interpolate).",
+)
+def t_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.min("value").alias("v"))
+        .select("user_id", F.timestamp_micros("t_us").alias("ts"), "v")
+    )
+    return resample_interpolate(
+        obs, "user_id", "ts", "v", step_sec=86400
+    )

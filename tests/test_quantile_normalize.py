@@ -94,3 +94,26 @@ def test_plan_attaches_via_broadcast(spark):
     # the corpus is never shuffled for it
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_resample_interpolate_hand_golden(spark):
+    """Round 12: exact at observation ticks, linear between, grid
+    bounded by the observed span."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    s = 1_000_000  # 1s in µs
+    rows = [(1, 0 * s, 0.0), (1, 10 * s, 100.0), (1, 25 * s, 25.0)]
+    df = spark.createDataFrame(rows, "e bigint, us bigint, v double").select(
+        "e", F.timestamp_micros("us").alias("ts"), "v"
+    )
+    out = {r["grid_us"] // s: r["value"] for r in
+           resample_interpolate(df, "e", "ts", "v", step_sec=5).collect()}
+    # grid: 0, 5, 10, 15, 20, 25
+    assert out[0] == 0.0 and out[10] == 100.0 and out[25] == 25.0  # on-tick exact
+    assert out[5] == 50.0                      # midpoint of 0..10
+    assert out[15] == 75.0 and out[20] == 50.0  # linear 100 -> 25 over 15s
+    assert set(out) == {0, 5, 10, 15, 20, 25}   # no extrapolation
