@@ -301,6 +301,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "t_seasonal_anomalies",
     # round 12: union + two windows on one shuffle
     "t_resample_interpolate",
+    # round 12: explode + two-level hash agg, scan-bound
+    "x4_entropy_score",
     # round 12: split-once slice-concat projection
     "x6_needle_insert",
     "x3_random_projection",
@@ -404,8 +406,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # round-11/12 scratch-lifecycle certifications (lc_join_estimate,
 # lc_join_key_overlap, lc_preflight_join, lc_table_changes,
 # lc_partial_compact, lc_filter_selectivity, lc_export_manifest,
-# lc_restore_table, lc_mor_delete, dq_file_profile: table writes
-# dominate) and
+# lc_restore_table, lc_mor_delete, pipeline_incremental_agg_cdf,
+# dq_file_profile: table writes dominate) and
 # x3_pq_index_probe (two index builds + three probes — the deploy
 # probe cost is the x3_knn_join row) and
 # x4_logreg_calibration (sf1 coverage via x4_logreg_train's shared

@@ -1499,3 +1499,47 @@ def sliding_chunks(
         F.col("c.n_toks").alias("n_toks"),
         F.col("c.chunk").alias("chunk"),
     )
+
+
+def char_entropy_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (round 12)
+    — the compressibility quality signal (low entropy ≈ repetitive /
+    template / padding text; used alongside Gopher-style gates in
+    public curation stacks as a cheap "is this real prose" check):
+
+        H(doc) = −Σ_c p_c · log2 p_c,   p_c = count(c) / len(doc)
+
+    One explode to (doc, char) + one two-level hash aggregate — the
+    per-doc character alphabet is ≤ a few hundred, so the second agg
+    is tiny; corpus moves once. log2 via ln/ln(2) with the 6dp output
+    grid (the engine's ln-parity discipline). Empty docs score 0.
+    Returns (id, n_chars, n_distinct_chars, entropy)."""
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = base.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    tot = per_char.groupBy(id_col).agg(F.sum("cnt").alias("n"))
+    return (
+        per_char.join(tot, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.round(
+                -F.sum(
+                    (F.col("cnt") / F.col("n"))
+                    * F.log(F.col("cnt") / F.col("n"))
+                )
+                / F.log(F.lit(2.0)),
+                round_dp,
+            ).alias("entropy"),
+        )
+    )

@@ -198,8 +198,8 @@ _ROUND8_FRONT = [
 # t_funnel3_ordered, x3_pq_index_probe, lc_filter_selectivity,
 # lc_export_manifest, lc_restore_table, w4_window_count_distinct,
 # x6_needle_insert, t_stream_restart_curate, t_seasonal_anomalies,
-# lc_mor_delete, t_resample_interpolate (check git log for later
-# ones).
+# lc_mor_delete, t_resample_interpolate, x4_entropy_score,
+# pipeline_incremental_agg_cdf (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",

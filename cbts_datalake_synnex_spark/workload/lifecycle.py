@@ -2496,3 +2496,101 @@ def lc_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_second_delete bigint, files_unchanged_before_apply boolean, "
             "vector_dropped_after_apply boolean",
         )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — the change-feed CONSUMER pattern (why CDF exists): a
+# downstream per-group aggregate is maintained from lc_table_changes'
+# deltas in O(changes) — inserts/postimages add, deletes/preimages
+# subtract — and certified equal to the O(table) recompute over v2.
+# At 100 TB this is the difference between touching the change set
+# and re-scanning the table for every downstream rollup.
+@query(
+    "pipeline_incremental_agg_cdf",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 5 <> 2 AND o_orderkey <= 4000
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2) AS total_price,
+           TRUE AS matches_recompute
+    FROM v2 GROUP BY status
+    """,
+    doc="K++ [EXT] — incremental aggregate maintenance from the "
+    "change feed: per-group counts/sums updated by CDF deltas alone "
+    "(O(changes), never re-scanning the table), certified equal to "
+    "the full recompute (engine.table_changes consumer pattern).",
+)
+def pipeline_incremental_agg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v1 = o.filter((F.col("k") % 7 != 3) & (F.col("k") <= 3000))
+    v2 = o.filter((F.col("k") % 5 != 2) & (F.col("k") <= 4000)).select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.round(F.col("price") * 2, 2))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "status",
+    )
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("ia", v1, mode="overwrite", partition_cols=[])
+        eng.write_curated("ia", v2, mode="overwrite", partition_cols=[])
+        base = (
+            eng.read_snapshot("ia", 1)
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("price").alias("s"),
+            )
+        )
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        deltas = (
+            eng.table_changes("ia", 1, 2, key_cols=["k"])
+            .groupBy("status")
+            .agg(
+                F.sum(sign).cast("bigint").alias("dn"),
+                F.sum(sign * F.col("price")).alias("ds"),
+            )
+        )
+        merged = (
+            base.join(deltas, "status", "full_outer")
+            .select(
+                "status",
+                (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_rows"),
+                F.round(
+                    F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.coalesce(F.col("ds"), F.lit(0.0)),
+                    2,
+                ).alias("total_price"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        recompute = (
+            spark.table(eng.qualified("ia"))
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("rn"),
+                F.round(F.sum("price"), 2).alias("rs"),
+            )
+        )
+        out = merged.join(recompute, "status").select(
+            "status",
+            "n_rows",
+            "total_price",
+            (
+                (F.col("n_rows") == F.col("rn"))
+                & (F.col("total_price") == F.col("rs"))
+            ).alias("matches_recompute"),
+        )
+        return _materialize(spark, out)

@@ -6116,3 +6116,41 @@ def x6_needle_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return needle_insert(docs, "doc_id", "text")
+
+
+# ----------------------------------------------------------------------
+# X4++ — character-entropy quality signal (round 12): the
+# compressibility check beside the Gopher/repetition gates — template
+# or padding text scores low, prose scores ~4-4.5 bits/char. Two-level
+# hash agg (per-doc alphabet is tiny); ln-parity via the 6dp grid.
+# Char split parity note: Spark splits UTF-16 units, DuckDB indexes
+# codepoints — identical on this corpus (and any BMP text).
+@query(
+    "x4_entropy_score",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(text)), i -> text[i])) AS c
+      FROM documents
+    ),
+    pc AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt FROM ch GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(cnt) AS n FROM pc GROUP BY doc_id)
+    SELECT pc.doc_id,
+           CAST(max(tot.n) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum((cnt / n) * ln(cnt / n)) / ln(2.0), 6) AS entropy
+    FROM pc JOIN tot USING (doc_id)
+    GROUP BY pc.doc_id
+    """,
+    doc="SURVEY §2.10 X4++ — per-document character Shannon entropy "
+    "(the compressibility quality signal): one explode + two-level "
+    "hash agg, ln-parity on the 6dp grid "
+    "(operators/text.char_entropy_score).",
+)
+def x4_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.text import char_entropy_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy_score(docs, "doc_id", "text")
