@@ -2679,6 +2679,65 @@ class LakeEngine:
             table, condition, _drop_matches, validate=False
         )
 
+    _HP_GRANULARITY_US = {"hour": 3_600_000_000, "day": 86_400_000_000}
+
+    def write_time_partitioned(
+        self,
+        table: str,
+        df: DataFrame,
+        ts_col: str,
+        granularity: str = "day",
+        mode: str = "overwrite",
+    ) -> None:
+        """HIDDEN time partitioning (round 12 — Iceberg partition-
+        transform semantics, `days(ts)`/`hours(ts)`): the engine
+        derives the partition column (``__p`` = floor(epoch_us /
+        granularity), integer arithmetic — tz-free) and remembers the
+        transform in table properties; the user never manages, names,
+        or filters on it. `read_time_range` rewrites a plain
+        timestamp-range predicate into the matching partition filter,
+        so the scan prunes whole partition directories — the Iceberg
+        contract Spark's explicit partition columns can't give you
+        (a ts predicate alone never prunes a derived column)."""
+        step = self._HP_GRANULARITY_US[granularity]
+        out = df.withColumn(
+            "__p", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(step)).cast("bigint")
+        )
+        self.write_curated(table, out, mode=mode, partition_cols=["__p"])
+        self.spark.sql(
+            f"ALTER TABLE {self.qualified(table)} SET TBLPROPERTIES "
+            f"('hidden.ts_col' = '{ts_col}', 'hidden.granularity' = '{granularity}')"
+        )
+
+    def read_time_range(self, table: str, start_us: int, end_us: int) -> DataFrame:
+        """Read rows with ``start_us <= ts < end_us`` through the
+        hidden partition transform: the row-level timestamp filter is
+        AUGMENTED with the derived ``__p`` range (floor(start/g) ..
+        floor((end−1)/g)), which Catalyst turns into partition
+        pruning — only matching directories are listed or scanned.
+        Returns the user-facing schema (the hidden column dropped)."""
+        qtable = self.qualified(table)
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {qtable}").collect()
+        }
+        ts_col = props.get("hidden.ts_col")
+        gran = props.get("hidden.granularity")
+        if not ts_col or gran not in self._HP_GRANULARITY_US:
+            raise ValueError(
+                f"{table} has no hidden time partitioning; write it with "
+                f"write_time_partitioned first"
+            )
+        step = self._HP_GRANULARITY_US[gran]
+        lo, hi = int(start_us) // step, (int(end_us) - 1) // step
+        us = F.unix_micros(F.col(ts_col))
+        return (
+            self.spark.table(qtable)
+            .filter((F.col("__p") >= lo) & (F.col("__p") <= hi))
+            .filter((us >= int(start_us)) & (us < int(end_us)))
+            .drop("__p")
+        )
+
     def delete_rows_mor(self, table: str, condition, key_cols: Sequence[str]) -> int:
         """Merge-on-read DELETE (round 12 — Delta deletion-vector /
         Iceberg MoR semantics): record the matching rows' KEYS in the

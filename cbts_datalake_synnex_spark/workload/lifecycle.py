@@ -2594,3 +2594,58 @@ def pipeline_incremental_agg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("matches_recompute"),
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Round 12 — hidden time partitioning (Iceberg days(ts) transform):
+# the engine derives and remembers the partition column; a plain
+# timestamp range read prunes whole day directories (file-count
+# claim) and returns exactly the rows the raw filter returns
+# (restated per event_type). The user never sees, names, or filters
+# the derived column.
+@query(
+    "lc_hidden_partitioning",
+    oracle="""
+    WITH c AS (SELECT min(epoch_us(ts)) AS lo FROM events),
+    r AS (
+      SELECT e.event_type, e.ts FROM events e, c
+      WHERE epoch_us(e.ts) >= lo + 5 * 86400000000
+        AND epoch_us(e.ts) <  lo + 15 * 86400000000
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS pruned_fewer_files,
+           TRUE AS equals_raw_filter
+    FROM r GROUP BY event_type
+    """,
+    doc="K++ [EXT] — hidden time partitioning (Iceberg partition-"
+    "transform parity): write derives days(ts) and records the "
+    "transform; read_time_range rewrites a plain timestamp range "
+    "into the partition filter so whole day directories prune "
+    "(engine.write_time_partitioned / read_time_range).",
+)
+def lc_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    lo = ev.agg(F.min(F.unix_micros("ts")).alias("m")).first()["m"]
+    start = lo + 5 * 86_400_000_000
+    end = lo + 15 * 86_400_000_000
+    with _scratch_engine(spark) as eng:
+        eng.write_time_partitioned("hp", ev, "ts", granularity="day")
+        total_files = len(spark.table(eng.qualified("hp")).inputFiles())
+        ranged = eng.read_time_range("hp", start, end)
+        pruned_files = len(ranged.inputFiles())
+        us = F.unix_micros("ts")
+        raw = ev.filter((us >= start) & (us < end))
+        got = ranged.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+        want = raw.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("w")
+        )
+        out = got.join(want, "event_type", "full_outer").select(
+            "event_type",
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.lit(pruned_files < total_files).alias("pruned_fewer_files"),
+            (F.coalesce(F.col("n_rows"), F.lit(0)) == F.coalesce(F.col("w"), F.lit(-1)))
+            .alias("equals_raw_filter"),
+        )
+        return _materialize(spark, out)
