@@ -303,6 +303,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "t_resample_interpolate",
     # round 12: explode + two-level hash agg, scan-bound
     "x4_entropy_score",
+    # round 12: six set-op aggregates over one pair of scans
+    "u4_set_operators",
     # round 12: split-once slice-concat projection
     "x6_needle_insert",
     "x3_random_projection",

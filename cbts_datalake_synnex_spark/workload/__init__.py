@@ -199,8 +199,8 @@ _ROUND8_FRONT = [
 # lc_export_manifest, lc_restore_table, w4_window_count_distinct,
 # x6_needle_insert, t_stream_restart_curate, t_seasonal_anomalies,
 # lc_mor_delete, t_resample_interpolate, x4_entropy_score,
-# pipeline_incremental_agg_cdf, lc_hidden_partitioning (check git
-# log for later ones).
+# pipeline_incremental_agg_cdf, lc_hidden_partitioning,
+# u4_set_operators (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",

@@ -997,3 +997,50 @@ def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value", tiebreak="rid", tolerance=600_000_000,
     )
     return out.select("event_id", "user_id", "value", "matched_ts", "matched_dir")
+
+
+# ----------------------------------------------------------------------
+# U4 (round 12) — BAG set operators: INTERSECT ALL / EXCEPT ALL keep
+# MULTIPLICITIES (min / truncated difference per value), the ANSI
+# semantics the DISTINCT forms erase — and the easy one to get wrong
+# with a join rewrite. Two multisets with real duplicate structure
+# (lineitem order keys vs their <=2-line prefix); Spark
+# intersectAll/exceptAll vs DuckDB's native INTERSECT ALL/EXCEPT ALL,
+# plus the DISTINCT forms and UNION/UNION ALL, reduced to counts.
+@query(
+    "u4_set_operators",
+    oracle="""
+    WITH a AS (SELECT l_orderkey AS k FROM lineitem),
+    b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber <= 2)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)) AS n_intersect_all,
+      (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)) AS n_except_all,
+      (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_intersect,
+      (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a EXCEPT SELECT k FROM b)) AS n_except,
+      (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS n_union,
+      (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a UNION ALL SELECT k FROM b)) AS n_union_all
+    """,
+    doc="SURVEY §2.4/§2.5 U4 — multiset INTERSECT ALL / EXCEPT ALL "
+    "(multiplicity-preserving bag semantics) plus the DISTINCT forms "
+    "and UNION/UNION ALL, certified against DuckDB's native "
+    "operators.",
+)
+def u4_set_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"))
+    b = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_orderkey").alias("k"))
+    cnt = lambda df: df.count()  # noqa: E731
+    return spark.createDataFrame(
+        [
+            (
+                cnt(a.intersectAll(b)),
+                cnt(a.exceptAll(b)),
+                cnt(a.intersect(b)),
+                cnt(a.subtract(b)),
+                cnt(a.union(b).distinct()),
+                cnt(a.unionAll(b)),
+            )
+        ],
+        "n_intersect_all bigint, n_except_all bigint, n_intersect bigint, "
+        "n_except bigint, n_union bigint, n_union_all bigint",
+    )
