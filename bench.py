@@ -409,7 +409,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # lc_join_key_overlap, lc_preflight_join, lc_table_changes,
 # lc_partial_compact, lc_filter_selectivity, lc_export_manifest,
 # lc_restore_table, lc_mor_delete, pipeline_incremental_agg_cdf,
-# lc_hidden_partitioning, dq_file_profile: table writes dominate) and
+# lc_hidden_partitioning, lc_write_audit_publish, dq_file_profile:
+# table writes dominate) and
 # x3_pq_index_probe (two index builds + three probes — the deploy
 # probe cost is the x3_knn_join row) and
 # x4_logreg_calibration (sf1 coverage via x4_logreg_train's shared

@@ -2679,6 +2679,44 @@ class LakeEngine:
             table, condition, _drop_matches, validate=False
         )
 
+    def write_audit_publish(
+        self, table: str, df: DataFrame, rules: dict[str, Any]
+    ) -> dict:
+        """Write-audit-publish (round 12 — the Iceberg/Netflix WAP
+        discipline): the batch lands in an invisible ``{table}__wap``
+        staging table, the expectations suite runs over the STAGED
+        data, and only a fully-passing audit swaps it into the live
+        name (rename-aside — crash-safe, `_swap_staged_table`). A
+        failing audit leaves the live table BYTE-UNTOUCHED and keeps
+        the staged copy for inspection — bad data is never visible to
+        readers, which is the entire point of the pattern. ``rules``
+        maps rule name → predicate (Column or SQL string), True = row
+        passes (`operators.dq.expectations_report` semantics: NULL
+        predicates are violations). Returns {"published",
+        "report" (rule rows), "staged_table"}."""
+        from cbts_datalake_synnex_spark.operators.dq import expectations_report
+
+        live = self.qualified(table)
+        staged = self.qualified(f"{table}__wap")
+        self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        df.write.format("parquet").saveAsTable(staged)
+        conds = {
+            k: (F.expr(v) if isinstance(v, str) else v) for k, v in rules.items()
+        }
+        report = expectations_report(self.spark.table(staged), conds).collect()
+        published = all(r["passed"] for r in report)
+        if published:
+            if self.spark.catalog.tableExists(live):
+                _swap_staged_table(self, staged, live)
+            else:
+                self.spark.sql(f"ALTER TABLE {staged} RENAME TO {live}")
+            self._journal_snapshot(table)
+        return {
+            "published": published,
+            "report": report,
+            "staged_table": None if published else staged,
+        }
+
     _HP_GRANULARITY_US = {"hour": 3_600_000_000, "day": 86_400_000_000}
 
     def write_time_partitioned(

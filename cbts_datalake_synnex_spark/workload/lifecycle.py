@@ -2649,3 +2649,72 @@ def lc_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("equals_raw_filter"),
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Round 12 — write-audit-publish (the Iceberg/Netflix WAP
+# discipline): a poisoned batch (negative prices) stages, fails the
+# audit, and the live table stays BYTE-untouched (file list + counts
+# asserted); the clean batch passes and swaps in atomically. Bad data
+# is never reader-visible — the whole point of the pattern.
+@query(
+    "lc_write_audit_publish",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 2000),
+    v2 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 3000)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n_live_before,
+           FALSE AS bad_batch_published,
+           CAST(5 AS BIGINT) AS n_bad_rows_detected,
+           (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n_live_after_reject,
+           TRUE AS live_files_untouched_on_reject,
+           TRUE AS clean_batch_published,
+           (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_live_after_publish
+    """,
+    doc="K++ [EXT] — write-audit-publish: staged batch audited by the "
+    "expectations suite BEFORE becoming reader-visible; a failing "
+    "audit leaves the live table byte-untouched (file list asserted) "
+    "with the staged copy kept for inspection; a passing audit swaps "
+    "atomically (engine.write_audit_publish).",
+)
+def lc_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") <= 2000)
+    v2 = o.filter(F.col("o_orderkey") <= 3000)
+    bad = v2.unionByName(
+        spark.range(5).select(
+            (F.col("id") + 90_000_000).alias("o_orderkey"),
+            F.lit(-1.0).alias("o_totalprice"),
+        )
+    )
+    rules = {"price_positive": "o_totalprice > 0"}
+    with _scratch_engine(spark) as eng:
+        r0 = eng.write_audit_publish("wap", v1, rules)
+        assert r0["published"]
+        n_before = spark.table(eng.qualified("wap")).count()
+        files_before = sorted(spark.table(eng.qualified("wap")).inputFiles())
+        r1 = eng.write_audit_publish("wap", bad, rules)
+        n_bad = sum(r["n_violations"] for r in r1["report"])
+        n_after_reject = spark.table(eng.qualified("wap")).count()
+        files_after = sorted(spark.table(eng.qualified("wap")).inputFiles())
+        staged_kept = r1["staged_table"] is not None and spark.catalog.tableExists(
+            r1["staged_table"]
+        )
+        r2 = eng.write_audit_publish("wap", v2, rules)
+        n_after_pub = spark.table(eng.qualified("wap")).count()
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_before),
+                    bool(r1["published"]),
+                    int(n_bad),
+                    int(n_after_reject),
+                    bool(files_after == files_before and staged_kept),
+                    bool(r2["published"]),
+                    int(n_after_pub),
+                )
+            ],
+            "n_live_before bigint, bad_batch_published boolean, "
+            "n_bad_rows_detected bigint, n_live_after_reject bigint, "
+            "live_files_untouched_on_reject boolean, "
+            "clean_batch_published boolean, n_live_after_publish bigint",
+        )
