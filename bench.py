@@ -305,6 +305,10 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "x4_entropy_score",
     # round 12: six set-op aggregates over one pair of scans
     "u4_set_operators",
+    # round 12: the derived-partsupp TPC-H trio (broadcast dims)
+    "j_q2_min_cost_supplier",
+    "a_q11_important_stock",
+    "j4_q20_excess_suppliers",
     # round 12: split-once slice-concat projection
     "x6_needle_insert",
     "x3_random_projection",

@@ -1044,3 +1044,199 @@ def u4_set_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_intersect_all bigint, n_except_all bigint, n_intersect bigint, "
         "n_except bigint, n_union bigint, n_union_all bigint",
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — the three TPC-H queries previously documented as blocked
+# on the missing partsupp table (Q2 / Q11 / Q20). partsupp is now
+# DERIVED deterministically from the part x supplier driver tables —
+# TPC-H's own 4-suppliers-per-part layout with integer-arithmetic
+# cost/qty columns — so BOTH engines construct the identical frame
+# and the real query SHAPES (correlated min-subquery, group-by with
+# scalar-subquery HAVING, nested IN chains) run and certify for real.
+# The derivation (shared by all three oracles):
+#   ps_suppkey_i = (p_partkey + i * max(1, S // 4)) % S,  i = 0..3
+#   ps_supplycost = ((p_partkey*31 + suppkey*17) % 10000) / 100.0 + 1.0
+#   ps_availqty   = (p_partkey*13 + suppkey*7) % 9999 + 1
+_PARTSUPP_SQL = """
+    ps AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i.i * greatest(1, s.n // 4)) % s.n AS ps_suppkey,
+             ((p_partkey * 31 + ((p_partkey + i.i * greatest(1, s.n // 4)) % s.n) * 17)
+               % 10000) / 100.0 + 1.0 AS ps_supplycost,
+             CAST((p_partkey * 13 + ((p_partkey + i.i * greatest(1, s.n // 4)) % s.n) * 7)
+               % 9999 + 1 AS BIGINT) AS ps_availqty
+      FROM part
+      CROSS JOIN (SELECT range AS i FROM range(0, 4)) i
+      CROSS JOIN (SELECT count(*) AS n FROM supplier) s
+    )
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    step = max(1, n_supp // 4)
+    i = spark.range(0, 4).select(F.col("id").alias("i"))
+    sk = (F.col("p_partkey") + F.col("i") * step) % n_supp
+    return part.crossJoin(F.broadcast(i)).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        sk.alias("ps_suppkey"),
+        (
+            ((F.col("p_partkey") * 31 + sk * 17) % 10000) / F.lit(100.0) + F.lit(1.0)
+        ).alias("ps_supplycost"),
+        ((F.col("p_partkey") * 13 + sk * 7) % 9999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+    )
+
+
+@query(
+    "j_q2_min_cost_supplier",
+    oracle="WITH " + _PARTSUPP_SQL + """
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           round(ps.ps_supplycost, 2) AS min_cost, s.s_acctbal
+    FROM part p
+    JOIN ps ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 5 AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    """,
+    doc="SURVEY §2.5 — TPC-H Q2 shape (min-cost supplier, correlated "
+    "MIN subquery over the derived partsupp): previously documented "
+    "as blocked on the driver schema; the deterministic partsupp "
+    "derivation closes it with the real query shape.",
+)
+def j_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    eu_ps = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey)
+    min_cost = eu_ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("__min_cost")
+    )
+    return (
+        eu_ps.join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .join(
+            part.filter(F.col("p_size") == 5).select("p_partkey", "p_brand"),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("ps_supplycost", 2).alias("min_cost"),
+            "s_acctbal",
+        )
+    )
+
+
+@query(
+    "a_q11_important_stock",
+    oracle="WITH " + _PARTSUPP_SQL + """
+    , scoped AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS value
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    )
+    SELECT ps_partkey, round(sum(value), 2) AS part_value
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING sum(value) > (SELECT sum(value) * 0.01 FROM scoped)
+    """,
+    doc="SURVEY §2.4 — TPC-H Q11 shape (important stock: group totals "
+    "kept only above a scalar-subquery fraction of the national "
+    "total) over the derived partsupp.",
+)
+def a_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    scoped = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+        )
+    )
+    total = scoped.agg((F.sum("value") * 0.01).alias("__cut"))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("value").alias("__v"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__v") > F.col("__cut"))
+        .select("ps_partkey", F.round("__v", 2).alias("part_value"))
+    )
+
+
+@query(
+    "j4_q20_excess_suppliers",
+    oracle="WITH " + _PARTSUPP_SQL + """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey FROM ps
+      WHERE ps.ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+      )
+      AND ps.ps_availqty > (
+        SELECT 0.5 * COALESCE(sum(l.l_quantity), 0)
+        FROM lineitem l
+        WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+      )
+    )
+    """,
+    doc="SURVEY §2.5 — TPC-H Q20 shape (excess-stock suppliers: "
+    "nested IN chain with a correlated half-of-shipped-quantity "
+    "subquery) over the derived partsupp.",
+)
+def j4_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("__q")
+    )
+    promo_ps = ps.join(
+        F.broadcast(part), ps.ps_partkey == F.col("p_partkey")
+    )
+    excess = (
+        promo_ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty")
+            > 0.5 * F.coalesce(F.col("__q"), F.lit(0.0))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        excess, supp.s_suppkey == excess.ps_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
