@@ -714,13 +714,22 @@ def domain_cap(
     Threshold arithmetic is the declared cross-engine form
     ``floor(least(1.0, max_share * n_total / n_domain) * 1e6)`` so a
     SQL oracle restates the gate bit-for-bit.
+
+    NULL domains form their OWN capped group (round-12 fix): the
+    internal threshold join runs on a null-safe sentinel key, so
+    rows with no provenance are budgeted like any other domain
+    instead of being silently dropped by a NULL equi-join.
     """
-    counts = df.groupBy(domain_col).agg(
+    dom = F.coalesce(
+        F.col(domain_col).cast("string"), F.lit("\x00__null_domain__")
+    )
+    keyed = df.withColumn("__dom", dom)
+    counts = keyed.groupBy("__dom").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n_dom")
     )
     total = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n_tot"))
     thr = counts.crossJoin(F.broadcast(total)).select(
-        domain_col,
+        "__dom",
         F.floor(
             F.least(
                 F.lit(1.0),
@@ -732,7 +741,7 @@ def domain_cap(
         .alias("__thr"),
     )
     return (
-        df.join(F.broadcast(thr), domain_col)
+        keyed.join(F.broadcast(thr), "__dom")
         .filter(_hash_bucket(id_col, salt) < F.col("__thr"))
-        .drop("__thr")
+        .drop("__thr", "__dom")
     )

@@ -1451,3 +1451,26 @@ def test_sliding_chunks_coverage_and_tail(spark):
         if k[0] == 1:
             covered |= set(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
     assert covered == set(range(1, 11))
+
+
+def test_domain_cap_null_domains_form_their_own_group(spark):
+    """Round-12 fix: NULL domains must be budgeted like any other
+    domain, never silently dropped by a NULL equi-join."""
+    from pyspark.sql import functions as F
+
+    from cbts_datalake_synnex_spark.operators.sampling import domain_cap
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 10).cast("string")))
+        .alias("dom"),
+    )
+    out = domain_cap(df, "dom", "doc_id", max_share=0.2, salt="n")
+    null_kept = out.filter(F.col("dom").isNull()).count()
+    # NULL group holds 50% of rows, capped to an expected 20% of 1000
+    assert 120 <= null_kept <= 280
+    # tail domains (50 rows = 5% each) keep everything
+    assert out.filter(F.col("dom").isNotNull()).count() == 500
+    # schema untouched
+    assert out.columns == ["doc_id", "dom"]
