@@ -6154,3 +6154,90 @@ def x4_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_entropy_score(docs, "doc_id", "text")
+
+
+# ----------------------------------------------------------------------
+# X1++ — URL-level exact dedup (round 12): the FIRST dedup a crawl
+# pipeline runs (RefinedWeb stage 1, before any content is compared):
+# canonicalize the URL, keep the earliest document per canonical
+# form. One projection + one min-aggregate on the canonical key —
+# re-fetches of HTTPS://WWW.x.com/a/?utm_source=y collapse onto
+# https://x.com/a for free. Composes the round-12 canonicalizer into
+# the X1 keep-min discipline; every byte restated.
+@query(
+    "x1_url_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'HTTPS://WWW.' || source || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR) || '/?utm_source=a#f'
+          WHEN 1 THEN 'https://' || source || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+          ELSE 'https://www.' || source || '.EXAMPLE.COM/p/' || CAST(doc_id // 3 AS VARCHAR) || '?fbclid=z'
+        END AS url
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             regexp_replace(trim(url), '#.*$', '', 'g') AS u1
+      FROM u
+    ),
+    p AS (
+      SELECT doc_id,
+             regexp_replace(u1, '\\?.*$', '', 'g') AS base,
+             regexp_extract(u1, '\\?(.*)$', 1) AS q
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split(q, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)=')),
+               '&') AS qs,
+             regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*') AS prefix,
+             regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '', 'g') AS rest
+      FROM p
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(lower(prefix), '://www\\.', '://', 'g')
+               || regexp_replace(rest, '/+$', '', 'g')
+               || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS curl
+      FROM r
+    )
+    SELECT curl, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_fetches
+    FROM canon GROUP BY curl
+    """,
+    doc="SURVEY §2.10 X1++ — URL-level exact dedup (crawl stage 1): "
+    "canonicalize, keep the earliest doc per canonical URL — "
+    "case/www/tracking-param/fragment refetches collapse before any "
+    "content comparison; one projection + one min-agg "
+    "(operators/text.normalize_url + the X1 keep-min discipline).",
+)
+def x1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.text import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    pid = F.floor(F.col("doc_id") / 3).cast("bigint").cast("string")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".example.com/p/"),
+            pid, F.lit("/?utm_source=a#f"),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"), pid,
+        ))
+        .otherwise(F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".EXAMPLE.COM/p/"),
+            pid, F.lit("?fbclid=z"),
+        ))
+    )
+    return (
+        docs.select("doc_id", normalize_url(url).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        )
+    )
