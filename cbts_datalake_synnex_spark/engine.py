@@ -1314,6 +1314,80 @@ class LakeEngine:
         ).first()
         return int(row["est_join_size"])
 
+    def analyze_membership(
+        self,
+        table: str,
+        column: str,
+        n_bits: int = 1 << 20,
+        k: int = 5,
+        salt: str = "bloom",
+    ) -> None:
+        """Persist the Bloom-filter position set for ``table.column``
+        — the EXISTENCE leg of the pre-flight tier beside CMS ("how
+        often") and HLL ("how many distinct"): run after each curate
+        batch; ONE scan, a ≤ n_bits one-int-row table
+        ``{table}_bloom_{column}``. The 100 TB role is admission
+        pre-checks: "does this incoming batch contain any already-seen
+        keys" answered against the KB/MB-sized set with zero false
+        negatives, so a negative verdict safely skips the lake-side
+        read and only (rare, FPR-bounded) positives pay the real
+        check. Values hash as strings (the md5 bucket idiom — the
+        `analyze_join_column` cross-type discipline applies); every
+        row carries (n_bits, k, salt) so :func:`probe_membership`
+        probes on the exact grid the filter was built on."""
+        from cbts_datalake_synnex_spark.operators import sketches
+
+        src = self.spark.table(self.qualified(table))
+        bits = sketches.bloom_build(
+            src, column, n_bits=int(n_bits), k=int(k), salt=salt
+        ).select(
+            "pos",
+            F.lit(int(n_bits)).alias("n_bits"),
+            F.lit(int(k)).alias("k"),
+            F.lit(salt).alias("salt"),
+        )
+        bits.write.format("parquet").mode("overwrite").saveAsTable(
+            self.qualified(f"{table}_bloom_{column}")
+        )
+
+    def probe_membership(
+        self, table: str, column: str, probe: DataFrame, probe_col: str
+    ) -> DataFrame:
+        """Probe the persisted Bloom filter: one ``bloom_member``
+        verdict per distinct non-NULL probe key, computed against the
+        broadcast position set on the (n_bits, k, salt) grid stored
+        with it — ``{table}.{column}`` itself is never read. False
+        negatives are impossible (a present key's own build set
+        exactly the probed bits); a positive is "maybe — pay the real
+        check". Raises if the filter is missing; an EMPTY filter
+        (built over an all-NULL/empty column) correctly answers False
+        everywhere. Returns (probe_col, bloom_member)."""
+        from cbts_datalake_synnex_spark.operators import sketches
+
+        name = self.qualified(f"{table}_bloom_{column}")
+        if not self.spark.catalog.tableExists(name):
+            raise ValueError(
+                f"no membership filter for {table}.{column}; run "
+                f"analyze_membership({table!r}, {column!r}) first"
+            )
+        bits = self.spark.table(name)
+        meta = bits.select("n_bits", "k", "salt").first()
+        if meta is None:  # empty source column -> nothing is a member
+            return (
+                probe.filter(F.col(probe_col).isNotNull())
+                .select(probe_col)
+                .distinct()
+                .select(probe_col, F.lit(False).alias("bloom_member"))
+            )
+        return sketches.bloom_probe(
+            bits.select("pos"),
+            probe,
+            probe_col,
+            n_bits=int(meta["n_bits"]),
+            k=int(meta["k"]),
+            salt=meta["salt"],
+        )
+
     def analyze_column_histogram(
         self, table: str, column: str, n_buckets: int = 32
     ) -> None:

@@ -122,3 +122,93 @@ def cms_inner_product(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
         .cast("bigint")
         .alias("est_join_size")
     )
+
+
+# ----------------------------------------------------------------------
+# Bloom filter (round 12) — the EXISTENCE sketch completing the family:
+# HLL answers "how many distinct", CMS "how often", MG "who is heavy",
+# GK "what quantile"; Bloom answers "have we ever seen THIS key"
+# (Bloom 1970, 'Space/time trade-offs in hash coding with allowable
+# errors', public). The 100 TB role is the admission pre-check: a
+# KB/MB-sized position set per table answers "does this incremental
+# batch contain any already-seen ids" WITHOUT reading the lake side —
+# false positives send a key to the real (indexed) check, false
+# negatives are impossible by construction, so skipping the lake read
+# on a negative is always safe.
+#
+# Representation: the SET of set bit positions, not a packed bitmap —
+# at most n_bits rows (each a single int), it broadcasts, unions by
+# DISTINCT (Bloom OR = set union), and every bit is restatable in SQL.
+# Scale shape: BUILD is one k-exploded projection + one distinct whose
+# output is bounded by n_bits regardless of corpus size (map-side
+# partial dedup does the collapse); PROBE joins the k-row-per-item
+# frame against the broadcast position set and counts hits — member
+# iff all k positions are set. Determinism: the engine's md5 idiom, so
+# the oracle re-derives every bit and every verdict exactly; the
+# published FPR analysis only bounds how OFTEN a non-member collides.
+
+
+def _bit_pos(i: F.Column, item: F.Column, n_bits: int, salt: str) -> F.Column:
+    h = F.md5(F.concat_ws(":", F.lit(salt), i.cast("string"), item.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(int(n_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    n_bits: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Set-position frame (pos) for the Bloom filter over ``item_col``
+    (NULLs excluded — NULL never equi-matches, same discipline as
+    `analyze_join_column`). ≤ n_bits rows out, whatever goes in."""
+    i = F.explode(F.array(*[F.lit(j) for j in range(int(k))])).alias("i")
+    rows = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col).alias("__item"))
+        .select("__item", i)
+    )
+    return (
+        rows.select(_bit_pos(F.col("i"), F.col("__item"), n_bits, salt).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    n_bits: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Membership verdict per distinct probe item: ``bloom_member``
+    is true iff ALL k of the item's positions are set. The position
+    set (≤ n_bits one-int rows) broadcasts; a present key always
+    probes true (its own build set exactly these bits — the zero-
+    false-negative guarantee the registry query asserts per key).
+    Returns (item_col, bloom_member)."""
+    i = F.explode(F.array(*[F.lit(j) for j in range(int(k))])).alias("i")
+    probes = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col))
+        .distinct()
+        .select(item_col, i)
+    )
+    keyed = probes.select(
+        item_col, _bit_pos(F.col("i"), F.col(item_col), n_bits, salt).alias("pos")
+    )
+    hit = bits.select(F.col("pos"), F.lit(1).alias("__hit"))
+    return (
+        keyed.join(F.broadcast(hit), "pos", "left")
+        .groupBy(item_col)
+        .agg((F.count("__hit") == int(k)).alias("bloom_member"))
+    )
+
+
+def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bloom OR — the mergeable-summaries property: per-shard/day
+    filters built with the SAME (n_bits, k, salt) union by position-set
+    union, no data re-read. ≤ n_bits rows out."""
+    return a.select("pos").union(b.select("pos")).distinct()

@@ -201,8 +201,8 @@ _ROUND8_FRONT = [
 # lc_mor_delete, t_resample_interpolate, x4_entropy_score,
 # pipeline_incremental_agg_cdf, lc_hidden_partitioning,
 # u4_set_operators, lc_write_audit_publish, j_q2_min_cost_supplier,
-# a_q11_important_stock, j4_q20_excess_suppliers, x1_url_dedup
-# (check git log for later ones).
+# a_q11_important_stock, j4_q20_excess_suppliers, x1_url_dedup,
+# f_bloom_filter (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",

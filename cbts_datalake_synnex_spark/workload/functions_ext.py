@@ -513,3 +513,64 @@ def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extra",
         F.schema_of_variant(F.col("v")).alias("vschema"),
     )
+
+
+# ----------------------------------------------------------------------
+# Bloom-filter membership (round 12): the existence sketch completing
+# the HLL/CMS/MG/GK family — "has this key ever been seen", answered
+# from a ≤ n_bits position set without touching the data side. Build
+# over the customers that placed orders, probe EVERY customer, and
+# state the whole confusion picture beside the exact twin: zero false
+# negatives by construction (asserted per key), false positives
+# allowed and visible. Bits are md5-derived, so DuckDB re-derives the
+# ENTIRE filter and every verdict bit-for-bit.
+@query(
+    "f_bloom_filter",
+    oracle="""
+    WITH ks AS (SELECT range AS i FROM range(0, 3)),
+    build AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5('bloom:' || CAST(i AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS pos
+      FROM orders CROSS JOIN ks
+      WHERE o_custkey IS NOT NULL
+    ),
+    probe AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL),
+    ph AS (
+      SELECT c_custkey,
+        CAST(('0x' || substr(md5('bloom:' || CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS pos
+      FROM probe CROSS JOIN ks
+    ),
+    verdict AS (
+      SELECT c_custkey, count(b.pos) = 3 AS bloom_member
+      FROM ph LEFT JOIN build b USING (pos)
+      GROUP BY c_custkey
+    ),
+    tru AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT CAST(v.c_custkey AS BIGINT) AS c_custkey,
+           v.bloom_member,
+           t.c_custkey IS NOT NULL AS true_member,
+           v.bloom_member OR t.c_custkey IS NULL AS no_false_negative
+    FROM verdict v LEFT JOIN tru t USING (c_custkey)
+    """,
+    doc="SURVEY §2.7++/§2.10 [EXT] — Bloom-filter existence sketch: "
+    "build (≤ n_bits one-int position rows) over orders.o_custkey, "
+    "probe every customer; member iff all k md5-derived positions "
+    "set; zero-false-negative guarantee asserted per key beside the "
+    "exact twin (operators/sketches.bloom_build/bloom_probe).",
+)
+def f_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bits = sketches.bloom_build(orders, "o_custkey", n_bits=4096, k=3)
+    verdict = sketches.bloom_probe(bits, cust, "c_custkey", n_bits=4096, k=3)
+    tru = orders.select(F.col("o_custkey").alias("c_custkey")).distinct().select(
+        "c_custkey", F.lit(True).alias("__t")
+    )
+    return verdict.join(tru, "c_custkey", "left").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "bloom_member",
+        F.coalesce(F.col("__t"), F.lit(False)).alias("true_member"),
+        (F.col("bloom_member") | F.col("__t").isNull()).alias("no_false_negative"),
+    )
