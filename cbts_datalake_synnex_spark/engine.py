@@ -1629,6 +1629,8 @@ class LakeEngine:
         spec = self._mview_defs()[name]
         if spec.get("kind") == "incremental":
             return self._refresh_incremental(name, spec)
+        if spec.get("kind") == "join":
+            return self.refresh_join_view(name)
         df = self.spark.sql(spec["query"])
         self.write_curated(
             name, df, mode="overwrite", partition_cols=spec["partition_cols"]
@@ -1746,6 +1748,129 @@ class LakeEngine:
         defs[name]["files"] = current
         self._save_mview_defs(defs)
         return how
+
+    # -- incrementally-maintained JOIN view (round 12) -----------------
+    # The classic delta-join decomposition (Blakeley et al. 1986,
+    # 'Efficiently updating materialized views', public): for
+    # MV = fact ⋈ dim under a fact change set Δ,
+    #   MV' = (MV − Δ⁻ keyed removes) ∪ (Δ⁺ ⋈ dim)
+    # — maintenance reads the CHANGE FEED and the MV, never re-joins
+    # the full fact side. At 100 TB the full recompute re-shuffles the
+    # fact table every refresh; this path's join work is change-sized
+    # (Δ ⋈ dim), and the MV-side anti-join is MV-sized IO but zero
+    # fact/dim IO. Complements `create_incremental_view` (append-only
+    # aggregates): CDF handles deletes and updates too.
+
+    def create_join_view(
+        self,
+        name: str,
+        fact_table: str,
+        dim_table: str,
+        fact_key: str,
+        fact_join_col: str,
+        dim_key: str,
+        fact_cols: Sequence[str],
+        dim_cols: Sequence[str],
+    ) -> None:
+        """Materialize ``fact ⋈ dim`` (inner, on fact_join_col =
+        dim_key) projected to ``fact_cols + dim_cols`` and register it
+        for incremental refresh from the fact table's snapshot change
+        feed. ``fact_key`` is the ROW-IDENTITY column (must uniquely
+        identify fact rows — the `table_changes` contract), distinct
+        in role from ``fact_join_col`` (the foreign key into the dim);
+        both must appear in ``fact_cols``. The dim side is treated as
+        static between refreshes (a dim change requires a full rebuild
+        — re-run this method). An UPDATE that moves a row to a
+        different dim key maintains correctly: the pre-image remove
+        drops the old MV row, the post-image insert re-joins on the
+        new key."""
+        fact_cols, dim_cols = list(fact_cols), list(dim_cols)
+        for c, what in ((fact_key, "fact_key"), (fact_join_col, "fact_join_col")):
+            if c not in fact_cols:
+                raise ValueError(f"{what} {c!r} must be in fact_cols")
+        overlap = set(fact_cols) & set(dim_cols)
+        if overlap:
+            raise ValueError(f"fact/dim column collision: {sorted(overlap)}")
+        history = self.snapshot_history(fact_table)
+        if not history:
+            raise ValueError(
+                f"fact table {fact_table!r} has no snapshot journal; "
+                "write it via write_curated first"
+            )
+        mv = self._join_view_join(
+            self.spark.table(self.qualified(fact_table)).select(*fact_cols),
+            dim_table,
+            fact_join_col,
+            dim_key,
+            dim_cols,
+        )
+        self.write_curated(name, mv, mode="overwrite", partition_cols=[])
+        defs = self._mview_defs()
+        defs[name] = {
+            "kind": "join",
+            "fact_table": fact_table,
+            "dim_table": dim_table,
+            "fact_key": fact_key,
+            "fact_join_col": fact_join_col,
+            "dim_key": dim_key,
+            "fact_cols": fact_cols,
+            "dim_cols": dim_cols,
+            "fact_version": history[-1]["version"],
+        }
+        self._save_mview_defs(defs)
+
+    def _join_view_join(
+        self,
+        fact_side: DataFrame,
+        dim_table: str,
+        fact_join_col: str,
+        dim_key: str,
+        dim_cols: Sequence[str],
+    ) -> DataFrame:
+        dim = self.spark.table(self.qualified(dim_table)).select(
+            F.col(dim_key).alias("__dk"), *dim_cols
+        )
+        return fact_side.join(
+            dim, F.col(fact_join_col) == F.col("__dk"), "inner"
+        ).drop("__dk")
+
+    def refresh_join_view(self, name: str) -> str:
+        """Refresh a `create_join_view` MV from the fact change feed;
+        returns ``noop`` (fact unchanged) or ``incremental``. The MV's
+        previous content reads from its RETAINED snapshot copy (hard
+        links keep the inodes alive), so the read-modify-overwrite is
+        safe against the live-directory rewrite."""
+        spec = self._mview_defs()[name]
+        if spec.get("kind") != "join":
+            raise ValueError(f"{name!r} is not a join view")
+        cur = self.snapshot_history(spec["fact_table"])[-1]["version"]
+        if cur == spec["fact_version"]:
+            return "noop"
+        key = spec["fact_key"]
+        ch = self.table_changes(
+            spec["fact_table"], spec["fact_version"], cur, key_cols=[key]
+        ).select(*spec["fact_cols"], "_change_type")
+        removes = (
+            ch.filter(F.col("_change_type").isin("delete", "update_preimage"))
+            .select(key)
+            .distinct()
+        )
+        adds = self._join_view_join(
+            ch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).drop("_change_type"),
+            spec["dim_table"],
+            spec["fact_join_col"],
+            spec["dim_key"],
+            spec["dim_cols"],
+        )
+        mv = self.read_snapshot(name)
+        new_mv = mv.join(removes, key, "left_anti").unionByName(adds)
+        self.write_curated(name, new_mv, mode="overwrite", partition_cols=[])
+        defs = self._mview_defs()
+        defs[name]["fact_version"] = cur
+        self._save_mview_defs(defs)
+        return "incremental"
 
     def _table_location(self, qtable: str) -> str:
         rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {qtable}").collect()

@@ -2718,3 +2718,101 @@ def lc_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "live_files_untouched_on_reject boolean, "
             "clean_batch_published boolean, n_live_after_publish bigint",
         )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — incrementally-maintained JOIN view (Blakeley 1986 delta-
+# join decomposition): MV = fact ⋈ dim built at fact v1, fact
+# overwritten to v2 (inserts + deletes + price updates), then ONE
+# incremental refresh driven by the snapshot change feed — the
+# maintenance join is change-sized, the fact table is never re-joined.
+# Certification is row-level strength in |segments| rows: per-segment
+# (n_rows, Σ md5-prefix) content fingerprint of the refreshed MV,
+# which the oracle restates from the FULL RECOMPUTE fact-v2 ⋈ dim —
+# fingerprint equality means the incremental path reproduced the
+# recompute bit-for-bit (prices canonicalized to integer cents, the
+# table_fingerprint float discipline). A second refresh must be a
+# noop (environment claim).
+@query(
+    "lc_join_view_refresh",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey AS k, o_custkey AS cust,
+             CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 5 <> 2 AND o_orderkey <= 4000
+    ),
+    mv AS (
+      SELECT v2.k, v2.cust, v2.price, c.c_mktsegment AS seg
+      FROM v2 JOIN customer c ON v2.cust = c.c_custkey
+    ),
+    h AS (
+      SELECT seg,
+             CAST(('0x' || substr(md5(
+               CAST(k AS VARCHAR) || chr(31) || CAST(cust AS VARCHAR)
+               || chr(31)
+               || CAST(CAST(round(price * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 8)) AS BIGINT) AS hv
+      FROM mv
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) AS BIGINT) AS content_sum,
+           TRUE AS refresh_incremental,
+           TRUE AS second_refresh_noop
+    FROM h GROUP BY seg
+    """,
+    doc="K++ [EXT] — CDF-maintained join view: fact ⋈ dim refreshed "
+    "from the change feed (removes anti-joined by row key, adds "
+    "re-joined change-sized), per-segment content fingerprint equals "
+    "the full recompute; second refresh noop "
+    "(engine.create_join_view/refresh_join_view).",
+)
+def lc_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import table_fingerprint
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+    )
+    v1 = o.filter((F.col("k") % 7 != 3) & (F.col("k") <= 3000))
+    v2 = o.filter((F.col("k") % 5 != 2) & (F.col("k") <= 4000)).select(
+        "k",
+        "cust",
+        F.when(F.col("k") % 10 == 0, F.round(F.col("price") * 2, 2))
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("dim_c", dim, mode="overwrite", partition_cols=[])
+        eng.write_curated("fact_o", v1, mode="overwrite", partition_cols=[])
+        eng.create_join_view(
+            "mv_oc",
+            "fact_o",
+            "dim_c",
+            fact_key="k",
+            fact_join_col="cust",
+            dim_key="c_custkey",
+            fact_cols=["k", "cust", "price"],
+            dim_cols=["c_mktsegment"],
+        )
+        eng.write_curated("fact_o", v2, mode="overwrite", partition_cols=[])
+        mode1 = eng.refresh_join_view("mv_oc")
+        mode2 = eng.refresh_join_view("mv_oc")
+        mv = eng.spark.table(eng.qualified("mv_oc")).withColumn(
+            "cents", F.round(F.col("price") * 100).cast("bigint")
+        )
+        out = table_fingerprint(
+            mv, ["k", "cust", "cents"], group_cols=["c_mktsegment"]
+        ).select(
+            "c_mktsegment",
+            "n_rows",
+            "content_sum",
+            F.lit(mode1 == "incremental").alias("refresh_incremental"),
+            F.lit(mode2 == "noop").alias("second_refresh_noop"),
+        )
+        return _materialize(spark, out)

@@ -6241,3 +6241,81 @@ def x1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X7++ — cross-document duplicated n-gram rate per source (round 12):
+# the published dedup DIAGNOSTIC (Lee et al. 2021, 'Deduplicating
+# Training Data Makes Language Models Better': near-dup removal is
+# driven by how much of the corpus sits inside n-grams that recur
+# across documents — the memorization-risk share). X1/X2 REMOVE
+# duplicates; this states, per source, how much duplication is there
+# to remove: share of 5-gram occurrences whose gram appears in >= 2
+# DISTINCT documents. Scale shape: the gram explode is the honest
+# published cost (corpus x n rows — the same stream BPE pair-stats
+# already certifies); everything after is aggregated — (source, gram)
+# and (gram -> n_docs) hash aggs, then a gram-keyed join of the TWO
+# AGGREGATED frames (distinct-gram-sized, never the raw stream),
+# and a |sources|-row rollup. No pairwise anything.
+@query(
+    "x7_dup_ngram_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, array_to_string(list_slice(t, i, i + 4), ' ') AS g
+      FROM toks CROSS JOIN LATERAL
+        unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS s(i)
+    ),
+    sg AS (
+      SELECT source, g, CAST(count(*) AS BIGINT) AS occ
+      FROM grams GROUP BY source, g
+    ),
+    gd AS (
+      SELECT g, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY g
+    )
+    SELECT sg.source,
+           CAST(sum(sg.occ) AS BIGINT) AS total_grams,
+           CAST(sum(CASE WHEN gd.n_docs >= 2 THEN sg.occ ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           round(sum(CASE WHEN gd.n_docs >= 2 THEN sg.occ ELSE 0 END)
+                 / sum(sg.occ), 6) AS dup_rate
+    FROM sg JOIN gd USING (g)
+    GROUP BY sg.source
+    """,
+    doc="SURVEY §2.10 X7++ — cross-document duplicated 5-gram rate per "
+    "source (Lee 2021 memorization-risk diagnostic): share of gram "
+    "occurrences whose gram appears in >= 2 distinct docs; gram "
+    "explode + two hash aggs + one aggregated-frames join, 6dp rate.",
+)
+def x7_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 5
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    # docs shorter than n yield no grams (sequence() would count DOWN
+    # from 1 on a negative stop — guard with an empty array instead)
+    gram_arr = F.when(
+        F.size("t") >= n,
+        F.expr(
+            f"transform(sequence(1, size(t) - {n - 1}),"
+            f" i -> array_join(slice(t, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", "source", F.explode(gram_arr).alias("g"))
+    sg = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    gd = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup_occ = F.sum(F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(F.lit(0)))
+    return (
+        sg.join(gd, "g")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").cast("bigint").alias("total_grams"),
+            dup_occ.cast("bigint").alias("dup_grams"),
+            F.round(dup_occ / F.sum("occ"), 6).alias("dup_rate"),
+        )
+    )
