@@ -553,3 +553,70 @@ def table_fingerprint(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h).cast("bigint").alias("content_sum"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DQ [EXT] — l-diversity audit (Machanavajjhala 2007, public):
+    k-anonymity's blind spot is the HOMOGENEOUS class — 50 rows that
+    all share one sensitive value re-identify the attribute without
+    re-identifying the row. Per quasi-identifier class, count the
+    DISTINCT sensitive values; classes with fewer than ``l`` leak.
+
+    Scale shape: one aggregate keyed on the quasi tuple carrying
+    (row count, distinct sensitive count) — the count-distinct rides
+    the same shuffle via Expand — then a |classes|-bounded histogram.
+    NULL sensitive values count as one distinct signature (the
+    conservative reading, matching the k-anonymity NULL discipline).
+
+    Returns one row per diversity bucket: (div_bucket: '1',
+    '2-{l-1}', '{l}+', n_classes, n_rows, row_share, violates_l).
+    """
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.count_distinct(F.coalesce(
+            F.col(sensitive_col).cast("string"), F.lit("␀")
+        )).alias("ndist"),
+    )
+    bucket = (
+        F.when(F.col("ndist") == 1, F.lit("1"))
+        .when(F.col("ndist") < int(l), F.lit(f"2-{l - 1}"))
+        .otherwise(F.lit(f"{l}+"))
+    )
+    hist = classes.groupBy(bucket.alias("div_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )
+    total = hist.agg(F.sum("n_rows").alias("t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "div_bucket",
+        "n_classes",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("t"), round_dp).alias("row_share"),
+        F.col("div_bucket").isin("1", f"2-{l - 1}").alias("violates_l"),
+    )
+
+
+def pseudonymize(df: DataFrame, cols: list[str], salt: str) -> DataFrame:
+    """DQ [EXT] — salted deterministic pseudonymization: replace each
+    of ``cols`` with ``md5(salt || ':' || value)`` (NULL stays NULL).
+    The same (salt, value) always maps to the same token, so foreign-
+    key relationships SURVIVE across tables pseudonymized with the
+    same salt — the GDPR-pipeline property that lets analytics run on
+    the anonymized lake (joins, group-bys, count-distincts all intact)
+    while the raw identifier never leaves the trusted zone. Reversal
+    requires the salt (keep it in the secret store, rotate per
+    release). Pure projection — safe inside any scan at any scale.
+    """
+    out = df
+    for c in cols:
+        tok = F.md5(F.concat_ws(":", F.lit(salt), F.col(c).cast("string")))
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), tok).otherwise(F.lit(None))
+        )
+    return out

@@ -1981,3 +1981,93 @@ def t_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(
         obs, "user_id", "ts", "v", step_sec=86400
     )
+
+
+# ----------------------------------------------------------------------
+# Interval union / gaps-and-islands (round 12): the classic coverage
+# query — total covered time per user after merging overlapping
+# usage intervals ("total watch time", SLA uptime, machine
+# utilization). Each event opens a deterministic [ts, ts + 1..20 h)
+# interval (hours derived from the value column in integer cents —
+# no float time arithmetic); the sweep is the standard two-window
+# construction: running max of PREVIOUS interval ends marks island
+# starts (adjacent intervals merge: start == prev_max continues the
+# island under half-open semantics — coverage is identical either
+# way, island COUNT is the declared convention), a running sum of
+# the island-start flags numbers the islands, then one (user,
+# island) agg and one user rollup. Scale shape: ONE shuffle on
+# user_id carries both window passes and both aggregates (the
+# sessionize layout); all arithmetic integer µs.
+@query(
+    "t_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (CAST(round(value * 100) AS BIGINT) % 20 + 1) * 3600000000
+               AS e
+      FROM events
+    ),
+    m AS (
+      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS pm
+      FROM iv
+    ),
+    f AS (
+      SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM m
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM f
+    ),
+    per AS (
+      SELECT user_id, island, count(*) AS n_iv,
+             min(s) AS st, max(e) AS en
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(en - st) AS BIGINT) AS covered_us,
+           CAST(max(en - st) AS BIGINT) AS max_island_us
+    FROM per GROUP BY user_id
+    """,
+    doc="SURVEY §2.6++ — interval union (gaps-and-islands): per-user "
+    "merged-interval coverage via running-max-of-previous-ends island "
+    "detection + cumulative island numbering; one user_id shuffle "
+    "carries both windows and both aggs; integer-µs arithmetic.",
+)
+def t_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.round(F.col("value") * 100).cast("bigint") % 20 + 1)
+            * F.lit(3_600_000_000).cast("bigint")
+        ).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e", "event_id")
+    pm = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "ni", F.when(pm.isNull() | (F.col("s") > pm), 1).otherwise(0)
+    )
+    isl = flagged.withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        F.min("s").alias("st"),
+        F.max("e").alias("en"),
+    )
+    return per.groupBy("user_id").agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).cast("bigint").alias("covered_us"),
+        F.max(F.col("en") - F.col("st")).cast("bigint").alias("max_island_us"),
+    )

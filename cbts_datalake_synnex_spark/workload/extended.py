@@ -1877,3 +1877,114 @@ def w4_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_suppliers"),
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — l-diversity audit (Machanavajjhala 2007): k-anonymity's
+# blind spot is the homogeneous class (50 rows sharing ONE sensitive
+# value leak the attribute without leaking the row). Quasi tuple
+# sized so all three diversity buckets are populated at l=3 on the
+# driver corpus; one quasi-keyed agg carries row count + distinct
+# sensitive count, then a |classes|-bounded histogram.
+@query(
+    "dq_l_diversity",
+    oracle="""
+    WITH cls AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(o_custkey % 97 AS BIGINT) AS ck,
+             CAST(count(*) AS BIGINT) AS sz,
+             count(DISTINCT coalesce(
+               CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR),
+               '␀')) AS ndist
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    hist AS (
+      SELECT CASE WHEN ndist = 1 THEN '1'
+                  WHEN ndist < 3 THEN '2-2'
+                  ELSE '3+' END AS div_bucket,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(sz) AS BIGINT) AS n_rows
+      FROM cls GROUP BY 1
+    )
+    SELECT div_bucket, n_classes, n_rows,
+           round(n_rows * 1.0 / (SELECT sum(n_rows) FROM hist), 6) AS row_share,
+           div_bucket IN ('1', '2-2') AS violates_l
+    FROM hist
+    """,
+    doc="DQ [EXT] — l-diversity audit at l=3 over orders quasi-tuple "
+    "(status, priority, custkey%97) with price-band sensitive values: "
+    "one quasi-keyed agg (distinct count rides the shuffle via "
+    "Expand), diversity-bucket histogram, per-bucket violation flag "
+    "(operators/dq.l_diversity_report).",
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import l_diversity_report
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("o_custkey") % 97).cast("bigint").alias("ck"),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("pband"),
+    )
+    return l_diversity_report(
+        o, ["o_orderstatus", "o_orderpriority", "ck"], "pband", l=3
+    )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — salted pseudonymization with referential integrity: the
+# GDPR-pipeline property that analytics survive anonymization. Both
+# tables tokenize c_custkey/o_custkey with the SAME salt (pure
+# projection), the join runs ON THE TOKENS, and the per-segment
+# order counts equal the raw join's (the oracle restates tokens,
+# join and counts exactly); tokens never equal the raw key string.
+@query(
+    "dq_pseudonymize",
+    oracle="""
+    WITH c AS (
+      SELECT md5('psalt:' || CAST(c_custkey AS VARCHAR)) AS tok,
+             c_mktsegment,
+             CAST(c_custkey AS VARCHAR) AS raw
+      FROM customer
+    ),
+    o AS (
+      SELECT md5('psalt:' || CAST(o_custkey AS VARCHAR)) AS tok FROM orders
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(o.tok) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT c.tok) AS BIGINT) AS n_customers,
+           bool_and(c.tok <> c.raw) AS tokens_differ_from_raw
+    FROM c JOIN o ON c.tok = o.tok
+    GROUP BY c.c_mktsegment
+    """,
+    doc="DQ [EXT] — salted deterministic pseudonymization preserving "
+    "referential integrity: customer and orders keys tokenized with "
+    "one salt, joined ON the tokens; per-segment counts equal the "
+    "raw join, tokens never equal raw keys "
+    "(operators/dq.pseudonymize).",
+)
+def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import pseudonymize
+
+    cust = pseudonymize(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment",
+            F.col("c_custkey").cast("string").alias("raw"),
+        ),
+        ["c_custkey"],
+        salt="psalt",
+    ).withColumnRenamed("c_custkey", "tok")
+    ords = pseudonymize(
+        load_table(spark, sf_dir, "orders").select("o_custkey"),
+        ["o_custkey"],
+        salt="psalt",
+    ).withColumnRenamed("o_custkey", "tok")
+    return (
+        cust.join(ords, "tok")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count_distinct("tok").cast("bigint").alias("n_customers"),
+            F.min(F.col("tok") != F.col("raw")).alias("tokens_differ_from_raw"),
+        )
+    )

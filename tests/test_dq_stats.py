@@ -214,3 +214,56 @@ def test_table_fingerprint_order_insensitive_and_null_distinct(spark):
     )
     d = table_fingerprint(pert, ["k", "v"]).first()
     assert d["content_sum"] != a["content_sum"]
+
+
+def test_l_diversity_buckets_and_null_sentinel(spark):
+    from cbts_datalake_synnex_spark.operators.dq import l_diversity_report
+
+    rows = (
+        # class A: 3 rows, ONE sensitive value -> bucket '1'
+        [("A", "x")] * 3
+        # class B: 4 rows, two values (one of them NULL -> its own
+        # signature) -> bucket '2-2'
+        + [("B", "y"), ("B", "y"), ("B", None), ("B", None)]
+        # class C: 3 rows, three values -> bucket '3+'
+        + [("C", "p"), ("C", "q"), ("C", "r")]
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {
+        r["div_bucket"]: (r["n_classes"], r["n_rows"], r["violates_l"])
+        for r in l_diversity_report(df, ["q"], "s", l=3).collect()
+    }
+    assert got == {"1": (1, 3, True), "2-2": (1, 4, True), "3+": (1, 3, False)}
+
+
+def test_l_diversity_double_digit_l_bucket_labels(spark):
+    from cbts_datalake_synnex_spark.operators.dq import l_diversity_report
+
+    # l=10: the '10+' bucket must NOT be flagged as violating (the
+    # startswith('1') trap)
+    rows = [("A", str(i)) for i in range(12)] + [("B", "x")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {
+        r["div_bucket"]: r["violates_l"]
+        for r in l_diversity_report(df, ["q"], "s", l=10).collect()
+    }
+    assert got == {"10+": False, "1": True}
+
+
+def test_pseudonymize_null_and_referential_integrity(spark):
+    from cbts_datalake_synnex_spark.operators.dq import pseudonymize
+
+    a = spark.createDataFrame([(1, "p"), (2, "q"), (None, "r")], "k int, v string")
+    b = spark.createDataFrame([(1,), (1,), (3,)], "k int")
+    pa = pseudonymize(a, ["k"], salt="s1")
+    pb = pseudonymize(b, ["k"], salt="s1")
+    ra = pa.collect()
+    # NULL stays NULL; non-NULLs are 32-hex tokens, deterministic per salt
+    assert sum(1 for r in ra if r["k"] is None) == 1
+    toks = {r["v"]: r["k"] for r in ra if r["k"] is not None}
+    assert all(len(t) == 32 for t in toks.values())
+    # same salt -> join survives: key 1 matches twice, 3 matches nothing
+    assert pa.join(pb, "k").count() == 2
+    # different salt -> tokens differ (no accidental linkability)
+    pa2 = pseudonymize(a, ["k"], salt="s2")
+    assert {r["k"] for r in pa2.collect() if r["k"]}.isdisjoint(set(toks.values()))
