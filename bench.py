@@ -308,6 +308,16 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "j4_q20_excess_suppliers",
     "x6_needle_insert",
     "dq_table_fingerprint",
+    # round-12 late additions (first tracked round; land-time two-SF
+    # anchors in BASELINE.md "Round-12 late-addition land-time")
+    "x1_url_dedup",
+    "f_bloom_filter",
+    "x7_dup_ngram_rate",
+    "t_interval_union",
+    "dq_l_diversity",
+    "dq_pseudonymize",
+    "t_time_weighted_avg",
+    "t_ohlc_bars",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
@@ -336,7 +346,10 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # x3_pq_index_probe (two index builds + three probes — the deploy
 # probe cost is the x3_knn_join row) and
 # x4_logreg_calibration (sf1 coverage via x4_logreg_train's shared
-# trajectory).
+# trajectory) and lc_join_view_refresh (scratch-lake lifecycle:
+# three curated writes + snapshot retention dominate; the refresh's
+# data-path costs are the CDF full-outer join already timed by
+# lc_table_changes' anchors plus one change-sized broadcast join).
 
 
 def main() -> None:

@@ -289,3 +289,93 @@ def resample_interpolate(
         F.col("__t").alias("grid_us"),
         F.round(interp, round_dp).alias("value"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Time-weighted average over an irregular series (round 12) —
+    the TimescaleDB/InfluxDB aggregate a plain AVG gets WRONG on
+    unevenly-sampled sensors (a value that held for an hour must
+    weigh 60× one that held a minute). Last-observation-carried-
+    forward convention:
+
+        twa = Σ value_i · (t_{i+1} − t_i) / (t_n − t_0)
+
+    — each observation weighs by how long it REMAINED current; the
+    final observation spans zero time (nothing is known after it).
+    Entities with one observation (span 0) return that value (limit
+    convention, stated; NULL would lose the entity).
+
+    Scale shape: ONE shuffle on the entity key carries the lead()
+    window and the aggregate; integer-µs weights, one double
+    multiply per row, 6dp grid on the quotient. Returns
+    (entity, n_obs, span_us, twa)."""
+    from pyspark.sql import Window as W
+
+    rows = df.select(
+        F.col(entity_col),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(value_col).alias("__v"),
+    ).withColumn(
+        "__dt",
+        F.lead("__t").over(W.partitionBy(entity_col).orderBy("__t"))
+        - F.col("__t"),
+    )
+    agg = rows.groupBy(entity_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        (F.max("__t") - F.min("__t")).cast("bigint").alias("span_us"),
+        F.sum(F.col("__v") * F.col("__dt")).alias("__wsum"),
+        F.max_by("__v", "__t").alias("__last"),
+    )
+    return agg.select(
+        entity_col,
+        "n_obs",
+        "span_us",
+        F.round(
+            F.when(F.col("span_us") > 0, F.col("__wsum") / F.col("span_us"))
+            .otherwise(F.col("__last")),
+            round_dp,
+        ).alias("twa"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    bar_hours: int = 24,
+) -> DataFrame:
+    """OHLC downsampling (round 12) — the candlestick aggregate: per
+    (entity, fixed time bar), the first/last/min/max of the value with
+    first/last resolved BY TIME via ``min_by``/``max_by`` (one hash
+    aggregate — no window, no self-join; the classic pre-min_by
+    formulations needed two passes). Bars are epoch-floored integer
+    hours (tz-free). Tie discipline: equal timestamps within a bar
+    resolve min_by/max_by nondeterministically in a distributed scan —
+    callers needing total determinism pass a series with unique
+    (entity, ts) pairs (the driver events table qualifies: event ids
+    break ties upstream). Returns (entity, bar_start_us, n_obs, open,
+    high, low, close)."""
+    bar_us = int(bar_hours) * 3_600_000_000
+    t = F.unix_micros(F.col(ts_col))
+    # integer modulo, not floor(t/bar): double division at epoch-µs
+    # magnitudes is boundary-exact only by accident of rounding
+    rows = df.select(
+        F.col(entity_col),
+        (t - (t % bar_us)).cast("bigint").alias("bar_start_us"),
+        t.alias("__t"),
+        F.col(value_col).alias("__v"),
+    )
+    return rows.groupBy(entity_col, "bar_start_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.min_by("__v", "__t").alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.max_by("__v", "__t").alias("close"),
+    )

@@ -203,8 +203,8 @@ _ROUND8_FRONT = [
 # u4_set_operators, lc_write_audit_publish, j_q2_min_cost_supplier,
 # a_q11_important_stock, j4_q20_excess_suppliers, x1_url_dedup,
 # f_bloom_filter, x7_dup_ngram_rate, lc_join_view_refresh,
-# t_interval_union, dq_l_diversity, dq_pseudonymize (check git log
-# for later ones).
+# t_interval_union, dq_l_diversity, dq_pseudonymize,
+# t_time_weighted_avg, t_ohlc_bars (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",

@@ -2071,3 +2071,76 @@ def t_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("en") - F.col("st")).cast("bigint").alias("covered_us"),
         F.max(F.col("en") - F.col("st")).cast("bigint").alias("max_island_us"),
     )
+
+
+# ----------------------------------------------------------------------
+# Time-weighted average (round 12): the TimescaleDB aggregate a plain
+# AVG gets wrong on irregular sampling — each observation weighs by
+# how long it stayed current (LOCF). One user_id shuffle carries the
+# lead() window and the aggregate; 6dp grid on the quotient.
+@query(
+    "t_time_weighted_avg",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS t, value AS v FROM events
+    ),
+    d AS (
+      SELECT user_id, t, v,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dt
+      FROM r
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(max(t) - min(t) AS BIGINT) AS span_us,
+           round(CASE WHEN max(t) - min(t) > 0
+                      THEN sum(v * dt) / (max(t) - min(t))
+                      ELSE arg_max(v, t) END, 6) AS twa
+    FROM d GROUP BY user_id
+    """,
+    doc="SURVEY §2.6++ — time-weighted average (LOCF, TimescaleDB "
+    "semantics): per-user Σ v·Δt / span over the irregular event "
+    "stream; one user_id shuffle, integer-µs weights "
+    "(operators/timeseries.time_weighted_avg).",
+)
+def t_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value")
+
+
+# ----------------------------------------------------------------------
+# OHLC bars (round 12): candlestick downsampling — per (user, 24 h
+# bar) the open/high/low/close of the value column, first/last
+# resolved BY TIME via min_by/max_by in ONE hash aggregate (no
+# window, no self-join). Bars are integer-modulo epoch floors
+# (tz-free); event timestamps are unique per user at µs resolution,
+# so the tie discipline is moot on the driver corpus.
+@query(
+    "t_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - (epoch_us(ts) % 86400000000) AS BIGINT)
+               AS bar_start_us,
+             epoch_us(ts) AS t, value AS v
+      FROM events
+    )
+    SELECT user_id, bar_start_us,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           arg_min(v, t) AS open,
+           max(v) AS high,
+           min(v) AS low,
+           arg_max(v, t) AS close
+    FROM r GROUP BY user_id, bar_start_us
+    """,
+    doc="SURVEY §2.6++ — OHLC candlestick downsampling: per (user, "
+    "24h bar) open/high/low/close via min_by/max_by in one hash "
+    "aggregate; integer-modulo bar floors "
+    "(operators/timeseries.ohlc_bars).",
+)
+def t_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, "user_id", "ts", "value", bar_hours=24)

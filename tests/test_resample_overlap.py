@@ -110,3 +110,4 @@ def test_temporal_split_ordering_and_embargo(spark):
         for r in temporal_split(df.repartition(13), "ts").collect()
     )
     assert a == b
+
