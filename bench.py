@@ -318,6 +318,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "dq_pseudonymize",
     "t_time_weighted_avg",
     "t_ohlc_bars",
+    "j7_geo_radius_join",
+    "j8_temporal_scd2_join",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -126,3 +126,58 @@ def scd2_from_log(
         # silently-dropped row.
         out = out.filter(~F.upper(F.col(op_col)).eqNullSafe("D"))
     return out
+
+
+def temporal_join(
+    fact: DataFrame,
+    hist: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time join against an SCD2 history (round 12) — the
+    ``FOR SYSTEM_TIME AS OF`` semantics most lakehouses get wrong
+    with a plain equi-join: each fact row attaches the dim version
+    whose ``[valid_from, valid_to)`` interval contains the fact
+    timestamp; facts before the key's first version, or after its
+    deletion closed the last one, keep NULL dim values (left-outer).
+
+    Plan: NOT the interval theta-join (|F|·|versions-per-key|
+    candidates) — the as-of machinery's union + ONE window pass picks
+    the latest ``valid_from <= ts`` linearly (`joins.asof_join`,
+    certified), then versions already CLOSED at ts null out. One
+    shuffle on the key, window-carried state, fact-linear at any
+    scale. Pass only non-'D' history rows (delete events close
+    intervals; they are not versions)."""
+    from cbts_datalake_synnex_spark.operators.joins import asof_join
+
+    # ONE struct per version, not bare columns: the as-of carry is
+    # last(..., ignorenulls=True), so a version's NULL field (an OPEN
+    # valid_to) would fail to overwrite the previous version's
+    # non-NULL one — the same null-carry trap asof_nearest solved.
+    # The struct itself is never NULL on history rows, so it carries
+    # atomically; valid_from leads the struct so the default struct
+    # tiebreak orders by it.
+    carry = [valid_from, valid_to, *value_cols]
+    hist2 = hist.select(
+        *keys, F.col(valid_from), F.struct(*carry).alias("__ver")
+    )
+    picked = asof_join(
+        fact,
+        hist2,
+        on=list(keys),
+        left_ts=ts_col,
+        right_ts=valid_from,
+        value_cols=["__ver"],
+    )
+    ver = F.col("__ver")
+    live = ver.isNotNull() & (
+        ver.getField(valid_to).isNull()
+        | (F.col(ts_col) < ver.getField(valid_to))
+    )
+    out = picked.withColumn("__live", live)
+    for c in carry:
+        out = out.withColumn(c, F.when(F.col("__live"), ver.getField(c)))
+    return out.drop("__ver").withColumnRenamed("__live", "dim_matched")

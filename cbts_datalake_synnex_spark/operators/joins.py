@@ -274,3 +274,97 @@ def interval_overlap_join(
         )
         .drop("__band")
     )
+
+
+# ----------------------------------------------------------------------
+# Geo radius join (round 12) — the engine's first SPATIAL operator:
+# "every right point within r km of each left point", the
+# store-locator / geofence / POI-enrichment join. The naive plan is
+# the |L|·|R| cross join with a haversine filter — the job that never
+# finishes at 100 TB. This is the standard grid decomposition (the
+# same bucket-then-refine shape as the IVF cell join): bucket both
+# sides into square-degree cells sized so that a radius-r disc can
+# only reach the 3×3 cell neighborhood, explode the LEFT side to its
+# nine neighbor cells (a 9× projection — constant, not data-squared),
+# equi-join on the cell id, then refine with the exact haversine.
+# Lossless by construction: cell height ≥ r in latitude degrees and
+# cell width ≥ r in longitude degrees at the worst (highest-|lat|)
+# latitude the caller declares, so no qualifying pair can sit outside
+# the neighborhood. Skew note: the cell equi-join shuffles on cell
+# id; a megacity cell is a hot key — the standing salting/AQE-skew
+# levers apply unchanged because this IS a plain equi-join after the
+# projection.
+
+_EARTH_KM = 6371.0088  # IUGG mean radius — the published constant
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> F.Column:
+    """Great-circle distance in km (haversine form — exact on the
+    sphere, numerically stable at small angles where the spherical
+    law of cosines loses digits)."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlam = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlam) * F.sin(dlam)
+    )
+    return F.lit(2 * _EARTH_KM) * F.asin(F.sqrt(a))
+
+
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    max_abs_lat: float = 75.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs with haversine distance ≤ ``radius_km``,
+    via the lossless 3×3 grid candidate join. Points beyond
+    ``max_abs_lat`` are REFUSED (raise at plan time would need an
+    action; instead they are filtered out and the contract documented
+    — near the poles the longitude cell width degenerates and a grid
+    in plain degrees stops being lossless). Longitude wraparound at
+    ±180° is NOT stitched (the one simplification vs a production
+    geohash; declared). Adds ``dist_km`` (unrounded double)."""
+    cell_lat = float(radius_km) / 110.574  # km per degree latitude
+    import math
+
+    cell_lon = float(radius_km) / (
+        111.320 * math.cos(math.radians(float(max_abs_lat)))
+    )
+    def cells(df: DataFrame, rename: bool) -> DataFrame:
+        out = df.filter(F.abs(F.col(lat_col)) <= float(max_abs_lat)).select(
+            *[
+                F.col(c).alias(c + suffix if rename else c)
+                for c in df.columns
+            ],
+            F.floor(F.col(lat_col) / cell_lat).cast("bigint").alias("__cy"),
+            F.floor(F.col(lon_col) / cell_lon).cast("bigint").alias("__cx"),
+        )
+        return out
+
+    l = cells(left, rename=False)
+    r = cells(right, rename=True)
+    # explode LEFT to the 9 neighbor cells; right keeps its own cell
+    offs = F.explode(
+        F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    ).alias("__o")
+    l9 = l.select("*", offs).select(
+        *[c for c in l.columns if c not in ("__cy", "__cx")],
+        (F.col("__cy") + F.col("__o.dy")).alias("__cy"),
+        (F.col("__cx") + F.col("__o.dx")).alias("__cx"),
+    )
+    cand = l9.join(r, ["__cy", "__cx"])
+    dist = haversine_km(
+        F.col(lat_col), F.col(lon_col),
+        F.col(lat_col + suffix), F.col(lon_col + suffix),
+    )
+    return (
+        cand.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= float(radius_km))
+        .drop("__cy", "__cx")
+    )

@@ -204,7 +204,8 @@ _ROUND8_FRONT = [
 # a_q11_important_stock, j4_q20_excess_suppliers, x1_url_dedup,
 # f_bloom_filter, x7_dup_ngram_rate, lc_join_view_refresh,
 # t_interval_union, dq_l_diversity, dq_pseudonymize,
-# t_time_weighted_avg, t_ohlc_bars (check git log for later ones).
+# t_time_weighted_avg, t_ohlc_bars, j7_geo_radius_join,
+# j8_temporal_scd2_join (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",

@@ -1988,3 +1988,188 @@ def dq_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("tok") != F.col("raw")).alias("tokens_differ_from_raw"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — geo radius join (J7): the engine's first spatial
+# operator. Deterministic synthetic coordinates (|lat| < 60) derived
+# from the keys; suppliers find every customer within 300 km via the
+# lossless 3×3 grid candidate join (9× left projection + cell
+# equi-join + exact haversine refine — never the |S|·|C| cross
+# join). The ORACLE runs the cross join — equality certifies the
+# grid decomposition lossless, pair for pair. Nearest customer by
+# (rounded distance, key) row_number; filter on the UNROUNDED
+# distance in both engines.
+@query(
+    "j7_geo_radius_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             ((c_custkey * 37) % 12000) / 100.0 - 60 AS lat,
+             ((c_custkey * 73) % 36000) / 100.0 - 180 AS lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             ((s_suppkey * 41) % 12000) / 100.0 - 60 AS lat,
+             ((s_suppkey * 97) % 36000) / 100.0 - 180 AS lon
+      FROM supplier
+    ),
+    p AS (
+      SELECT s.s_suppkey, c.c_custkey,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(c.lat - s.lat) / 2) ^ 2
+               + cos(radians(s.lat)) * cos(radians(c.lat))
+                 * sin(radians(c.lon - s.lon) / 2) ^ 2)) AS dist
+      FROM s CROSS JOIN c
+    ),
+    q AS (
+      SELECT s_suppkey, c_custkey, round(dist, 6) AS d6,
+             count(*) OVER (PARTITION BY s_suppkey) AS n_within,
+             row_number() OVER (PARTITION BY s_suppkey
+                                ORDER BY round(dist, 6), c_custkey) AS rn
+      FROM p WHERE dist <= 300.0
+    )
+    SELECT s_suppkey,
+           CAST(n_within AS BIGINT) AS n_within,
+           d6 AS nearest_km,
+           CAST(c_custkey AS BIGINT) AS nearest_custkey
+    FROM q WHERE rn = 1
+    """,
+    doc="SURVEY §2.5 J7 [EXT] — geo radius join via lossless grid "
+    "decomposition (3×3 neighbor cells + haversine refine, never the "
+    "cross join); per supplier the within-300km count and nearest "
+    "customer (operators/joins.geo_radius_join).",
+)
+def j7_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cbts_datalake_synnex_spark.operators.joins import geo_radius_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 12000) / 100.0 - 60).alias("lat"),
+        (((F.col("c_custkey") * 73) % 36000) / 100.0 - 180).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 41) % 12000) / 100.0 - 60).alias("lat"),
+        (((F.col("s_suppkey") * 97) % 36000) / 100.0 - 180).alias("lon"),
+    )
+    pairs = geo_radius_join(supp, cust, radius_km=300.0, max_abs_lat=60.0)
+    d6 = F.round(F.col("dist_km"), 6)
+    ranked = pairs.select(
+        "s_suppkey",
+        F.col("c_custkey_r").alias("c_custkey"),
+        d6.alias("d6"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("s_suppkey"))
+        .cast("bigint")
+        .alias("n_within"),
+        F.row_number()
+        .over(W.partitionBy("s_suppkey").orderBy(d6, F.col("c_custkey_r")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "s_suppkey",
+        "n_within",
+        F.col("d6").alias("nearest_km"),
+        F.col("c_custkey").cast("bigint").alias("nearest_custkey"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — point-in-time SCD2 temporal join (J8): the FOR
+# SYSTEM_TIME AS OF semantics over a versioned dimension. History
+# built by the certified scd2_from_log (customer segments: all keys
+# insert at seq 1, k%3 move at seq 2, k%7 delete at seq 3); facts
+# probe at ts 0..3, so every regime is exercised — before-first-
+# version (NULL), version 1, version 2, and after-delete (NULL
+# again). Spark runs the LINEAR as-of plan (union + one window, no
+# interval theta-join); the oracle restates the interval containment
+# join directly — equality certifies the linear plan implements the
+# interval semantics.
+@query(
+    "j8_temporal_scd2_join",
+    oracle="""
+    WITH feed AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg, 1 AS seq, 'I' AS op
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MOVED_' || c_mktsegment, 2, 'U'
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, 3, 'D' FROM customer WHERE c_custkey % 7 = 0
+    ),
+    hist AS (
+      SELECT k, seg, op, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+      FROM feed
+    ),
+    f AS (
+      SELECT o_orderkey, o_custkey AS k,
+             CAST(o_orderkey % 4 AS BIGINT) AS ts
+      FROM orders WHERE o_orderkey <= 4000
+    ),
+    j AS (
+      SELECT f.ts, h.seg
+      FROM f LEFT JOIN hist h
+        ON f.k = h.k AND h.op <> 'D'
+        AND h.valid_from <= f.ts
+        AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    )
+    SELECT ts, seg,
+           CAST(count(*) AS BIGINT) AS n_facts
+    FROM j GROUP BY ts, seg
+    """,
+    doc="SURVEY §2.5 J8 [EXT] — point-in-time SCD2 temporal join "
+    "(FOR SYSTEM_TIME AS OF): linear as-of plan (union + one window) "
+    "certified equal to the interval-containment join; "
+    "before-first/v1/v2/after-delete regimes all probed "
+    "(operators/cdc.temporal_join over scd2_from_log).",
+)
+def j8_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.cdc import scd2_from_log, temporal_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    feed = (
+        cust.select("k", "seg", F.lit(1).alias("seq"), F.lit("I").alias("op"))
+        .unionByName(
+            cust.filter(F.col("k") % 3 == 0).select(
+                "k",
+                F.concat(F.lit("MOVED_"), F.col("seg")).alias("seg"),
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 7 == 0).select(
+                "k",
+                F.lit(None).cast("string").alias("seg"),
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+    hist = scd2_from_log(feed, keys=["k"], sequence_col="seq", op_col="op").filter(
+        F.col("op") != "D"
+    )
+    facts = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 4000
+    ).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        (F.col("o_orderkey") % 4).cast("bigint").alias("ts"),
+    )
+    joined = temporal_join(
+        facts,
+        hist.select("k", "seg", "valid_from", "valid_to"),
+        keys=["k"],
+        ts_col="ts",
+        value_cols=["seg"],
+    )
+    return joined.groupBy("ts", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_facts")
+    )
