@@ -320,6 +320,7 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "t_ohlc_bars",
     "j7_geo_radius_join",
     "j8_temporal_scd2_join",
+    "j_khop_bfs",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

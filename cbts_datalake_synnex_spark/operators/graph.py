@@ -496,3 +496,68 @@ def triangle_count(
         ],
         "n_nodes bigint, n_edges bigint, n_wedges bigint, n_triangles bigint, clustering double",
     )
+
+
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    inf: int = 1_000_000_000,
+) -> DataFrame:
+    """§2.6 [EXT] — multi-source BFS hop distances, bounded rounds
+    (round 12): the third fixpoint recurrence on the checkpoint
+    harness beside pagerank (float) and min-label (component id) —
+
+        d_0(v)     = 0 if v ∈ seeds else ∞
+        d_{t+1}(v) = min(d_t(v), min over edges u->v of d_t(u) + 1)
+
+    — after k rounds, d(v) is the exact hop distance for every node
+    within k hops of a seed (the "blast radius" / influence-frontier
+    query: which parts sit within k co-purchase hops of a recalled
+    part, which accounts within k transfers of a flagged one).
+    ``edges`` must be SYMMETRIC for undirected semantics; directed
+    graphs propagate along edge direction as given.
+
+    The ∞ is an explicit integer sentinel, NOT NULL — every value
+    each round is in {0..k} ∪ {inf, inf+1}, so the recurrence is
+    integer-exact and SQL-unrollable round by round with zero
+    null-semantics traps. Scale shape — the `label_propagation`
+    discipline: edge frame pinned once, per round one N-row state
+    join against the motionless edges + min-on-dst agg with map-side
+    combine; at the 100 TB tier the same three lambdas ride
+    `_bucketed_bsp`. Returns (node, dist) for REACHED nodes only
+    (dist < inf)."""
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(n_part, "src")
+        .localCheckpoint(eager=True)
+    )
+    seed_marks = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    d = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .join(seed_marks.withColumn("__s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__s").isNotNull(), F.lit(0))
+            .otherwise(F.lit(int(inf)))
+            .cast("bigint")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(iterations)):
+        inc = (
+            d.join(e, d["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("dist") + 1).alias("nbr"))
+        )
+        d = d.join(inc, "node", "left").select(
+            "node",
+            F.least(
+                F.col("dist"), F.coalesce(F.col("nbr"), F.lit(int(inf)))
+            ).alias("dist"),
+        )
+    return d.filter(F.col("dist") < int(inf))

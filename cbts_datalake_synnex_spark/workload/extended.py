@@ -2173,3 +2173,75 @@ def j8_temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("ts", "seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_facts")
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — k-hop BFS frontier (the blast-radius query): exact hop
+# distances for every part within 3 co-purchase hops of the seed set
+# (every 100th part). The ∞ sentinel is an explicit integer, so every
+# round value is in {0..3} ∪ {inf, inf+1} — integer-exact, unrolled
+# round by round in the oracle, zero null-semantics traps.
+@query(
+    "j_khop_bfs",
+    oracle="""
+    WITH e0 AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e0),
+    d0 AS (
+      SELECT node,
+             CASE WHEN node % 100 = 0 THEN 0 ELSE 1000000000 END AS dist
+      FROM nodes
+    ),
+    d1 AS (
+      SELECT d.node, least(d.dist, coalesce(m.nbr, 1000000000)) AS dist
+      FROM d0 d LEFT JOIN (
+        SELECT e0.dst AS node, min(d0.dist) + 1 AS nbr
+        FROM d0 JOIN e0 ON e0.src = d0.node GROUP BY e0.dst
+      ) m ON m.node = d.node
+    ),
+    d2 AS (
+      SELECT d.node, least(d.dist, coalesce(m.nbr, 1000000000)) AS dist
+      FROM d1 d LEFT JOIN (
+        SELECT e0.dst AS node, min(d1.dist) + 1 AS nbr
+        FROM d1 JOIN e0 ON e0.src = d1.node GROUP BY e0.dst
+      ) m ON m.node = d.node
+    ),
+    d3 AS (
+      SELECT d.node, least(d.dist, coalesce(m.nbr, 1000000000)) AS dist
+      FROM d2 d LEFT JOIN (
+        SELECT e0.dst AS node, min(d2.dist) + 1 AS nbr
+        FROM d2 JOIN e0 ON e0.src = d2.node GROUP BY e0.dst
+      ) m ON m.node = d.node
+    )
+    SELECT CAST(node AS BIGINT) AS part, CAST(dist AS BIGINT) AS hops
+    FROM d3 WHERE dist < 1000000000
+    """,
+    doc="SURVEY §2.6 [EXT] — multi-source k-hop BFS (3 rounds) over "
+    "the weight>=2 co-purchase graph from every-100th-part seeds: "
+    "integer-sentinel distances, edge frame pinned once, per round "
+    "one N-row state join + min-on-dst agg; reached nodes only "
+    "(operators/graph.khop_distances).",
+)
+def j_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.graph import (
+        copurchase_edges,
+        khop_distances,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li).filter(F.col("weight") >= 2)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 100 == 0)
+    )
+    out = khop_distances(edges, seeds, iterations=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("dist").cast("bigint").alias("hops"),
+    )

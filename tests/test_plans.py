@@ -506,3 +506,22 @@ def test_round8_operator_plan_shapes(spark, sf_dir):
     rp = explain_str(REGISTRY["x3_random_projection"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in rp
     assert "InPandas" not in rp and "CartesianProduct" not in rp
+
+
+def test_round12_late_single_shuffle_shapes(spark, sf_dir):
+    """Round-12 late additions: the docstring claims 'ONE shuffle on
+    the analysis key carries everything downstream' — pin it. A
+    second exchange on these shapes is the 100 TB regression."""
+    import re
+
+    from cbts_datalake_synnex_spark.plans.inspect import explain_str
+
+    for name, max_ex in [
+        ("t_interval_union", 1),   # both windows + both aggs on user_id
+        ("t_time_weighted_avg", 1),  # lead window + agg on user_id
+        ("t_ohlc_bars", 1),        # single hash agg on (user, bar)
+        ("x1_url_dedup", 1),       # one min-agg on the canonical key
+    ]:
+        txt = explain_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        n_ex = len(re.findall(r"Exchange hashpartitioning", txt))
+        assert n_ex <= max_ex, f"{name}: {n_ex} hash exchanges (max {max_ex})"
