@@ -321,6 +321,7 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "j7_geo_radius_join",
     "j8_temporal_scd2_join",
     "j_khop_bfs",
+    "dq_mad_outliers",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

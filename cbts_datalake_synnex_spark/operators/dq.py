@@ -620,3 +620,57 @@ def pseudonymize(df: DataFrame, cols: list[str], salt: str) -> DataFrame:
             c, F.when(F.col(c).isNotNull(), tok).otherwise(F.lit(None))
         )
     return out
+
+
+def mad_outliers_report(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DQ [EXT] — robust outlier report by median absolute deviation
+    (round 12): the control chart's mean ± 3σ breaks under the very
+    outliers it hunts (one huge value inflates σ until nothing flags
+    — masking); median/MAD have a 50% breakdown point. A value flags
+    when |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ
+    under normality — Hampel's consistency constant, public).
+
+    Degenerate MAD = 0 (a majority of the group shares one value):
+    any x ≠ median has infinite robust z — those flag, exactly.
+
+    Scale shape: two group-keyed aggregates (median, then median of
+    |x − med|) with two co-partitioned joins back — three passes over
+    the group shuffle, no window, no sort beyond the percentile's
+    own. The k·1.4826 factor is folded to ONE literal in Python so
+    both engines compare against the identical double. Returns one
+    row per group: (group_cols…, n, med, mad, n_outliers,
+    outlier_share)."""
+    factor = float(k) * 1.4826
+    base = df.filter(F.col(value_col).isNotNull())
+    med = base.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    d = base.join(med, group_cols)
+    mad = d.groupBy(*group_cols).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).alias(
+            "__mad"
+        )
+    )
+    flagged = d.join(mad, group_cols).withColumn(
+        "__out",
+        F.when(
+            F.col("__mad") > 0,
+            F.abs(F.col(value_col) - F.col("__med"))
+            > F.lit(factor) * F.col("__mad"),
+        ).otherwise(F.col(value_col) != F.col("__med")),
+    )
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.first("__med"), round_dp).alias("med"),
+        F.round(F.first("__mad"), round_dp).alias("mad"),
+        F.sum(F.col("__out").cast("int")).cast("bigint").alias("n_outliers"),
+        F.round(
+            F.sum(F.col("__out").cast("int")) / F.count(F.lit(1)), round_dp
+        ).alias("outlier_share"),
+    )

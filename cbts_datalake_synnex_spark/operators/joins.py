@@ -320,21 +320,38 @@ def geo_radius_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     suffix: str = "_r",
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs with haversine distance ≤ ``radius_km``,
     via the lossless 3×3 grid candidate join. Points beyond
     ``max_abs_lat`` are REFUSED (raise at plan time would need an
     action; instead they are filtered out and the contract documented
     — near the poles the longitude cell width degenerates and a grid
-    in plain degrees stops being lossless). Longitude wraparound at
-    ±180° is NOT stitched (the one simplification vs a production
-    geohash; declared). Adds ``dist_km`` (unrounded double)."""
+    in plain degrees stops being lossless). With ``wrap_lon`` the
+    longitude axis closes at ±180°: cells become EQUAL-width
+    (360°/n — unequal cells would leave a narrower seam cell whose
+    neighborhood under-reaches) and neighbor offsets wrap modulo n,
+    so antimeridian-straddling pairs match; the haversine itself is
+    Δλ-periodic, only the bucketing needed stitching. Requires at
+    least three wrapped cells (radius too large to wrap raises).
+    Without it, wraparound is NOT stitched (declared). Adds
+    ``dist_km`` (unrounded double)."""
     cell_lat = float(radius_km) / 110.574  # km per degree latitude
     import math
 
     cell_lon = float(radius_km) / (
         111.320 * math.cos(math.radians(float(max_abs_lat)))
     )
+    n_lon = 0
+    if wrap_lon:
+        n_lon = int(math.floor(360.0 / cell_lon))
+        if n_lon < 3:
+            raise ValueError(
+                f"radius {radius_km} km needs lon cells of {cell_lon:.1f}° "
+                f"at |lat| ≤ {max_abs_lat}° — fewer than 3 wrapped cells; "
+                "wraparound bucketing is not lossless there"
+            )
+        cell_lon = 360.0 / n_lon
     def cells(df: DataFrame, rename: bool) -> DataFrame:
         out = df.filter(F.abs(F.col(lat_col)) <= float(max_abs_lat)).select(
             *[
@@ -342,7 +359,12 @@ def geo_radius_join(
                 for c in df.columns
             ],
             F.floor(F.col(lat_col) / cell_lat).cast("bigint").alias("__cy"),
-            F.floor(F.col(lon_col) / cell_lon).cast("bigint").alias("__cx"),
+            (
+                F.floor((F.col(lon_col) + 180.0) / cell_lon).cast("bigint")
+                % n_lon
+                if wrap_lon
+                else F.floor(F.col(lon_col) / cell_lon).cast("bigint")
+            ).alias("__cx"),
         )
         return out
 
@@ -353,10 +375,13 @@ def geo_radius_join(
         F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
                   for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
     ).alias("__o")
+    cx9 = F.col("__cx") + F.col("__o.dx")
+    if wrap_lon:
+        cx9 = ((cx9 % n_lon) + n_lon) % n_lon
     l9 = l.select("*", offs).select(
         *[c for c in l.columns if c not in ("__cy", "__cx")],
         (F.col("__cy") + F.col("__o.dy")).alias("__cy"),
-        (F.col("__cx") + F.col("__o.dx")).alias("__cx"),
+        cx9.alias("__cx"),
     )
     cand = l9.join(r, ["__cy", "__cx"])
     dist = haversine_km(

@@ -2245,3 +2245,68 @@ def j_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("part"),
         F.col("dist").cast("bigint").alias("hops"),
     )
+
+
+# ----------------------------------------------------------------------
+# Round 12 — MAD robust outliers: the control chart's mean ± 3σ masks
+# under heavy contamination (one huge value inflates σ until nothing
+# flags); median/MAD have a 50% breakdown point. ~1% planted spikes
+# (every-101st event, +500) must flag without dragging the fences —
+# the masking-resistance property stated as exact counts. The
+# k·1.4826 Hampel factor folds to one literal so both engines compare
+# against the identical double.
+@query(
+    "dq_mad_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             value + CASE WHEN event_id % 101 = 0 THEN 500.0 ELSE 0.0 END AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med
+      FROM base GROUP BY event_type
+    ),
+    d AS (
+      SELECT b.event_type, b.v, m.med FROM base b JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
+      FROM d GROUP BY event_type
+    ),
+    f AS (
+      SELECT d.event_type, d.v, d.med, md.mad,
+             CASE WHEN md.mad > 0 THEN abs(d.v - d.med) > 4.4478 * md.mad
+                  ELSE d.v <> d.med END AS is_out
+      FROM d JOIN md USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(med, 6) AS med,
+           round(mad, 6) AS mad,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(sum(CASE WHEN is_out THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS outlier_share
+    FROM f GROUP BY event_type, med, mad
+    """,
+    doc="DQ [EXT] — median/MAD robust outlier report (Hampel fences, "
+    "50% breakdown): per event_type, planted ~1% spikes flag as exact "
+    "counts while the fences stay put — the masking case mean±3σ "
+    "fails (operators/dq.mad_outliers_report).",
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import mad_outliers_report
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 101 == 0, F.lit(500.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("v"),
+    )
+    return mad_outliers_report(ev, ["event_type"], "v", k=3.0)

@@ -267,3 +267,32 @@ def test_pseudonymize_null_and_referential_integrity(spark):
     # different salt -> tokens differ (no accidental linkability)
     pa2 = pseudonymize(a, ["k"], salt="s2")
     assert {r["k"] for r in pa2.collect() if r["k"]}.isdisjoint(set(toks.values()))
+
+
+def test_mad_outliers_resist_masking(spark):
+    from cbts_datalake_synnex_spark.operators.dq import mad_outliers_report
+
+    # classic MASKING geometry: one enormous spike inflates σ so the
+    # two moderate (but obvious) spikes hide inside mean±3σ; MAD flags
+    # all three
+    vals = [("g", 10.0 + (i % 5) * 0.1) for i in range(97)] + [
+        ("g", 1e6), ("g", 2000.0), ("g", -2000.0),
+    ]
+    df = spark.createDataFrame(vals, "g string, v double")
+    r = mad_outliers_report(df, ["g"], "v", k=3.0).collect()[0]
+    assert r["n_outliers"] == 3 and r["n"] == 100
+    # assert the masking premise itself: 3-sigma misses the ±2000 pair
+    import statistics
+
+    xs = [v for _, v in vals]
+    mu, sd = statistics.fmean(xs), statistics.pstdev(xs)
+    assert sum(1 for x in xs if abs(x - mu) > 3 * sd) == 1
+
+
+def test_mad_zero_degenerate_flags_non_median(spark):
+    from cbts_datalake_synnex_spark.operators.dq import mad_outliers_report
+
+    vals = [("g", 5.0)] * 9 + [("g", 6.0)]
+    df = spark.createDataFrame(vals, "g string, v double")
+    r = mad_outliers_report(df, ["g"], "v", k=3.0).collect()[0]
+    assert r["mad"] == 0.0 and r["n_outliers"] == 1
