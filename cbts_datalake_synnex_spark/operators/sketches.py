@@ -148,9 +148,20 @@ def cms_inner_product(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
 # published FPR analysis only bounds how OFTEN a non-member collides.
 
 
-def _bit_pos(i: F.Column, item: F.Column, n_bits: int, salt: str) -> F.Column:
-    h = F.md5(F.concat_ws(":", F.lit(salt), i.cast("string"), item.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(int(n_bits))
+def _positions(item: F.Column, n_bits: int, k: int, salt: str) -> list:
+    """ONE md5 per item, k independent 32-bit slices of its 128 bits
+    (the Kirsch-Mitzenmacher discipline: independent hash functions
+    are unnecessary — here each position reads its own non-overlapping
+    nibble range, so one hash evaluation funds all k positions, a k×
+    cut of the dominant build cost). k ≤ 4 by the 128-bit budget."""
+    if not 1 <= int(k) <= 4:
+        raise ValueError(f"k={k}: one 128-bit md5 funds at most 4 slices")
+    h = F.md5(F.concat_ws(":", F.lit(salt), item.cast("string")))
+    return [
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+        % F.lit(int(n_bits))
+        for i in range(int(k))
+    ]
 
 
 def bloom_build(
@@ -163,16 +174,11 @@ def bloom_build(
     """Set-position frame (pos) for the Bloom filter over ``item_col``
     (NULLs excluded — NULL never equi-matches, same discipline as
     `analyze_join_column`). ≤ n_bits rows out, whatever goes in."""
-    i = F.explode(F.array(*[F.lit(j) for j in range(int(k))])).alias("i")
-    rows = (
-        df.filter(F.col(item_col).isNotNull())
-        .select(F.col(item_col).alias("__item"))
-        .select("__item", i)
+    rows = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).alias("__item")
     )
-    return (
-        rows.select(_bit_pos(F.col("i"), F.col("__item"), n_bits, salt).alias("pos"))
-        .distinct()
-    )
+    pos = F.explode(F.array(*_positions(F.col("__item"), n_bits, k, salt)))
+    return rows.select(pos.alias("pos")).distinct()
 
 
 def bloom_probe(
@@ -189,16 +195,11 @@ def bloom_probe(
     probes true (its own build set exactly these bits — the zero-
     false-negative guarantee the registry query asserts per key).
     Returns (item_col, bloom_member)."""
-    i = F.explode(F.array(*[F.lit(j) for j in range(int(k))])).alias("i")
     probes = (
-        items.filter(F.col(item_col).isNotNull())
-        .select(F.col(item_col))
-        .distinct()
-        .select(item_col, i)
+        items.filter(F.col(item_col).isNotNull()).select(F.col(item_col)).distinct()
     )
-    keyed = probes.select(
-        item_col, _bit_pos(F.col("i"), F.col(item_col), n_bits, salt).alias("pos")
-    )
+    pos = F.explode(F.array(*_positions(F.col(item_col), n_bits, k, salt)))
+    keyed = probes.select(item_col, pos.alias("pos"))
     hit = bits.select(F.col("pos"), F.lit(1).alias("__hit"))
     return (
         keyed.join(F.broadcast(hit), "pos", "left")

@@ -524,20 +524,33 @@ def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # negatives by construction (asserted per key), false positives
 # allowed and visible. Bits are md5-derived, so DuckDB re-derives the
 # ENTIRE filter and every verdict bit-for-bit.
+def _bench_bloom_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy path only: build + probe (the registry fn additionally
+    runs the exact-membership twin for certification — scaffolding
+    the bench must not time, per the bench_fn discipline)."""
+    from cbts_datalake_synnex_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bits = sketches.bloom_build(orders, "o_custkey", n_bits=4096, k=3)
+    return sketches.bloom_probe(bits, cust, "c_custkey", n_bits=4096, k=3)
+
+
 @query(
     "f_bloom_filter",
+    bench_fn=_bench_bloom_raw,
     oracle="""
     WITH ks AS (SELECT range AS i FROM range(0, 3)),
     build AS (
       SELECT DISTINCT
-        CAST(('0x' || substr(md5('bloom:' || CAST(i AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS pos
+        CAST(('0x' || substr(md5('bloom:' || CAST(o_custkey AS VARCHAR)), 1 + 8 * i, 8)) AS BIGINT) % 4096 AS pos
       FROM orders CROSS JOIN ks
       WHERE o_custkey IS NOT NULL
     ),
     probe AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL),
     ph AS (
       SELECT c_custkey,
-        CAST(('0x' || substr(md5('bloom:' || CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS pos
+        CAST(('0x' || substr(md5('bloom:' || CAST(c_custkey AS VARCHAR)), 1 + 8 * i, 8)) AS BIGINT) % 4096 AS pos
       FROM probe CROSS JOIN ks
     ),
     verdict AS (
