@@ -322,6 +322,7 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "j8_temporal_scd2_join",
     "j_khop_bfs",
     "dq_mad_outliers",
+    "t_linear_attribution",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -205,8 +205,8 @@ _ROUND8_FRONT = [
 # f_bloom_filter, x7_dup_ngram_rate, lc_join_view_refresh,
 # t_interval_union, dq_l_diversity, dq_pseudonymize,
 # t_time_weighted_avg, t_ohlc_bars, j7_geo_radius_join,
-# j8_temporal_scd2_join, j_khop_bfs, dq_mad_outliers (check git log
-# for later ones).
+# j8_temporal_scd2_join, j_khop_bfs, dq_mad_outliers,
+# t_linear_attribution (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",

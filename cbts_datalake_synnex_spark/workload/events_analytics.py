@@ -2144,3 +2144,110 @@ def t_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ohlc_bars(ev, "user_id", "ts", "value", bar_hours=24)
+
+
+# ----------------------------------------------------------------------
+# Multi-touch linear attribution (round 12): the funnel query's
+# credit-model upgrade — last-click (t_funnel_attribution) gives the
+# whole conversion to one touch; linear attribution splits each
+# purchase's unit of credit evenly across EVERY click in the hour
+# before it. Plan: user-keyed equi-join of purchases × clicks with
+# the residual time filter (per-user pair volume is bounded by
+# session activity — the honest shape for per-entity attribution;
+# unkeyed ranges use banded_interval_join instead), one per-purchase
+# touch count, one user rollup. Conservation (Σ credit = touched
+# conversions) holds by construction and is visible to the oracle
+# via the count columns.
+@query(
+    "t_linear_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS cid, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.user_id, p.pid, c.cid
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ct BETWEEN p.pt - 3600000000 AND p.pt
+    ),
+    per_p AS (
+      SELECT user_id, pid, count(*) AS n_touches FROM pairs GROUP BY 1, 2
+    ),
+    per_u AS (
+      SELECT user_id,
+             count(*) AS n_touched,
+             round(avg(n_touches), 6) AS avg_touches,
+             max(n_touches) AS max_touches
+      FROM per_p GROUP BY user_id
+    ),
+    clicks_u AS (
+      SELECT user_id, count(DISTINCT cid) AS n_clicks_credited
+      FROM pairs GROUP BY user_id
+    ),
+    purch_u AS (
+      SELECT user_id, count(*) AS n_purchases FROM p GROUP BY user_id
+    )
+    SELECT pu.user_id,
+           CAST(pu.n_purchases AS BIGINT) AS n_purchases,
+           CAST(coalesce(u.n_touched, 0) AS BIGINT) AS n_touched,
+           CAST(coalesce(cu.n_clicks_credited, 0) AS BIGINT)
+             AS n_clicks_credited,
+           coalesce(u.avg_touches, 0.0) AS avg_touches,
+           CAST(coalesce(u.max_touches, 0) AS BIGINT) AS max_touches
+    FROM purch_u pu
+    LEFT JOIN per_u u USING (user_id)
+    LEFT JOIN clicks_u cu USING (user_id)
+    """,
+    doc="SURVEY §2.6++ — multi-touch linear attribution: purchases "
+    "split a unit of credit across every click in the preceding "
+    "hour; user-keyed equi-join + residual time filter, per-purchase "
+    "touch count, user rollup (credit conservation by construction).",
+)
+def t_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("t").alias("pt")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("t").alias("ct"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & F.col("ct").between(F.col("pt") - 3_600_000_000, F.col("pt")),
+    ).select("user_id", "pid", "cid")
+    per_p = pairs.groupBy("user_id", "pid").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    per_u = per_p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touched"),
+        F.round(F.avg("n_touches"), 6).alias("avg_touches"),
+        F.max("n_touches").cast("bigint").alias("max_touches"),
+    )
+    clicks_u = pairs.groupBy("user_id").agg(
+        F.count_distinct("cid").cast("bigint").alias("n_clicks_credited")
+    )
+    purch_u = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+    return (
+        purch_u.join(per_u, "user_id", "left")
+        .join(clicks_u, "user_id", "left")
+        .select(
+            "user_id",
+            "n_purchases",
+            F.coalesce(F.col("n_touched"), F.lit(0)).cast("bigint").alias("n_touched"),
+            F.coalesce(F.col("n_clicks_credited"), F.lit(0))
+            .cast("bigint")
+            .alias("n_clicks_credited"),
+            F.coalesce(F.col("avg_touches"), F.lit(0.0)).alias("avg_touches"),
+            F.coalesce(F.col("max_touches"), F.lit(0)).cast("bigint").alias("max_touches"),
+        )
+    )
