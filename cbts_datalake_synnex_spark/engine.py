@@ -256,7 +256,7 @@ class LakeEngine:
         # violating rows. The first validation agg materializes the
         # cache; the write then reuses the pinned partitions.
         pinned = None
-        if exists and (self.generated_columns(table) or self.table_constraints(table)):
+        if exists and (self.generated_columns(table) or self.table_constraints(table) or self.unique_constraints(table)):
             pinned = df.persist()
             df = pinned
         try:
@@ -290,6 +290,7 @@ class LakeEngine:
         # its properties), so re-apply preserved properties afterwards.
         if exists:
             self._enforce_constraints(table, df)
+            self._enforce_unique(table, df, mode)
         preserved = self._preserved_properties(table) if exists else {}
         writer = df.write.mode(mode).format(self.table_format)
         if self.table_format == "delta":
@@ -312,6 +313,8 @@ class LakeEngine:
         self.spark.catalog.refreshTable(qtable)
         self._journal_schema(table)
         self._journal_snapshot(table)
+        if exists and mode == "append" and self.unique_constraints(table):
+            self._refresh_unique_membership(table, df)
 
     # ------------------------------------------------------------------
     # Data time travel on plain parquet: every curated write journals
@@ -2071,7 +2074,136 @@ class LakeEngine:
             f"ALTER TABLE {qtable} UNSET TBLPROPERTIES IF EXISTS ('constraint.check.{name}')"
         )
 
-    _PRESERVED_PROP_PREFIXES = ("constraint.check.", "generated.col.")
+    # -- UNIQUE constraints (round 12) ---------------------------------
+    # The enforcement plain parquet/Delta lacks and DLT expectations
+    # approximate: a declared key must stay unique across the whole
+    # table. Batch-internal duplicates are one hash agg on the batch.
+    # Cross-batch collisions are where 100 TB bites — the naive check
+    # re-scans the table per append. The engine composes the round's
+    # membership tier instead: when `analyze_membership` has persisted
+    # a Bloom filter for the key, batch keys probe it first — an
+    # all-negative batch (the steady-state append) SKIPS the table
+    # scan entirely (zero false negatives make the skip safe); only
+    # FPR-bounded positives pay the exact semi-join. A successful
+    # append folds the batch's positions into the stored filter
+    # (Bloom OR), keeping the zero-FN contract across batches.
+
+    def add_unique_constraint(self, table: str, name: str, cols) -> None:
+        """Register UNIQUE(cols). Existing rows must already be
+        unique (one hash agg verifies); later `write_curated` batches
+        reject on batch-internal duplicates and, for appends, on
+        collisions with existing keys. NULL keys are exempt (SQL
+        UNIQUE semantics: NULL compares distinct)."""
+        qtable = self.qualified(table)
+        if not self.spark.catalog.tableExists(qtable):
+            raise ValueError(f"no such table: {qtable}")
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        dup = (
+            self.spark.table(qtable)
+            .dropna(subset=cols)
+            .groupBy(*cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if dup:
+            raise ConstraintViolation(
+                f"cannot add unique constraint {name!r}: {dup} existing "
+                f"key groups are duplicated on ({', '.join(cols)})"
+            )
+        esc = ",".join(cols).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {qtable} SET TBLPROPERTIES ('constraint.unique.{name}' = '{esc}')"
+        )
+
+    def drop_unique_constraint(self, table: str, name: str) -> None:
+        qtable = self.qualified(table)
+        self.spark.sql(
+            f"ALTER TABLE {qtable} UNSET TBLPROPERTIES IF EXISTS ('constraint.unique.{name}')"
+        )
+
+    def unique_constraints(self, table: str) -> dict[str, list[str]]:
+        return {
+            name: spec.split(",")
+            for name, spec in self._props_with_prefix(
+                table, "constraint.unique."
+            ).items()
+        }
+
+    def _enforce_unique(self, table: str, df: DataFrame, mode: str) -> None:
+        """Reject the batch if any unique constraint would break.
+        Leaves ``self._last_unique_stats`` (diagnostic) describing the
+        path taken per constraint."""
+        stats: dict[str, dict] = {}
+        self._last_unique_stats = stats
+        for name, cols in self.unique_constraints(table).items():
+            batch_keys = df.dropna(subset=cols).select(*cols)
+            n_dup = (
+                batch_keys.groupBy(*cols).count().filter(F.col("count") > 1).count()
+            )
+            st = {"batch_dup_groups": n_dup, "bloom_screened": False,
+                  "bloom_positives": None, "table_scanned": False}
+            stats[name] = st
+            if n_dup:
+                raise ConstraintViolation(
+                    f"unique constraint {name!r} violated: {n_dup} key "
+                    f"groups duplicated WITHIN the batch on ({', '.join(cols)})"
+                )
+            if mode != "append":
+                continue  # overwrite replaces the table: batch-internal only
+            probe_keys = batch_keys.distinct()
+            suspects = probe_keys
+            if len(cols) == 1 and self.spark.catalog.tableExists(
+                self.qualified(f"{table}_bloom_{cols[0]}")
+            ):
+                verdicts = self.probe_membership(table, cols[0], df, cols[0])
+                st["bloom_screened"] = True
+                suspects = verdicts.filter(F.col("bloom_member")).select(*cols)
+                n_pos = suspects.count()
+                st["bloom_positives"] = n_pos
+                if n_pos == 0:
+                    continue  # zero FN: no batch key can exist in the table
+            st["table_scanned"] = True
+            n_hit = (
+                self.spark.table(self.qualified(table))
+                .dropna(subset=cols)
+                .select(*cols)
+                .join(F.broadcast(suspects), cols, "left_semi")
+                .count()
+            )
+            if n_hit:
+                raise ConstraintViolation(
+                    f"unique constraint {name!r} violated: {n_hit} batch "
+                    f"rows collide with existing keys on ({', '.join(cols)})"
+                )
+
+    def _refresh_unique_membership(self, table: str, df: DataFrame) -> None:
+        """After a successful append: fold the batch's key positions
+        into any persisted membership filter so the zero-FN contract
+        survives the append (Bloom OR = position-set union)."""
+        from cbts_datalake_synnex_spark.operators import sketches
+
+        for _name, cols in self.unique_constraints(table).items():
+            if len(cols) != 1:
+                continue
+            fname = self.qualified(f"{table}_bloom_{cols[0]}")
+            if not self.spark.catalog.tableExists(fname):
+                continue
+            meta = self.spark.table(fname).select("n_bits", "k", "salt").first()
+            if meta is None:
+                continue
+            bits = sketches.bloom_build(
+                df, cols[0], n_bits=int(meta["n_bits"]), k=int(meta["k"]),
+                salt=meta["salt"],
+            ).select(
+                "pos",
+                F.lit(int(meta["n_bits"])).alias("n_bits"),
+                F.lit(int(meta["k"])).alias("k"),
+                F.lit(meta["salt"]).alias("salt"),
+            )
+            bits.write.format("parquet").mode("append").saveAsTable(fname)
+
+    _PRESERVED_PROP_PREFIXES = ("constraint.check.", "constraint.unique.", "generated.col.")
 
     def _props_with_prefix(self, table: str, prefix: str) -> dict[str, str]:
         qtable = self.qualified(table)

@@ -200,7 +200,9 @@ def bloom_probe(
     )
     pos = F.explode(F.array(*_positions(F.col(item_col), n_bits, k, salt)))
     keyed = probes.select(item_col, pos.alias("pos"))
-    hit = bits.select(F.col("pos"), F.lit(1).alias("__hit"))
+    # distinct: appended/merged position tables may carry duplicate
+    # pos rows, which would inflate the per-item hit count past k
+    hit = bits.select("pos").distinct().select(F.col("pos"), F.lit(1).alias("__hit"))
     return (
         keyed.join(F.broadcast(hit), "pos", "left")
         .groupBy(item_col)

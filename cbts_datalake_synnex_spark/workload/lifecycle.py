@@ -2816,3 +2816,87 @@ def lc_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(mode2 == "noop").alias("second_refresh_noop"),
         )
         return _materialize(spark, out)
+
+
+# ----------------------------------------------------------------------
+# Round 12 — UNIQUE constraint with the Bloom admission fast path:
+# the enforcement plain parquet lacks. Batch-internal duplicates are
+# one hash agg; cross-batch collisions probe the persisted membership
+# filter FIRST (an all-negative batch skips the table scan — safe by
+# the zero-FN guarantee), and a successful append folds its keys into
+# the filter so the NEXT append still sees them (the critical
+# maintenance property: without it a duplicate of a just-appended key
+# would probe negative and slip through — b4 below). Violating
+# batches leave the table byte-untouched (row counts asserted).
+@query(
+    "lc_unique_constraint",
+    oracle="""
+    WITH n0 AS (
+      SELECT count(*) AS n FROM orders WHERE o_orderkey <= 2000
+    ),
+    n1 AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_orderkey > 2000 AND o_orderkey <= 3000
+    )
+    SELECT CAST(n0.n AS BIGINT) AS n_initial,
+           TRUE AS fresh_append_ok,
+           CAST(n0.n + n1.n AS BIGINT) AS n_after_append,
+           TRUE AS dup_batch_rejected,
+           TRUE AS collision_batch_rejected,
+           TRUE AS post_append_dup_rejected,
+           CAST(n0.n + n1.n AS BIGINT) AS n_after_rejects
+    FROM n0, n1
+    """,
+    doc="K++ [EXT] — UNIQUE constraint enforcement on write: batch "
+    "dup + cross-batch collision rejection with the Bloom admission "
+    "fast path and post-append filter maintenance; rejects leave the "
+    "table untouched (engine.add_unique_constraint/_enforce_unique).",
+)
+def lc_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.engine import ConstraintViolation
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    base = o.filter(F.col("k") <= 2000)
+    fresh = o.filter((F.col("k") > 2000) & (F.col("k") <= 3000))
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("ut", base, mode="overwrite", partition_cols=[])
+        eng.add_unique_constraint("ut", "pk", ["k"])
+        eng.analyze_membership("ut", "k", n_bits=1 << 16, k=3)
+        n_initial = spark.table(eng.qualified("ut")).count()
+
+        eng.write_curated("ut", fresh, mode="append", partition_cols=[])
+        n_after = spark.table(eng.qualified("ut")).count()
+        fresh_ok = n_after == n_initial + fresh.count()
+
+        def rejected(batch) -> bool:
+            try:
+                eng.write_curated("ut", batch, mode="append", partition_cols=[])
+                return False
+            except ConstraintViolation:
+                return True
+
+        dup_batch = fresh.limit(1).unionByName(fresh.limit(1))
+        b2 = rejected(dup_batch)
+        collide = base.filter(F.col("k") == 1500).select(
+            F.col("k"), (F.col("price") + 1).alias("price")
+        )
+        b3 = rejected(collide)
+        # the maintenance property: a key appended in THIS session's
+        # fresh batch must still be caught (filter was refreshed)
+        post_dup = fresh.orderBy("k").limit(1)
+        b4 = rejected(post_dup)
+        n_final = spark.table(eng.qualified("ut")).count()
+
+        out = spark.createDataFrame(
+            [(
+                n_initial, bool(fresh_ok), n_after, bool(b2), bool(b3),
+                bool(b4), n_final,
+            )],
+            "n_initial bigint, fresh_append_ok boolean, "
+            "n_after_append bigint, dup_batch_rejected boolean, "
+            "collision_batch_rejected boolean, "
+            "post_append_dup_rejected boolean, n_after_rejects bigint",
+        )
+        return out
