@@ -351,7 +351,9 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # x3_pq_index_probe (two index builds + three probes — the deploy
 # probe cost is the x3_knn_join row) and
 # x4_logreg_calibration (sf1 coverage via x4_logreg_train's shared
-# trajectory), lc_unique_constraint (seven engine ops in a scratch
+# trajectory), lc_snapshot_sync (diff + two merges in a scratch
+# lake; the data-path costs are merge_cdc_apply's standing anchors),
+# lc_unique_constraint (seven engine ops in a scratch
 # lake — the enforcement costs are one batch agg + the bloom probe,
 # both already anchored) and lc_join_view_refresh (scratch-lake lifecycle:
 # three curated writes + snapshot retention dominate; the refresh's

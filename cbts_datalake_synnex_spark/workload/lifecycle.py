@@ -2900,3 +2900,93 @@ def lc_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "post_append_dup_rejected boolean, n_after_rejects bigint",
         )
         return out
+
+
+# ----------------------------------------------------------------------
+# Round 12 — full-snapshot sync (WHEN NOT MATCHED BY SOURCE role):
+# mirror a nightly upstream snapshot as CHANGE-SIZED work — one diff
+# classifies keys, upserts are file-pruned merges, vanished keys
+# delete through the same machinery; files without affected keys keep
+# their inodes. Certification: after the sync, the table's per-status
+# content fingerprint equals the oracle's restatement of the TARGET
+# snapshot exactly, and the returned change counts restate from set
+# algebra over the two versions.
+@query(
+    "lc_snapshot_sync",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey <= 3000
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 2, 2)
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 5 <> 2 AND o_orderkey <= 4000
+    ),
+    cnt AS (
+      SELECT
+        (SELECT count(*) FROM v2 WHERE k NOT IN (SELECT k FROM v1))
+          AS n_inserted,
+        (SELECT count(*) FROM v1 WHERE k NOT IN (SELECT k FROM v2))
+          AS n_deleted,
+        (SELECT count(*) FROM v1 JOIN v2 USING (k)
+          WHERE v1.price <> v2.price) AS n_changed
+    ),
+    h AS (
+      SELECT status,
+             CAST(('0x' || substr(md5(
+               CAST(k AS VARCHAR) || chr(31)
+               || CAST(CAST(round(price * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 8)) AS BIGINT) AS hv
+      FROM v2
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) AS BIGINT) AS content_sum,
+           CAST(cnt.n_inserted AS BIGINT) AS n_inserted,
+           CAST(cnt.n_changed AS BIGINT) AS n_changed,
+           CAST(cnt.n_deleted AS BIGINT) AS n_deleted
+    FROM h, cnt
+    GROUP BY status, cnt.n_inserted, cnt.n_changed, cnt.n_deleted
+    """,
+    doc="K++ [EXT] — full-snapshot sync (SQL:2003 full MERGE / Delta "
+    "NOT MATCHED BY SOURCE): diff once, file-pruned upserts, vanished "
+    "keys deleted through the merge machinery; post-sync per-status "
+    "fingerprint equals the target snapshot exactly "
+    "(engine.sync_to_snapshot).",
+)
+def lc_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import table_fingerprint
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v1 = o.filter((F.col("k") % 7 != 3) & (F.col("k") <= 3000))
+    v2 = o.filter((F.col("k") % 5 != 2) & (F.col("k") <= 4000)).select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.round(F.col("price") * 2, 2))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        "status",
+    )
+    with _scratch_engine(spark) as eng:
+        eng.write_curated("snap", v1, mode="overwrite", partition_cols=[])
+        counts = eng.sync_to_snapshot("snap", v2, keys=["k"])
+        final = spark.table(eng.qualified("snap")).withColumn(
+            "cents", F.round(F.col("price") * 100).cast("bigint")
+        )
+        out = table_fingerprint(
+            final, ["k", "cents"], group_cols=["status"]
+        ).select(
+            "status",
+            "n_rows",
+            "content_sum",
+            F.lit(counts["inserted"]).cast("bigint").alias("n_inserted"),
+            F.lit(counts["changed"]).cast("bigint").alias("n_changed"),
+            F.lit(counts["deleted"]).cast("bigint").alias("n_deleted"),
+        )
+        return _materialize(spark, out)

@@ -105,3 +105,21 @@ def test_add_refuses_existing_duplicates_and_overwrite_mode(spark, eng):
     assert spark.table(eng.qualified("t")).count() == 1
     # and the constraint survived the overwrite (preserved property)
     assert "pk" in eng.unique_constraints("t")
+
+
+def test_sync_to_snapshot_idempotent_and_pure_delete(spark, eng):
+    t0 = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    eng.write_curated("s", t0, mode="overwrite", partition_cols=[])
+    snap = _df(spark, [(1, "a"), (2, "B"), (4, "d")])  # 3 gone, 2 changed, 4 new
+    counts = eng.sync_to_snapshot("s", snap, keys=["k"])
+    assert counts == {"inserted": 1, "changed": 1, "deleted": 1}
+    got = {(r["k"], r["v"]) for r in spark.table(eng.qualified("s")).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # idempotent: syncing to the same snapshot is a no-op
+    assert eng.sync_to_snapshot("s", snap, keys=["k"]) == {
+        "inserted": 0, "changed": 0, "deleted": 0,
+    }
+    # pure delete: empty snapshot empties the table through the merge path
+    empty = _df(spark, [], "k int, v string")
+    assert eng.sync_to_snapshot("s", empty, keys=["k"])["deleted"] == 3
+    assert spark.table(eng.qualified("s")).count() == 0
