@@ -2832,11 +2832,10 @@ def lc_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lc_unique_constraint",
     oracle="""
     WITH n0 AS (
-      SELECT count(*) AS n FROM orders WHERE o_orderkey <= 2000
+      SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 <> 0
     ),
     n1 AS (
-      SELECT count(*) AS n FROM orders
-      WHERE o_orderkey > 2000 AND o_orderkey <= 3000
+      SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 0
     )
     SELECT CAST(n0.n AS BIGINT) AS n_initial,
            TRUE AS fresh_append_ok,
@@ -2858,8 +2857,10 @@ def lc_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
     )
-    base = o.filter(F.col("k") <= 2000)
-    fresh = o.filter((F.col("k") > 2000) & (F.col("k") <= 3000))
+    # modulo split, not key ranges: sparse orderkey spaces make range
+    # splits empty at small sf (the sf0.001 parity regression)
+    base = o.filter(F.col("k") % 3 != 0)
+    fresh = o.filter(F.col("k") % 3 == 0)
     with _scratch_engine(spark) as eng:
         eng.write_curated("ut", base, mode="overwrite", partition_cols=[])
         eng.add_unique_constraint("ut", "pk", ["k"])
@@ -2877,9 +2878,15 @@ def lc_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
             except ConstraintViolation:
                 return True
 
-        dup_batch = fresh.limit(1).unionByName(fresh.limit(1))
+        # synthetic guaranteed-duplicate batch: the WITHIN-batch check
+        # fires before any cross-batch logic, so the key value is moot
+        dup_batch = spark.createDataFrame(
+            [(9_999_991, 1.0), (9_999_991, 2.0)], "k bigint, price double"
+        )
         b2 = rejected(dup_batch)
-        collide = base.filter(F.col("k") == 1500).select(
+        # collide on a key that provably exists at ANY sf (sparse
+        # orderkey spaces make literal keys sf-dependent)
+        collide = base.orderBy("k").limit(1).select(
             F.col("k"), (F.col("price") + 1).alias("price")
         )
         b3 = rejected(collide)
