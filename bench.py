@@ -323,6 +323,7 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "j_khop_bfs",
     "dq_mad_outliers",
     "t_linear_attribution",
+    "t_rfm_segments",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

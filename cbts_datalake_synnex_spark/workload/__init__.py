@@ -206,8 +206,8 @@ _ROUND8_FRONT = [
 # t_interval_union, dq_l_diversity, dq_pseudonymize,
 # t_time_weighted_avg, t_ohlc_bars, j7_geo_radius_join,
 # j8_temporal_scd2_join, j_khop_bfs, dq_mad_outliers,
-# t_linear_attribution, lc_unique_constraint, lc_snapshot_sync
-# (check git log for later ones).
+# t_linear_attribution, lc_unique_constraint, lc_snapshot_sync,
+# t_rfm_segments (check git log for later ones).
 _ROUND12_FRONT = [
     "j_lpa_bucketed",
     "x2_weighted_minhash_pairs",

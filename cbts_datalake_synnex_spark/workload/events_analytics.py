@@ -2251,3 +2251,90 @@ def t_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("max_touches"), F.lit(0)).cast("bigint").alias("max_touches"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# RFM segmentation (round 12): the classic customer-analytics cube —
+# quintile buckets of Recency (µs since the user's last purchase,
+# relative to the corpus max so the query is replay-stable), Frequency
+# (purchase count) and Monetary (purchase value sum, cents-exact).
+# ntile(5) with the (metric, user_id) total order makes bucket
+# boundaries deterministic and engine-identical; recency orders
+# DESCENDING so bucket 5 = most recent, matching f/m where 5 = most.
+# One purchase-filtered agg + three windows over the 1-row-per-user
+# frame (user-count-sized, not event-sized) + the segment rollup.
+@query(
+    "t_rfm_segments",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    mx AS (SELECT max(t) AS tmax FROM p),
+    u AS (
+      SELECT user_id,
+             CAST((SELECT tmax FROM mx) - max(t) AS BIGINT) AS rec_us,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM p GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, rec_us, freq, cents,
+             ntile(5) OVER (ORDER BY rec_us DESC, user_id) AS r,
+             ntile(5) OVER (ORDER BY freq, user_id) AS f,
+             ntile(5) OVER (ORDER BY cents, user_id) AS m
+      FROM u
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cents_total,
+           CAST(min(rec_us) AS BIGINT) AS min_rec_us
+    FROM b GROUP BY r, f, m
+    """,
+    doc="SURVEY §2.6++ — RFM segmentation: per-user recency/frequency/"
+    "monetary quintiles (ntile with a total order, engine-identical), "
+    "segment rollup; windows run over the user-sized frame, "
+    "cents-exact monetary.",
+)
+def t_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tmax = p.agg(F.max("t").alias("tmax"))
+    u = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("t").alias("last_t"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "user_id",
+            (F.col("tmax") - F.col("last_t")).cast("bigint").alias("rec_us"),
+            "freq",
+            "cents",
+        )
+    )
+    b = u.select(
+        "user_id", "rec_us", "freq", "cents",
+        F.ntile(5).over(W.orderBy(F.desc("rec_us"), F.col("user_id"))).alias("r"),
+        F.ntile(5).over(W.orderBy("freq", "user_id")).alias("f"),
+        F.ntile(5).over(W.orderBy("cents", "user_id")).alias("m"),
+    )
+    return b.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+        F.min("rec_us").cast("bigint").alias("min_rec_us"),
+    ).select(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("f").cast("bigint").alias("f"),
+        F.col("m").cast("bigint").alias("m"),
+        "n_users", "cents_total", "min_rec_us",
+    )
