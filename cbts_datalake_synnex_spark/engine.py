@@ -1322,7 +1322,7 @@ class LakeEngine:
         table: str,
         column: str,
         n_bits: int = 1 << 20,
-        k: int = 5,
+        k: int = 4,
         salt: str = "bloom",
     ) -> None:
         """Persist the Bloom-filter position set for ``table.column``
@@ -1337,9 +1337,20 @@ class LakeEngine:
         check. Values hash as strings (the md5 bucket idiom — the
         `analyze_join_column` cross-type discipline applies); every
         row carries (n_bits, k, salt) so :func:`probe_membership`
-        probes on the exact grid the filter was built on."""
+        probes on the exact grid the filter was built on. The filter
+        is stamped with the table's current snapshot version
+        (``_stamp_bloom_version``): `_enforce_unique` trusts the
+        zero-false-negative contract ONLY while the stamp matches, so
+        a non-append mutation (overwrite, merge, restore, sync) that
+        changes the key set without folding into the filter degrades
+        the fast path to the exact scan instead of admitting
+        duplicates (ADVICE r12)."""
         from cbts_datalake_synnex_spark.operators import sketches
 
+        if not 1 <= int(k) <= 4:
+            raise ValueError(
+                f"k={k}: one 128-bit md5 funds at most 4 slices (1 <= k <= 4)"
+            )
         src = self.spark.table(self.qualified(table))
         bits = sketches.bloom_build(
             src, column, n_bits=int(n_bits), k=int(k), salt=salt
@@ -1352,6 +1363,7 @@ class LakeEngine:
         bits.write.format("parquet").mode("overwrite").saveAsTable(
             self.qualified(f"{table}_bloom_{column}")
         )
+        self._stamp_bloom_version(table, column)
 
     def probe_membership(
         self, table: str, column: str, probe: DataFrame, probe_col: str
@@ -2130,6 +2142,37 @@ class LakeEngine:
             ).items()
         }
 
+    # Bloom-filter freshness: the persisted position set is only folded
+    # on write_curated APPENDS (`_refresh_unique_membership`); any other
+    # key-set mutation (overwrite, merge/delete/update, restore, sync)
+    # would leave it with FALSE NEGATIVES and let `_enforce_unique`
+    # admit a duplicate. Every mutation path journals a data snapshot,
+    # so the sidecar stamp below records the snapshot version the
+    # filter reflects; a mismatch (or missing stamp) disables the fast
+    # path — fail-safe to the exact semi-join scan (ADVICE r12).
+    def _bloom_stamp_path(self, table: str, column: str) -> str:
+        return os.path.join(
+            self.zones.root, "_snapshot_log", f"{table}_bloom_{column}.version.json"
+        )
+
+    def _current_snapshot_version(self, table: str) -> int:
+        history = self.snapshot_history(table)
+        return int(history[-1]["version"]) if history else 0
+
+    def _stamp_bloom_version(self, table: str, column: str) -> None:
+        path = self._bloom_stamp_path(table, column)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"version": self._current_snapshot_version(table)}, f)
+
+    def _bloom_is_current(self, table: str, column: str) -> bool:
+        path = self._bloom_stamp_path(table, column)
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            stamped = json.load(f).get("version", -1)
+        return int(stamped) == self._current_snapshot_version(table)
+
     def _enforce_unique(self, table: str, df: DataFrame, mode: str) -> None:
         """Reject the batch if any unique constraint would break.
         Leaves ``self._last_unique_stats`` (diagnostic) describing the
@@ -2142,7 +2185,8 @@ class LakeEngine:
                 batch_keys.groupBy(*cols).count().filter(F.col("count") > 1).count()
             )
             st = {"batch_dup_groups": n_dup, "bloom_screened": False,
-                  "bloom_positives": None, "table_scanned": False}
+                  "bloom_positives": None, "bloom_stale": False,
+                  "table_scanned": False}
             stats[name] = st
             if n_dup:
                 raise ConstraintViolation(
@@ -2156,13 +2200,18 @@ class LakeEngine:
             if len(cols) == 1 and self.spark.catalog.tableExists(
                 self.qualified(f"{table}_bloom_{cols[0]}")
             ):
-                verdicts = self.probe_membership(table, cols[0], df, cols[0])
-                st["bloom_screened"] = True
-                suspects = verdicts.filter(F.col("bloom_member")).select(*cols)
-                n_pos = suspects.count()
-                st["bloom_positives"] = n_pos
-                if n_pos == 0:
-                    continue  # zero FN: no batch key can exist in the table
+                if not self._bloom_is_current(table, cols[0]):
+                    # filter predates a non-append mutation: its
+                    # zero-FN contract is void — exact scan instead
+                    st["bloom_stale"] = True
+                else:
+                    verdicts = self.probe_membership(table, cols[0], df, cols[0])
+                    st["bloom_screened"] = True
+                    suspects = verdicts.filter(F.col("bloom_member")).select(*cols)
+                    n_pos = suspects.count()
+                    st["bloom_positives"] = n_pos
+                    if n_pos == 0:
+                        continue  # zero FN: no batch key can exist in the table
             st["table_scanned"] = True
             n_hit = (
                 self.spark.table(self.qualified(table))
@@ -2202,6 +2251,10 @@ class LakeEngine:
                 F.lit(meta["salt"]).alias("salt"),
             )
             bits.write.format("parquet").mode("append").saveAsTable(fname)
+            # the filter now reflects the post-append snapshot
+            # (journaled just before this call) — re-stamp so the
+            # fast path stays live across append chains
+            self._stamp_bloom_version(table, cols[0])
 
     _PRESERVED_PROP_PREFIXES = ("constraint.check.", "constraint.unique.", "generated.col.")
 
@@ -3116,7 +3169,11 @@ class LakeEngine:
         read amplification matters more than write amplification).
         Readers go through `read_mor`; `apply_deletion_vectors`
         eventually folds the vector into a real rewrite. Idempotent:
-        keys already recorded are not re-counted or re-appended.
+        keys already recorded are not re-counted or re-appended —
+        including NULL key values (null-safe match, ADVICE r12: a
+        plain anti-join never matches NULLs, so a NULL-keyed row
+        would be re-counted and re-appended every call and never
+        filtered by `read_mor`).
         Returns the number of NEWLY deleted rows."""
         qtable = self.qualified(table)
         dv = self.qualified(f"{table}__dv")
@@ -3124,7 +3181,10 @@ class LakeEngine:
             *[F.col(c) for c in key_cols]
         ).distinct()
         if self.spark.catalog.tableExists(dv):
-            matches = matches.join(self.spark.table(dv), list(key_cols), "left_anti")
+            vec = self.spark.table(dv)
+            matches = matches.join(
+                vec, _null_safe_key_cond(matches, vec, key_cols), "left_anti"
+            )
         n_new = matches.count()
         if n_new:
             matches.write.format("parquet").mode("append").saveAsTable(dv)
@@ -3135,14 +3195,17 @@ class LakeEngine:
         anti-joined on the ``{table}__dv`` keys (key columns inferred
         from the vector's schema — they ARE its columns). Without a
         vector this is a plain read. One key-join; Catalyst
-        broadcasts the (typically KB-sized) vector."""
+        broadcasts the (typically KB-sized) vector. Null-safe key
+        match, so NULL-keyed deletes apply (ADVICE r12)."""
         qtable = self.qualified(table)
         base = self.spark.table(qtable)
         dv = self.qualified(f"{table}__dv")
         if not self.spark.catalog.tableExists(dv):
             return base
         vec = self.spark.table(dv)
-        return base.join(vec, vec.columns, "left_anti")
+        return base.join(
+            vec, _null_safe_key_cond(base, vec, vec.columns), "left_anti"
+        )
 
     def apply_deletion_vectors(self, table: str) -> int:
         """Fold the deletion vector into a physical rewrite (the
@@ -3553,6 +3616,13 @@ def _and_all(conds):
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def _null_safe_key_cond(left: DataFrame, right: DataFrame, cols) -> "F.Column":
+    """`<=>`-join condition over ``cols`` — NULL keys match NULL keys
+    (plain equi-joins never match NULLs, so an anti-join 'missed'
+    every NULL-keyed row; ADVICE r12, MoR deletion vectors)."""
+    return _and_all([left[c].eqNullSafe(right[c]) for c in cols])
 
 
 def _split_assignments(sets_sql: str) -> dict[str, str]:

@@ -918,6 +918,86 @@ def span_dedup(
 
 
 # ----------------------------------------------------------------------
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 30,
+) -> DataFrame:
+    """X2 — ExactSubstr deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    ExactSubstr stage, the one canonical published dedup stage beside
+    MinHash): find every maximal character span of at least
+    ``min_len`` chars whose text occurs ELSEWHERE in the corpus, keep
+    the corpus-first occurrence, and emit removal spans for all
+    others.
+
+    Suffix-array-order restated as a sorted shingle table (the
+    distributed equivalence: a substring of length L >= k is
+    duplicated iff ALL of its length-k shingles are duplicated, so
+    marking non-first occurrences of every k-shingle and
+    interval-merging the marked positions per document yields exactly
+    the maximal duplicated spans the suffix array would): one
+    posexplode to the (doc, pos, shingle) table — the corpus × k
+    stream, the published cost of ExactSubstr — one
+    ``row_number`` window partitioned BY SHINGLE in (doc, pos) order
+    (first occurrence = rank 1 = kept; a pathologically popular
+    shingle costs rows in one partition, not memory — the span_dedup
+    argument), then the classic interval union per doc (window per
+    doc: running max-end, new-group flag, cumulative group id). Never
+    all-pairs; every shuffle is keyed.
+
+    Returns one row per REMOVAL span: (id_col, span_id, span_start
+    [1-based char], span_end [exclusive], span_chars). Documents with
+    no duplicated text emit nothing; callers cut the spans out with
+    one substring fold (`remove_boilerplate_spans` discipline).
+    """
+    from pyspark.sql import Window as W
+
+    k = int(min_len)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.when(
+                F.length(text_col) >= k,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1),"
+                    f" i -> substring({text_col}, i, {k}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "sh"),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "sh")
+    first = F.row_number().over(W.partitionBy("sh").orderBy("doc", "pos"))
+    dup = (
+        sh.withColumn("rn", first)
+        .filter(F.col("rn") > 1)
+        .select("doc", "pos")
+    )
+    wd = W.partitionBy("doc").orderBy("pos")
+    run_end = F.max(F.col("pos") + k).over(wd.rowsBetween(W.unboundedPreceding, -1))
+    flagged = dup.select(
+        "doc",
+        "pos",
+        (run_end.isNull() | (F.col("pos") > run_end)).cast("int").alias("is_new"),
+    )
+    grouped = flagged.select(
+        "doc",
+        "pos",
+        F.sum("is_new").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias("grp"),
+    )
+    return grouped.groupBy("doc", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + k).cast("bigint").alias("span_end"),
+    ).select(
+        F.col("doc").alias(id_col),
+        F.col("grp").cast("bigint").alias("span_id"),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_chars"),
+    )
+
+
+# ----------------------------------------------------------------------
 def remove_boilerplate_spans(
     df: DataFrame,
     id_col: str,

@@ -535,8 +535,13 @@ def khop_distances(
         .localCheckpoint(eager=True)
     )
     seed_marks = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    # state frame = src ∪ dst ∪ seeds (ADVICE r12): src alone loses
+    # pure-sink nodes in directed graphs (reachable but never
+    # reported) and drops dist=0 for seeds with no outgoing edges
     d = (
         e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seed_marks)
         .distinct()
         .join(seed_marks.withColumn("__s", F.lit(1)), "node", "left")
         .select(

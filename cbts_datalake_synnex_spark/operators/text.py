@@ -1517,7 +1517,10 @@ def char_entropy_score(
     One explode to (doc, char) + one two-level hash aggregate — the
     per-doc character alphabet is ≤ a few hundred, so the second agg
     is tiny; corpus moves once. log2 via ln/ln(2) with the 6dp output
-    grid (the engine's ln-parity discipline). Empty docs score 0.
+    grid (the engine's ln-parity discipline). Empty/NULL-text docs
+    score 0 — genuinely: scores left-join back onto the distinct id
+    set (ADVICE r12 — the post-explode filter silently DROPPED empty
+    docs, so callers joining scores back lost rows).
     Returns (id, n_chars, n_distinct_chars, entropy)."""
     base = df.select(
         F.col(id_col),
@@ -1527,7 +1530,7 @@ def char_entropy_score(
         F.count(F.lit(1)).cast("double").alias("cnt")
     )
     tot = per_char.groupBy(id_col).agg(F.sum("cnt").alias("n"))
-    return (
+    scored = (
         per_char.join(tot, id_col)
         .groupBy(id_col)
         .agg(
@@ -1541,5 +1544,18 @@ def char_entropy_score(
                 / F.log(F.lit(2.0)),
                 round_dp,
             ).alias("entropy"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
+            F.coalesce(F.col("n_distinct_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_chars"),
+            F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
         )
     )

@@ -300,10 +300,76 @@ _ROUND9_FRONT = [
 ]
 
 
+# Round 13: the driver window is the 4 round-13 additions (ExactSubstr
+# dedup, trained langid, AQE skew cert, query-metrics alarms) followed
+# by the 47 round-12 additions that never received a driver row (all
+# 47 were re-checked green by the round-12 judge against the same
+# DuckDB harness; this rotation moves them into the OFFICIAL
+# CORRECTNESS record, per judge r12 #7). 51 entries > the 50-slot
+# window, so the last one (f_bloom_filter — judge-verified r12) waits
+# for round 14.
+_ROUND13_FRONT = [
+    # round-13 additions
+    "x2_exact_substring_dedup",
+    "x4_langid_trained",
+    "lc_aqe_skew_join",
+    "dq_query_metrics",
+    # round-12 additions never driver-sampled (judge-green r12)
+    "u4_set_operators",
+    "j_q2_min_cost_supplier",
+    "a_q11_important_stock",
+    "j4_q20_excess_suppliers",
+    "dq_table_fingerprint",
+    "w4_window_count_distinct",
+    "dq_l_diversity",
+    "dq_pseudonymize",
+    "j7_geo_radius_join",
+    "j8_temporal_scd2_join",
+    "j_khop_bfs",
+    "dq_mad_outliers",
+    "x4_url_normalize",
+    "pipeline_domain_cap",
+    "x6_sliding_chunks",
+    "pipeline_crawl_curation",
+    "x3_pq_index_probe",
+    "x6_needle_insert",
+    "x4_entropy_score",
+    "x1_url_dedup",
+    "x7_dup_ngram_rate",
+    "t_stream_heartbeat_timeout",
+    "t_stream_decay_topk",
+    "t_funnel3_ordered",
+    "t_seasonal_anomalies",
+    "t_resample_interpolate",
+    "t_interval_union",
+    "t_time_weighted_avg",
+    "t_ohlc_bars",
+    "t_linear_attribution",
+    "t_rfm_segments",
+    "lc_preflight_join",
+    "lc_table_changes",
+    "lc_partial_compact",
+    "lc_filter_selectivity",
+    "lc_export_manifest",
+    "lc_restore_table",
+    "t_stream_restart_curate",
+    "lc_mor_delete",
+    "pipeline_incremental_agg_cdf",
+    "lc_hidden_partitioning",
+    "lc_write_audit_publish",
+    "lc_join_view_refresh",
+    "lc_unique_constraint",
+    "lc_snapshot_sync",
+    "f_variant_extract",
+    "f_bloom_filter",
+]
+
+
 def _rotate_registry() -> None:
     order = list(
         dict.fromkeys(
-            _ROUND12_FRONT
+            _ROUND13_FRONT
+            + _ROUND12_FRONT
             + _ROUND11_FRONT
             + _ROUND10_FRONT
             + _ROUND9_FRONT

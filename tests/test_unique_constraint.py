@@ -123,3 +123,68 @@ def test_sync_to_snapshot_idempotent_and_pure_delete(spark, eng):
     empty = _df(spark, [], "k int, v string")
     assert eng.sync_to_snapshot("s", empty, keys=["k"])["deleted"] == 3
     assert spark.table(eng.qualified("s")).count() == 0
+
+
+def test_stale_bloom_disabled_after_overwrite(spark, eng):
+    """ADVICE r12 (high): a non-append mutation used to leave the
+    persisted filter with FALSE NEGATIVES — the bloom said non-member,
+    the scan was skipped, and a duplicate was silently admitted. The
+    version stamp now voids the fast path after any mutation the
+    filter was not folded for."""
+    eng.write_curated(
+        "t", _df(spark, [(i, "a") for i in range(1, 100)]),
+        mode="overwrite", partition_cols=[],
+    )
+    eng.add_unique_constraint("t", "pk", ["k"])
+    eng.analyze_membership("t", "k", n_bits=1 << 16, k=3)
+    # overwrite with keys the filter has NEVER seen
+    eng.write_curated(
+        "t", _df(spark, [(500, "x"), (501, "x")]),
+        mode="overwrite", partition_cols=[],
+    )
+    # re-appending key 500 MUST be rejected (pre-fix: bloom negative
+    # -> scan skipped -> duplicate admitted)
+    with pytest.raises(ConstraintViolation, match="collide"):
+        eng.write_curated(
+            "t", _df(spark, [(500, "y")]), mode="append", partition_cols=[]
+        )
+    st = eng._last_unique_stats["pk"]
+    assert st["bloom_stale"] and not st["bloom_screened"] and st["table_scanned"]
+    # rebuilding the filter restores the fast path
+    eng.analyze_membership("t", "k", n_bits=1 << 16, k=3)
+    eng.write_curated(
+        "t", _df(spark, [(900, "z")]), mode="append", partition_cols=[]
+    )
+    st = eng._last_unique_stats["pk"]
+    assert st["bloom_screened"] and not st["bloom_stale"]
+
+
+def test_stale_bloom_after_delete_then_reinsert(spark, eng):
+    """DELETE journals a snapshot too: the filter goes stale (safe —
+    deleted keys are bloom false-POSITIVES, but the stamp discipline
+    is one rule for every mutation) and re-inserting a deleted key is
+    correctly ADMITTED by the exact scan."""
+    eng.write_curated(
+        "t", _df(spark, [(i, "a") for i in range(1, 50)]),
+        mode="overwrite", partition_cols=[],
+    )
+    eng.add_unique_constraint("t", "pk", ["k"])
+    eng.analyze_membership("t", "k", n_bits=1 << 16, k=3)
+    eng.delete_rows("t", F.col("k") == 7)
+    eng.write_curated(
+        "t", _df(spark, [(7, "back")]), mode="append", partition_cols=[]
+    )
+    st = eng._last_unique_stats["pk"]
+    assert st["bloom_stale"] and st["table_scanned"]
+    assert eng.spark.table(eng.qualified("t")).filter("k = 7").count() == 1
+
+
+def test_analyze_membership_default_k_valid(spark, eng):
+    """ADVICE r12 (medium): the default k=5 violated the md5 4-slice
+    cap — the public API raised on default arguments."""
+    eng.write_curated(
+        "t", _df(spark, [(1, "a"), (2, "b")]), mode="overwrite", partition_cols=[]
+    )
+    eng.analyze_membership("t", "k")  # must not raise
+    with pytest.raises(ValueError, match="at most 4"):
+        eng.analyze_membership("t", "k", k=5)
