@@ -324,6 +324,11 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "dq_mad_outliers",
     "t_linear_attribution",
     "t_rfm_segments",
+    # round-13 surfaces (first tracked round)
+    "x2_exact_substring_dedup",
+    "x4_langid_trained",
+    "lc_aqe_skew_join",
+    "dq_query_metrics",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

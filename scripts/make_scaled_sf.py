@@ -39,7 +39,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from cbts_datalake_synnex_spark.workload.base import load_table  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1")
+OUT = os.environ.get(
+    "SPARK_GRAFT_SCALE_OUT",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1"
+    ),
+)
 
 # key columns shifted per replica, per table (consistent across refs)
 KEYED = {
