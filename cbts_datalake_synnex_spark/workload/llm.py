@@ -4075,16 +4075,25 @@ def x3_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/sampling.quantile_normalize).",
 )
 def x8_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.plans.inspect import unpartitioned_window_count
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     out = sampling.quantile_normalize(
         docs, group_col="source", value_col="n_chars", out_col="norm_chars"
-    )
-    return out.select(
+    ).select(
         "doc_id",
         "source",
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("norm_chars").cast("bigint").alias("norm_chars"),
     )
+    # plan pin (judge r12 #2 done-bar): CDF + successor lookup run on
+    # the two-level ranks.py primitives — no single-task window allowed
+    n_bad = unpartitioned_window_count(out)
+    if n_bad:
+        raise RuntimeError(
+            f"{n_bad} unpartitioned Window node(s) in quantile_normalize plan"
+        )
+    return out
 
 
 # ----------------------------------------------------------------------
