@@ -82,6 +82,15 @@ def get_spark(app_name: str = "cbts_datalake_synnex_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.path.join(os.getcwd(), ".spark-warehouse"))
+        # FAIR scheduling across concurrent jobs: `engine.run_concurrent`
+        # tags each job's thread with its own pool (local property), so
+        # parallel curates share executors fairly instead of head-of-line
+        # blocking behind one big FIFO job — the Glue
+        # MaxConcurrentRuns:10 deployment posture (serverless.yml:411).
+        # Static conf (read at SparkContext start); on a driver-provided
+        # session without it, run_concurrent still bounds concurrency
+        # and the pool tags are inert.
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -101,17 +101,34 @@ class TTLCache:
         return value
 
 
+class FatalTransportError(RuntimeError):
+    """Non-retryable exchange failure (HTTP 4xx other than 408/429):
+    the request itself is wrong — bad credentials, unknown endpoint,
+    malformed document. Retrying burns the backoff budget for nothing,
+    so `fan_out_fetch` records the error row immediately."""
+
+
 def http_transport(url: str, timeout_s: float = 30.0) -> Callable[[str], str]:
     """Real POST-document-exchange transport over stdlib urllib (the
     reference used ``requests`` with a GET+body — a bug, §0.1-4; the
-    endpoint semantics are POST). Returned callable is picklable
-    (module-level closure via functools.partial semantics)."""
+    endpoint semantics are POST). Status handling mirrors what a
+    production client does: 2xx returns the body; 408/429/5xx and
+    network/timeout failures raise retryable errors (the Map state's
+    retry/backoff lane); any other 4xx raises
+    :class:`FatalTransportError` and skips the retry loop. Returned
+    callable is picklable (module-level functools.partial). Driven
+    end-to-end against a live local server in
+    tests/test_http_transport.py."""
     import functools
 
     return functools.partial(_http_post_xml, url, timeout_s)
 
 
+_RETRYABLE_STATUSES = {408, 429}
+
+
 def _http_post_xml(url: str, timeout_s: float, payload_xml: str) -> str:
+    from urllib.error import HTTPError
     from urllib.request import Request, urlopen
 
     req = Request(
@@ -120,10 +137,16 @@ def _http_post_xml(url: str, timeout_s: float, payload_xml: str) -> str:
         headers={"Content-Type": "application/xml"},
         method="POST",
     )
-    with urlopen(req, timeout=timeout_s) as resp:
-        if resp.status != 200:
-            raise RuntimeError(f"status fetch failed: HTTP {resp.status}")
-        return resp.read().decode("utf-8")
+    try:
+        with urlopen(req, timeout=timeout_s) as resp:
+            return resp.read().decode("utf-8")
+    except HTTPError as exc:
+        # urlopen raises for every non-2xx; classify before the retry
+        # loop sees it: server-side/throttle statuses are retryable,
+        # the rest of 4xx means the request itself is wrong
+        if exc.code >= 500 or exc.code in _RETRYABLE_STATUSES:
+            raise RuntimeError(f"status fetch failed: HTTP {exc.code}") from exc
+        raise FatalTransportError(f"HTTP {exc.code}: {exc.reason}") from exc
 
 
 def fan_out_fetch(
@@ -161,6 +184,9 @@ def fan_out_fetch(
                     try:
                         rows.extend(parse_order_status_response(transport(payload)))
                         last_err = ""
+                        break
+                    except FatalTransportError as exc:  # 4xx: no retry
+                        last_err = f"{type(exc).__name__}: {exc}"
                         break
                     except Exception as exc:  # retry w/ backoff, then record
                         last_err = f"{type(exc).__name__}: {exc}"
