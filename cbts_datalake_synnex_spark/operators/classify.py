@@ -247,17 +247,20 @@ def binary_auc(
     within = ranged.withColumn(
         "__below_in", F.coalesce(F.sum("ng").over(w_in), F.lit(0).cast("bigint"))
     )
-    # per-partition totals: ≤ n_ranges rows — the only unpartitioned walk
-    w_p = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    # per-partition totals: ≤ n_ranges rows; the exclusive prefix sum
+    # over them is a triangular self-join (≤ n_ranges² tiny rows, the
+    # ranks.py discipline) — zero WindowExec-without-partition nodes
+    # anywhere in the plan
+    totals = ranged.groupBy("__pid").agg(
+        F.sum("ng").cast("bigint").alias("__part_ng")
+    )
+    before = totals.select(
+        F.col("__pid").alias("__bpid"), F.col("__part_ng").alias("__bng")
+    )
     offsets = (
-        ranged.groupBy("__pid")
-        .agg(F.sum("ng").cast("bigint").alias("__part_ng"))
-        .select(
-            "__pid",
-            F.coalesce(F.sum("__part_ng").over(w_p), F.lit(0).cast("bigint")).alias(
-                "__off"
-            ),
-        )
+        totals.join(before, F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__bng"), F.lit(0)).cast("bigint").alias("__off"))
     )
     c = within.join(F.broadcast(offsets), "__pid").select(
         "p",
