@@ -305,15 +305,16 @@ _ROUND9_FRONT = [
 # by the 47 round-12 additions that never received a driver row (all
 # 47 were re-checked green by the round-12 judge against the same
 # DuckDB harness; this rotation moves them into the OFFICIAL
-# CORRECTNESS record, per judge r12 #7). 51 entries > the 50-slot
-# window, so the last one (f_bloom_filter — judge-verified r12) waits
-# for round 14.
+# CORRECTNESS record, per judge r12 #7). 52 entries > the 50-slot
+# window, so the last two (f_variant_extract, f_bloom_filter — both
+# judge-verified r12) wait for round 14.
 _ROUND13_FRONT = [
     # round-13 additions
     "x2_exact_substring_dedup",
     "x4_langid_trained",
     "lc_aqe_skew_join",
     "dq_query_metrics",
+    "t_stream_progress_metrics",
     # round-12 additions never driver-sampled (judge-green r12)
     "u4_set_operators",
     "j_q2_min_cost_supplier",

@@ -2364,3 +2364,108 @@ def t_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("m"),
         "n_users", "cents_total", "min_rec_us",
     )
+
+
+# ----------------------------------------------------------------------
+# T5++/DQ++ — streaming progress metrics + alarm rules (round 13): the
+# STREAMING half of the observability surface (plans/metrics covers
+# batch queries) — the numbers a production stream is paged on,
+# captured from the public StreamingQuery progress API (no listener
+# jar; a long-running deployment feeds the same dicts from a
+# StreamingQueryListener into a sink table). Determinism: the file
+# source replays three event_id%3 batches in mtime order at
+# maxFilesPerTrigger=1, so per-batch input rows, cumulative state-store
+# row totals, and per-batch updated counts are exact data properties
+# the oracle restates; durations/rates stay out of the certified
+# columns (pytest bounds them).
+@query(
+    "t_stream_progress_metrics",
+    oracle="""
+    WITH src AS (
+      SELECT event_id % 3 AS b, user_id FROM events
+      WHERE event_type = 'purchase'
+    ),
+    per AS (
+      SELECT b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS upd
+      FROM src GROUP BY b
+    ),
+    cum AS (
+      SELECT p.b, p.n, p.upd,
+             (SELECT CAST(count(DISTINCT s.user_id) AS BIGINT)
+              FROM src s WHERE s.b <= p.b) AS tot
+      FROM per p
+    )
+    SELECT CAST(b AS BIGINT) AS batch_seq,
+           n AS num_input_rows,
+           tot AS state_rows_total,
+           FALSE AS alarm_zero_input,
+           upd >= tot AS state_all_fresh
+    FROM cum
+    """,
+    doc="SURVEY §2.8++/§4++ — streaming progress metrics + alarms "
+    "(the serverless.yml alarm role for streams): per-microbatch "
+    "input rows, state-store totals/updates from recentProgress, "
+    "zero-input and all-fresh-state rules; deterministic replay "
+    "restated by the oracle (streaming/metrics.py).",
+)
+def t_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.metrics import (
+        progress_table,
+        streaming_alarm_report,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+    )
+    scratch = tempfile.mkdtemp(prefix="sprog_")
+    qn = f"sprog_{uuid.uuid4().hex[:8]}"
+    try:
+        for k in range(3):
+            d = f"{scratch}/in/d{k}"
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        counts = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .option("checkpointLocation", f"{scratch}/_ckpt")
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError("progress-metrics replay did not finish in 300s")
+            prog = list(q.recentProgress)
+        finally:
+            q.stop()
+        report = streaming_alarm_report(progress_table(spark, prog))
+        out = report.select(
+            "batch_seq",
+            "num_input_rows",
+            "state_rows_total",
+            "alarm_zero_input",
+            "state_all_fresh",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qn}")
+        shutil.rmtree(scratch, ignore_errors=True)
