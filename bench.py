@@ -329,6 +329,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "x4_langid_trained",
     "lc_aqe_skew_join",
     "dq_query_metrics",
+    "f_theta_sketch",
+    "t_cusum_changepoint",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -30,7 +30,7 @@ per item).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -215,3 +215,168 @@ def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
     filters built with the SAME (n_bits, k, salt) union by position-set
     union, no data re-read. ≤ n_bits rows out."""
     return a.select("pos").union(b.select("pos")).distinct()
+
+
+# ----------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-value sketch — the theta-sketch
+# family member (Bar-Yossef et al. 2002 'Counting distinct elements in
+# a data stream'; Beyer et al. 2007 KMV synopses; Dasgupta et al. 2016
+# theta-sketch framework — all public). Completes the engine's sketch
+# tier: CMS (frequencies), Bloom (membership), MG (heavy hitters), GK
+# (quantiles), HLL (plain distinct counts) — KMV adds what HLL cannot
+# do: SET-OPERATION cardinalities (|A ∪ B|, |A ∩ B|) over sketches
+# built independently per shard/day/source, without ever co-shuffling
+# the raw keys.
+#
+# Scale shape: the BUILD maps each item to a 60-bit md5 hash and keeps
+# the k smallest DISTINCT hashes — one Arrow scan per partition with a
+# bounded per-group state (≤ k int64s), emitting ≤ partitions×groups×k
+# candidate rows, then one tiny distinct + per-group top-k. The raw
+# corpus is touched once and never shuffled; everything downstream
+# (estimates, unions, intersections) runs on KB-sized sketch frames.
+#
+# Determinism: hashes are the engine's md5 idiom (15 hex chars →
+# bigint in [0, 2^60)), so a SQL oracle re-derives every sketch row
+# and every estimate bit-for-bit. The estimator is the unbiased
+# (k−1)/h_(k) form (h in [0,1) units; here est = (k−1)·2^60/h_k) with
+# the exact-count short-circuit when a group yields fewer than k
+# distinct hashes — the sketch then IS the distinct set.
+
+_KMV_SCALE = float(2**60)  # exactly representable: 2^60
+
+
+def _kmv_hash(item: F.Column, salt: str = "kmv") -> F.Column:
+    h = F.md5(F.concat_ws(":", F.lit(salt), item.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_build(
+    df: DataFrame,
+    item_col: str,
+    group_cols=(),
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 60-bit hashes
+    of ``item_col``. Returns (*group_cols, rank, h) with rank 1..k
+    ascending by hash — ≤ k rows per group regardless of input size."""
+    import numpy as np
+    import pandas as pd
+
+    gcols = list(group_cols)
+    kk = int(k)
+    hashed = df.select(*gcols, _kmv_hash(F.col(item_col), salt).alias("h"))
+    part_schema = hashed.schema
+
+    def prune(batches):
+        # bounded partial state: group -> ascending int64 array, ≤ k
+        state: dict = {}
+        for pdf in batches:
+            if gcols:
+                grouped = pdf.groupby(gcols, sort=False, dropna=False)
+                for key, sub in grouped:
+                    kt = key if isinstance(key, tuple) else (key,)
+                    arr = sub["h"].to_numpy(dtype=np.int64)
+                    prev = state.get(kt)
+                    merged = np.unique(
+                        arr if prev is None else np.concatenate([prev, arr])
+                    )
+                    state[kt] = merged[:kk]
+            else:
+                arr = pdf["h"].to_numpy(dtype=np.int64)
+                prev = state.get(())
+                merged = np.unique(
+                    arr if prev is None else np.concatenate([prev, arr])
+                )
+                state[()] = merged[:kk]
+        cols: dict = {c: [] for c in [*gcols, "h"]}
+        for kt, arr in state.items():
+            for j, g in enumerate(gcols):
+                cols[g].extend([kt[j]] * len(arr))
+            cols["h"].extend(int(v) for v in arr)
+        yield pd.DataFrame(cols)
+
+    partial = hashed.mapInPandas(prune, schema=part_schema)
+    # candidates are ≤ partitions×groups×k rows — the distinct and the
+    # per-group window below run on a KB-sized frame, never the corpus
+    w = W.partitionBy(*gcols).orderBy("h") if gcols else W.orderBy("h")
+    return (
+        partial.distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(*gcols, "rank", "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols=(), k: int = 128, est_col: str = "kmv_est"
+) -> DataFrame:
+    """Distinct-count estimate per group from a `kmv_build` frame:
+    exact n_kept when the group produced fewer than k hashes (the
+    sketch saw everything), else the unbiased (k−1)·2^60/h_(k)."""
+    gcols = list(group_cols)
+    kk = int(k)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("__hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < kk, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(kk - 1) * _KMV_SCALE) / F.col("__hk").cast("double"))
+    return agg.select(*gcols, "n_kept", F.round(est, 6).alias(est_col))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols=(), k: int = 128) -> DataFrame:
+    """Union of two sketches (same group key): the k smallest distinct
+    hashes of the combined sets — a valid KMV sketch of A ∪ B, so
+    `kmv_estimate` on the result estimates |A ∪ B|. Sketch-frame-only:
+    the raw corpora are never revisited."""
+    gcols = list(group_cols)
+    kk = int(k)
+    u = a.select(*gcols, "h").unionByName(b.select(*gcols, "h")).distinct()
+    w = W.partitionBy(*gcols).orderBy("h") if gcols else W.orderBy("h")
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(*gcols, "rank", "h")
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, group_cols=(), k: int = 128,
+    est_col: str = "kmv_est",
+) -> DataFrame:
+    """|A ∩ B| estimate via the theta rule: θ = min(θ_A, θ_B) where
+    θ_X is the (k)th smallest hash of X (or 2^60 when X kept < k, i.e.
+    the sketch is exact); the estimate is |{h ∈ A∩B : h < θ}|·2^60/θ.
+    When BOTH sides are exact this degrades gracefully to the exact
+    intersection count. Returns (*group_cols, n_common, est_col)."""
+    gcols = list(group_cols)
+    kk = int(k)
+
+    def theta(s: DataFrame, name: str) -> DataFrame:
+        return s.groupBy(*gcols).agg(
+            F.when(
+                F.count(F.lit(1)) >= kk, F.max("h")
+            ).otherwise(F.lit(int(_KMV_SCALE))).alias(name)
+        )
+
+    th = (
+        theta(a, "__ta").join(theta(b, "__tb"), gcols)
+        if gcols
+        else theta(a, "__ta").crossJoin(theta(b, "__tb"))
+    )
+    th = th.withColumn("__theta", F.least("__ta", "__tb"))
+    common = a.select(*gcols, "h").join(b.select(*gcols, "h"), [*gcols, "h"])
+    joined = common.join(F.broadcast(th), gcols) if gcols else common.crossJoin(
+        F.broadcast(th)
+    )
+    agg = (
+        joined.filter(F.col("h") < F.col("__theta"))
+        .groupBy(*gcols, "__theta")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    est = F.col("n_common").cast("double") * F.lit(_KMV_SCALE) / F.col(
+        "__theta"
+    ).cast("double")
+    return agg.select(*gcols, "n_common", F.round(est, 6).alias(est_col))

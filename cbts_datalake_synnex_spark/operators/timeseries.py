@@ -379,3 +379,118 @@ def ohlc_bars(
         F.min("__v").alias("low"),
         F.max_by("__v", "__t").alias("close"),
     )
+
+
+def cusum(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    target: float = 50.0,
+    slack: float = 25.0,
+    threshold: float = 150.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sided tabular CUSUM changepoint detector per entity (Page
+    1954, 'Continuous inspection schemes', public; the §2.6 [EXT]
+    sequential-detection complement to the Shewhart x̄ chart in
+    `dq.control_chart` — CUSUM accumulates small persistent shifts a
+    per-point 3σ fence never sees):
+
+        s⁺_i = max(0, s⁺_{i-1} + (x_i − (target + slack)))
+        s⁻_i = max(0, s⁻_{i-1} + ((target − slack) − x_i))
+
+    with an alarm whenever either statistic crosses ``threshold``,
+    after which THAT side resets to 0 (the standard restart
+    discipline — each alarm opens a fresh detection cycle).
+
+    Scale shape: identical to `ewma` — ONE shuffle onto the entity
+    key, rows sorted within partitions on (entity, ts, *order_cols),
+    one sequential Arrow scan with two carried doubles per entity;
+    entities parallelize freely, no window frame, no driver state.
+    The reference value is a CONSTANT (the known-target form of the
+    chart), not an in-plan mean: a distributed float mean is
+    summation-order-dependent, which would make the recurrence
+    engine-divergent — callers wanting a data-derived target compute
+    it upstream on an exact grid and pass it in.
+
+    Determinism: the update is one subtract + one add + one max per
+    side in a fixed order, so a SQL recursive CTE stepping
+    ``greatest(0, s + (x − C))`` reproduces every state bit-for-bit;
+    outputs are rounded to ``round_dp`` (the engine's cross-engine
+    comparison grid). Emits the input columns plus (cusum_hi,
+    cusum_lo, alarm_hi, alarm_lo); the emitted statistics are the
+    PRE-RESET values, so alarm rows show the crossing magnitude.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    c_hi = float(target) + float(slack)
+    c_lo = float(target) - float(slack)
+    h = float(threshold)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("cusum_hi", DoubleType()),
+            StructField("cusum_lo", DoubleType()),
+            StructField("alarm_hi", BooleanType()),
+            StructField("alarm_lo", BooleanType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # carries cross Arrow batch boundaries within a partition;
+        # partitions hold whole entities (hash-partitioned on entity)
+        last_e: object = object()
+        s_hi = 0.0
+        s_lo = 0.0
+        for pdf in batches:
+            e = pdf[entity_col].to_numpy()
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            n = len(x)
+            hi = np.empty(n)
+            lo = np.empty(n)
+            a_hi = np.empty(n, dtype=bool)
+            a_lo = np.empty(n, dtype=bool)
+            le, shi, slo = last_e, s_hi, s_lo
+            for i in range(n):
+                if e[i] != le:
+                    le = e[i]
+                    shi = 0.0
+                    slo = 0.0
+                xi = x[i]
+                # same op order as the oracle CTE: inner difference
+                # first, then the accumulate, then the clamp
+                shi = max(0.0, shi + (xi - c_hi))
+                slo = max(0.0, slo + (c_lo - xi))
+                hi[i] = shi
+                lo[i] = slo
+                ah = shi > h
+                al = slo > h
+                a_hi[i] = ah
+                a_lo[i] = al
+                if ah:
+                    shi = 0.0
+                if al:
+                    slo = 0.0
+            last_e, s_hi, s_lo = le, shi, slo
+            pdf = pdf.copy()
+            pdf["cusum_hi"] = hi
+            pdf["cusum_lo"] = lo
+            pdf["alarm_hi"] = a_hi
+            pdf["alarm_lo"] = a_lo
+            yield pdf[out_cols]
+
+    ordered = df.repartition(F.col(entity_col)).sortWithinPartitions(
+        entity_col, ts_col, *order_cols
+    )
+    out = ordered.mapInPandas(scan, schema=out_schema)
+    return out.withColumn("cusum_hi", F.round("cusum_hi", round_dp)).withColumn(
+        "cusum_lo", F.round("cusum_lo", round_dp)
+    )

@@ -2469,3 +2469,70 @@ def t_stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {qn}")
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — two-sided CUSUM changepoint detection (round 13; Page
+# 1954): the sequential-detection complement to dq_control_chart's
+# Shewhart fences — CUSUM accumulates small persistent shifts that a
+# per-point 3σ rule never sees. Known-target form (constant reference,
+# the engine-divergence-free choice: a distributed float mean is
+# summation-order-dependent and would poison the recurrence), standard
+# reset-after-alarm restart discipline. The operator is the same
+# honest distributed recurrence shape as t_ewma_smooth: ONE shuffle
+# onto user_id, one Arrow scan, two carried doubles per entity; the
+# oracle's recursive CTE steps greatest(0, s + (x − C)) in the same
+# op order, so every state and alarm compares exactly on the 6dp grid.
+@query(
+    "t_cusum_changepoint",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, rn, value,
+             greatest(0.0, 0.0 + (value - 75.0)) AS s_hi,
+             greatest(0.0, 0.0 + (25.0 - value)) AS s_lo
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.event_id, e.user_id, e.rn, e.value,
+             greatest(0.0, (CASE WHEN c.s_hi > 120.0 THEN 0.0 ELSE c.s_hi END)
+                           + (e.value - 75.0)),
+             greatest(0.0, (CASE WHEN c.s_lo > 120.0 THEN 0.0 ELSE c.s_lo END)
+                           + (25.0 - e.value))
+      FROM c JOIN ev e ON e.user_id = c.user_id AND e.rn = c.rn + 1
+    )
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           round(s_hi, 6) AS cusum_hi, round(s_lo, 6) AS cusum_lo,
+           s_hi > 120.0 AS alarm_hi, s_lo > 120.0 AS alarm_lo
+    FROM c
+    """,
+    doc="SURVEY §2.6 [EXT] — two-sided tabular CUSUM (target 50, slack 25, "
+    "threshold 120, reset-after-alarm) over each user's purchase stream "
+    "ordered by (ts, event_id); operators/timeseries.cusum — one shuffle + "
+    "Arrow scan, two carried doubles. DuckDB restates the recurrence with a "
+    "recursive CTE in the same op order.",
+)
+def t_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.timeseries import cusum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = cusum(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_cols=["event_id"],
+        target=50.0,
+        slack=25.0,
+        threshold=120.0,
+    )
+    return out.select(
+        "event_id", "user_id", "value", "cusum_hi", "cusum_lo", "alarm_hi", "alarm_lo"
+    )

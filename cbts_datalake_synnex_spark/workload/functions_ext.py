@@ -587,3 +587,157 @@ def f_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("__t"), F.lit(False)).alias("true_member"),
         (F.col("bloom_member") | F.col("__t").isNull()).alias("no_false_negative"),
     )
+
+
+# ----------------------------------------------------------------------
+# §2.10 [EXT] sketch tier completion (round 13) — KMV / theta sketch:
+# SET-OPERATION cardinalities over independently built sketches, the
+# one capability HLL lacks (HLL unions, but cannot intersect). Items
+# are the per-type distinct value-cents of the events stream (floored,
+# so both engines derive the identical integer grid); sketches are
+# built per event_type, then |view ∪ purchase| comes from the merged
+# sketch and |view ∩ purchase| from the theta rule θ = min(θ_a, θ_b),
+# est = |{h ∈ A∩B : h < θ}|·2^60/θ. Every hash, rank, and estimate is
+# md5-deterministic, so the oracle re-derives the WHOLE pipeline —
+# including the exact ground truths and per-scope relative errors —
+# bit-for-bit. k=128 < the ~1.5k per-type cardinality at sf0.01, so
+# the ESTIMATOR path (not the exact-count short-circuit) is what
+# certifies.
+@query(
+    "f_theta_sketch",
+    oracle="""
+    WITH it AS (
+      SELECT DISTINCT event_type, CAST(floor(value * 100) AS BIGINT) AS item
+      FROM events
+    ),
+    hh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('kmv:' || CAST(item AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM it
+    ),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+      FROM hh
+    ),
+    sk AS (SELECT * FROM rk WHERE rank <= 128),
+    est AS (
+      SELECT event_type, count(*) AS n_kept,
+             CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 127.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+             END AS e
+      FROM sk GROUP BY 1
+    ),
+    ex AS (SELECT event_type, count(DISTINCT item) AS exact_distinct FROM it GROUP BY 1),
+    singles AS (
+      SELECT est.event_type AS scope, n_kept, round(e, 6) AS kmv_est, exact_distinct
+      FROM est JOIN ex USING (event_type)
+    ),
+    a AS (SELECT h FROM sk WHERE event_type = 'view'),
+    b AS (SELECT h FROM sk WHERE event_type = 'purchase'),
+    u AS (SELECT h FROM a UNION SELECT h FROM b),
+    urk AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM u),
+    usk AS (SELECT * FROM urk WHERE rank <= 128),
+    uest AS (
+      SELECT count(*) AS n_kept,
+             CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 127.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+             END AS e
+      FROM usk
+    ),
+    uex AS (
+      SELECT count(DISTINCT item) AS exact_distinct
+      FROM it WHERE event_type IN ('view', 'purchase')
+    ),
+    union_row AS (
+      SELECT 'view_union_purchase' AS scope, n_kept, round(e, 6) AS kmv_est,
+             exact_distinct
+      FROM uest CROSS JOIN uex
+    ),
+    th AS (
+      SELECT least(
+        (SELECT CASE WHEN count(*) >= 128 THEN max(h)
+                     ELSE 1152921504606846976 END FROM a),
+        (SELECT CASE WHEN count(*) >= 128 THEN max(h)
+                     ELSE 1152921504606846976 END FROM b)) AS theta
+    ),
+    common AS (SELECT a.h FROM a JOIN b USING (h)),
+    iagg AS (
+      SELECT (SELECT count(*) FROM common, th WHERE h < theta) AS n_common,
+             (SELECT theta FROM th) AS theta
+    ),
+    iex AS (
+      SELECT count(*) AS exact_distinct FROM (
+        SELECT item FROM it WHERE event_type = 'view'
+        INTERSECT
+        SELECT item FROM it WHERE event_type = 'purchase')
+    ),
+    irow AS (
+      SELECT 'view_intersect_purchase' AS scope, n_common AS n_kept,
+             round(CAST(n_common AS DOUBLE) * 1152921504606846976.0
+                   / CAST(theta AS DOUBLE), 6) AS kmv_est,
+             exact_distinct
+      FROM iagg CROSS JOIN iex
+    ),
+    allrows AS (
+      SELECT * FROM singles
+      UNION ALL SELECT * FROM union_row
+      UNION ALL SELECT * FROM irow
+    )
+    SELECT scope, CAST(n_kept AS BIGINT) AS n_kept, kmv_est,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(abs(kmv_est - exact_distinct) / exact_distinct, 6) AS rel_err
+    FROM allrows
+    """,
+    doc="SURVEY §2.10 [EXT] — KMV/theta distinct sketch (k=128): per-type "
+    "distinct estimates plus sketch-only |view ∪ purchase| (merged sketch) and "
+    "|view ∩ purchase| (theta rule) with exact ground truths and relative "
+    "errors; md5-deterministic, oracle re-derives every estimate bit-for-bit.",
+)
+def f_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import sketches
+
+    k = 128
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("item")
+    )
+    sk = sketches.kmv_build(items, "item", ["event_type"], k=k)
+    per_type = sketches.kmv_estimate(sk, ["event_type"], k=k)
+    exact = items.groupBy("event_type").agg(
+        F.count_distinct("item").alias("exact_distinct")
+    )
+    singles = per_type.join(exact, "event_type").select(
+        F.col("event_type").alias("scope"), "n_kept", "kmv_est", "exact_distinct"
+    )
+    a = sk.filter(F.col("event_type") == "view")
+    b = sk.filter(F.col("event_type") == "purchase")
+    u_sk = sketches.kmv_merge(a, b, (), k=k)
+    u_est = sketches.kmv_estimate(u_sk, (), k=k)
+    u_exact = (
+        items.filter(F.col("event_type").isin("view", "purchase"))
+        .agg(F.count_distinct("item").alias("exact_distinct"))
+    )
+    u_row = u_est.crossJoin(u_exact).select(
+        F.lit("view_union_purchase").alias("scope"),
+        "n_kept", "kmv_est", "exact_distinct",
+    )
+    i_est = sketches.kmv_intersect_estimate(a, b, (), k=k)
+    va = items.filter(F.col("event_type") == "view").select("item").distinct()
+    vb = items.filter(F.col("event_type") == "purchase").select("item").distinct()
+    i_exact = va.join(vb, "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    i_row = i_est.crossJoin(i_exact).select(
+        F.lit("view_intersect_purchase").alias("scope"),
+        F.col("n_common").alias("n_kept"), "kmv_est", "exact_distinct",
+    )
+    out = singles.unionByName(u_row).unionByName(i_row)
+    return out.withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("kmv_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ),
+    )
