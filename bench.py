@@ -331,6 +331,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "dq_query_metrics",
     "f_theta_sketch",
     "t_cusum_changepoint",
+    "t_holt_trend",
+    "dq_benford_test",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

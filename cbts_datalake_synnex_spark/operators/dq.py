@@ -681,3 +681,89 @@ def mad_outliers_report(
             F.sum(F.col("__out").cast("int")) / F.count(F.lit(1)), round_dp
         ).alias("outlier_share"),
     )
+
+
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_report(
+    df: DataFrame,
+    cents_col: Column,
+    reject_chi2: float = 26.124,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-significant-digit law audit (Newcomb 1881 / Benford 1938;
+    the classic forensic-accounting fabrication screen — organic
+    multiplicative amounts follow P(d)=log10(1+1/d), hand-typed or
+    synthetic ones usually don't). ``cents_col`` must be a POSITIVE
+    integer amount (pre-scaled cents — callers scale, because the
+    engine-parity-safe digit extraction is string-based on an integer:
+    ``substr(cast(n AS string),1,1)``; a float log10/power extraction
+    is ulp-fragile exactly at the decade boundaries where prices
+    cluster).
+
+    One hash aggregate to 9 rows; the 1..9 digit frame is completed by
+    join so absent digits report n_obs=0 (they carry the largest
+    chi-square contributions — dropping them would launder exactly the
+    fabrication signal the test exists to catch). Expected counts use
+    the double literals of log10(1+1/d) (no runtime transcendentals —
+    engine-identical by construction). Emits per digit: n_obs,
+    expected_n, contrib, plus the repeated chi2_total and the reject
+    flag at ``reject_chi2`` (default: the 8-df α=0.001 critical
+    value). Scale: the corpus collapses map-side into ≤ 9×partitions
+    partial rows; everything after is a 9-row frame."""
+    spark = df.sparkSession
+    obs = (
+        df.select(cents_col.cast("bigint").alias("__c"))
+        .filter(F.col("__c") > 0)
+        .select(
+            F.substring(F.col("__c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    p = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD_P.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    full = (
+        digits.join(obs, "digit", "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0).cast("bigint")))
+        .crossJoin(
+            obs.agg(F.sum("n_obs").cast("bigint").alias("__n"))
+        )
+        .withColumn("__exp", F.col("__n").cast("double") * p)
+        .withColumn(
+            "__contrib",
+            (F.col("n_obs").cast("double") - F.col("__exp"))
+            * (F.col("n_obs").cast("double") - F.col("__exp"))
+            / F.col("__exp"),
+        )
+    )
+    tot = full.agg(F.sum("__contrib").alias("__chi2"))
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round("__exp", round_dp).alias("expected_n"),
+            F.round("__contrib", round_dp).alias("contrib"),
+            F.round("__chi2", round_dp).alias("chi2_total"),
+            (F.col("__chi2") > F.lit(float(reject_chi2))).alias("benford_reject"),
+        )
+    )

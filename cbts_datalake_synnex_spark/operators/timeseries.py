@@ -494,3 +494,90 @@ def cusum(
     return out.withColumn("cusum_hi", F.round("cusum_hi", round_dp)).withColumn(
         "cusum_lo", F.round("cusum_lo", round_dp)
     )
+
+
+def holt(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    alpha: float = 0.4,
+    beta: float = 0.2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per entity
+    (Holt 1957, public) — the next rung above `ewma` for drifting
+    series: a LEVEL and a TREND carried together, so the one-step
+    forecast l+b tracks a ramp that a single EWMA lags forever,
+
+        l_1 = x_1,  b_1 = 0,  ŷ_1 = x_1
+        ŷ_i = l_{i-1} + b_{i-1}
+        l_i = α·x_i + (1−α)·(l_{i-1} + b_{i-1})
+        b_i = β·(l_i − l_{i-1}) + (1−β)·b_{i-1}
+
+    Same recurrence discipline as `ewma`/`cusum`: no window frame or
+    prefix sum states this exactly in fixed precision, so the honest
+    distributed shape is ONE shuffle onto the entity key + a
+    sequential Arrow scan (carried state: two doubles per entity;
+    entities parallelize freely). The b_i update re-derives l_i from
+    the same expression the oracle's recursive CTE spells out, so
+    every level/trend/forecast compares exactly on the ``round_dp``
+    grid. Emits input columns + (level, trend, forecast)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a = float(alpha)
+    bt = float(beta)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_e: object = object()
+        lv = 0.0
+        tr = 0.0
+        for pdf in batches:
+            e = pdf[entity_col].to_numpy()
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            n = len(x)
+            levels = np.empty(n)
+            trends = np.empty(n)
+            fcasts = np.empty(n)
+            le, l_c, b_c = last_e, lv, tr
+            for i in range(n):
+                xi = x[i]
+                if e[i] != le:
+                    le = e[i]
+                    l_c = xi
+                    b_c = 0.0
+                    f_c = xi
+                else:
+                    # same op order as the oracle CTE: the (l+b) sum
+                    # first, then the two convex blends
+                    f_c = l_c + b_c
+                    l_new = a * xi + (1.0 - a) * f_c
+                    b_c = bt * (l_new - l_c) + (1.0 - bt) * b_c
+                    l_c = l_new
+                levels[i] = l_c
+                trends[i] = b_c
+                fcasts[i] = f_c
+            last_e, lv, tr = le, l_c, b_c
+            pdf = pdf.copy()
+            pdf["level"] = levels
+            pdf["trend"] = trends
+            pdf["forecast"] = fcasts
+            yield pdf[out_cols]
+
+    ordered = df.repartition(F.col(entity_col)).sortWithinPartitions(
+        entity_col, ts_col, *order_cols
+    )
+    out = ordered.mapInPandas(scan, schema=out_schema)
+    for c in ("level", "trend", "forecast"):
+        out = out.withColumn(c, F.round(F.col(c), round_dp))
+    return out

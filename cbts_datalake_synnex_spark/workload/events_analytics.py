@@ -2536,3 +2536,67 @@ def t_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "value", "cusum_hi", "cusum_lo", "alarm_hi", "alarm_lo"
     )
+
+
+# ----------------------------------------------------------------------
+# §2.6 [EXT] — Holt linear-trend smoothing (round 13; Holt 1957): the
+# level+trend double-recurrence above t_ewma_smooth — a single EWMA
+# lags a ramp forever, Holt's carried trend closes the gap; the
+# forecast column is the one-step-ahead l+b every capacity-planning
+# and anomaly-baseline pipeline wants. Same honest distributed shape
+# (one entity shuffle + Arrow scan, two carried doubles); the oracle's
+# recursive CTE re-derives l_i inside the b_i update from the very
+# same expression, so all three outputs compare exactly on the 6dp
+# grid. Clicks stream (the busiest event type) for series length.
+@query(
+    "t_holt_trend",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT event_id, user_id, rn, value,
+             value AS l, CAST(0.0 AS DOUBLE) AS b, value AS f
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.event_id, e.user_id, e.rn, e.value,
+             0.4 * e.value + (1.0 - 0.4) * (c.l + c.b),
+             0.2 * ((0.4 * e.value + (1.0 - 0.4) * (c.l + c.b)) - c.l)
+               + (1.0 - 0.2) * c.b,
+             c.l + c.b
+      FROM c JOIN ev e ON e.user_id = c.user_id AND e.rn = c.rn + 1
+    )
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(f, 6) AS forecast
+    FROM c
+    """,
+    doc="SURVEY §2.6 [EXT] — Holt double exponential smoothing (α=0.4, "
+    "β=0.2; l₁=x₁, b₁=0) per user over the click stream ordered by "
+    "(ts, event_id) with the one-step forecast l+b; "
+    "operators/timeseries.holt — one shuffle + Arrow scan, two carried "
+    "doubles. DuckDB restates the recurrence with a recursive CTE in the "
+    "same op order.",
+)
+def t_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.timeseries import holt
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = holt(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_cols=["event_id"],
+        alpha=0.4,
+        beta=0.2,
+    )
+    return out.select(
+        "event_id", "user_id", "value", "level", "trend", "forecast"
+    )

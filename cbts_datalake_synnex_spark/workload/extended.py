@@ -2393,3 +2393,69 @@ def dq_query_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alarm_full_scan",
         "alarm_empty",
     )
+
+
+# ----------------------------------------------------------------------
+# DQ [EXT] round 13 — Benford first-significant-digit audit (Newcomb
+# 1881 / Benford 1938): the forensic-accounting screen for fabricated
+# amounts. Digit extraction is string-on-integer-cents (the float
+# log10/power route is ulp-fragile exactly at the decade boundaries
+# where prices cluster — same class of trap as the OHLC double-divide,
+# documented there); expected counts use the double LITERALS of
+# log10(1+1/d), so neither engine evaluates a transcendental at
+# runtime and the chi-square arithmetic is engine-identical by
+# construction. One map-side-combined hash aggregate to 9 rows; the
+# completed 1..9 digit frame keeps absent digits (their contributions
+# ARE the fabrication signal). TPC-H prices are cents-uniform, not
+# organic — the emitted reject flag certifies the TEST fires on
+# non-Benford data, which both engines must agree on.
+@query(
+    "dq_benford_test",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    dg AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM cents WHERE c > 0
+    ),
+    obs AS (SELECT digit, count(*) AS n_obs FROM dg GROUP BY 1),
+    d AS (
+      SELECT * FROM (VALUES
+        (1, 0.3010299956639812), (2, 0.17609125905568124),
+        (3, 0.12493873660829992), (4, 0.09691001300805642),
+        (5, 0.07918124604762482), (6, 0.06694678963061322),
+        (7, 0.05799194697768673), (8, 0.05115252244738129),
+        (9, 0.04575749056067514)) AS t(digit, p)
+    ),
+    n AS (SELECT sum(n_obs) AS nn FROM obs),
+    full_f AS (
+      SELECT d.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+             CAST(nn AS DOUBLE) * p AS ex
+      FROM d LEFT JOIN obs USING (digit) CROSS JOIN n
+    ),
+    co AS (
+      SELECT digit, n_obs, ex,
+             (CAST(n_obs AS DOUBLE) - ex) * (CAST(n_obs AS DOUBLE) - ex)
+               / ex AS contrib
+      FROM full_f
+    ),
+    t AS (SELECT sum(contrib) AS chi2 FROM co)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           round(ex, 6) AS expected_n, round(contrib, 6) AS contrib,
+           round(chi2, 6) AS chi2_total, chi2 > 26.124 AS benford_reject
+    FROM co CROSS JOIN t
+    """,
+    doc="DQ [EXT] — Benford first-digit law over lineitem extended-price "
+    "cents: per-digit observed vs expected (literal log10(1+1/d) "
+    "probabilities), chi-square with the 8-df α=0.001 reject fence; "
+    "operators/dq.benford_report — one hash aggregate to 9 rows.",
+)
+def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import benford_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_report(
+        li, F.round(F.col("l_extendedprice") * 100)
+    )
