@@ -333,6 +333,7 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "t_cusum_changepoint",
     "t_holt_trend",
     "dq_benford_test",
+    "x5_image_phash_dedup",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

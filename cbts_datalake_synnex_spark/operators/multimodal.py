@@ -376,3 +376,100 @@ def extract_payload_features(df: DataFrame, payload_col: str = "payload") -> Dat
             yield out
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def encode_ppm_gradient(width: int, height: int, k: int, bright: int = 0) -> bytes:
+    """Synthesize a deterministic GRADIENT P6 image (test/query helper):
+    gray(x,y) = (x·(2k+3) + y·(3k+5)) mod 200 + bright, r=g=b. Distinct
+    ``k`` produce distinct average-hashes (validated for k<17 at 16×16);
+    ``bright`` shifts every pixel equally, which `image_ahash` is
+    invariant to — the byte-exact/perceptual dedup separation."""
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            v = (x * (2 * k + 3) + y * (3 * k + 5)) % 200 + bright
+            px += bytes((v, v, v))
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(px)
+
+
+def _gray_pixels(payload: bytes) -> tuple[int, int, list]:
+    """(width, height, row-major grayscale floats) from a P6 PPM or an
+    uncompressed 24-bit BMP payload. Grayscale = (r+g+b)/3."""
+    import struct
+
+    if payload[:2] == b"P6":
+        tokens, i = [], 0
+        while len(tokens) < 4 and i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":
+                while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                tokens.append(payload[i:j])
+                i = j
+        w, h = int(tokens[1]), int(tokens[2])
+        i += 1
+        data = payload[i : i + w * h * 3]
+        if len(data) != w * h * 3:
+            raise ValueError("truncated PPM pixel data")
+        gray = [
+            (data[p] + data[p + 1] + data[p + 2]) / 3.0
+            for p in range(0, len(data), 3)
+        ]
+        return w, h, gray
+    if payload[:2] == b"BM":
+        pix_off = struct.unpack("<I", payload[10:14])[0]
+        _hs, w, height, _pl, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+        if bpp != 24 or comp != 0:
+            raise ValueError("only uncompressed 24-bit BMPs supported")
+        h = abs(height)
+        stride = ((w * 3 + 3) // 4) * 4
+        data = payload[pix_off : pix_off + stride * h]
+        if len(data) != stride * h:
+            raise ValueError("truncated BMP pixel data")
+        rows = range(h - 1, -1, -1) if height > 0 else range(h)  # bottom-up
+        gray = []
+        for r in rows:
+            row = data[r * stride : r * stride + w * 3]
+            gray.extend(
+                (row[p] + row[p + 1] + row[p + 2]) / 3.0
+                for p in range(0, len(row), 3)
+            )
+        return w, h, gray
+    raise ValueError("unsupported image payload (PPM P6 / 24-bit BMP only)")
+
+
+def image_ahash(payload: bytes, grid: int = 8) -> str:
+    """Average-hash perceptual fingerprint (the aHash of the
+    pHash/aHash/dHash family — public, e.g. the 2011 'Looks Like It'
+    exposition): grayscale → ``grid``×``grid`` block means → bit per
+    block (mean > overall mean) → hex string (grid²/4 chars). Exactly
+    invariant to uniform brightness shifts (both sides of the
+    comparison move equally) and to re-encoding between supported
+    formats; near-identical images differ in O(1) bits (hamming-band
+    candidate pairing slots into the SimHash banding machinery).
+    Requires width/height divisible by ``grid``."""
+    w, h, gray = _gray_pixels(payload)
+    if w % grid or h % grid:
+        raise ValueError(f"image {w}x{h} not divisible by grid {grid}")
+    bw, bh = w // grid, h // grid
+    means = []
+    for by in range(grid):
+        for bx in range(grid):
+            s = 0.0
+            for y in range(by * bh, (by + 1) * bh):
+                base = y * w
+                for x in range(bx * bw, (bx + 1) * bw):
+                    s += gray[base + x]
+            means.append(s / (bw * bh))
+    overall = sum(means) / len(means)
+    bits = 0
+    for i, m in enumerate(means):
+        if m > overall:
+            bits |= 1 << i
+    return format(bits, f"0{grid * grid // 4}x")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -796,5 +797,104 @@ def decayed_count_stream(
         )
 
     return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def cusum_stream(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols=(),
+    target: float = 50.0,
+    slack: float = 25.0,
+    threshold: float = 120.0,
+) -> DataFrame:
+    """T5+ [EXT] — two-sided CUSUM changepoint detection as a STATEFUL
+    STREAMING operator (round 13): the streaming twin of
+    `operators/timeseries.cusum`, certified against the same recursive
+    SQL oracle by `t_stream_cusum`'s time-partitioned replay. Carried
+    state per entity is TWO doubles (the post-reset s⁺/s⁻) — the
+    boundedness proof; the alarm-reset restart discipline and the
+    exact op order (inner difference, accumulate, clamp) match the
+    batch operator, so a replayed stream equals the batch recurrence
+    bit-for-bit.
+
+    Same arrival contract as `ewma_stream`: within a micro-batch rows
+    sort by (ts, *order_cols); across batches exactness requires
+    event-time-ordered arrival per entity (the certification replay
+    constructs it by splitting on time). Emits the input columns +
+    (cusum_hi, cusum_lo, alarm_hi, alarm_lo) in Update mode — the
+    statistics are PRE-RESET values, so alarm rows carry the crossing
+    magnitude.
+    """
+    import numpy as np
+
+    c_hi = float(target) + float(slack)
+    c_lo = float(target) - float(slack)
+    h = float(threshold)
+    order = [ts_col, *order_cols]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("cusum_hi", DoubleType()),
+            StructField("cusum_lo", DoubleType()),
+            StructField("alarm_hi", BooleanType()),
+            StructField("alarm_lo", BooleanType()),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = StructType(
+        [StructField("s_hi", DoubleType()), StructField("s_lo", DoubleType())]
+    )
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts)
+            .sort_values(order, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        shi, slo = (
+            (float(state.get[0]), float(state.get[1]))
+            if state.exists
+            else (0.0, 0.0)
+        )
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        hi = np.empty(n)
+        lo = np.empty(n)
+        a_hi = np.empty(n, dtype=bool)
+        a_lo = np.empty(n, dtype=bool)
+        for i in range(n):
+            xi = x[i]
+            # same op order as the batch operator and the oracle CTE
+            shi = max(0.0, shi + (xi - c_hi))
+            slo = max(0.0, slo + (c_lo - xi))
+            hi[i] = shi
+            lo[i] = slo
+            ah = shi > h
+            al = slo > h
+            a_hi[i] = ah
+            a_lo[i] = al
+            if ah:
+                shi = 0.0
+            if al:
+                slo = 0.0
+        state.update((float(shi), float(slo)))
+        pdf["cusum_hi"] = hi
+        pdf["cusum_lo"] = lo
+        pdf["alarm_hi"] = a_hi
+        pdf["alarm_lo"] = a_lo
+        yield pdf[out_cols]
+
+    return df.groupBy(entity_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

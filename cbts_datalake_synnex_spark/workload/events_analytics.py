@@ -2600,3 +2600,131 @@ def t_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "value", "level", "trend", "forecast"
     )
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — streaming CUSUM certification (round 13): the
+# changepoint recurrence carried through the STATE STORE. Same replay
+# discipline as t_stream_ewma (ts-tercile file splits, mtime-ordered,
+# maxFilesPerTrigger=1 → each user's rows arrive event-time-ordered
+# across ≥3 real micro-batches), so the streamed two-double state
+# makes the result EQUAL the batch recurrence — the identical
+# recursive-CTE statement t_cusum_changepoint uses. Raises unless
+# cross-batch state was actually exercised.
+@query(
+    "t_stream_cusum",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, rn, value,
+             greatest(0.0, 0.0 + (value - 75.0)) AS s_hi,
+             greatest(0.0, 0.0 + (25.0 - value)) AS s_lo
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.event_id, e.user_id, e.rn, e.value,
+             greatest(0.0, (CASE WHEN c.s_hi > 120.0 THEN 0.0 ELSE c.s_hi END)
+                           + (e.value - 75.0)),
+             greatest(0.0, (CASE WHEN c.s_lo > 120.0 THEN 0.0 ELSE c.s_lo END)
+                           + (25.0 - e.value))
+      FROM c JOIN ev e ON e.user_id = c.user_id AND e.rn = c.rn + 1
+    )
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value,
+           round(s_hi, 6) AS cusum_hi, round(s_lo, 6) AS cusum_lo,
+           s_hi > 120.0 AS alarm_hi, s_lo > 120.0 AS alarm_lo
+    FROM c
+    """,
+    doc="SURVEY §2.8 [EXT] — applyInPandasWithState CUSUM: per-user "
+    "two-double changepoint state carried across three real micro-batches "
+    "of a time-partitioned availableNow replay; streamed result equals the "
+    "batch recurrence (streaming/stateful.cusum_stream). Raises unless "
+    "cross-batch state was exercised.",
+)
+def t_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import cusum_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    scratch = tempfile.mkdtemp(prefix="scusum_")
+    qn = f"scusum_{uuid.uuid4().hex[:8]}"
+    try:
+        cuts = ev.select(
+            F.percentile_approx(
+                F.unix_micros("ts"),
+                F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)),
+                F.lit(100000),
+            ).alias("c")
+        ).first()["c"]
+        us = F.unix_micros("ts")
+        parts = [
+            ev.filter(us <= cuts[0]),
+            ev.filter((us > cuts[0]) & (us <= cuts[1])),
+            ev.filter(us > cuts[1]),
+        ]
+        for k, p in enumerate(parts):
+            p.coalesce(1).write.mode("overwrite").parquet(f"{scratch}/in/d{k}")
+            d = f"{scratch}/in/d{k}"
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        flagged = cusum_stream(
+            src, entity_col="user_id", ts_col="ts", value_col="value",
+            order_cols=["event_id"], target=50.0, slack=25.0, threshold=120.0,
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                flagged.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream cusum replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; time-partitioned "
+                        "staging failed — cross-batch state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.table(qn).select(
+            "event_id", "user_id", "value",
+            F.round(F.col("cusum_hi"), 6).alias("cusum_hi"),
+            F.round(F.col("cusum_lo"), 6).alias("cusum_lo"),
+            "alarm_hi", "alarm_lo",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -6580,3 +6580,81 @@ def x4_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(hit), 6).alias("accuracy"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X5 — perceptual image dedup (round 13): average-hash near-dup over
+# decoded pixels, the multimodal counterpart of SimHash text dedup.
+# Payloads are doc_id-derived gradient PPMs — 17 visual patterns, and
+# every odd doc re-encodes its pattern +10 brightness, so BYTE-exact
+# dedup (the md5 lane, also computed here) splits each visual group in
+# two while the aHash lane correctly reunites them (aHash thresholds
+# each block mean against the overall mean; a uniform shift moves both
+# equally — exact invariance, not approximate). The expected group
+# structure is doc_id arithmetic, so the oracle certifies actual
+# decoding + hashing end-to-end: any pixel, grayscale, block-mean, or
+# threshold bug breaks the group sizes. Scale shape: one mapInPandas
+# decode+hash pass (Arrow-batched), then hash-keyed aggs — dedup cost
+# is the standard exact-dedup hash agg, never pairwise image compare;
+# the hamming-band variant for lossy near-dups rides the SimHash
+# banding machinery on the same 64-bit hash.
+@query(
+    "x5_image_phash_dedup",
+    oracle="""
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY doc_id % 17) AS BIGINT)
+             AS perceptual_group_size,
+           min(doc_id) OVER (PARTITION BY doc_id % 17) AS canonical_doc,
+           CAST(count(*) OVER (PARTITION BY doc_id % 17, doc_id % 2) AS BIGINT)
+             AS exact_group_size,
+           doc_id % 2 = 1 AS brightness_variant
+    FROM documents
+    """,
+    doc="SURVEY §2.10 X5 [EXT] — average-hash perceptual image dedup over "
+    "decoded gradient PPMs (multimodal.image_ahash): brightness variants "
+    "share the perceptual hash but not the byte hash, so "
+    "perceptual_group_size reunites what exact_group_size (md5 of payload "
+    "bytes) splits; group structure is doc_id-derived, so the oracle checks "
+    "the whole decode→grayscale→block-mean→threshold pipeline.",
+)
+def x5_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_hash(it):
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = [
+                multimodal.encode_ppm_gradient(16, 16, d % 17, (d % 2) * 10)
+                for d in ids
+            ]
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            out["ahash"] = [multimodal.image_ahash(p) for p in payloads]
+            out["byte_hash"] = [
+                __import__("hashlib").md5(p).hexdigest() for p in payloads
+            ]
+            yield out
+
+    hashed = docs.mapInPandas(
+        synth_hash, schema="doc_id bigint, ahash string, byte_hash string"
+    )
+    per_hash = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("perceptual_group_size"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    per_byte = hashed.groupBy("byte_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_group_size")
+    )
+    return (
+        hashed.join(F.broadcast(per_hash), "ahash")
+        .join(F.broadcast(per_byte), "byte_hash")
+        .select(
+            "doc_id",
+            "perceptual_group_size",
+            "canonical_doc",
+            "exact_group_size",
+            (F.col("doc_id") % 2 == 1).alias("brightness_variant"),
+        )
+    )

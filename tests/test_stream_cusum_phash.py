@@ -1,0 +1,90 @@
+"""Round-13 additions #3: streaming CUSUM state carry and the
+average-hash perceptual image fingerprint.
+
+cusum_stream: certified end-to-end (3-batch replay vs recursive CTE)
+by the t_stream_cusum registry entry; here the operator-level
+contract — the update function's state carry across calls — is
+exercised through a single-batch stream equality with the batch
+operator (same rows, one batch: streamed == batch).
+
+image_ahash: brightness invariance (exact, not approximate), pattern
+distinctness, BMP/PPM cross-format agreement on identical pixels, and
+the grid-divisibility guard.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cbts_datalake_synnex_spark.operators.multimodal import (
+    encode_bmp,
+    encode_ppm,
+    encode_ppm_gradient,
+    image_ahash,
+)
+from cbts_datalake_synnex_spark.operators.timeseries import cusum
+
+
+def test_stream_cusum_single_batch_equals_batch(spark, tmp_path):
+    import os
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float((i * 37) % 200)) for i in range(60)],
+        "event_id long, user_id long, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id")))
+    batch = cusum(
+        df, "user_id", "ts", "value", order_cols=["event_id"],
+        target=50.0, slack=25.0, threshold=120.0,
+    )
+    src_dir = os.path.join(str(tmp_path), "in")
+    df.coalesce(1).write.parquet(src_dir)
+
+    from cbts_datalake_synnex_spark.streaming.stateful import cusum_stream
+
+    src = (
+        spark.readStream.schema("event_id long, user_id long, value double, ts timestamp")
+        .parquet(src_dir)
+    )
+    out = cusum_stream(
+        src, "user_id", "ts", "value", order_cols=["event_id"],
+        target=50.0, slack=25.0, threshold=120.0,
+    )
+    qn = "t_scusum_unit"
+    q = (
+        out.writeStream.format("memory").queryName(qn)
+        .trigger(availableNow=True).outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["cusum_hi"], r["cusum_lo"], r["alarm_hi"], r["alarm_lo"])
+        for r in spark.table(qn).collect()
+    }
+    want = {
+        r["event_id"]: (r["cusum_hi"], r["cusum_lo"], r["alarm_hi"], r["alarm_lo"])
+        for r in batch.collect()
+    }
+    assert got == want
+    spark.catalog.dropTempView(qn)
+
+
+def test_ahash_brightness_invariant_and_distinct():
+    seen = set()
+    for k in range(17):
+        h0 = image_ahash(encode_ppm_gradient(16, 16, k, 0))
+        assert h0 == image_ahash(encode_ppm_gradient(16, 16, k, 10))
+        seen.add(h0)
+    assert len(seen) == 17
+
+
+def test_ahash_formats_agree_on_identical_pixels():
+    # constant image: all block means equal the overall mean, no bit
+    # set — identical zero hash from both codecs
+    assert image_ahash(encode_ppm(16, 16, 77)) == image_ahash(
+        encode_bmp(16, 16, 77)
+    )
+
+
+def test_ahash_grid_guard():
+    with pytest.raises(ValueError, match="not divisible"):
+        image_ahash(encode_ppm(10, 16, 5))
