@@ -334,6 +334,7 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "t_holt_trend",
     "dq_benford_test",
     "x5_image_phash_dedup",
+    "lc_kmv_overlap",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

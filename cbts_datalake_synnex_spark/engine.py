@@ -1311,6 +1311,24 @@ class LakeEngine:
         ).write.format("parquet").mode("overwrite").saveAsTable(
             self.qualified(f"{table}_hll_{column}")
         )
+        # the KMV/theta companion (round 13): ≤ k 60-bit hash rows.
+        # HLL answers |A∪B| losslessly but |A∩B| only by
+        # inclusion-exclusion, whose absolute error is that of the
+        # UNION estimate — useless when the overlap is a small
+        # fraction of it; the theta rule estimates the intersection
+        # DIRECTLY from the hashes below min(θ_a, θ_b), with error
+        # proportional to the intersection itself (Dasgupta et al.
+        # 2016). Same build scan, k int64s of state per group.
+        from cbts_datalake_synnex_spark.operators.sketches import kmv_build
+
+        kmv_build(src, "__item", k=256, salt="kmv").select(
+            "rank",
+            "h",
+            F.lit(256).alias("k"),
+            F.lit("kmv").alias("salt"),
+        ).write.format("parquet").mode("overwrite").saveAsTable(
+            self.qualified(f"{table}_kmv_{column}")
+        )
 
     def estimate_join_keys(self, t1: str, c1: str, t2: str, c2: str) -> dict:
         """Pre-flight distinct-key overlap: from the two persisted HLL
@@ -1348,6 +1366,73 @@ class LakeEngine:
             "keys_union": ku,
             "keys_overlap": max(0, ka + kb - ku),
         }
+
+    def estimate_key_overlap_kmv(
+        self, t1: str, c1: str, t2: str, c2: str
+    ) -> DataFrame:
+        """Pre-flight distinct-key set operations from the persisted
+        KMV sketches — the theta-rule upgrade of
+        :func:`estimate_join_keys`: |A ∩ B| comes DIRECTLY from the
+        common hashes below min(θ_a, θ_b) (error ∝ the intersection),
+        not from HLL inclusion-exclusion (error ∝ the union — which
+        swamps small overlaps, exactly the case that decides
+        broadcast-vs-shuffle and semi-join pre-filters). Returns a
+        ONE-ROW DataFrame (est_keys_a, est_keys_b, est_keys_union,
+        est_keys_overlap, n_kept_a, n_kept_b) computed entirely from
+        the two ≤k-row sketch tables — neither data table is touched,
+        and every value is md5-deterministic (SQL-restatable). Raises
+        if a sketch is missing or the two were built with different
+        (k, salt)."""
+        from cbts_datalake_synnex_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_intersect_estimate,
+            kmv_merge,
+        )
+
+        frames, metas = [], []
+        for table, column in ((t1, c1), (t2, c2)):
+            name = self.qualified(f"{table}_kmv_{column}")
+            if not self.spark.catalog.tableExists(name):
+                raise ValueError(
+                    f"no KMV sketch for {table}.{column}; run "
+                    f"analyze_join_column({table!r}, {column!r}) first"
+                )
+            sk = self.spark.table(name)
+            meta = sk.select("k", "salt").first()
+            metas.append((int(meta["k"]), meta["salt"]) if meta else None)
+            frames.append(sk.select("rank", "h"))
+        if metas[0] and metas[1] and metas[0] != metas[1]:
+            raise ValueError(
+                f"KMV spec mismatch: {t1}.{c1} has (k,salt)={metas[0]} "
+                f"but {t2}.{c2} has {metas[1]}; rebuild one side"
+            )
+        k = metas[0][0] if metas[0] else 256
+        a, b = frames
+        ea = kmv_estimate(a, k=k, est_col="est_keys_a").select(
+            "est_keys_a", F.col("n_kept").alias("n_kept_a")
+        )
+        eb = kmv_estimate(b, k=k, est_col="est_keys_b").select(
+            "est_keys_b", F.col("n_kept").alias("n_kept_b")
+        )
+        eu = kmv_estimate(kmv_merge(a, b, k=k), k=k, est_col="est_keys_union").select(
+            "est_keys_union"
+        )
+        ei = kmv_intersect_estimate(a, b, k=k, est_col="est_keys_overlap").select(
+            "est_keys_overlap"
+        )
+        return (
+            ea.crossJoin(eb)
+            .crossJoin(eu)
+            .crossJoin(ei)
+            .select(
+                "est_keys_a",
+                "est_keys_b",
+                "est_keys_union",
+                "est_keys_overlap",
+                "n_kept_a",
+                "n_kept_b",
+            )
+        )
 
     def estimate_join_size(self, t1: str, c1: str, t2: str, c2: str) -> int:
         """Pre-flight equi-join cardinality: the count-min

@@ -350,7 +350,11 @@ def kmv_intersect_estimate(
     θ_X is the (k)th smallest hash of X (or 2^60 when X kept < k, i.e.
     the sketch is exact); the estimate is |{h ∈ A∩B : h < θ}|·2^60/θ.
     When BOTH sides are exact this degrades gracefully to the exact
-    intersection count. Returns (*group_cols, n_common, est_col)."""
+    intersection count. Returns (*group_cols, n_common, est_col); the
+    ungrouped form is TOTAL — zero surviving common hashes still yield
+    the one (n_common=0, est=0.0) row (a disjoint-keys pre-flight
+    answer is an answer, not an empty frame). Grouped callers join on
+    the group key and treat absent groups as no-overlap."""
     gcols = list(group_cols)
     kk = int(k)
 
@@ -371,12 +375,21 @@ def kmv_intersect_estimate(
     joined = common.join(F.broadcast(th), gcols) if gcols else common.crossJoin(
         F.broadcast(th)
     )
-    agg = (
-        joined.filter(F.col("h") < F.col("__theta"))
-        .groupBy(*gcols, "__theta")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
-    )
     est = F.col("n_common").cast("double") * F.lit(_KMV_SCALE) / F.col(
         "__theta"
     ).cast("double")
-    return agg.select(*gcols, "n_common", F.round(est, 6).alias(est_col))
+    if gcols:
+        agg = (
+            joined.filter(F.col("h") < F.col("__theta"))
+            .groupBy(*gcols, "__theta")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        )
+        return agg.select(*gcols, "n_common", F.round(est, 6).alias(est_col))
+    # ungrouped: a no-groupBy aggregate always emits its one row, so a
+    # zero-overlap pair reports (0, 0.0) instead of vanishing
+    cnt = joined.filter(F.col("h") < F.col("__theta")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return cnt.crossJoin(F.broadcast(th)).select(
+        "n_common", F.round(est, 6).alias(est_col)
+    )

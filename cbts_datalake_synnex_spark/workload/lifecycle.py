@@ -3090,3 +3090,137 @@ def lc_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ----------------------------------------------------------------------
+# K++ [EXT] round 13 — KMV/theta distinct-key overlap pre-flight: the
+# theta-rule upgrade of lc_join_key_overlap's HLL inclusion-exclusion.
+# I-E's |A∩B| error is the error of the UNION estimate, which swamps
+# small overlaps — exactly the case that decides broadcast-vs-shuffle
+# and semi-join pre-filters; the theta rule estimates the intersection
+# DIRECTLY from common hashes below min(θ_a, θ_b) (error ∝ the
+# intersection itself). Everything is md5-deterministic, so unlike the
+# HLL row (whose DataSketches binary states only claims) the oracle
+# RECOMPUTES every sketch row and every estimate bit-for-bit — no
+# pinned constants anywhere; the 15% accuracy claims and the
+# estimator-path witness (distinct_a ≥ k ⟺ the sketch saturated) are
+# derived arithmetic in both engines.
+@query(
+    "lc_kmv_overlap",
+    oracle="""
+    WITH a_it AS (
+      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS item
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    b_it AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item
+      FROM orders WHERE o_custkey % 2 = 0
+    ),
+    a_h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || item), 1, 15)) AS BIGINT) AS h
+      FROM a_it
+    ),
+    b_h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || item), 1, 15)) AS BIGINT) AS h
+      FROM b_it
+    ),
+    a_sk AS (
+      SELECT * FROM (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM a_h)
+      WHERE rank <= 256
+    ),
+    b_sk AS (
+      SELECT * FROM (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM b_h)
+      WHERE rank <= 256
+    ),
+    u_sk AS (
+      SELECT * FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rank
+        FROM (SELECT h FROM a_sk UNION SELECT h FROM b_sk)
+      ) WHERE rank <= 256
+    ),
+    est AS (
+      SELECT
+        (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END
+         FROM a_sk) AS ea,
+        (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END
+         FROM b_sk) AS eb,
+        (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END
+         FROM u_sk) AS eu
+    ),
+    th AS (
+      SELECT least(
+        (SELECT CASE WHEN count(*) >= 256 THEN max(h)
+                ELSE 1152921504606846976 END FROM a_sk),
+        (SELECT CASE WHEN count(*) >= 256 THEN max(h)
+                ELSE 1152921504606846976 END FROM b_sk)) AS theta
+    ),
+    ei AS (
+      SELECT round(
+        CAST((SELECT count(*) FROM a_sk JOIN b_sk USING (h), th
+              WHERE h < theta) AS DOUBLE)
+        * 1152921504606846976.0 / CAST((SELECT theta FROM th) AS DOUBLE),
+        6) AS eo
+    ),
+    ex AS (
+      SELECT
+        (SELECT count(*) FROM a_it) AS na,
+        (SELECT count(*) FROM b_it) AS nb,
+        (SELECT count(*) FROM (SELECT item FROM a_it UNION SELECT item FROM b_it)) AS nu,
+        (SELECT count(*) FROM (
+          SELECT item FROM a_it INTERSECT SELECT item FROM b_it)) AS nov
+    )
+    SELECT CAST(na AS BIGINT) AS n_keys_a, CAST(nb AS BIGINT) AS n_keys_b,
+           CAST(nu AS BIGINT) AS n_keys_union,
+           CAST(nov AS BIGINT) AS n_keys_overlap,
+           round(ea, 6) AS est_keys_a, round(eb, 6) AS est_keys_b,
+           round(eu, 6) AS est_keys_union, eo AS est_keys_overlap,
+           (abs(round(ea, 6) - na) <= 0.15 * na
+            AND abs(round(eb, 6) - nb) <= 0.15 * nb
+            AND abs(round(eu, 6) - nu) <= 0.15 * nu
+            AND abs(eo - nov) <= 0.15 * nov) AS within_15pct_all,
+           na >= 256 AS theta_estimator_path
+    FROM est CROSS JOIN ei CROSS JOIN ex
+    """,
+    doc="K++ [EXT] — persisted KMV/theta distinct-key overlap pre-flight "
+    "(engine.analyze_join_column now also writes the {table}_kmv_{column} "
+    "sketch; engine.estimate_key_overlap_kmv answers |A|,|B|,|A∪B|,|A∩B| "
+    "from the two ≤256-row sketch tables, no data scan). The oracle "
+    "re-derives every hash, rank, and estimate bit-for-bit and derives "
+    "the 15% accuracy claims + the saturation witness from the same "
+    "arithmetic — nothing pinned.",
+)
+def lc_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    ).select(F.col("c_custkey").cast("string").alias("item"))
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 2 == 0
+    ).select(F.col("o_custkey").cast("string").alias("item"))
+    with _scratch_engine(spark) as eng:
+        cust.write.saveAsTable(eng.qualified("kv_a"))
+        ords.write.saveAsTable(eng.qualified("kv_b"))
+        for t in ("kv_a", "kv_b"):
+            eng.analyze_join_column(t, "item", depth=4, width=64)
+        est = eng.estimate_key_overlap_kmv("kv_a", "item", "kv_b", "item").first()
+        na = cust.distinct().count()
+        nb = ords.distinct().count()
+        nu = cust.union(ords).distinct().count()
+        nov = na + nb - nu
+    ea, eb = est["est_keys_a"], est["est_keys_b"]
+    eu, eo = est["est_keys_union"], est["est_keys_overlap"]
+    ok = (
+        abs(ea - na) <= 0.15 * na
+        and abs(eb - nb) <= 0.15 * nb
+        and abs(eu - nu) <= 0.15 * nu
+        and abs(eo - nov) <= 0.15 * nov
+    )
+    return spark.createDataFrame(
+        [(na, nb, nu, nov, ea, eb, eu, eo, bool(ok), est["n_kept_a"] == 256)],
+        "n_keys_a bigint, n_keys_b bigint, n_keys_union bigint, "
+        "n_keys_overlap bigint, est_keys_a double, est_keys_b double, "
+        "est_keys_union double, est_keys_overlap double, "
+        "within_15pct_all boolean, theta_estimator_path boolean",
+    )

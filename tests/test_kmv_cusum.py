@@ -121,3 +121,46 @@ def test_cusum_state_isolated_per_entity(spark):
     assert out[(1, 2)]["cusum_hi"] == 170.0
     assert out[(2, 1)]["cusum_hi"] == 85.0
     assert out[(2, 3)]["cusum_hi"] == 70.0
+
+
+def test_kmv_intersect_zero_overlap_total_row(spark):
+    a = sketches.kmv_build(_items(spark, [f"a{i}" for i in range(40)]), "item", k=32)
+    b = sketches.kmv_build(_items(spark, [f"b{i}" for i in range(40)]), "item", k=32)
+    row = sketches.kmv_intersect_estimate(a, b, k=32).collect()
+    assert len(row) == 1
+    assert row[0]["n_common"] == 0
+    assert row[0]["kmv_est"] == 0.0
+
+
+def test_engine_kmv_overlap_roundtrip(spark, tmp_path):
+    import uuid
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+
+    db = f"t_kmv_{uuid.uuid4().hex[:8]}"
+    eng = LakeEngine(spark, str(tmp_path), database=db)
+    try:
+        a = _items(spark, [f"k{i}" for i in range(400)]).withColumnRenamed(
+            "item", "key"
+        )
+        b = _items(spark, [f"k{i}" for i in range(200, 600)]).withColumnRenamed(
+            "item", "key"
+        )
+        a.write.saveAsTable(eng.qualified("ta"))
+        b.write.saveAsTable(eng.qualified("tb"))
+        eng.analyze_join_column("ta", "key", depth=2, width=32)
+        eng.analyze_join_column("tb", "key", depth=2, width=32)
+        row = eng.estimate_key_overlap_kmv("ta", "key", "tb", "key").first()
+        # k=256 < 400 distinct: estimator path; truth a=400 b=400 u=600 i=200
+        assert abs(row["est_keys_a"] - 400) <= 0.25 * 400
+        assert abs(row["est_keys_union"] - 600) <= 0.25 * 600
+        assert abs(row["est_keys_overlap"] - 200) <= 0.35 * 200
+        assert row["n_kept_a"] == 256
+        # missing sketch raises with the analyze hint
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="analyze_join_column"):
+            eng.estimate_key_overlap_kmv("ta", "key", "missing_t", "key")
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
