@@ -335,6 +335,8 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "dq_benford_test",
     "x5_image_phash_dedup",
     "lc_kmv_overlap",
+    "f_poisson_bootstrap",
+    "dq_cramers_v",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures

@@ -767,3 +767,72 @@ def benford_report(
             (F.col("__chi2") > F.lit(float(reject_chi2))).alias("benford_reject"),
         )
     )
+
+
+def cramers_v(
+    df: DataFrame, col_a: str, col_b: str, round_dp: int = 6
+) -> DataFrame:
+    """Cramér's V association audit between two categorical columns
+    (Cramér 1946) — the DQ question after `benford_report`'s "is this
+    column organic": are these two columns INDEPENDENT (a dimension
+    worth keeping) or redundant encodings of each other (a join/GDPR
+    leak risk — a 'pseudonymized' column with V≈1 against a raw one is
+    not pseudonymized). χ² over the COMPLETED r×c contingency table
+    (absent combinations contribute their full expected count — the
+    association signal lives exactly in the empty cells), normalized
+    to [0,1] by n·(min(r,c)−1).
+
+    One hash aggregate to ≤ r×c cells; marginals/χ²/V are arithmetic
+    over that KB frame. All integer counts + IEEE double ops in a
+    fixed shape — SQL-restatable exactly. Returns one row: (n,
+    n_levels_a, n_levels_b, chi2, cramers_v, association)."""
+    cells = (
+        df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__o").cast("bigint").alias("__ta"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").cast("bigint").alias("__tb"))
+    n = cells.agg(F.sum("__o").cast("bigint").alias("__n"))
+    full = (
+        ra.crossJoin(cb)
+        .join(cells, ["__a", "__b"], "left")
+        .withColumn("__o", F.coalesce("__o", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "__e",
+            F.col("__ta").cast("double")
+            * F.col("__tb").cast("double")
+            / F.col("__n").cast("double"),
+        )
+    )
+    chi = full.agg(
+        F.sum(
+            (F.col("__o").cast("double") - F.col("__e"))
+            * (F.col("__o").cast("double") - F.col("__e"))
+            / F.col("__e")
+        ).alias("__chi2"),
+        F.max("__n").alias("__n"),
+        F.count_distinct("__a").cast("bigint").alias("n_levels_a"),
+        F.count_distinct("__b").cast("bigint").alias("n_levels_b"),
+    )
+    v = F.sqrt(
+        F.col("__chi2")
+        / (
+            F.col("__n").cast("double")
+            * (F.least("n_levels_a", "n_levels_b") - F.lit(1)).cast("double")
+        )
+    )
+    out = chi.select(
+        F.col("__n").alias("n"),
+        "n_levels_a",
+        "n_levels_b",
+        F.round("__chi2", round_dp).alias("chi2"),
+        F.round(v, round_dp).alias("cramers_v"),
+    )
+    return out.withColumn(
+        "association",
+        F.when(F.col("cramers_v") >= 0.3, F.lit("strong"))
+        .when(F.col("cramers_v") >= 0.1, F.lit("moderate"))
+        .otherwise(F.lit("weak")),
+    )

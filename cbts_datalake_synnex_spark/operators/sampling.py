@@ -739,3 +739,105 @@ def domain_cap(
         .filter(_hash_bucket(id_col, salt) < F.col("__thr"))
         .drop("__thr", "__dom")
     )
+
+
+# Poisson(1) CDF, double literals (no runtime transcendentals —
+# engine-identical threshold comparisons by construction); P(W > 8)
+# ≈ 1.1e-6 is truncated to weight 9, a bias far below the bootstrap's
+# own Monte-Carlo error.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 32,
+    salt: str = "boot",
+    round_dp: int = 2,
+) -> DataFrame:
+    """THE distributed bootstrap (Poisson bootstrap — Hanley &
+    MacGibbon 2006; popularized for MapReduce-scale CIs by Chamandy et
+    al. 2012, 'Estimating uncertainty for massive data streams',
+    public): classical resampling draws n rows WITH replacement — a
+    global operation no partitioned engine can do — but each row's
+    multiplicity in a resample is asymptotically Poisson(1)
+    independent of every other row, so replicate r gives row i weight
+    W = F⁻¹_Poisson(u(r,i)) from a per-(replicate,row) md5 uniform and
+    the statistic is a weighted aggregate. ONE scan of the corpus
+    computes ALL replicates: explode ×R, map-side-combined groupBy to
+    R rows — no shuffle of raw data beyond the R-group agg, no
+    second pass, embarrassingly scale-friendly.
+
+    Deterministic end-to-end: u = first 13 md5 hex chars / 2^52 (both
+    factors exactly representable), inverse CDF via the literal
+    threshold ladder above, so a SQL oracle re-derives every weight,
+    every replicate mean, and the CI order statistics bit-for-bit.
+
+    Returns ``n_replicates`` rows: (replicate, n_eff, boot_mean,
+    ci_low, ci_high) — boot_mean is the replicate's weighted mean of
+    ``value_col`` rounded to ``round_dp`` (a coarse grid on purpose:
+    replicate means are corpus-sized float sums, and the engine's
+    cross-engine discipline is to round at the magnitude where
+    summation-order ulps cannot flip the grid); ci_low/ci_high are the
+    2nd / (R−1)th order statistics of the rounded means (the ~94%
+    percentile interval at R=32), identical on every row."""
+    R = int(n_replicates)
+    rep = F.explode(F.array(*[F.lit(r) for r in range(R)])).alias("replicate")
+    rows = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).select("__id", "__x", rep)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("replicate").cast("string"),
+                        F.col("__id"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(2**52))
+    )
+    w = sum(
+        (u >= F.lit(t)).cast("int") for t in _POISSON1_CDF
+    )  # inverse CDF: number of thresholds at or below u
+    weighted = rows.select(
+        "replicate", w.alias("__w"), (w * F.col("__x")).alias("__wx")
+    )
+    reps = weighted.groupBy("replicate").agg(
+        F.sum("__w").cast("bigint").alias("n_eff"),
+        F.round(F.sum("__wx") / F.sum("__w"), round_dp).alias("boot_mean"),
+    )
+    # CI from the R-row frame: provably tiny unpartitioned window
+    wnd = W.orderBy("boot_mean", "replicate")
+    ranked = reps.withColumn("__rk", F.row_number().over(wnd))
+    lo = ranked.filter(F.col("__rk") == 2).select(
+        F.col("boot_mean").alias("ci_low")
+    )
+    hi = ranked.filter(F.col("__rk") == R - 1).select(
+        F.col("boot_mean").alias("ci_high")
+    )
+    return (
+        reps.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("replicate", "n_eff", "boot_mean", "ci_low", "ci_high")
+    )

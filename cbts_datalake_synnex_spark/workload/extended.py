@@ -2459,3 +2459,62 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_report(
         li, F.round(F.col("l_extendedprice") * 100)
     )
+
+
+# ----------------------------------------------------------------------
+# DQ [EXT] round 13 — Cramér's V association audit: after Benford's
+# "is this column organic", the next screen — are two categorical
+# columns independent or redundant encodings (a 'pseudonymized'
+# column with V≈1 against a raw one is not pseudonymized). χ² over
+# the COMPLETED contingency table (empty cells carry their full
+# expected counts — that's where association lives), V normalized by
+# n·(min(r,c)−1); integer counts + fixed-shape IEEE arithmetic, so
+# the oracle re-derives χ², V, and the effect-size label exactly.
+@query(
+    "dq_cramers_v",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(o) AS ta FROM c GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS tb FROM c GROUP BY 1),
+    n AS (SELECT sum(o) AS nn FROM c),
+    cells AS (
+      SELECT ra.a, cb.b, COALESCE(c.o, 0) AS o,
+             CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(nn AS DOUBLE) AS e
+      FROM ra CROSS JOIN cb
+      LEFT JOIN c ON c.a = ra.a AND c.b = cb.b
+      CROSS JOIN n
+    ),
+    chi AS (
+      SELECT sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) AS chi2
+      FROM cells
+    ),
+    v AS (
+      SELECT round(chi2, 6) AS chi2,
+             round(sqrt(chi2 / (CAST((SELECT nn FROM n) AS DOUBLE)
+                   * CAST(least((SELECT count(*) FROM ra),
+                                (SELECT count(*) FROM cb)) - 1 AS DOUBLE))),
+                   6) AS cramers_v
+      FROM chi
+    )
+    SELECT (SELECT CAST(nn AS BIGINT) FROM n) AS n,
+           (SELECT CAST(count(*) AS BIGINT) FROM ra) AS n_levels_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_levels_b,
+           chi2, cramers_v,
+           CASE WHEN cramers_v >= 0.3 THEN 'strong'
+                WHEN cramers_v >= 0.1 THEN 'moderate'
+                ELSE 'weak' END AS association
+    FROM v
+    """,
+    doc="DQ [EXT] — Cramér's V between o_orderpriority and o_orderstatus: "
+    "chi-square over the completed contingency table, V = sqrt(chi2/"
+    "(n*(min(r,c)-1))) with effect-size label; operators/dq.cramers_v — "
+    "one hash aggregate to <= r*c cells, arithmetic on the KB frame.",
+)
+def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.dq import cramers_v
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cramers_v(orders, "o_orderpriority", "o_orderstatus")

@@ -741,3 +741,69 @@ def f_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# §2.7/X8 [EXT] round 13 — the Poisson bootstrap: uncertainty for
+# corpus-scale aggregates. Classical bootstrap resampling (n draws
+# WITH replacement) is a global operation no partitioned engine can
+# do; the Poisson limit makes each row's resample multiplicity an
+# independent Poisson(1) draw, so ONE corpus scan computes ALL R
+# replicates (explode ×R → map-side-combined agg to R rows). Weights
+# come from per-(replicate,row) md5 uniforms pushed through a LITERAL
+# Poisson CDF ladder (no runtime transcendentals), so the oracle
+# re-derives every weight, every replicate mean, and both CI order
+# statistics exactly. boot_mean rounds at 2dp — the grid where
+# corpus-sized float-sum ulps cannot flip (the engine's established
+# summation-order discipline).
+@query(
+    "f_poisson_bootstrap",
+    oracle="""
+    WITH reps AS (SELECT range AS r FROM range(0, 32)),
+    w AS (
+      SELECT r,
+        (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9810118431238463 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.999916758850712 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END
+         + CASE WHEN u >= 0.999998874797402 THEN 1 ELSE 0 END) AS wt,
+        x
+      FROM (
+        SELECT r,
+               CAST(('0x' || substr(md5('boot:' || CAST(r AS VARCHAR) || ':'
+                     || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+                 / 4503599627370496.0 AS u,
+               o_totalprice AS x
+        FROM orders CROSS JOIN reps
+      )
+    ),
+    means AS (
+      SELECT r AS replicate, CAST(sum(wt) AS BIGINT) AS n_eff,
+             round(sum(wt * x) / sum(wt), 2) AS boot_mean
+      FROM w GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY boot_mean, replicate) AS rk
+      FROM means
+    )
+    SELECT replicate, n_eff, boot_mean,
+           (SELECT boot_mean FROM ranked WHERE rk = 2) AS ci_low,
+           (SELECT boot_mean FROM ranked WHERE rk = 31) AS ci_high
+    FROM means
+    """,
+    doc="§2.7/X8 [EXT] — Poisson bootstrap (32 replicates) of the mean "
+    "order price: md5-uniform -> literal Poisson(1) CDF ladder -> weighted "
+    "means in ONE corpus scan; CI from the 2nd/31st order statistics of the "
+    "rounded replicate means (operators/sampling.poisson_bootstrap).",
+)
+def f_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators.sampling import poisson_bootstrap
+
+    orders = load_table(spark, sf_dir, "orders")
+    return poisson_bootstrap(
+        orders, "o_orderkey", "o_totalprice", n_replicates=32
+    )
