@@ -108,6 +108,18 @@ _EXTRA_SHOWCASE = [
     "t_rfm_segments",
     "x8_quantile_normalize",
     "x4_langid_trained",
+    # round-13 continuation shapes: the bounded-state KMV build +
+    # sketch-frame theta set-ops, the entity-shuffle CUSUM/Holt
+    # recurrences, the 9-row Benford agg, the completed-table Cramér
+    # V, the one-scan R-replicate bootstrap, and the decode+hash
+    # perceptual dedup
+    "f_theta_sketch",
+    "t_cusum_changepoint",
+    "t_holt_trend",
+    "dq_benford_test",
+    "dq_cramers_v",
+    "f_poisson_bootstrap",
+    "x5_image_phash_dedup",
 ]
 BENCH_QUERIES = [n for n, q in REGISTRY.items() if q.bench]
 SHOWCASE = BENCH_QUERIES + [n for n in _EXTRA_SHOWCASE if n not in BENCH_QUERIES]
