@@ -898,3 +898,96 @@ def cusum_stream(
     return df.groupBy(entity_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def kmv_stream(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """T5+ [EXT] — streaming KMV distinct sketch per group (round 13):
+    the streaming twin of `operators/sketches.kmv_build`, completing
+    the sketch family's streaming tier (MG heavy hitters, GK
+    quantiles, CMS frequencies — now KMV distinct/set-op
+    cardinalities). State per group is the ascending array of the k
+    smallest distinct 60-bit hashes (≤ k int64s) — bounded regardless
+    of all-time item cardinality, the stateful-operator contract.
+
+    The merge (set-union then keep-k-smallest) is order- and
+    batch-independent — the sketch of a union is a function of the
+    union (the mergeable-summaries property CMS certifies by
+    linearity) — so the replayed final state equals the batch-built
+    sketch exactly, however the input files split. Hashing runs
+    python-side (hashlib) to the SAME 15-hex-char value the JVM and
+    DuckDB md5 idioms produce.
+
+    Emits (group, upd, n_kept, kmv_est) per touched group per batch
+    in Update mode; ``upd`` is a monotone per-group update counter, so
+    the replay's final sketch is the max-``upd`` row per group.
+    ``kmv_est`` is the RAW double ((k−1)·2^60/h_k, or exact n_kept
+    below k) — round at the sink for cross-engine comparison."""
+    import hashlib
+
+    import numpy as np
+
+    kk = int(k)
+    scale = float(2**60)
+    out_schema = StructType(
+        [
+            df.schema[group_col],
+            StructField("upd", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("kmv_est", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("hashes", ArrayType(LongType())), StructField("upd", LongType())]
+    )
+
+    def _h(item: str) -> int:
+        return int(hashlib.md5(f"{salt}:{item}".encode()).hexdigest()[:15], 16)
+
+    def update(
+        key_tuple: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        new_hashes: set = set()
+        for pdf in batches:
+            if len(pdf):
+                new_hashes.update(_h(s) for s in pdf[item_col].astype(str).unique())
+        if not new_hashes:
+            return
+        if state.exists:
+            prev, upd = state.get
+            merged = np.unique(
+                np.concatenate(
+                    [np.asarray(prev, dtype=np.int64),
+                     np.fromiter(new_hashes, dtype=np.int64)]
+                )
+            )[:kk]
+            upd = int(upd) + 1
+        else:
+            merged = np.unique(np.fromiter(new_hashes, dtype=np.int64))[:kk]
+            upd = 1
+        state.update(([int(v) for v in merged], upd))
+        n_kept = len(merged)
+        est = (
+            float(n_kept)
+            if n_kept < kk
+            else float(kk - 1) * scale / float(int(merged[-1]))
+        )
+        yield pd.DataFrame(
+            {
+                group_col: [key_tuple[0]],
+                "upd": [upd],
+                "n_kept": [n_kept],
+                "kmv_est": [est],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

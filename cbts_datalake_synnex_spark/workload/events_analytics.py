@@ -2728,3 +2728,116 @@ def t_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# §2.8 [EXT] — streaming KMV distinct sketch (round 13): the sketch
+# family's streaming tier completed (MG→t_stream_topk,
+# GK→t_stream_quantile, CMS→t_stream_cms, now KMV). The k-smallest-
+# distinct-hashes merge is a function of the input SET — order- and
+# batch-independent like CMS linearity — so files split on
+# event_id % 3 (no time partitioning) and the replayed final state
+# equals the batch sketch exactly; the oracle re-derives the per-type
+# estimates through the shared md5 idiom. Raises unless ≥ 3 data
+# batches exercised cross-batch state.
+@query(
+    "t_stream_kmv",
+    oracle="""
+    WITH it AS (
+      SELECT DISTINCT event_type, CAST(floor(value * 100) AS BIGINT) AS item
+      FROM events
+    ),
+    hh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('kmv:' || CAST(item AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM it
+    ),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+      FROM hh
+    ),
+    sk AS (SELECT * FROM rk WHERE rank <= 128)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+                 END, 6) AS kmv_est
+    FROM sk GROUP BY 1
+    """,
+    doc="SURVEY §2.8 [EXT] — applyInPandasWithState KMV sketch per "
+    "event_type (k=128, value-cents items): ≤ k int64s of state carried "
+    "across three micro-batches; the set-function merge makes the replay "
+    "equal the batch sketch exactly (streaming/stateful.kmv_stream). "
+    "Raises unless cross-batch state was exercised.",
+)
+def t_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cbts_datalake_synnex_spark.streaming.stateful import kmv_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").cast("string").alias("item"),
+    )
+    scratch = tempfile.mkdtemp(prefix="skmv_")
+    qn = f"skmv_{uuid.uuid4().hex[:8]}"
+    try:
+        for k in range(3):
+            d = f"{scratch}/in/d{k}"
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            for fn in os.listdir(d):
+                mt = 1_000 * (k + 1)
+                os.utime(os.path.join(d, fn), (mt, mt))
+        src = (
+            spark.readStream.schema("event_id bigint, event_type string, item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{scratch}/in/*")
+        )
+        sk = kmv_stream(src, group_col="event_type", item_col="item", k=128)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            q = (
+                sk.writeStream.format("memory")
+                .queryName(qn)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .option("checkpointLocation", f"{scratch}/_ckpt")
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError("stream kmv replay did not finish in 300s")
+                n_batches = sum(
+                    1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+                )
+                if n_batches < 3:
+                    raise RuntimeError(
+                        f"replay ran {n_batches} data batches; cross-batch "
+                        "state was not exercised"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = (
+            spark.table(qn)
+            .groupBy("event_type")
+            .agg(
+                F.max_by("n_kept", "upd").alias("n_kept"),
+                F.round(F.max_by("kmv_est", "upd"), 6).alias("kmv_est"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)

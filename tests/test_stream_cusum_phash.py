@@ -88,3 +88,45 @@ def test_ahash_formats_agree_on_identical_pixels():
 def test_ahash_grid_guard():
     with pytest.raises(ValueError, match="not divisible"):
         image_ahash(encode_ppm(10, 16, 5))
+
+
+def test_stream_kmv_merge_equals_batch_sketch(spark, tmp_path):
+    import os
+
+    from cbts_datalake_synnex_spark.operators import sketches
+    from cbts_datalake_synnex_spark.streaming.stateful import kmv_stream
+
+    rows = [(i, f"g{i % 2}", f"item{i % 300}") for i in range(900)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, item string")
+    src_dir = os.path.join(str(tmp_path), "in")
+    df.coalesce(1).write.parquet(src_dir)
+    src = (
+        spark.readStream.schema("event_id long, grp string, item string")
+        .parquet(src_dir)
+    )
+    out = kmv_stream(src, group_col="grp", item_col="item", k=64)
+    qn = "t_skmv_unit"
+    q = (
+        out.writeStream.format("memory").queryName(qn)
+        .trigger(availableNow=True).outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    from pyspark.sql import functions as F2
+
+    got = {
+        r["grp"]: (r["n_kept"], round(r["kmv_est"], 6))
+        for r in spark.table(qn)
+        .groupBy("grp")
+        .agg(F2.max_by("n_kept", "upd").alias("n_kept"),
+             F2.max_by("kmv_est", "upd").alias("kmv_est"))
+        .collect()
+    }
+    batch = sketches.kmv_build(df.select("grp", "item"), "item", ["grp"], k=64)
+    want = {
+        r["grp"]: (r["n_kept"], r["kmv_est"])
+        for r in sketches.kmv_estimate(batch, ["grp"], k=64).collect()
+    }
+    assert got == want
+    spark.catalog.dropTempView(qn)
