@@ -1329,6 +1329,142 @@ class LakeEngine:
         ).write.format("parquet").mode("overwrite").saveAsTable(
             self.qualified(f"{table}_kmv_{column}")
         )
+        # stamp the incremental-fold ledger: a DIRECT analyze rebuilds
+        # over ALL current files, so the fold baseline must advance too
+        # — a stale ledger would double-count the already-included
+        # files on the next fold_join_column_stats call
+        meta = self._colstats_meta()
+        meta[f"{table}.{column}"] = {
+            "files": sorted(
+                self.spark.table(self.qualified(table)).inputFiles()
+            ),
+            "spec": [int(depth), int(width), salt],
+        }
+        self._save_colstats_meta(meta)
+
+    def fold_join_column_stats(
+        self,
+        table: str,
+        column: str,
+        depth: int = 4,
+        width: int = 1024,
+        salt: str = "cms",
+    ) -> str:
+        """Incremental ANALYZE (round 13): fold the persisted CMS /
+        HLL / KMV column sketches forward over the files APPENDED
+        since the last analyze — the `_refresh_incremental` /
+        bloom-append discipline applied to the pre-flight statistics
+        tier, so a nightly curate pays sketch maintenance proportional
+        to the DELTA, not the table. All three sketches are mergeable
+        by construction: CMS is linear (counter-wise add), HLL unions
+        losslessly (`hll_union_agg`), KMV union is keep-k-smallest
+        over the hash-set union. Returns ``full`` (first analyze, or
+        files VANISHED — overwrite/compaction voids mergeability and
+        the full rebuild runs, fail-safe), ``incremental`` (delta
+        folded), or ``noop`` (no new files).
+
+        The HLL table's exact-count companion (``n_exact``) is a
+        full-analyze artifact — a folded sketch cannot maintain it
+        without rescanning, so incremental folds set it NULL (readers
+        of the exact column must run `analyze_join_column`; the
+        estimate path never reads it). Sketch frames are KB-sized, so
+        the merge materializes driver-side before the overwrite (no
+        read-then-overwrite conflict on the sketch tables)."""
+        from cbts_datalake_synnex_spark.operators import sketches
+        from cbts_datalake_synnex_spark.operators.sketches import (
+            kmv_build,
+            kmv_merge,
+        )
+
+        meta = self._colstats_meta()
+        key = f"{table}.{column}"
+        qsrc = self.qualified(table)
+        self.spark.catalog.refreshTable(qsrc)
+        src_tab = self.spark.table(qsrc)
+        current = sorted(src_tab.inputFiles())
+        spec = meta.get(key)
+        spec_now = [int(depth), int(width), salt]
+        if (
+            spec is None
+            or set(spec["files"]) - set(current)
+            or spec["spec"] != spec_now
+        ):
+            self.analyze_join_column(table, column, depth, width, salt)
+            meta[key] = {"files": current, "spec": spec_now}
+            self._save_colstats_meta(meta)
+            return "full"
+        new = [f for f in current if f not in set(spec["files"])]
+        if not new:
+            return "noop"
+        delta = self.spark.read.option(
+            "basePath", self._table_location(qsrc)
+        ).parquet(*new)
+        delta = delta.select(
+            *[F.col(f.name).cast(f.dataType) for f in src_tab.schema.fields]
+        )
+        items = delta.filter(F.col(column).isNotNull()).select(
+            F.col(column).cast("string").alias("__item")
+        )
+        # CMS: counter-wise add of the delta sketch into the stored one
+        cms_name = self.qualified(f"{table}_cms_{column}")
+        stored_cms = self.spark.table(cms_name).select("d", "bucket", "cnt")
+        d_cms = sketches.count_min_build(
+            items, "__item", depth=int(depth), width=int(width), salt=salt
+        )
+        merged_cms = (
+            stored_cms.unionByName(d_cms)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            .select(
+                "d", "bucket", "cnt",
+                F.lit(int(depth)).alias("depth"),
+                F.lit(int(width)).alias("width"),
+                F.lit(salt).alias("salt"),
+            )
+        )
+        merged_cms = self.spark.createDataFrame(
+            merged_cms.collect(), merged_cms.schema
+        )
+        merged_cms.write.format("parquet").mode("overwrite").saveAsTable(cms_name)
+        # HLL: lossless union of the stored sketch with the delta's
+        hll_name = self.qualified(f"{table}_hll_{column}")
+        stored_hll = self.spark.table(hll_name).select("hll")
+        d_hll = items.agg(F.hll_sketch_agg("__item").alias("hll"))
+        merged_hll = (
+            stored_hll.unionByName(d_hll)
+            .agg(F.hll_union_agg("hll").alias("hll"))
+            .select("hll", F.lit(None).cast("bigint").alias("n_exact"))
+        )
+        merged_hll = self.spark.createDataFrame(
+            merged_hll.collect(), merged_hll.schema
+        )
+        merged_hll.write.format("parquet").mode("overwrite").saveAsTable(hll_name)
+        # KMV: keep-k-smallest over the hash-set union
+        kmv_name = self.qualified(f"{table}_kmv_{column}")
+        stored_kmv = self.spark.table(kmv_name).select("rank", "h")
+        d_kmv = kmv_build(items, "__item", k=256, salt="kmv")
+        merged_kmv = kmv_merge(stored_kmv, d_kmv, k=256).select(
+            "rank", "h", F.lit(256).alias("k"), F.lit("kmv").alias("salt")
+        )
+        merged_kmv = self.spark.createDataFrame(
+            merged_kmv.collect(), merged_kmv.schema
+        )
+        merged_kmv.write.format("parquet").mode("overwrite").saveAsTable(kmv_name)
+        meta[key] = {"files": current, "spec": spec_now}
+        self._save_colstats_meta(meta)
+        return "incremental"
+
+    def _colstats_meta(self) -> dict[str, Any]:
+        path = os.path.join(self.zones.root, "_column_stats.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _save_colstats_meta(self, meta: dict[str, Any]) -> None:
+        path = os.path.join(self.zones.root, "_column_stats.json")
+        with open(path, "w") as f:
+            json.dump(meta, f, indent=2)
 
     def estimate_join_keys(self, t1: str, c1: str, t2: str, c2: str) -> dict:
         """Pre-flight distinct-key overlap: from the two persisted HLL

@@ -3224,3 +3224,127 @@ def lc_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_keys_union double, est_keys_overlap double, "
         "within_15pct_all boolean, theta_estimator_path boolean",
     )
+
+
+# ----------------------------------------------------------------------
+# K++ [EXT] round 13 — incremental ANALYZE certification: the nightly
+# curate's sketch-maintenance bill must scale with the DELTA, not the
+# table (the _refresh_incremental / bloom-append discipline applied to
+# the pre-flight statistics tier). The query drives the full
+# lifecycle — analyze over batch 1 (how=full), append batch 2, fold
+# (MUST take the incremental path — raises otherwise), fold again
+# (MUST be noop) — then certifies ALL THREE folded sketches against
+# from-scratch rebuilds over the union in-plan: CMS cell-for-cell
+# (linearity), KMV hash-for-hash (set-union merge), HLL
+# estimate-equality (lossless union). The KMV estimate and exact
+# distinct count are md5/SQL-restatable, so the oracle recomputes
+# them; the equality claims are real comparisons whose value the
+# driver hashes.
+@query(
+    "lc_kmv_fold",
+    oracle="""
+    WITH it AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item FROM orders
+    ),
+    hh AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || item), 1, 15)) AS BIGINT) AS h
+      FROM it
+    ),
+    sk AS (
+      SELECT * FROM (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM hh)
+      WHERE rank <= 256
+    )
+    SELECT CAST((SELECT count(*) FROM it) AS BIGINT) AS n_distinct,
+           (SELECT round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+                    END, 6) FROM sk) AS kmv_est,
+           TRUE AS fold_was_incremental,
+           TRUE AS refold_was_noop,
+           TRUE AS kmv_matches_rebuild,
+           TRUE AS cms_matches_rebuild,
+           TRUE AS hll_matches_rebuild
+    """,
+    doc="K++ [EXT] — incremental ANALYZE (engine.fold_join_column_stats): "
+    "appends fold the persisted CMS/HLL/KMV sketches forward over NEW "
+    "files only (full|incremental|noop ladder asserted in-plan); folded "
+    "sketches certified equal to from-scratch rebuilds over the union "
+    "(CMS cell-for-cell, KMV hash-for-hash, HLL estimate); the KMV "
+    "estimate + exact distinct are oracle-recomputed.",
+)
+def lc_kmv_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import sketches
+    from cbts_datalake_synnex_spark.operators.sketches import kmv_build
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("string").alias("item")
+    )
+    b1 = ords.filter(F.col("o_orderkey") % 2 == 0).select("item")
+    b2 = ords.filter(F.col("o_orderkey") % 2 == 1).select("item")
+    with _scratch_engine(spark) as eng:
+        b1.write.saveAsTable(eng.qualified("kf_t"))
+        how1 = eng.fold_join_column_stats("kf_t", "item", depth=4, width=64)
+        if how1 != "full":
+            raise RuntimeError(f"first analyze expected full, got {how1!r}")
+        b2.write.mode("append").saveAsTable(eng.qualified("kf_t"))
+        how2 = eng.fold_join_column_stats("kf_t", "item", depth=4, width=64)
+        if how2 != "incremental":
+            raise RuntimeError(f"append fold expected incremental, got {how2!r}")
+        how3 = eng.fold_join_column_stats("kf_t", "item", depth=4, width=64)
+        if how3 != "noop":
+            raise RuntimeError(f"refold expected noop, got {how3!r}")
+        union_items = spark.table(eng.qualified("kf_t")).select(
+            F.col("item").alias("__item")
+        )
+        # KMV: folded table vs from-scratch build over the union
+        folded_kmv = {
+            (r["rank"], r["h"])
+            for r in spark.table(eng.qualified("kf_t_kmv_item")).collect()
+        }
+        fresh_kmv = {
+            (r["rank"], r["h"])
+            for r in kmv_build(union_items, "__item", k=256).collect()
+        }
+        kmv_ok = folded_kmv == fresh_kmv
+        # CMS: cell-for-cell
+        folded_cms = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in spark.table(eng.qualified("kf_t_cms_item")).collect()
+        }
+        fresh_cms = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in sketches.count_min_build(
+                union_items, "__item", depth=4, width=64
+            ).collect()
+        }
+        cms_ok = folded_cms == fresh_cms
+        # HLL: estimate equality vs a fresh sketch of the union
+        folded_hll = (
+            spark.table(eng.qualified("kf_t_hll_item"))
+            .select(F.hll_sketch_estimate("hll").alias("e"))
+            .first()["e"]
+        )
+        fresh_hll = union_items.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("__item")).alias("e")
+        ).first()["e"]
+        hll_ok = int(folded_hll) == int(fresh_hll)
+        n_distinct = union_items.distinct().count()
+        kmv_est = sketches.kmv_estimate(
+            spark.table(eng.qualified("kf_t_kmv_item")).select("rank", "h"),
+            k=256,
+        ).first()["kmv_est"]
+    return spark.createDataFrame(
+        [
+            (
+                n_distinct,
+                kmv_est,
+                how2 == "incremental",
+                how3 == "noop",
+                bool(kmv_ok),
+                bool(cms_ok),
+                bool(hll_ok),
+            )
+        ],
+        "n_distinct bigint, kmv_est double, fold_was_incremental boolean, "
+        "refold_was_noop boolean, kmv_matches_rebuild boolean, "
+        "cms_matches_rebuild boolean, hll_matches_rebuild boolean",
+    )

@@ -164,3 +164,47 @@ def test_engine_kmv_overlap_roundtrip(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_fold_column_stats_ladder_and_staleness(spark, tmp_path):
+    import uuid
+
+    from cbts_datalake_synnex_spark.engine import LakeEngine
+    from cbts_datalake_synnex_spark.operators import sketches
+
+    db = f"t_fold_{uuid.uuid4().hex[:8]}"
+    eng = LakeEngine(spark, str(tmp_path), database=db)
+    try:
+        a = _items(spark, [f"k{i}" for i in range(100)])
+        b = _items(spark, [f"k{i}" for i in range(80, 180)])
+        a.write.saveAsTable(eng.qualified("ft"))
+        assert eng.fold_join_column_stats("ft", "item", depth=2, width=32) == "full"
+        b.write.mode("append").saveAsTable(eng.qualified("ft"))
+        assert (
+            eng.fold_join_column_stats("ft", "item", depth=2, width=32)
+            == "incremental"
+        )
+        assert eng.fold_join_column_stats("ft", "item", depth=2, width=32) == "noop"
+        # a DIRECT analyze advances the fold ledger: the next fold must
+        # be noop, NOT a double-counting incremental
+        eng.analyze_join_column("ft", "item", depth=2, width=32)
+        assert eng.fold_join_column_stats("ft", "item", depth=2, width=32) == "noop"
+        # total CMS mass must equal the row count exactly (no double fold)
+        cms = spark.table(eng.qualified("ft_cms_item"))
+        mass = cms.groupBy("d").sum("cnt").collect()
+        assert all(r["sum(cnt)"] == 200 for r in mass)
+        # spec change voids mergeability -> full rebuild
+        assert eng.fold_join_column_stats("ft", "item", depth=3, width=32) == "full"
+        # OVERWRITE removes files -> mergeability voided -> full
+        a.write.mode("overwrite").saveAsTable(eng.qualified("ft"))
+        assert eng.fold_join_column_stats("ft", "item", depth=3, width=32) == "full"
+        sk = spark.table(eng.qualified("ft_kmv_item")).select("rank", "h")
+        fresh = sketches.kmv_build(
+            a.withColumnRenamed("item", "__item"), "__item", k=256
+        )
+        assert {(r["rank"], r["h"]) for r in sk.collect()} == {
+            (r["rank"], r["h"]) for r in fresh.collect()
+        }
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
