@@ -334,13 +334,16 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
     "t_holt_trend",
     "dq_benford_test",
     "x5_image_phash_dedup",
-    "lc_kmv_overlap",
     "f_poisson_bootstrap",
     "dq_cramers_v",
 ]
 
 # Not benched at all (registry-certified, but the wall time measures
-# oracle scaffolding, not the operator): x2_index_admission runs the
+# oracle scaffolding, not the operator): lc_kmv_overlap / lc_kmv_fold /
+# x7_kmv_overlap_matrix spend their wall on scratch-lake writes, full
+# analyze builds, and exact ground-truth twins — the OPERATOR
+# (sketch-frame estimate / delta fold / sketch matrix) is KB-bounded
+# arithmetic with no bench-visible cost. x2_index_admission runs the
 # FULL two-night lifecycle incl. a from-scratch rebuild (13+ s sf0.1);
 # the operator's real per-night cost is the isolated
 # `admission_index_probe` row in the dedup_skew block. Same for

@@ -393,3 +393,50 @@ def kmv_intersect_estimate(
     return cnt.crossJoin(F.broadcast(th)).select(
         "n_common", F.round(est, 6).alias(est_col)
     )
+
+
+def kmv_pairwise_overlap(
+    sketch: DataFrame, group_col: str, k: int = 256, est_col: str = "kmv_est"
+) -> DataFrame:
+    """All-pairs |A ∩ B| estimates ACROSS the groups of one grouped
+    KMV sketch frame — the sketch-only overlap MATRIX (cross-source
+    contamination, vocabulary sharing, shard drift) computed entirely
+    on the ≤ groups×k-row sketch: per-group thetas, every unordered
+    pair (ga < gb) via a tiny cross join, common hashes below
+    min(θ_a, θ_b) via one self-equi-join on h. TOTAL over pairs:
+    zero-overlap pairs report (0, 0.0) rather than vanishing (a
+    contamination matrix with missing cells reads as unchecked, not
+    clean). Returns (group_a, group_b, n_common, est_col)."""
+    kk = int(k)
+    g = group_col
+    th = sketch.groupBy(g).agg(
+        F.when(F.count(F.lit(1)) >= kk, F.max("h"))
+        .otherwise(F.lit(int(_KMV_SCALE)))
+        .alias("__t")
+    )
+    pairs = (
+        th.select(F.col(g).alias("group_a"), F.col("__t").alias("__ta"))
+        .crossJoin(th.select(F.col(g).alias("group_b"), F.col("__t").alias("__tb")))
+        .filter(F.col("group_a") < F.col("group_b"))
+        .withColumn("__theta", F.least("__ta", "__tb"))
+    )
+    a = sketch.select(F.col(g).alias("group_a"), "h")
+    b = sketch.select(F.col(g).alias("group_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .join(F.broadcast(pairs.select("group_a", "group_b", "__theta")),
+              ["group_a", "group_b"])
+        .filter(F.col("h") < F.col("__theta"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    est = F.col("n_common").cast("double") * F.lit(_KMV_SCALE) / F.col(
+        "__theta"
+    ).cast("double")
+    return (
+        pairs.join(common, ["group_a", "group_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0).cast("bigint")))
+        .select("group_a", "group_b", "n_common",
+                F.round(est, 6).alias(est_col))
+    )

@@ -308,15 +308,15 @@ _ROUND9_FRONT = [
 # r12 and full-sim green in r13) plus any registry entries added
 # after this list froze (diff REGISTRY against the union of
 # CORRECTNESS_r01..r13 keys).
-# Round 13: the driver window is the 16 round-13 additions (ExactSubstr
+# Round 13: the driver window is the 17 round-13 additions (ExactSubstr
 # dedup, trained langid, AQE skew cert, query-metrics alarms,
 # streaming progress metrics, KMV/theta sketch, CUSUM changepoints
 # batch + streaming, Holt trend, Benford audit, perceptual image
-# dedup, KMV overlap pre-flight, Poisson bootstrap, Cramér V, streaming KMV, incremental ANALYZE fold) followed by the 47 round-12
+# dedup, KMV overlap pre-flight, Poisson bootstrap, Cramér V, streaming KMV, incremental ANALYZE fold, sketch overlap matrix) followed by the 47 round-12
 # additions that never received a driver row (all 47 were re-checked
 # green by the round-12 judge against the same DuckDB harness; this
 # rotation moves them into the OFFICIAL CORRECTNESS record, per judge
-# r12 #7). 63 entries > the 50-slot window, so the last thirteen (all
+# r12 #7). 64 entries > the 50-slot window, so the last fourteen (all
 # judge-verified r12) wait for round 14 — never-sampled NEW rows
 # outrank re-certification of judge-green ones.
 _ROUND13_FRONT = [
@@ -337,6 +337,7 @@ _ROUND13_FRONT = [
     "dq_cramers_v",
     "t_stream_kmv",
     "lc_kmv_fold",
+    "x7_kmv_overlap_matrix",
     # round-12 additions never driver-sampled (judge-green r12)
     "u4_set_operators",
     "j_q2_min_cost_supplier",

@@ -6658,3 +6658,110 @@ def x5_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 2 == 1).alias("brightness_variant"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X7 — sketch-only cross-source overlap matrix (round 13): the KB-cost
+# twin of x7_source_overlap. The exact matrix co-shuffles every
+# source's distinct-shingle set per cell; here each source keeps ONE
+# ≤ k-row KMV sketch and every pairwise |A∩B| comes from the theta
+# rule over the sketch frames — at 100 TB per-shard sketches ride
+# along with the data (fold-maintained, see lc_kmv_fold) and the full
+# S×S matrix costs |S|²·k tiny rows, no corpus access at all. Items
+# are the engine's standard 3-gram word shingles (the x2 convention,
+# whole-text fallback under 3 tokens); everything is md5-
+# deterministic, so the oracle recomputes every sketch row, theta,
+# estimate, AND the exact ground-truth matrix — the per-pair accuracy
+# is visible, not claimed. Per-lang cardinalities (3k-9k) are ≫ k=256,
+# so every cell takes the estimator path.
+@query(
+    "x7_kmv_overlap_matrix",
+    oracle="""
+    WITH t AS (SELECT lang, text, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT lang,
+             CASE WHEN len(toks) < 3 THEN [text]
+                  ELSE list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+             END AS shs
+      FROM t
+    ),
+    it AS (SELECT DISTINCT lang, unnest(shs) AS item FROM s),
+    hh AS (
+      SELECT DISTINCT lang,
+             CAST(('0x' || substr(md5('kmv:' || item), 1, 15)) AS BIGINT) AS h
+      FROM it
+    ),
+    rk AS (
+      SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rank
+      FROM hh
+    ),
+    sk AS (SELECT * FROM rk WHERE rank <= 256),
+    th AS (
+      SELECT lang, CASE WHEN count(*) >= 256 THEN max(h)
+                   ELSE 1152921504606846976 END AS t
+      FROM sk GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.lang AS group_a, b.lang AS group_b, least(a.t, b.t) AS theta
+      FROM th a JOIN th b ON a.lang < b.lang
+    ),
+    common AS (
+      SELECT a.lang AS group_a, b.lang AS group_b, count(*) AS n_common
+      FROM sk a JOIN sk b ON a.h = b.h AND a.lang < b.lang
+      JOIN pairs p ON p.group_a = a.lang AND p.group_b = b.lang
+      WHERE a.h < p.theta
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT a.lang AS group_a, b.lang AS group_b, count(*) AS exact_overlap
+      FROM it a JOIN it b ON a.item = b.item AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT p.group_a, p.group_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           round(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                 * 1152921504606846976.0 / CAST(p.theta AS DOUBLE), 6) AS kmv_est,
+           CAST(COALESCE(ex.exact_overlap, 0) AS BIGINT) AS exact_overlap
+    FROM pairs p
+    LEFT JOIN common c USING (group_a, group_b)
+    LEFT JOIN ex USING (group_a, group_b)
+    """,
+    doc="SURVEY §2.10 X7 [EXT] — sketch-only cross-lang shingle-overlap "
+    "matrix: per-lang KMV (k=256) over 3-gram word shingles, all 10 "
+    "pairwise |A∩B| via the theta rule on the sketch frames alone "
+    "(operators/sketches.kmv_pairwise_overlap), exact ground-truth matrix "
+    "beside it; every value oracle-recomputed.",
+)
+def x7_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cbts_datalake_synnex_spark.operators import dedup as dedup_ops
+    from cbts_datalake_synnex_spark.operators import sketches
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .withColumn("toks", F.split(F.col("text"), " "))
+    )
+    items = docs.select(
+        "lang",
+        F.explode(
+            dedup_ops._string_shingles_over_tokens("toks", "text", 3)
+        ).alias("item"),
+    ).distinct()
+    sk = sketches.kmv_build(items, "item", ["lang"], k=256)
+    est = sketches.kmv_pairwise_overlap(sk, "lang", k=256)
+    a = items.select(F.col("lang").alias("group_a"), "item")
+    b = items.select(F.col("lang").alias("group_b"), "item")
+    exact = (
+        a.join(b, "item")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    return (
+        est.join(exact, ["group_a", "group_b"], "left")
+        .withColumn(
+            "exact_overlap", F.coalesce("exact_overlap", F.lit(0).cast("bigint"))
+        )
+        .select("group_a", "group_b", "n_common", "kmv_est", "exact_overlap")
+    )

@@ -208,3 +208,25 @@ def test_fold_column_stats_ladder_and_staleness(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_kmv_pairwise_overlap_total_and_exact(spark):
+    # three groups: a∩b = 20 exact-path items, a∩c = 0 (must still
+    # report a total zero row), b∩c = 10
+    rows = (
+        [("a", f"x{i}") for i in range(40)]
+        + [("b", f"x{i}") for i in range(20, 60)]
+        + [("c", f"x{i}") for i in range(50, 60)]
+        + [("c", f"y{i}") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "grp string, item string")
+    sk = sketches.kmv_build(df, "item", ["grp"], k=64)
+    out = {
+        (r["group_a"], r["group_b"]): (r["n_common"], r["kmv_est"])
+        for r in sketches.kmv_pairwise_overlap(sk, "grp", k=64).collect()
+    }
+    # all below k: exact path, estimates are exact counts
+    assert out[("a", "b")] == (20, 20.0)
+    assert out[("a", "c")] == (0, 0.0)
+    assert out[("b", "c")] == (10, 10.0)
+    assert len(out) == 3
