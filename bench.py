@@ -22,6 +22,35 @@ from cbts_datalake_synnex_spark.session import get_spark
 from cbts_datalake_synnex_spark.workload import REGISTRY
 
 
+def _isolate(spark) -> None:
+    """Per-query isolation (round 13 — a MEASUREMENT-HYGIENE fix,
+    declared in OPTIMIZATION_r13.md; the pre-fix baselines are kept in
+    plans/r13_baseline_bench.json and BENCH_r01..r12):
+    ``clearCache()`` drops cached tables but NOT the localCheckpoint
+    RDDs each query's plan pins — py4j references keep them alive
+    after the DataFrame is discarded, so a full bench accumulates
+    100+ leaked checkpoint blocks that squeeze unified execution
+    memory and make LATER queries spill (measured: the
+    x2_weighted_minhash_pairs timed row ran 10.5 s after a 30-query
+    warm pass vs 5.8 s with the leaks dropped — identical code).
+    Unpersisting leaked blocks between queries removes cross-query
+    state; it never adds reuse (each query builds its plan from the
+    parquet inputs regardless). The leakage-split pair memo — the one
+    frame DELIBERATELY pinned across queries — is skipped via
+    PROTECTED_BENCH_RDD_IDS (its checkpoint has no lineage to
+    recompute from)."""
+    from cbts_datalake_synnex_spark.workload.llm import PROTECTED_BENCH_RDD_IDS
+
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in [int(k) for k in jmap.keySet().toArray()]:
+            if rid not in PROTECTED_BENCH_RDD_IDS:
+                jmap.get(rid).unpersist()
+    except Exception:  # noqa: BLE001 — isolation must never fail a run
+        pass
+
+
 def _run_pass(spark, sf_dir: str, names: list[str], warm: bool = True) -> tuple[dict, dict]:
     """Warm + timed noop-sink pass over ``names`` at ``sf_dir``.
 
@@ -46,7 +75,7 @@ def _run_pass(spark, sf_dir: str, names: list[str], warm: bool = True) -> tuple[
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001
                 broken[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
-        spark.catalog.clearCache()
+            _isolate(spark)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -60,7 +89,7 @@ def _run_pass(spark, sf_dir: str, names: list[str], warm: bool = True) -> tuple[
             broken[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
             continue
         timings[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()  # no cross-query result reuse
+        _isolate(spark)  # no cross-query result reuse OR leaked state
     return timings, broken
 
 
@@ -378,11 +407,35 @@ NEW_SURFACE_QUERIES_SF01_ONLY = [
 # lc_table_changes' anchors plus one change-sized broadcast join).
 
 
+def _host_calibration(spark) -> dict:
+    """Fixed-work host-speed probes (round 13, additive): this shared
+    box shows multi-minute windows of ~3-5× uniform slowdown on
+    identical code (hypervisor steal — BASELINE.md noise band).
+    Recording a deterministic single-core Python loop and a fixed
+    Spark parallel aggregate beside every bench run lets a reader
+    normalize run-to-run comparisons. Pure addition — no existing
+    number changes meaning."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    py_sec = round(time.perf_counter() - t0, 3)
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000_000).select(F.sum(F.col("id") * 2 + 1))
+    df.collect()  # warm
+    t0 = time.perf_counter()
+    df.collect()
+    return {"python_singlecore_sec": py_sec,
+            "spark_parallel_sum_sec": round(time.perf_counter() - t0, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
+    calib_start = _host_calibration(spark)
     names = [n for n, q in REGISTRY.items() if q.bench]
     timings, broken = _run_pass(spark, sf_dir, names)
 
@@ -396,6 +449,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries_out,
         "sf": float(sf),
+        "host_calibration": {"at_start": calib_start},
     }
 
     # Table-format tier (VERDICT r5 #5): DML/MERGE/Z-order wall times
@@ -471,6 +525,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["sf1"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
+    result["host_calibration"]["at_end"] = _host_calibration(spark)
     print(json.dumps(result))
     spark.stop()
 

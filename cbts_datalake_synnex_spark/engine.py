@@ -1462,6 +1462,10 @@ class LakeEngine:
             return json.load(f)
 
     def _save_colstats_meta(self, meta: dict[str, Any]) -> None:
+        # analyze on a catalog-only lake may run before any zone write
+        # created the root (inherited r13 fix: the stats journal must
+        # not assume a prior curated write)
+        os.makedirs(self.zones.root, exist_ok=True)
         path = os.path.join(self.zones.root, "_column_stats.json")
         with open(path, "w") as f:
             json.dump(meta, f, indent=2)

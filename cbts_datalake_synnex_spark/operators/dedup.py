@@ -333,23 +333,19 @@ def minhash_lsh_pairs(
     )
     cand = _lsh_candidates(buckets, max_bucket_width)
     if broadcast_candidates is None:
-        # Decide the verify-join shape from a bounded probe. Under the
-        # cap the probe's rows ARE the full candidate set, so pin them
-        # as a driver-local frame (an Arrow round-trip of two id
-        # columns, ≤ ~8 MB) — the broadcast then ships exactly what was
-        # counted, nothing is recomputed, and nothing stays persisted
-        # for the session (the old `.persist()` here leaked cached
-        # partitions on every call, with no caller-side handle to
-        # unpersist). Over the cap, the shuffle join re-derives the
-        # candidate plan — one extra pass over the bucket aggregates,
-        # paid only on adversarial corpora.
+        # Decide the verify-join shape from the candidate count. The
+        # candidate set is pinned EXECUTOR-side (localCheckpoint,
+        # memory-and-disk — reclaimed with the plan) so it is computed
+        # exactly once: the old driver-side probe (limit+toPandas then
+        # createDataFrame) re-executed the whole sig→bucket→candidate
+        # plan for the probe and Arrow-round-tripped it through the
+        # driver (measured ~1.6 s of a ~3.3 s sf0.1 run). The count on
+        # the checkpointed frame is metadata-cheap, the broadcast ships
+        # the already-materialized rows, and an adversarial over-cap
+        # candidate set lands on executor disk, never on the driver.
         cap = 500_000
-        head = cand.limit(cap + 1).toPandas()
-        if len(head) <= cap:
-            cand = df.sparkSession.createDataFrame(head, schema=cand.schema)
-            broadcast_candidates = True
-        else:
-            broadcast_candidates = False
+        cand = cand.localCheckpoint(eager=True)
+        broadcast_candidates = cand.count() <= cap
     s1 = shing.select(F.col("doc").alias("doc1"), F.col("shs").alias("shs1"))
     s2 = shing.select(F.col("doc").alias("doc2"), F.col("shs").alias("shs2"))
     inter = F.size(F.array_intersect("shs1", "shs2"))
@@ -412,24 +408,29 @@ def _lsh_candidates(buckets: DataFrame, max_bucket_width: int) -> DataFrame:
 _ICWS_M = 2_147_483_647  # 2^31-1: unit-interval grid for hash->uniform
 
 
-def _icws_unit(seed: int, s) -> F.Column:
+def _icws_unit(seed, s) -> F.Column:
     """Deterministic uniform in (0,1) from (seed, shingle) — the md5/
-    xxhash idiom: pmod to [0, M), +0.5 to dodge both endpoints."""
-    return (F.pmod(F.xxhash64(F.lit(int(seed)), s), F.lit(_ICWS_M)).cast("double") + 0.5) / F.lit(
+    xxhash idiom: pmod to [0, M), +0.5 to dodge both endpoints.
+    ``seed``: Python int or IntegerType Column (same hash either way)."""
+    seed = F.lit(int(seed)) if not isinstance(seed, F.Column) else seed
+    return (F.pmod(F.xxhash64(seed, s), F.lit(_ICWS_M)).cast("double") + 0.5) / F.lit(
         float(_ICWS_M)
     )
 
 
-def _icws_pick(k: int, pair) -> F.Column:
+def _icws_pick(k, pair) -> F.Column:
     """One ICWS sample for permutation ``k`` over a (s, lw = ln w)
     struct: r, c ~ Gamma(2,1) (= −ln(u·u')), β ~ U(0,1), all keyed on
     (k, s); t = ⌊ln w / r + β⌋, ln a = ln c − r·(t + 1 − β). Returns
-    struct(lna, s, t) — array_min over these IS the argmin, and the
+    struct(lna, s, t) — the min over these IS the argmin, and the
     winning (s*, t*) pair is the sample whose collision probability
     across two weighted sets is J_w. ``ln w`` arrives precomputed
-    (perm-independent — hoisting it out of the num_perm transforms
-    drops a quarter of the transcendental work, the ICWS hot cost)."""
+    (perm-independent — hoisting it out of the num_perm samples drops
+    a quarter of the transcendental work, the ICWS hot cost). ``k``
+    may be a Python int OR an IntegerType Column — the seed arithmetic
+    (5k+j, int32 in both cases) hashes identically either way."""
     s, lw = pair["s"], pair["lw"]
+    k = F.lit(int(k)) if not isinstance(k, F.Column) else k
     r = -F.log(_icws_unit(5 * k, s) * _icws_unit(5 * k + 1, s))
     c = -F.log(_icws_unit(5 * k + 2, s) * _icws_unit(5 * k + 3, s))
     beta = _icws_unit(5 * k + 4, s)
@@ -465,27 +466,41 @@ def weighted_minhash_signatures(
     tf: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, h0..h{k-1}): ICWS weighted-minhash signature. After the tf
-    aggregate, each permutation is a PURE projection (one transform +
-    array_min over the per-doc (sh, w) array) — scan-bound, no further
-    shuffle; the signature element hashes the winning (s*, t*) pair so
-    equality across docs has collision probability J_w per
-    permutation."""
+    aggregate, each permutation's pick is a PURE codegen'd projection
+    over the (doc, sh, w) ROWS followed by a ``min(struct)`` hash
+    aggregate — the argmin array_min(transform(...)) used to compute.
+    Higher-order-function lambdas are CodegenFallback (interpreted
+    per element), which made the 16-permutation ICWS arithmetic the
+    dominant cost of the whole LSH path (measured 6.7 s of 9.4 s at
+    sf0.1); as a flat projection it whole-stage-codegens, and the
+    map-side-combined min shuffles only num_docs × k small structs —
+    still scan-bound at 100 TB. min-over-struct ordering is the same
+    lexicographic (lna, s, t) ordering array_min used, so the winning
+    sample — and therefore every signature value — is identical."""
     tf = tf if tf is not None else weighted_shingle_tf(df, id_col, text_col, shingle_size)
-    docs = tf.groupBy("doc").agg(
-        F.collect_list(
-            F.struct(F.col("sh").alias("s"), F.log("w").alias("lw"))
-        ).alias("sw")
+    # One pick EXPRESSION with the permutation id exploded as a column:
+    # 16 inlined pick expressions in one Project JIT-bail (HotSpot's
+    # huge-method limit inside the fused whole-stage method — measured
+    # 8× slowdown past ~8 picks), and per-element HOF lambdas are
+    # interpreted. Exploding k keeps the generated method small; the
+    # conditional mins aggregate back to one row per doc with map-side
+    # combine, so the exchange carries num_docs × k structs only.
+    n = int(num_perm)
+    picks = tf.select(
+        "doc",
+        F.explode(F.array(*[F.lit(k) for k in range(n)])).alias("k"),
+        F.struct(F.col("sh").alias("s"), F.log("w").alias("lw")).alias("pair"),
+    ).select("doc", "k", _icws_pick(F.col("k"), F.col("pair")).alias("p"))
+    agg = picks.groupBy("doc").agg(
+        *[F.min(F.when(F.col("k") == k, F.col("p"))).alias(f"p{k}") for k in range(n)]
     )
-    def _picker(k: int):
-        # NB: a two-arg lambda in F.transform means (element, index) —
-        # k must close over a one-arg lambda
-        return lambda p: _icws_pick(k, p)
-
-    cols = []
-    for k in range(int(num_perm)):
-        best = F.array_min(F.transform(F.col("sw"), _picker(k)))
-        cols.append(F.xxhash64(F.lit(k), best["s"], best["t"]).alias(f"h{k}"))
-    return docs.select("doc", *cols)
+    return agg.select(
+        "doc",
+        *[
+            F.xxhash64(F.lit(k), F.col(f"p{k}")["s"], F.col(f"p{k}")["t"]).alias(f"h{k}")
+            for k in range(n)
+        ],
+    )
 
 
 def weighted_jaccard_pairs(
@@ -955,6 +970,12 @@ def exact_substring_spans(
     from pyspark.sql import Window as W
 
     k = int(min_len)
+    # The per-position k-char shingle stream is the published cost of
+    # ExactSubstr — all of it CPU spent BEFORE the first exchange, so a
+    # narrow scan (one small parquet → one task) serializes the whole
+    # corpus×k expansion on one core (measured 3.3 s → 1.1 s at sf0.1).
+    # Same `_widen_narrow_input` discipline as the shingle operators.
+    df = _widen_narrow_input(df)
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(

@@ -29,7 +29,15 @@ from pyspark.sql import functions as F
 def _doc_stats(docs: DataFrame, id_col: str, text_col: str):
     """((doc, term, tf), (doc, dl), one-row (n_docs, avgdl)) from a
     whitespace tokenization (empty tokens dropped, the engine-wide
-    rule)."""
+    rule).
+
+    Deliberately NOT checkpoint-pinned (r13 A/B): tf's second consumer
+    (the query-df aggregate) is a broadcast-semi-filtered subtree that
+    recomputes almost for free, so a forced full materialization of tf
+    COSTS more than the recompute it saves (measured 2.2 vs 1.8 s on
+    x4_bm25_topk at sf0.1); within one fused plan (rrf fusion sharing
+    this triple across rankers) exchange reuse dedups the tf aggregate
+    anyway."""
     base = docs.select(
         F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("toks")
     )
@@ -62,6 +70,7 @@ def bm25_topk(
     b: float = 0.75,
     round_dp: int = 6,
     max_doc_freq: int | float | None = None,
+    doc_stats=None,
 ) -> DataFrame:
     """BM25 top-k documents per keyword query.
 
@@ -86,8 +95,11 @@ def bm25_topk(
     frame itself, so the capped term never reaches the corpus-sized
     tf join regardless of Catalyst's join order. Unset = exact BM25
     over every query term (the registry-certified contract).
+
+    ``doc_stats``: a precomputed ``_doc_stats(docs, ...)`` triple —
+    lets a fusion pipeline tokenize the corpus ONCE across rankers.
     """
-    tf, dl, stats = _doc_stats(docs, id_col, text_col)
+    tf, dl, stats = doc_stats if doc_stats is not None else _doc_stats(docs, id_col, text_col)
     qt = queries.select(
         F.col(query_id_col).alias("query_id"), F.explode(terms_col).alias("term")
     ).distinct()
@@ -145,13 +157,15 @@ def term_jaccard_topk(
     terms_col: str = "terms",
     k: int = 5,
     round_dp: int = 6,
+    doc_stats=None,
 ) -> DataFrame:
     """Token-set Jaccard top-k per keyword query — the deliberately
     simple second ranker for fusion demos/tests: |q ∩ d| / |q ∪ d|
     over DISTINCT doc terms. Same candidate shape as BM25 (query
     terms broadcast into the doc-term table), same rounding + id
-    tiebreak. Returns (query_id, doc, score, rank ≤ k)."""
-    tf, _dl, _stats = _doc_stats(docs, id_col, text_col)
+    tiebreak. Returns (query_id, doc, score, rank ≤ k).
+    ``doc_stats``: precomputed ``_doc_stats`` triple (shared tokenize)."""
+    tf, _dl, _stats = doc_stats if doc_stats is not None else _doc_stats(docs, id_col, text_col)
     nd = tf.groupBy("doc").agg(F.count(F.lit(1)).cast("double").alias("nd"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.explode(terms_col).alias("term")

@@ -2241,7 +2241,11 @@ def j_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = copurchase_edges(li).filter(F.col("weight") >= 2)
+    # pin the pair-build ONCE: the seeds frame and khop's internal edge
+    # checkpoint are separate ACTIONS — unpinned, each re-ran the
+    # lineitem self-join + weight aggregate (exchange reuse cannot span
+    # actions)
+    edges = copurchase_edges(li).filter(F.col("weight") >= 2).localCheckpoint(eager=True)
     seeds = (
         edges.select(F.col("src").alias("node"))
         .distinct()

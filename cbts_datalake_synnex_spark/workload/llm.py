@@ -2380,6 +2380,12 @@ def x4_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `clearCache()` between queries drops cached tables, not checkpoints.
 _LEAKAGE_BENCH_PAIRS: dict = {}
 
+# RDD ids the bench's per-query isolation sweep must NOT unpersist:
+# the leakage memo above is the one frame deliberately pinned ACROSS
+# bench queries (its checkpoint blocks would be unrecoverable — a
+# localCheckpoint has no lineage to recompute from).
+PROTECTED_BENCH_RDD_IDS: set = set()
+
 
 def _bench_leakage_split_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
@@ -2389,7 +2395,11 @@ def _bench_leakage_split_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = dedup.ngram_jaccard_pairs(
             docs, id_col="doc_id", text_col="text", threshold=0.7, shingle_size=1
         )
+        jsc = spark.sparkContext._jsc
+        before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
         pinned = pairs.localCheckpoint()  # eager: pair cost paid HERE
+        after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+        PROTECTED_BENCH_RDD_IDS.update(after - before)
         _LEAKAGE_BENCH_PAIRS[key] = pinned
     return sampling.leakage_safe_split(
         docs, pinned, id_col="doc_id", test_frac=0.2, salt="ls"
@@ -5464,9 +5474,14 @@ def pipeline_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     qdf = _bm25_queries_df(spark)
-    bm = retrieval.bm25_topk(docs, qdf, id_col="doc_id", text_col="text", k=5)
+    # one shared tokenize across both rankers (the pinned _doc_stats
+    # triple) — unshared, each ranker re-ran the corpus explode+agg
+    stats = retrieval._doc_stats(docs, "doc_id", "text")
+    bm = retrieval.bm25_topk(
+        docs, qdf, id_col="doc_id", text_col="text", k=5, doc_stats=stats
+    )
     jc = retrieval.term_jaccard_topk(
-        docs, qdf, id_col="doc_id", text_col="text", k=5
+        docs, qdf, id_col="doc_id", text_col="text", k=5, doc_stats=stats
     )
     fused = retrieval.rrf_fuse([bm, jc], k_const=60, topk=5)
     return fused.select(
@@ -6623,23 +6638,37 @@ def x5_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth_hash(it):
+        # guide §4.5: heavyweight work once per task, not per row — the
+        # payload (and thus both hashes) depends only on (doc_id % 17,
+        # doc_id % 2), so each of the 34 distinct images is encoded,
+        # decoded and hashed once per task and every further row is a
+        # dict lookup. Same decode→hash pipeline, same values.
+        import hashlib
+
+        memo: dict[tuple[int, int], tuple[str, str]] = {}
+
+        def hashes(d: int) -> tuple[str, str]:
+            key = (d % 17, d % 2)
+            got = memo.get(key)
+            if got is None:
+                p = multimodal.encode_ppm_gradient(16, 16, key[0], key[1] * 10)
+                got = (multimodal.image_ahash(p), hashlib.md5(p).hexdigest())
+                memo[key] = got
+            return got
+
         for pdf in it:
-            ids = [int(d) for d in pdf["doc_id"]]
-            payloads = [
-                multimodal.encode_ppm_gradient(16, 16, d % 17, (d % 2) * 10)
-                for d in ids
-            ]
+            pairs = [hashes(int(d)) for d in pdf["doc_id"]]
             out = pd.DataFrame()
             out["doc_id"] = pdf["doc_id"]
-            out["ahash"] = [multimodal.image_ahash(p) for p in payloads]
-            out["byte_hash"] = [
-                __import__("hashlib").md5(p).hexdigest() for p in payloads
-            ]
+            out["ahash"] = [a for a, _ in pairs]
+            out["byte_hash"] = [b for _, b in pairs]
             yield out
 
+    # the Python-lane frame feeds per_hash, per_byte AND the final join
+    # — pin it so the mapInPandas pass runs once, not three times
     hashed = docs.mapInPandas(
         synth_hash, schema="doc_id bigint, ahash string, byte_hash string"
-    )
+    ).localCheckpoint(eager=False)
     per_hash = hashed.groupBy("ahash").agg(
         F.count(F.lit(1)).cast("bigint").alias("perceptual_group_size"),
         F.min("doc_id").alias("canonical_doc"),
