@@ -35,18 +35,14 @@ def _isolate(spark) -> None:
     warm pass vs 5.8 s with the leaks dropped — identical code).
     Unpersisting leaked blocks between queries removes cross-query
     state; it never adds reuse (each query builds its plan from the
-    parquet inputs regardless). The leakage-split pair memo — the one
-    frame DELIBERATELY pinned across queries — is skipped via
-    PROTECTED_BENCH_RDD_IDS (its checkpoint has no lineage to
-    recompute from)."""
-    from cbts_datalake_synnex_spark.workload.llm import PROTECTED_BENCH_RDD_IDS
-
+    parquet inputs regardless). Round 14: the one protected exception
+    (the leakage-split pair memo) is retired — the sweep now drops
+    EVERY persistent RDD, so no frame survives across timed queries."""
     spark.catalog.clearCache()
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in [int(k) for k in jmap.keySet().toArray()]:
-            if rid not in PROTECTED_BENCH_RDD_IDS:
-                jmap.get(rid).unpersist()
+            jmap.get(rid).unpersist()
     except Exception:  # noqa: BLE001 — isolation must never fail a run
         pass
 
@@ -87,6 +83,9 @@ def _run_pass(spark, sf_dir: str, names: list[str], warm: bool = True) -> tuple[
             (q.bench_fn or q.fn)(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001
             broken[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            # ADVICE r13: a failed query's partially-built cached/
+            # checkpointed state must not leak into the next timed query
+            _isolate(spark)
             continue
         timings[name] = round(time.perf_counter() - start, 3)
         _isolate(spark)  # no cross-query result reuse OR leaked state
@@ -506,12 +505,6 @@ def main() -> None:
                     and base_ops[n] > 0
                 }
                 result["sf1"]["table_ops"] = t_ops
-                # the sf1 new-surfaces pass is warm-less; prime the
-                # leakage-split pair checkpoint so its timed number
-                # isolates the split (same as the sf0.1 warm pass does)
-                q_ls = REGISTRY.get("pipeline_leakage_safe_split")
-                if q_ls is not None and q_ls.bench_fn is not None:
-                    q_ls.bench_fn(spark, sf1_dir)
                 ns1_t, _ns1_b = _run_pass(spark, sf1_dir, NEW_SURFACE_QUERIES, warm=False)
                 base_ns = result.get("new_surfaces", {})
                 ns1_t["slope_vs_sf0.1"] = {

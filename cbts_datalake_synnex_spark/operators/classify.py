@@ -40,6 +40,7 @@ def nb_train(
     text_col: str,
     label_col: str,
     smoothing: float = 1.0,
+    token_counts: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Train a multinomial Naive Bayes model; returns small DataFrames
     (the model), never driver-side data.
@@ -52,10 +53,20 @@ def nb_train(
     no driver action. Model size is O(vocab × labels): counting
     shuffles carry (label, token, count), everything downstream is a
     broadcast.
+
+    ``token_counts`` (round 14 — the retrieval ``doc_stats=``
+    precedent): a precomputed ``(label_col, token, c)`` frame replaces
+    the internal tokenize, so a pipeline that also scores documents
+    can derive train counts and score terms from ONE shared corpus
+    tokenize instead of two independent passes. Values are identical —
+    the internal aggregate is exactly this frame.
     """
     a = float(smoothing)
-    toks = _tokens(docs, text_col, label_col)
-    counts = toks.groupBy(label_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    if token_counts is not None:
+        counts = token_counts.select(label_col, "token", "c")
+    else:
+        toks = _tokens(docs, text_col, label_col)
+        counts = toks.groupBy(label_col, "token").agg(F.count(F.lit(1)).alias("c"))
     vocab = counts.select(F.countDistinct("token").alias("__v"))
     label_totals = counts.groupBy(label_col).agg(F.sum("c").alias("total"))
     doc_counts = docs.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_docs"))
@@ -100,6 +111,7 @@ def nb_score_all(
     text_col: str,
     label_col: str = "label",
     round_dp: int = 6,
+    term: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document under EVERY label; returns the full
     (id, label, score, n_tokens) log-likelihood matrix — the surface
@@ -117,9 +129,16 @@ def nb_score_all(
     tlp = model["token_logprob"]
     stats = model["label_stats"]
     model_label = [c for c in stats.columns if c not in ("logprior", "default_logprob")][0]
-    term = _tokens(docs, text_col, id_col).groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # ``term=`` (round 14): a precomputed (id, token, cnt) frame — the
+    # nb_train ``token_counts=`` twin — lets a train+score pipeline
+    # tokenize the corpus once. Identical values: the internal
+    # aggregate is exactly this frame.
+    if term is None:
+        term = _tokens(docs, text_col, id_col).groupBy(id_col, "token").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    else:
+        term = term.select(id_col, "token", "cnt")
     # every (doc-term, label) pair — labels are a tiny broadcast
     contrib = (
         term.crossJoin(F.broadcast(stats.select(F.col(model_label).alias(label_col), "default_logprob")))
@@ -150,24 +169,14 @@ def nb_score_all(
     return scored
 
 
-def nb_score(
-    docs: DataFrame,
-    model: dict[str, DataFrame],
-    id_col: str,
-    text_col: str,
-    label_col: str = "label",
-    round_dp: int = 6,
-) -> DataFrame:
-    """Score every document and return the per-doc argmax
-    (id, pred_label, score, n_tokens) — `nb_score_all` plus the
-    argmax reduction. Ties break on the smaller label string, both
-    engines alike; the argmax is a (doc)-keyed max_by on the rounded
-    score — no window sort.
-    """
-    scored = nb_score_all(docs, model, id_col, text_col, label_col, round_dp)
-    # argmax on (rounded score desc, label asc): max_by over a struct —
-    # a hash aggregate, not a window sort. Negated score gives the
-    # ascending-struct minimum the desc-score semantics; label ascends.
+def nb_argmax(scored: DataFrame, id_col: str, label_col: str = "label") -> DataFrame:
+    """Per-doc argmax over an `nb_score_all` frame — (id, pred_label,
+    score, n_tokens). Ties break on the smaller label string, both
+    engines alike; the argmax is a (doc)-keyed min-struct hash
+    aggregate, never a window sort. Split out (round 14) so a pipeline
+    that needs BOTH the full score matrix and the argmax can pin the
+    matrix once and derive both, instead of running two independent
+    tokenize→score subtrees."""
     best = scored.groupBy(id_col).agg(
         F.min(F.struct((-F.col("score")).alias("ns"), F.col(label_col).alias("l"))).alias("b"),
         F.max("n_tokens").alias("n_tokens"),
@@ -178,6 +187,23 @@ def nb_score(
         (-F.col("b.ns")).alias("score"),
         "n_tokens",
     )
+
+
+def nb_score(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    round_dp: int = 6,
+    term: DataFrame | None = None,
+) -> DataFrame:
+    """Score every document and return the per-doc argmax
+    (id, pred_label, score, n_tokens) — `nb_score_all` plus the
+    argmax reduction (`nb_argmax`).
+    """
+    scored = nb_score_all(docs, model, id_col, text_col, label_col, round_dp, term=term)
+    return nb_argmax(scored, id_col, label_col)
 
 
 def binary_auc(

@@ -79,14 +79,12 @@ def _hashed_shingles_over_tokens(toks_col: str, size: int) -> F.Column:
     return F.when(n < F.lit(size), F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(grams)
 
 
-def _widen_narrow_input(df: DataFrame) -> DataFrame:
-    """Repartition a NARROW input up to default parallelism before the
-    CPU-bound tokenize/shingle projection. An input read from a handful
-    of files (one small parquet, a few big gz) pins tokenization to
-    that many cores; a well-partitioned 100 TB scan is already wider
-    than the threshold and never pays this text shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target // 2 else df
+# Shared threshold policy lives in operators/_util.py (ADVICE r13);
+# re-exported here because the shingle operators and decontaminate
+# import it under this name.
+from cbts_datalake_synnex_spark.operators._util import (  # noqa: E402
+    widen_narrow_input as _widen_narrow_input,
+)
 
 
 def _hashed_shingle_docs(df: DataFrame, id_col: str, text_col: str, size: int) -> DataFrame:

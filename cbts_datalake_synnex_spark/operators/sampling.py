@@ -803,9 +803,9 @@ def poisson_bootstrap(
     # replicate pass on one core (measured 5.8 s → 1.3 s at sf0.1).
     # Widen BEFORE the explode — the pre-explode rows are R× cheaper
     # to shuffle; a well-partitioned 100 TB scan never pays this.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target // 2:
-        base = base.repartition(target)
+    from cbts_datalake_synnex_spark.operators._util import widen_narrow_input
+
+    base = widen_narrow_input(base)
     rows = base.select("__id", "__x", rep)
     u = (
         F.conv(

@@ -1249,9 +1249,13 @@ def cell_cogroup_topk(
     def score_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty or cpdf.empty:
             return pd.DataFrame({"query_id": [], "cand_id": [], "cosine": []})
-        qm = np.asarray([list(v) for v in qpdf["qv"]], dtype=np.float64)
+        # np.stack over the Arrow-decoded array cells — the previous
+        # [list(v) for v in ...] round-tripped every element through
+        # Python objects before re-vectorizing (guide §4.2: keep batch
+        # work in native code); values are the same float64s either way
+        qm = np.stack(qpdf["qv"].to_numpy()).astype(np.float64, copy=False)
         qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-        cm = np.asarray([list(v) for v in cpdf["cv"]], dtype=np.float64)
+        cm = np.stack(cpdf["cv"].to_numpy()).astype(np.float64, copy=False)
         cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
         # raw doubles out; the JVM applies the canonical F.round after
         # the Arrow boundary (same discipline as cosine_topk_arrow, so
@@ -1263,23 +1267,26 @@ def cell_cogroup_topk(
         order = np.argsort(c_ids, kind="stable")
         sims = sims[:, order]
         c_ids = c_ids[order]
-        out_q, out_c, out_s = [], [], []
         kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        # The cell-local cut sorts on round_dp-ROUNDED scores (the
+        # same grid the global top-k window sees), so two candidates
+        # that tie after rounding can never be split at the per-cell k
+        # boundary by ulp-level raw differences — the id tiebreak
+        # applies at BOTH levels. Columns ascend with cand_id, so ONE
+        # stable argsort on -rounded across the whole matrix IS the
+        # (rounded desc, id asc) order the old per-row
+        # lexsort((position, -rounded)) computed — vectorized over all
+        # rows instead of a Python loop per query. (numpy rounds
+        # half-to-even vs the JVM's HALF_UP — divergence needs a
+        # cosine exactly on the half-grid, measure-zero for float dot
+        # products.)
+        rounded = np.round(sims, round_dp)
+        top = np.argsort(-rounded, axis=1, kind="stable")[:, :kk]
+        out_q, out_c, out_s = [], [], []
         for i, qid in enumerate(q_ids):
             row = sims[i]
-            # The cell-local cut sorts on round_dp-ROUNDED scores (the
-            # same grid the global top-k window sees), so two
-            # candidates that tie after rounding can never be split at
-            # the per-cell k boundary by ulp-level raw differences —
-            # the id tiebreak applies at BOTH levels. c_ids ascend
-            # with j, so (rounded desc, position asc) via lexsort IS
-            # the id tiebreak. (numpy rounds half-to-even vs the JVM's
-            # HALF_UP — divergence needs a cosine exactly on the
-            # half-grid, measure-zero for float dot products.)
-            rounded = np.round(row, round_dp)
-            top = np.lexsort((np.arange(len(row)), -rounded))[:kk].tolist()
             taken = 0
-            for j in top:
+            for j in top[i]:
                 if exclude_self and c_ids[j] == qid:
                     continue
                 out_q.append(qid)

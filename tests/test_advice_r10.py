@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 from cbts_datalake_synnex_spark.engine import LakeEngine
 
 
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def eng(spark):
     root = tempfile.mkdtemp(prefix="advice10_")

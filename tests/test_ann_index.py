@@ -15,6 +15,11 @@ from cbts_datalake_synnex_spark.operators import similarity
 from cbts_datalake_synnex_spark.plans.inspect import explain_str
 
 
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def eng(spark):
     root = tempfile.mkdtemp(prefix="annidx_")

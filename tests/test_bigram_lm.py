@@ -15,6 +15,11 @@ from cbts_datalake_synnex_spark.plans.inspect import explain_str
 D = 0.75
 
 
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def _py_bigram(docs: dict[int, str]) -> dict[int, tuple[int, float | None]]:
     toks = {i: t.split(" ") for i, t in docs.items()}
     uni = Counter(tok for ts in toks.values() for tok in ts)

@@ -14,6 +14,13 @@ from cbts_datalake_synnex_spark.operators.similarity import kmeans_refine
 from cbts_datalake_synnex_spark.operators.text import _bpe_greedy_fold, bpe_train
 
 
+import pytest
+
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def _greedy_ref(syms, x, y):
     out = []
     for s in syms:

@@ -16,6 +16,13 @@ _word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "zz"])
 _doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
 
 
+import pytest
+
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def _py_nb(train, score_docs, a=1.0):
     """(doc_id -> (pred, score, n_tokens)) exactly per the operator contract."""
     counts: dict = {}

@@ -33,6 +33,13 @@ _hostile = st.text(
 _cell = st.one_of(st.none(), _hostile.filter(lambda s: s != "\\N"))
 
 
+import pytest
+
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=st.lists(st.tuples(_cell, _cell), min_size=1, max_size=6))
 def test_csv_roundtrip_byte_fidelity(spark, tmp_path_factory, rows):

@@ -11,6 +11,11 @@ from cbts_datalake_synnex_spark.plans.inspect import explain_str
 D = 0.85
 
 
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def _py_pagerank(edges, iterations=5):
     """edges: list of (src, dst, w). Returns {node: n * rank}."""
     out_w: dict = {}

@@ -4,8 +4,9 @@
    min aggregate) must produce BIT-IDENTICAL signatures to the
    straightforward per-permutation array_min(transform(...)) reference
    it replaced — the rewrite is a physical-plan change only.
-2. bench._isolate must drop leaked checkpoint RDDs while preserving
-   frames registered in PROTECTED_BENCH_RDD_IDS.
+2. bench._isolate must drop leaked checkpoint RDDs. (Round 14: the
+   PROTECTED_BENCH_RDD_IDS escape hatch was retired with the
+   leakage-split pair memo — the sweep is now unconditional.)
 """
 
 from __future__ import annotations
@@ -70,9 +71,8 @@ def test_icws_signatures_match_reference(spark):
     assert got == want
 
 
-def test_bench_isolate_respects_protected_frames(spark):
+def test_bench_isolate_sweeps_leaked_checkpoints(spark):
     import bench
-    from cbts_datalake_synnex_spark.workload import llm
 
     jsc = spark.sparkContext._jsc
     before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
@@ -80,13 +80,6 @@ def test_bench_isolate_respects_protected_frames(spark):
     after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     new_ids = after - before
     assert new_ids, "localCheckpoint should register persistent RDDs"
-    # protected: survive the sweep
-    llm.PROTECTED_BENCH_RDD_IDS.update(new_ids)
-    bench._isolate(spark)
-    still = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
-    assert new_ids <= still, "protected ids must survive _isolate"
-    # unprotected: swept
-    llm.PROTECTED_BENCH_RDD_IDS.difference_update(new_ids)
     bench._isolate(spark)
     final = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
-    assert not (new_ids & final), "unprotected leaks must be unpersisted"
+    assert not (new_ids & final), "leaked checkpoints must be unpersisted"

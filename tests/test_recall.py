@@ -17,6 +17,13 @@ from cbts_datalake_synnex_spark.operators import dedup, similarity
 from cbts_datalake_synnex_spark.workload.base import load_table
 
 
+import pytest
+
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = dedup.ngram_jaccard_pairs(

@@ -14,6 +14,13 @@ _word = st.sampled_from(["a", "b", "c", "x", "y", "z", "qq"])
 _doc = st.lists(_word, min_size=0, max_size=20).map(" ".join)
 
 
+import pytest
+
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def _py_weighted_jaccard(texts: dict, size: int = 3):
     """Exact weighted-Jaccard pairs over whole-text shingles, plain
     python (tf over word n-grams; whole text if shorter)."""

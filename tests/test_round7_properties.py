@@ -11,6 +11,13 @@ _line = st.text(alphabet="abc xyz", min_size=0, max_size=12)
 _doc = st.lists(_line, min_size=0, max_size=8).map("\n".join)
 
 
+import pytest
+
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=st.lists(_doc, min_size=1, max_size=5))
 def test_collapse_lines_matches_python_model(spark, docs):

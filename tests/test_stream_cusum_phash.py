@@ -24,6 +24,11 @@ from cbts_datalake_synnex_spark.operators.multimodal import (
 from cbts_datalake_synnex_spark.operators.timeseries import cusum
 
 
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def test_stream_cusum_single_batch_equals_batch(spark, tmp_path):
     import os
 

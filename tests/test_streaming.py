@@ -41,6 +41,11 @@ EVENT_SCHEMA = StructType(
 CLOCK = lambda: datetime(2024, 5, 17, 12, 0, 0, tzinfo=timezone.utc)  # noqa: E731
 
 
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def _write_file(dirpath: str, name: str, rows: list[dict], mtime: float) -> None:
     os.makedirs(dirpath, exist_ok=True)
     p = os.path.join(dirpath, name)

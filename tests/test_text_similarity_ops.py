@@ -10,6 +10,13 @@ from cbts_datalake_synnex_spark.operators.similarity import normalize_quantize
 from cbts_datalake_synnex_spark.operators.text import redact
 
 
+import pytest
+
+# Certification tier (round 14): excluded from the default driver-budget
+# run via pytest.ini; run with `pytest -m slow` (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 def test_redact_pii_shapes(spark):
     df = spark.createDataFrame(
         [
