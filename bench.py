@@ -37,14 +37,12 @@ def _isolate(spark) -> None:
     state; it never adds reuse (each query builds its plan from the
     parquet inputs regardless). Round 14: the one protected exception
     (the leakage-split pair memo) is retired — the sweep now drops
-    EVERY persistent RDD, so no frame survives across timed queries."""
-    spark.catalog.clearCache()
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in [int(k) for k in jmap.keySet().toArray()]:
-            jmap.get(rid).unpersist()
-    except Exception:  # noqa: BLE001 — isolation must never fail a run
-        pass
+    EVERY persistent RDD, so no frame survives across timed queries.
+    The sweep itself is the shared library helper (same code callers
+    use to reclaim operator checkpoint pins — ADVICE r13)."""
+    from cbts_datalake_synnex_spark.operators._util import sweep_pinned_rdds
+
+    sweep_pinned_rdds(spark)
 
 
 def _run_pass(spark, sf_dir: str, names: list[str], warm: bool = True) -> tuple[dict, dict]:

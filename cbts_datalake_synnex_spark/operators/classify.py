@@ -262,10 +262,13 @@ def binary_auc(
     # range exchanges — if the exchange were evaluated twice, the
     # sampled range boundaries (and hence __pid assignments) could
     # differ between branches and the AUC would be wrong (ADVICE r9).
-    ranged = (
+    # Round 14: the pin is ranks._pin_ranged (cache — same single-
+    # evaluation guarantee, no eager blocking action, reclaimable).
+    from cbts_datalake_synnex_spark.operators.ranks import _pin_ranged
+
+    ranged = _pin_ranged(
         g.repartitionByRange(n_ranges, F.col("__s"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
     w_in = (
         W.partitionBy("__pid").orderBy("__s").rowsBetween(W.unboundedPreceding, -1)

@@ -87,6 +87,7 @@ from cbts_datalake_synnex_spark.operators._util import (  # noqa: E402
 )
 
 
+
 def _hashed_shingle_docs(df: DataFrame, id_col: str, text_col: str, size: int) -> DataFrame:
     """(doc, shs) with tokens projected FIRST so the shingle lambda
     binds an attribute (see _hashed_shingles_over_tokens)."""
@@ -333,14 +334,21 @@ def minhash_lsh_pairs(
     if broadcast_candidates is None:
         # Decide the verify-join shape from the candidate count. The
         # candidate set is pinned EXECUTOR-side (localCheckpoint,
-        # memory-and-disk — reclaimed with the plan) so it is computed
-        # exactly once: the old driver-side probe (limit+toPandas then
-        # createDataFrame) re-executed the whole sig→bucket→candidate
-        # plan for the probe and Arrow-round-tripped it through the
-        # driver (measured ~1.6 s of a ~3.3 s sf0.1 run). The count on
-        # the checkpointed frame is metadata-cheap, the broadcast ships
-        # the already-materialized rows, and an adversarial over-cap
-        # candidate set lands on executor disk, never on the driver.
+        # memory-and-disk) so it is computed exactly once: the old
+        # driver-side probe (limit+toPandas then createDataFrame)
+        # re-executed the whole sig→bucket→candidate plan for the probe
+        # and Arrow-round-tripped it through the driver (measured
+        # ~1.6 s of a ~3.3 s sf0.1 run). The count on the checkpointed
+        # frame is metadata-cheap, the broadcast ships the already-
+        # materialized rows, and an adversarial over-cap candidate set
+        # lands on executor disk, never on the driver. LIFETIME
+        # (ADVICE r13): the checkpoint blocks outlive the returned
+        # frame — discarding the DataFrame does NOT reclaim them, so a
+        # caller composing many dedup calls in one session must sweep
+        # (`operators._util.sweep_pinned_rdds(spark)`, which is what
+        # bench._isolate does between timed queries). A/B'd cache()
+        # here (clearCache-reclaimable) — 12% slower on the bench row;
+        # the checkpoint + explicit sweep keeps the faster shape.
         cap = 500_000
         cand = cand.localCheckpoint(eager=True)
         broadcast_candidates = cand.count() <= cap

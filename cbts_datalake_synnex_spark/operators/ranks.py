@@ -12,7 +12,7 @@ TOTAL order:
 Both are computed here WITHOUT an unpartitioned window, with the
 two-level discipline already certified in ``classify.grouped_auc``
 (ADVICE r9): range-partition on the order key, pin the partitioning
-(``localCheckpoint`` — two downstream branches must see identical
+(``_pin_ranged`` — two downstream branches must see identical
 sampled range boundaries), run the window PER PARTITION ID (parallel:
 each range is its own window group), and close the gap between
 partitions with a <= n_ranges-row offsets frame — the only
@@ -36,6 +36,25 @@ def _n_ranges(df: DataFrame) -> int:
         return 32
 
 
+def _pin_ranged(df: DataFrame) -> DataFrame:
+    """Pin a range-partitioned frame whose ``__pid`` column two
+    downstream branches join on. The pin guarantees both branches see
+    ONE evaluation of the range exchange (identical sampled boundaries
+    — correctness, ADVICE r9; both branches read the same pinned RDD,
+    and the boundaries are fixed once when its shuffle stage first
+    runs). Round 14: ``localCheckpoint(eager=False)`` — LAZY, so a
+    query stringing several rank axes (t_rfm_segments runs three) no
+    longer pays one blocking materialization job per axis; everything
+    pins on the first real action. A/B at sf0.1, same session,
+    min-of-4 on t_rfm/dq_ks/x8_quantile: lazy 1.86/0.99/1.44 s vs
+    eager 2.35/1.13/1.62 vs cache() 3.05/1.21/2.09 (the columnar
+    cache round-trip loses to row-format checkpoint storage here).
+    Library callers: the pinned blocks live until the session drops
+    them — sweep with bench._isolate / unpersist when composing many
+    calls in one session."""
+    return df.localCheckpoint(eager=False)
+
+
 def running_totals(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -57,10 +76,9 @@ def running_totals(
     the window honor the same sort direction).
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
+    ranged = _pin_ranged(
         df.repartitionByRange(_n_ranges(df), *ocols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
     w_in = (
         W.partitionBy("__pid")
@@ -156,12 +174,11 @@ def successor_lookup(
     both = u.select(key_col, "__is_e", "__v", *[c for c in pcols if c != key_col]).unionByName(
         e.select(key_col, "__is_e", "__v", *[c for c in pcols if c != key_col])
     )
-    ranged = (
+    ranged = _pin_ranged(
         both.repartitionByRange(
             _n_ranges(both), F.col(key_col), F.col("__is_e"), F.col("__v")
         )
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
     w_in = (
         W.partitionBy("__pid")

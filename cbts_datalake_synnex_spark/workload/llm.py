@@ -3376,8 +3376,11 @@ def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify._tokens(base, "text", "doc_id", "lang", "__in_seed")
         .groupBy("doc_id", "lang", "__in_seed", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()  # one corpus tokenize; both derived aggregates below
-        # read the same computed partitions (bench _isolate sweeps it)
+        # deliberately NOT cached: both consumers (train counts, score
+        # terms) live inside the ONE scored-pin action below, where
+        # exchange reuse dedups this aggregate's shuffle — the rrf
+        # shared-doc_stats shape. A/B'd: .cache() here costs +1.2 s at
+        # sf0.1 (columnar cache round-trip) for zero extra sharing.
     )
     seed_docs = base.filter(F.col("__in_seed"))
     test_docs = base.filter(~F.col("__in_seed"))
@@ -6605,8 +6608,11 @@ def x4_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify._tokens(base, "grams", "doc_id", "lang", "__in_seed")
         .groupBy("doc_id", "lang", "__in_seed", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()  # one gram tokenize; train + score aggregates below
-        # read the same computed partitions (bench _isolate sweeps it)
+        # deliberately NOT cached: the model pin below is one action
+        # over train_counts, and the final action reads term — both
+        # consume this aggregate's exchange, which exchange reuse
+        # dedups within each action (the rrf shared-doc_stats shape);
+        # a .cache() here A/B'd slower on the classifier twin.
     )
     seed_docs = base.filter(F.col("__in_seed"))
     test = base.filter(~F.col("__in_seed"))
@@ -6618,9 +6624,12 @@ def x4_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = classify.nb_train(
         seed_docs, text_col="grams", label_col="lang", token_counts=train_counts
     )
-    # the KB-sized model frames broadcast into several joins; pin them
-    # so each broadcast doesn't re-run the training aggregation
-    model = {k: v.localCheckpoint(eager=True) for k, v in model.items()}
+    # model frames deliberately UNPINNED (round 14): the whole query is
+    # now ONE action, inside which the model broadcasts and the score
+    # terms all consume the shared token aggregate via exchange reuse —
+    # eager per-frame pins would split the plan into actions and force
+    # the gram tokenize to run once per action (A/B: pins 4.6 s vs
+    # unpinned 3.1 s at sf0.1, old two-subtree shape 3.4 s).
     term = cnt.filter(~F.col("__in_seed")).select("doc_id", "token", "cnt")
     preds = classify.nb_score(
         test, model, id_col="doc_id", text_col="grams", term=term
